@@ -1,0 +1,147 @@
+"""Fixed, versioned hashing primitives (SURVEY.md §2.2 scalar inventory).
+
+Everything here must be deterministic across processes, machines and runs
+(no randomized ``hash()``), because hashes drive shuffle keys (LSH bands,
+salted entity hashes, dedup keys) and golden comparisons.
+
+Reference seed: the reference normalizes markup to save tokens
+(``tools/entrez.py:59-68``) but has no hashing at all; these primitives are
+new, required by the north rule (MinHash-LSH blocking, salted entity
+hashes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+HASH_VERSION = 1
+
+# splitmix64 constants — public-domain PRNG finalizer (Steele et al. 2014).
+_SM64_1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM64_2 = np.uint64(0x94D049BB133111EB)
+_SM64_G = np.uint64(0x9E3779B97F4A7C15)
+
+_MERSENNE61 = (1 << 61) - 1
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 array. Deterministic."""
+    z = (x + _SM64_G).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * _SM64_1
+    z = (z ^ (z >> np.uint64(27))) * _SM64_2
+    return z ^ (z >> np.uint64(31))
+
+
+def hash_strings(values, seed: int = 0) -> np.ndarray:
+    """Stable 64-bit hash of a sequence of strings -> uint64 ndarray.
+
+    FNV-1a over UTF-8 bytes, then splitmix64 finalize with ``seed`` mixed
+    in. Pure-Python per string but C-speed inner loop via int ops on
+    ``bytes``; used for shuffle keys and dedup keys, not the per-shingle
+    hot path (that is :func:`shingle_hashes`, fully vectorized).
+    """
+    fnv_offset = 0xCBF29CE484222325
+    fnv_prime = 0x100000001B3
+    mask = (1 << 64) - 1
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        h = fnv_offset
+        for b in v.encode("utf-8") if isinstance(v, str) else bytes(v):
+            h = ((h ^ b) * fnv_prime) & mask
+        out[i] = h
+    if seed:
+        out = out ^ np.uint64(seed & mask)
+    return splitmix64(out)
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Hashes of all k-character shingles of ``text`` -> uint64 ndarray.
+
+    Fully vectorized: view the UTF-8 bytes as a uint8 array, build a
+    sliding-window polynomial hash with numpy strides. Deterministic.
+    Returns the *unique* shingle hashes (set semantics for Jaccard).
+    """
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(data) < k:
+        data = np.pad(data, (0, k - len(data)), constant_values=0)
+    n = len(data) - k + 1
+    windows = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+    weights = np.uint64(31) ** np.arange(k, dtype=np.uint64)
+    raw = (windows * weights).sum(axis=1, dtype=np.uint64)
+    return np.unique(splitmix64(raw[:n]))
+
+
+class MinHasher:
+    """MinHash signatures via ``num_perm`` universal-hash permutations.
+
+    ``sig[i] = min over shingles s of (a_i * h(s) + b_i mod p)`` with a
+    fixed-seed parameter draw — the standard construction (Broder 1997),
+    implemented in numpy. Signatures are mergeable (element-wise min), so
+    per-batch partial signatures compose across blocks.
+    """
+
+    PRIME = np.uint64(_MERSENNE61)
+
+    def __init__(self, num_perm: int = 128, seed: int = 1001, shingle_k: int = 3):
+        rng = np.random.RandomState(seed)
+        # draw in [1, p) / [0, p); p = 2^61-1 keeps a*h+b inside uint128-free range
+        self.a = rng.randint(1, _MERSENNE61, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE61, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        """(num_perm,) uint64 signature of ``text``'s shingle set."""
+        h = shingle_hashes(text, self.shingle_k) % self.PRIME
+        if len(h) == 0:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        # (num_perm, n_shingles) without materializing products in python
+        prods = (self.a[:, None] * h[None, :] + self.b[:, None]) % self.PRIME
+        return prods.min(axis=1)
+
+    def signatures(self, texts) -> np.ndarray:
+        """(n, num_perm) uint64 signatures for a batch of texts."""
+        out = np.empty((len(texts), self.num_perm), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            out[i] = self.signature(t)
+        return out
+
+    def band_hashes(self, sigs: np.ndarray, num_bands: int) -> np.ndarray:
+        """(n, num_bands) uint64 — one hash per LSH band of each signature.
+
+        Rows sharing ``(band_id, band_hash)`` are LSH candidates; that pair
+        is the shuffle key for candidate generation (SURVEY.md §2.2 st.6).
+        """
+        n, p = sigs.shape
+        rows_per_band = p // num_bands
+        trimmed = sigs[:, : num_bands * rows_per_band]
+        bands = trimmed.reshape(n, num_bands, rows_per_band)
+        weights = np.uint64(0x9E3779B97F4A7C15) ** np.arange(
+            rows_per_band, dtype=np.uint64
+        )
+        mixed = (bands * weights).sum(axis=2, dtype=np.uint64)
+        band_salt = splitmix64(np.arange(num_bands, dtype=np.uint64))
+        return splitmix64(mixed ^ band_salt[None, :])
+
+
+def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    """Exact character-k-gram Jaccard similarity (candidate verification)."""
+    sa = shingle_hashes(text_a, k)
+    sb = shingle_hashes(text_b, k)
+    if len(sa) == 0 and len(sb) == 0:
+        return 1.0
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    union = sa.size + sb.size - inter
+    return inter / union if union else 0.0
+
+
+def simhash64(text: str, k: int = 3) -> int:
+    """64-bit SimHash over k-gram shingle hashes (near-dup fingerprint)."""
+    h = shingle_hashes(text, k)
+    if len(h) == 0:
+        return 0
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    votes = (2 * bits - 1).sum(axis=0)
+    return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())

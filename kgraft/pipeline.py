@@ -1,0 +1,256 @@
+"""The flagship KG-construction DAG (SURVEY.md §2.2, stages 1-11).
+
+    read_parquet(pages, columns pruned)            # stage 1
+      -> filter completed partitions (manifest)    # stage 11 resume
+      -> map_batches(html_to_text)                 # stage 2 (drops html)
+      -> map_batches(segment)                      # stage 3
+      -> map_batches(TripleExtractor, actor pool)  # stages 4-5
+      -> groupby(part_id).map_groups(checkpoint)   # stage 11 write
+    read_parquet(checkpointed triples)
+      -> link_triples (broadcast + MinHash-LSH)    # stages 6-7
+      -> canonicalize (pre-aggregated groupby)     # stage 8
+      -> connected_components (union-find)         # stage 9
+      -> write nodes/edges parquet                 # stage 10
+
+The whole per-page prefix streams: html bytes are dropped at stage 2,
+no full materialization happens before the partition checkpoint, and the
+checkpoint groupby is the single wide exchange of the prefix (key =
+``part_id``, uniform by construction since it's a hash of url).
+
+Equivalent of the reference's entry point 1 (``modules/PubMedFlow.py:
+232-252`` — the serial per-section loop) as a streaming Dataset DAG.
+No function here calls ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from .extract.segment import html_to_text_batch, segment_batch
+from .graph.canonical import canonicalize
+from .graph.components import connected_components
+from .link.candidates import link_triples, _norm_series
+from .manifest import ManifestStore, partition_ids
+from .models.triples import TripleExtractor
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    n_partitions: int = 16
+    extract_batch_size: int = 256
+    extractor_concurrency: int = 4
+    link_threshold: float = 0.30
+    components_method: str = "unionfind"
+    lang_filter: str | None = None  # e.g. "en" to drop non-English pages
+
+
+def extract_triples_checkpointed(
+    pages_path: str, store: ManifestStore, cfg: PipelineConfig, run_id: str
+) -> dict:
+    """Stages 1-5 + checkpoint. Returns {'partitions_written': n, ...}."""
+    done = store.completed_partitions()
+
+    ds = ray.data.read_parquet(
+        pages_path, columns=["url", "warc_ts", "html", "lang"]
+    )
+
+    def assign_part(t: pa.Table) -> pa.Table:
+        pid = partition_ids(t["url"].to_pylist(), cfg.n_partitions)
+        out = t.append_column("part_id", pa.array(pid, pa.int64()))
+        return out
+
+    ds = ds.map_batches(assign_part, batch_format="pyarrow")
+    if done:
+        done_arr = np.array(sorted(done), dtype=np.int64)
+
+        def drop_done(t: pa.Table) -> pa.Table:
+            pid = t["part_id"].to_numpy(zero_copy_only=False)
+            keep = ~np.isin(pid, done_arr)
+            return t.filter(pa.array(keep))
+
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+    if cfg.lang_filter:
+        lang = cfg.lang_filter
+
+        def keep_lang(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.equal(t["lang"], lang))
+
+        ds = ds.map_batches(keep_lang, batch_format="pyarrow")
+
+    ds = ds.map_batches(
+        lambda t: html_to_text_batch(t.drop_columns(["part_id"])).append_column(
+            "part_id", t["part_id"]
+        ),
+        batch_format="pyarrow",
+        batch_size=cfg.extract_batch_size,
+    )
+
+    def seg_with_part(t: pa.Table) -> pa.Table:
+        part = dict(zip(t["url"].to_pylist(), t["part_id"].to_pylist()))
+        seg = segment_batch(t.drop_columns(["part_id"]))
+        pid = [part[u] for u in seg["url"].to_pylist()]
+        return seg.append_column("part_id", pa.array(pid, pa.int64()))
+
+    segs = ds.map_batches(seg_with_part, batch_format="pyarrow")
+
+    triples = segs.map_batches(
+        _TripleExtractorWithPart,
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=cfg.extractor_concurrency,
+    )
+
+    writer = store.make_writer(run_id)
+    summary = triples.groupby("part_id").map_groups(writer, batch_format="pandas")
+    rows = summary.to_pandas()
+    return {
+        "partitions_written": int(len(rows)),
+        "partitions_skipped": len(done),
+        "triples_written": int(rows["n_triples"].sum()) if len(rows) else 0,
+    }
+
+
+class _TripleExtractorWithPart(TripleExtractor):
+    """TripleExtractor that threads the checkpoint partition id through."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
+        part = dict(
+            zip(batch["url"].to_pylist(), batch["part_id"].to_pylist())
+        )
+        out = super().__call__(batch.drop_columns(["part_id"]))
+        pid = [part[u] for u in out["url"].to_pylist()]
+        return out.append_column("part_id", pa.array(pid, pa.int64()))
+
+
+def build_graph_from_triples(
+    triples_paths, alias_path: str, out_dir: str, cfg: PipelineConfig
+) -> dict:
+    """Stages 6-10: link, canonicalize, components, materialize graph."""
+    triples = ray.data.read_parquet(triples_paths)
+    alias_ds = ray.data.read_parquet(alias_path)
+
+    linked, recovered = link_triples(triples, alias_ds, cfg.link_threshold)
+    linked = linked.materialize()  # reused by edges, mentions, components
+
+    # edges table (both endpoints linked)
+    def to_edges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ok = pc.and_(
+            pc.greater_equal(t["subj_id"], 0), pc.greater_equal(t["obj_id"], 0)
+        )
+        t = t.filter(ok)
+        return pa.table(
+            {
+                "subj_id": t["subj_id"],
+                "pred": t["pred"],
+                "obj_id": t["obj_id"],
+                "conf": t["conf"],
+                "url": t["url"],
+                "warc_ts": t["warc_ts"],
+            }
+        )
+
+    edges = linked.map_batches(to_edges, batch_format="pyarrow")
+    edges_dir = os.path.join(out_dir, "edges")
+    edges.write_parquet(edges_dir)
+
+    # mention rows for canonicalization: each linked endpoint occurrence
+    def to_mentions(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        subj = df.loc[df["subj_id"] >= 0, ["subj_id", "subj"]].rename(
+            columns={"subj_id": "entity_id", "subj": "surface"}
+        )
+        obj = df.loc[df["obj_id"] >= 0, ["obj_id", "obj"]].rename(
+            columns={"obj_id": "entity_id", "obj": "surface"}
+        )
+        both = pd.concat([subj, obj], ignore_index=True)
+        both["surface"] = _norm_series(both["surface"])
+        return pa.Table.from_pandas(both, preserve_index=False)
+
+    mentions = linked.map_batches(to_mentions, batch_format="pyarrow")
+    nodes_base = canonicalize(mentions).materialize()
+
+    # components over linked edge endpoints
+    def to_cc_edges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ok = pc.and_(
+            pc.greater_equal(t["subj_id"], 0), pc.greater_equal(t["obj_id"], 0)
+        )
+        t = t.filter(ok)
+        return pa.table({"src": t["subj_id"], "dst": t["obj_id"]})
+
+    cc_edges = linked.map_batches(to_cc_edges, batch_format="pyarrow")
+    comp = connected_components(cc_edges, method=cfg.components_method)
+    comp_ref = ray.put(dict(zip(comp["entity_id"], comp["component_id"])))
+
+    def attach_component(t: pa.Table) -> pa.Table:
+        lut = ray.get(comp_ref)
+        eids = t["entity_id"].to_numpy(zero_copy_only=False)
+        cids = np.array([lut.get(int(e), int(e)) for e in eids], dtype=np.int64)
+        return t.append_column("component_id", pa.array(cids, pa.int64()))
+
+    nodes = nodes_base.map_batches(attach_component, batch_format="pyarrow")
+    nodes = nodes.select_columns(
+        ["entity_id", "canonical", "aliases", "component_id", "n_mentions"]
+    )
+    nodes_dir = os.path.join(out_dir, "nodes")
+    nodes.write_parquet(nodes_dir)
+
+    return {
+        "edges_dir": edges_dir,
+        "nodes_dir": nodes_dir,
+        "n_edges": edges.count(),
+        "n_nodes": nodes.count(),
+        "n_recovered_aliases": int(len(recovered)),
+        "components": comp,
+    }
+
+
+def run_kg_pipeline(
+    pages_path: str,
+    alias_path: str,
+    out_dir: str,
+    cfg: PipelineConfig | None = None,
+    run_id: str = "run-0",
+) -> dict:
+    """End-to-end flagship pipeline. Resumable: re-running after a partial
+    failure skips checkpointed partitions."""
+    cfg = cfg or PipelineConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    store = ManifestStore(out_dir)
+    t0 = time.time()
+    stage_a = extract_triples_checkpointed(pages_path, store, cfg, run_id)
+    t1 = time.time()
+    stage_b = build_graph_from_triples(
+        store.partition_paths(), alias_path, out_dir, cfg
+    )
+    t2 = time.time()
+    metrics = {
+        "run_id": run_id,
+        "extract_sec": t1 - t0,
+        "graph_sec": t2 - t1,
+        "total_sec": t2 - t0,
+        **stage_a,
+        "n_edges": stage_b["n_edges"],
+        "n_nodes": stage_b["n_nodes"],
+        "n_recovered_aliases": stage_b["n_recovered_aliases"],
+    }
+    with open(os.path.join(out_dir, "run_metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    metrics["components"] = stage_b["components"]
+    metrics["triples_paths"] = store.partition_paths()
+    metrics["nodes_dir"] = stage_b["nodes_dir"]
+    metrics["edges_dir"] = stage_b["edges_dir"]
+    return metrics
