@@ -1,0 +1,174 @@
+"""Benchmark harness (driver contract + BASELINE.md scaling evidence).
+
+Default mode: one fresh Ray session at ``$RAY_GRAFT_CPUS`` (default 32)
+CPUs; runs the flagship KG-construction pipeline over the synthetic
+pages corpus at the scale mapped from ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1`` -> 20k pages) plus the named query suite over
+the sf tables, and prints ONE JSON line::
+
+    {"metric": "kg_docs_per_sec", "value": ..., "unit": "sec", ...}
+
+``--scaling``: runs the headline pipeline twice in FRESH subprocesses
+(num_cpus=8 then num_cpus=32) on the same input and reports both
+throughputs plus scaling efficiency = (thr_32/thr_8)/(32/8) — the
+sandbox stand-in for the north rule's N vs 4N cluster sizes.
+
+``--pipeline-only --cpus N``: internal child mode used by --scaling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEAVY_QUERIES = {"kg_triples", "kg_nodes", "kg_edges", "image_features"}
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def run_headline(sf_dir: str, num_cpus: int, out_tag: str) -> dict:
+    """Fresh (non-resumed) flagship pipeline run; returns timing metrics."""
+    from kgraft.pipeline import PipelineConfig, run_kg_pipeline
+    from kgraft.queries import _pages_for
+    from kgraft.synth import corpus_dir
+
+    n_pages = _pages_for(sf_dir)
+    d = corpus_dir(n_pages)
+    out = f"/tmp/kgraft_bench/{out_tag}_n{n_pages}"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = PipelineConfig(
+        n_partitions=max(16, num_cpus * 2),
+        extractor_concurrency=(1, max(2, num_cpus // 2)),
+    )
+    t0 = time.time()
+    res = run_kg_pipeline(
+        os.path.join(d, "pages.parquet"),
+        os.path.join(d, "alias_dict.parquet"),
+        out,
+        cfg,
+    )
+    wall = time.time() - t0
+    return {
+        "n_pages": n_pages,
+        "wall_sec": wall,
+        "docs_per_sec": n_pages / wall,
+        "extract_sec": res["extract_sec"],
+        "graph_sec": res["graph_sec"],
+        "triples_written": res["triples_written"],
+        "n_nodes": res["n_nodes"],
+        "n_edges": res["n_edges"],
+    }
+
+
+def run_queries(sf_dir: str) -> dict:
+    """Per-query wall seconds over the sf tables (heavy KG re-runs skipped
+    — the headline run already measures them)."""
+    from kgraft.queries import QUERIES
+
+    out = {}
+    for name, fn in QUERIES.items():
+        if name in HEAVY_QUERIES:
+            continue
+        t0 = time.time()
+        try:
+            res = fn(sf_dir)
+            if hasattr(res, "count"):
+                res.count()  # consume the Dataset
+            out[name] = round(time.time() - t0, 3)
+        except Exception as e:  # pragma: no cover - bench robustness
+            out[name] = f"ERROR:{type(e).__name__}"
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--skip-queries", action="store_true")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.scaling:
+        results = {}
+        for cpus in (8, 32):
+            p = subprocess.run(
+                [sys.executable, __file__, "--pipeline-only", f"--cpus={cpus}"],
+                capture_output=True,
+                text=True,
+                env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+            )
+            line = p.stdout.strip().splitlines()[-1]
+            results[cpus] = json.loads(line)
+        thr8 = results[8]["docs_per_sec"]
+        thr32 = results[32]["docs_per_sec"]
+        eff = (thr32 / thr8) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "kg_scaling_efficiency_8_to_32",
+                    "value": round(eff, 4),
+                    "unit": "ratio",
+                    "docs_per_sec_8cpu": round(thr8, 2),
+                    "docs_per_sec_32cpu": round(thr32, 2),
+                    "n_pages": results[32]["n_pages"],
+                    "sf": sf_dir,
+                }
+            )
+        )
+        return
+
+    ray = _init_ray(num_cpus)
+    headline = run_headline(sf_dir, num_cpus, out_tag=f"cpus{num_cpus}")
+
+    if args.pipeline_only:
+        print(json.dumps({**headline, "num_cpus": num_cpus}))
+        ray.shutdown()
+        return
+
+    queries = {} if args.skip_queries else run_queries(sf_dir)
+    print(
+        json.dumps(
+            {
+                "metric": "kg_docs_per_sec",
+                "value": round(headline["docs_per_sec"], 2),
+                "unit": "sec",
+                "headline": {
+                    k: round(v, 3) if isinstance(v, float) else v
+                    for k, v in headline.items()
+                },
+                "queries": queries,
+                "sf": sf_dir,
+                "num_cpus": num_cpus,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

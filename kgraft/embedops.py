@@ -1,0 +1,161 @@
+"""Similarity search over an embedding column (``embeddings`` table:
+vec_id, embedding list<float>, label).
+
+* :func:`knn_topk` — brute-force cosine top-k: the query matrix is
+  broadcast once (``ray.put``); each batch does one numpy matmul and
+  emits only its local top-k, so the global sort sees ``k × n_blocks``
+  rows, not the corpus.
+* :func:`ivf_topk` — the scale path: coarse k-means centroids (built on
+  a driver-side sample, deterministic fixed-seed Lloyd iterations),
+  vectors assigned to cells in a vectorized ``map_batches``; queries
+  probe only ``nprobe`` cells. Recall ≤ 1 by construction — the
+  brute-force result is its oracle in tests.
+* :func:`label_norm_stats` — per-label vector-norm statistics (SQL twin
+  uses ``list_inner_product``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _batch_matrix(t: pa.Table) -> np.ndarray:
+    col = t["embedding"]
+    flat = col.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    n = len(t)
+    return flat.reshape(n, -1).astype(np.float64)
+
+
+def _cosine(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1e-12
+    return (mat @ qn) / norms
+
+
+def get_query_vector(embeddings, vec_id: int = 0) -> np.ndarray:
+    df = embeddings.filter(lambda r: r["vec_id"] == vec_id).to_pandas()
+    return np.asarray(df["embedding"].iloc[0], dtype=np.float64)
+
+
+def knn_topk(embeddings, query: np.ndarray, k: int = 10, round_dp: int = 4):
+    """Brute-force cosine top-k. Returns Dataset (vec_id, score) with
+    score rounded to ``round_dp`` decimals (oracle-comparable). Each batch
+    emits a local top-(3k) so the global sort sees k×blocks rows, not the
+    corpus; the margin covers round-then-rank ties at the cut."""
+    qref = ray.put(np.asarray(query, dtype=np.float64))
+    local_k = max(3 * k, 32)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        mat = _batch_matrix(t)
+        scores = _cosine(mat, ray.get(qref))
+        order = np.argsort(-scores)[:local_k]
+        return pa.table(
+            {
+                "vec_id": t["vec_id"].take(pa.array(order)),
+                "score": pa.array(np.round(scores[order], round_dp), pa.float64()),
+            }
+        )
+
+    partial = embeddings.map_batches(local_topk, batch_format="pyarrow")
+    return partial.sort(["score", "vec_id"], descending=[True, False]).limit(k)
+
+
+def kmeans_centroids(
+    sample: np.ndarray, n_cells: int, n_iter: int = 10, seed: int = 7
+) -> np.ndarray:
+    """Deterministic Lloyd iterations on a driver-side sample."""
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)
+    cents = sample[np.sort(idx)].copy()
+    for _ in range(n_iter):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = sample[m].mean(axis=0)
+    return cents
+
+
+def ivf_topk(
+    embeddings,
+    query: np.ndarray,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    sample_limit: int = 4096,
+):
+    """IVF-style ANN: probe the ``nprobe`` nearest coarse cells only."""
+    sample_df = embeddings.limit(sample_limit).to_pandas()
+    sample = np.stack(sample_df["embedding"].map(np.asarray).values).astype(np.float64)
+    cents = kmeans_centroids(sample, n_cells)
+    q = np.asarray(query, dtype=np.float64)
+    probe = np.argsort(((cents - q) ** 2).sum(axis=1))[:nprobe]
+    cents_ref = ray.put(cents)
+    probe_ref = ray.put(np.sort(probe))
+    qref = ray.put(q)
+
+    def local(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        mat = _batch_matrix(t)
+        cs = ray.get(cents_ref)
+        cell = ((mat[:, None, :] - cs[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        keep = np.isin(cell, ray.get(probe_ref))
+        if not keep.any():
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        mat = mat[keep]
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)[keep]
+        scores = _cosine(mat, ray.get(qref))
+        order = np.argsort(-scores)[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "score": pa.array(np.round(scores[order], 6), pa.float64()),
+            }
+        )
+
+    partial = embeddings.map_batches(local, batch_format="pyarrow")
+    return partial.sort(["score", "vec_id"], descending=[True, False]).limit(k)
+
+
+def label_norm_stats(embeddings):
+    """label, n_vecs, avg_norm (rounded 6) — partial-aggregated."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        mat = _batch_matrix(t)
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        norms = np.linalg.norm(mat, axis=1)
+        df = pd.DataFrame({"label": labels, "norm": norms})
+        g = df.groupby("label", sort=False)["norm"].agg(["sum", "count"]).reset_index()
+        return pa.Table.from_pandas(
+            g.rename(columns={"sum": "norm_sum", "count": "n"}), preserve_index=False
+        )
+
+    from ray.data.aggregate import Sum
+
+    parts = embeddings.map_batches(partial, batch_format="pyarrow")
+    merged = (
+        parts.groupby("label")
+        .aggregate(Sum("norm_sum", alias_name="norm_sum"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "label": merged["label"].astype("int32"),
+            "n_vecs": merged["n"].astype("int64"),
+            "avg_norm": (merged["norm_sum"] / merged["n"]).round(6),
+        }
+    )

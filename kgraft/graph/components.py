@@ -89,10 +89,12 @@ def connected_components(
     """
     if method == "unionfind":
         contracted = edges.map_batches(_contract_batch, batch_format="pyarrow")
-        distinct = contracted.groupby(["src", "dst"]).map_groups(
-            lambda g: g.head(1), batch_format="pandas"
+        local = contracted.map_batches(
+            lambda df: df.drop_duplicates(), batch_format="pandas"
         )
-        df = distinct.to_pandas()  # vocabulary-scale (see module docstring)
+        # contracted+deduped edges are vocabulary-scale (module docstring);
+        # final dedup on the driver avoids a full sort shuffle
+        df = local.to_pandas().drop_duplicates()
         uf = _UnionFind()
         for a, b in zip(df["src"], df["dst"]):
             uf.union(int(a), int(b))

@@ -31,11 +31,13 @@ import pyarrow as pa
 import ray
 
 from ..hashing import MinHasher
-from .score import LinkScorer
+from .score import LinkScorer, build_token_idf
 
 NUM_PERM = 128
 NUM_BANDS = 32
-JACCARD_THRESHOLD = 0.30
+# soft-TFIDF score floor: correct alias matches land ~0.8-1.0, spurious
+# shared-suffix candidates ~0.4 (see kgraft/link/score.py)
+JACCARD_THRESHOLD = 0.50
 
 
 def _norm_series(s: pd.Series) -> pd.Series:
@@ -102,15 +104,27 @@ def link_triples(
         SurfaceLinker,
         fn_constructor_args=(ref2,),
         batch_format="pyarrow",
-        concurrency=4,
+        concurrency=(1, 4),
         batch_size=8192,
     )
     return linked, recovered
 
 
+import re as _re
+
+_BLOCKNORM_RE = _re.compile(r"[a-z0-9]+")
+
+
+def _blocknorm(s: str) -> str:
+    """Blocking normalization: keep alphanumeric runs only, space-joined.
+    More aggressive than the exact-match norm so 'lux-partners' and
+    'lux partners' produce identical shingle sets (banding recall)."""
+    return " ".join(_BLOCKNORM_RE.findall(s.lower()))
+
+
 def _band_explode(batch: pa.Table, text_col: str, hasher: MinHasher) -> pa.Table:
     """texts -> (band_id, band_hash, <carried cols>) rows, one per band."""
-    texts = batch[text_col].to_pylist()
+    texts = [_blocknorm(t) for t in batch[text_col].to_pylist()]
     if not texts:
         return pa.table(
             {
@@ -133,15 +147,24 @@ def _band_explode(batch: pa.Table, text_col: str, hasher: MinHasher) -> pa.Table
     return pa.table(out)
 
 
-class _BandExploder:
-    """Actor: MinHasher built once per worker (fixed seed)."""
+from functools import lru_cache
 
-    def __init__(self, text_col: str):
-        self.hasher = MinHasher(num_perm=NUM_PERM, seed=1001)
-        self.text_col = text_col
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        return _band_explode(batch, self.text_col, self.hasher)
+@lru_cache(maxsize=1)
+def _shared_hasher() -> MinHasher:
+    """One fixed-seed MinHasher per worker process (init is a seeded
+    parameter draw — cheap, but no reason to repeat it per task)."""
+    return MinHasher(num_perm=NUM_PERM, seed=1001)
+
+
+def _make_band_fn(text_col: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        return _band_explode(batch, text_col, _shared_hasher())
+
+    return fn
+
+
+_MATCH_BUCKETS = 64
 
 
 def lsh_recover(
@@ -149,25 +172,28 @@ def lsh_recover(
     alias_ds: "ray.data.Dataset",
     threshold: float = JACCARD_THRESHOLD,
 ) -> pd.DataFrame:
-    """Map unknown surfaces to entity ids via LSH blocking + Jaccard.
+    """Map unknown surfaces to entity ids via LSH blocking + soft-TFIDF.
 
     ``unknown_surfaces``: one column ``mention`` (distinct, normalized).
     ``alias_ds``: columns ``alias``, ``entity_id`` (normalized).
     Returns a small pandas DataFrame ``(mention, entity_id, score)``.
+
+    Physical plan: both sides explode to ``(band_id, band_hash)`` rows;
+    ONE shuffle keyed on ``band_hash % B`` co-locates colliding rows in
+    ~B groups; inside each group a vectorized pandas merge emits + scores
+    candidate pairs (scorer state fetched once per group from a ``ray.put``
+    broadcast). The scored survivors are vocabulary-sized by construction
+    (distinct unknown surfaces × their colliding aliases), so best-per-
+    mention finalization happens on the driver — that is the documented
+    partitioning assumption of this operator.
     """
+    idf_ref = ray.put(build_token_idf(alias_ds.to_pandas()))
+
     m_bands = unknown_surfaces.map_batches(
-        _BandExploder,
-        fn_constructor_args=("mention",),
-        batch_format="pyarrow",
-        concurrency=2,
+        _make_band_fn("mention"), batch_format="pyarrow"
     )
-    a_bands = alias_ds.map_batches(
-        _BandExploder,
-        fn_constructor_args=("alias",),
-        batch_format="pyarrow",
-        concurrency=2,
-    )
-    # tag and union; shuffle key = (band_id, band_hash)
+    a_bands = alias_ds.map_batches(_make_band_fn("alias"), batch_format="pyarrow")
+    # tag and union; shuffle key = band_hash % B (band_id folded into hash)
     m_tag = m_bands.map_batches(
         lambda t: t.append_column("alias", pa.array([""] * len(t), pa.string()))
         .append_column("entity_id", pa.array([-1] * len(t), pa.int64())),
@@ -177,40 +203,54 @@ def lsh_recover(
         lambda t: t.append_column("mention", pa.array([""] * len(t), pa.string())),
         batch_format="pyarrow",
     )
-    both = m_tag.select_columns(
-        ["band_id", "band_hash", "mention", "alias", "entity_id"]
-    ).union(
-        a_tag.select_columns(["band_id", "band_hash", "mention", "alias", "entity_id"])
-    )
+    cols = ["band_id", "band_hash", "mention", "alias", "entity_id"]
+    both = m_tag.select_columns(cols).union(a_tag.select_columns(cols))
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        mentions = g[g["entity_id"] < 0]["mention"].unique()
-        aliases = g[g["entity_id"] >= 0][["alias", "entity_id"]].drop_duplicates()
-        if len(mentions) == 0 or len(aliases) == 0:
-            return pd.DataFrame({"mention": [], "alias": [], "entity_id": []})
-        out = aliases.merge(pd.DataFrame({"mention": mentions}), how="cross")
-        return out[["mention", "alias", "entity_id"]]
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = t["band_hash"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((h % _MATCH_BUCKETS).astype(np.int32), pa.int32())
+        )
 
-    pairs = both.groupby(["band_id", "band_hash"]).map_groups(
-        emit_pairs, batch_format="pandas"
-    )
-    # candidate pairs are vocabulary-sized; dedup then score on actor pool
-    pairs = pairs.groupby(["mention", "alias", "entity_id"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
-    scored = pairs.map_batches(
-        LinkScorer, batch_format="pyarrow", concurrency=2, batch_size=4096
-    )
+    both = both.map_batches(add_bucket, batch_format="pyarrow")
 
-    def best(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g["score"] >= threshold]
-        if len(g) == 0:
-            return g.head(0)
-        g = g.sort_values(["score", "entity_id", "alias"], ascending=[False, True, True])
-        return g.head(1)
+    def match_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "mention": pd.Series([], dtype=object),
+                "alias": pd.Series([], dtype=object),
+                "entity_id": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
+        men = g[g["entity_id"] < 0][["band_id", "band_hash", "mention"]]
+        ali = g[g["entity_id"] >= 0][
+            ["band_id", "band_hash", "alias", "entity_id"]
+        ]
+        if men.empty or ali.empty:
+            return empty
+        cand = (
+            men.merge(ali, on=["band_id", "band_hash"])[
+                ["mention", "alias", "entity_id"]
+            ]
+            .drop_duplicates()
+            .reset_index(drop=True)
+        )
+        if cand.empty:
+            return empty
+        scorer = LinkScorer(idf_ref)
+        cand["score"] = [
+            scorer._soft_tfidf(m, a) for m, a in zip(cand["mention"], cand["alias"])
+        ]
+        return cand[cand["score"] >= threshold]
 
-    resolved = scored.groupby("mention").map_groups(best, batch_format="pandas")
-    df = resolved.to_pandas()
+    scored = both.groupby("bucket").map_groups(match_bucket, batch_format="pandas")
+    df = scored.to_pandas()  # vocabulary-scale (see docstring)
     if len(df) == 0:
         return pd.DataFrame({"mention": [], "entity_id": [], "score": []})
-    return df[["mention", "entity_id", "score"]].reset_index(drop=True)
+    df = df.drop_duplicates(["mention", "alias", "entity_id"]).sort_values(
+        ["mention", "score", "entity_id", "alias"],
+        ascending=[True, False, True, True],
+    )
+    best = df.groupby("mention", as_index=False).head(1)
+    return best[["mention", "entity_id", "score"]].reset_index(drop=True)

@@ -45,9 +45,12 @@ from .models.triples import TripleExtractor
 @dataclass(frozen=True)
 class PipelineConfig:
     n_partitions: int = 16
+    read_blocks: int | None = None  # override_num_blocks for the pages read;
+    # None -> 2 tasks per cluster CPU (parallel even for one parquet file)
     extract_batch_size: int = 256
-    extractor_concurrency: int = 4
-    link_threshold: float = 0.30
+    extractor_concurrency: tuple = (1, 4)  # autoscaling pool — a fixed pool
+    # can starve the downstream checkpoint shuffle of CPUs on small hosts
+    link_threshold: float = 0.50
     components_method: str = "unionfind"
     lang_filter: str | None = None  # e.g. "en" to drop non-English pages
 
@@ -58,8 +61,11 @@ def extract_triples_checkpointed(
     """Stages 1-5 + checkpoint. Returns {'partitions_written': n, ...}."""
     done = store.completed_partitions()
 
+    blocks = cfg.read_blocks or int(ray.cluster_resources().get("CPU", 4)) * 2
     ds = ray.data.read_parquet(
-        pages_path, columns=["url", "warc_ts", "html", "lang"]
+        pages_path,
+        columns=["url", "warc_ts", "html", "lang"],
+        override_num_blocks=blocks,
     )
 
     def assign_part(t: pa.Table) -> pa.Table:
@@ -132,6 +138,13 @@ class _TripleExtractorWithPart(TripleExtractor):
         return out.append_column("part_id", pa.array(pid, pa.int64()))
 
 
+def _clear_dir(path: str) -> None:
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+
 def build_graph_from_triples(
     triples_paths, alias_path: str, out_dir: str, cfg: PipelineConfig
 ) -> dict:
@@ -163,6 +176,8 @@ def build_graph_from_triples(
 
     edges = linked.map_batches(to_edges, batch_format="pyarrow")
     edges_dir = os.path.join(out_dir, "edges")
+    _clear_dir(edges_dir)  # write_parquet appends new files; a re-run of the
+    # (cheap, non-checkpointed) graph stage must not duplicate rows
     edges.write_parquet(edges_dir)
 
     # mention rows for canonicalization: each linked endpoint occurrence
@@ -206,6 +221,7 @@ def build_graph_from_triples(
         ["entity_id", "canonical", "aliases", "component_id", "n_mentions"]
     )
     nodes_dir = os.path.join(out_dir, "nodes")
+    _clear_dir(nodes_dir)
     nodes.write_parquet(nodes_dir)
 
     return {

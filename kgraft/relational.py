@@ -1,0 +1,275 @@
+"""Generic relational operators over ``ray.data.Dataset`` (SURVEY.md §2.2
+row 12).
+
+The reference has no relational algebra at all (SURVEY.md §2.1 "does NOT
+implement"); this layer supplies the filter/project/join/aggregate/sort/
+distinct/union/dedup surface a user of the engine needs, each realized
+with the Ray Data primitive that scales:
+
+* filters/projections — vectorized ``map_batches`` over Arrow
+* aggregations — **map-side partial aggregation** then a small groupby
+  (never shuffles raw rows; defuses key skew)
+* joins — broadcast (``ray.put``) for small sides; bucketed hash join
+  (``groupby(bucket).map_groups`` with a pandas merge per bucket) for
+  large-large; semi/anti via broadcast key sets
+* top-k — ``sort().limit()``
+* distinct — groupby-first
+
+No function here calls ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from .hashing import hash_strings
+
+# ---------------------------------------------------------------------------
+# sources
+
+
+def read_table(sf_dir: str, name: str, columns=None):
+    """Column-pruned parquet read of one testdata table."""
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# per-batch transforms
+
+
+def filter_batches(ds, predicate):
+    """Vectorized filter: ``predicate(pa.Table) -> BooleanArray``."""
+    return ds.map_batches(
+        lambda t: t.filter(predicate(t)), batch_format="pyarrow"
+    )
+
+
+def project(ds, exprs):
+    """``exprs``: dict of out_col -> fn(pa.Table) -> Array. Keeps only them."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({name: e(t) for name, e in exprs.items()})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# bucketed reduce: shuffle on a coarse bucket, vectorized reduce inside.
+# Ray's native groupby().aggregate() pays per-group Python overhead in the
+# reduce, which is pathological for high-cardinality keys; grouping on
+# ``hash(key) % B`` keeps the Ray group count at B while the exact
+# per-key reduction happens as one vectorized pandas groupby per bucket.
+
+
+def bucketed_groupby_apply(ds, keys, apply_fn, num_buckets: int = 64):
+    """``apply_fn(pd.DataFrame) -> pd.DataFrame`` runs once per bucket on
+    all rows whose key hashes into it (co-location guarantee: every row
+    of a given key lands in exactly one bucket)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.zeros(len(df), dtype=np.uint64)
+        for k in keys:
+            h ^= pd.util.hash_pandas_object(df[k], index=False).to_numpy(
+                dtype=np.uint64
+            )
+        df = df.copy()
+        df["__bucket"] = (h % np.uint64(num_buckets)).astype("int64")
+        return df
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pandas")
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return apply_fn(g.drop(columns=["__bucket"]))
+
+    return bucketed.groupby("__bucket").map_groups(run, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# aggregation: map-side partials -> small global groupby
+
+
+def pre_aggregate(ds, keys, aggs):
+    """Grouped aggregation with per-batch partial combine.
+
+    ``aggs``: dict out_col -> (in_col, kind) with kind in
+    {sum, count, min, max, mean}. Mean is computed as sum+count partials
+    merged at the end (exact). Raw rows never shuffle — only one partial
+    row per (key, batch) does, which is what makes Zipf-skewed keys safe
+    at 100 TB (SURVEY.md §4 skew row).
+
+    Returns a pandas DataFrame (grouped results are reducer-sized).
+    """
+    sum_cols, min_cols, max_cols = [], [], []
+    for out, (col, kind) in aggs.items():
+        if kind in ("sum", "mean"):
+            sum_cols.append((out, col, kind))
+        elif kind == "count":
+            sum_cols.append((out, None, "count"))
+        elif kind == "min":
+            min_cols.append((out, col))
+        elif kind == "max":
+            max_cols.append((out, col))
+        else:
+            raise ValueError(kind)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, observed=True, sort=False)
+        parts = {}
+        parts["__n"] = g.size()
+        for out, col, kind in sum_cols:
+            if kind == "count":
+                continue
+            parts[f"__sum_{out}"] = g[col].sum()
+        for out, col in min_cols:
+            parts[f"__min_{out}"] = g[col].min()
+        for out, col in max_cols:
+            parts[f"__max_{out}"] = g[col].max()
+        return pd.DataFrame(parts).reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    agg_plan = {"__n": "sum"}
+    for out, col, kind in sum_cols:
+        if kind != "count":
+            agg_plan[f"__sum_{out}"] = "sum"
+    for out, _ in min_cols:
+        agg_plan[f"__min_{out}"] = "min"
+    for out, _ in max_cols:
+        agg_plan[f"__max_{out}"] = "max"
+
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key_list, as_index=False, observed=True, sort=False).agg(
+            agg_plan
+        )
+
+    merged = bucketed_groupby_apply(partials, key_list, merge).to_pandas()
+
+    out_df = merged[keys].copy() if isinstance(keys, list) else merged[[keys]].copy()
+    for out, col, kind in sum_cols:
+        if kind == "count":
+            out_df[out] = merged["__n"].astype("int64")
+        elif kind == "sum":
+            out_df[out] = merged[f"__sum_{out}"]
+        else:  # mean
+            out_df[out] = merged[f"__sum_{out}"] / merged["__n"]
+    for out, _ in min_cols:
+        out_df[out] = merged[f"__min_{out}"]
+    for out, _ in max_cols:
+        out_df[out] = merged[f"__max_{out}"]
+    return out_df
+
+
+# ---------------------------------------------------------------------------
+# joins
+
+
+def broadcast_join(ds, small_df: pd.DataFrame, on, how: str = "inner"):
+    """Broadcast the small side once (``ray.put``); pandas merge per batch."""
+    ref = ray.put(small_df)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return df.merge(ray.get(ref), on=on, how=how)
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def semi_anti_join(ds, keys, on: str, anti: bool = False):
+    """Semi/anti join via a broadcast key set filtered inside map_batches.
+
+    ``keys``: an iterable of key values, or a DataFrame with column ``on``.
+    """
+    if isinstance(keys, pd.DataFrame):
+        keys = keys[on].tolist()
+    ref = ray.put(set(keys))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        mask = df[on].isin(ray.get(ref))
+        return df[~mask] if anti else df[mask]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def hash_join(left, right, on, num_buckets: int = 32, how: str = "inner"):
+    """Large-large equi-join: explicit bucketed hash join.
+
+    Both sides get ``bucket = stable_hash(key) % B``; a union tagged by
+    side is grouped by bucket and merged with pandas inside
+    ``map_groups``. One shuffle keyed on the bucket; B bounds reducer
+    fan-in. Hot keys can be salted into sub-buckets by raising B.
+    (Ray's native ``Dataset.join`` exists in this version; this explicit
+    form keeps the partitioning visible and portable.)
+    """
+    on_cols = [on] if isinstance(on, str) else list(on)
+
+    def keyhash(df: pd.DataFrame) -> np.ndarray:
+        key = df[on_cols[0]].astype(str)
+        for c in on_cols[1:]:
+            key = key + "\x1f" + df[c].astype(str)
+        return (hash_strings(key.tolist(), seed=3) % np.uint64(num_buckets)).astype(
+            "int64"
+        )
+
+    lcols = left.schema().names
+    rcols = right.schema().names
+    shared = [c for c in rcols if c in lcols and c not in on_cols]
+
+    def tag(side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__bucket"] = keyhash(df)
+            df["__side"] = side
+            return df
+
+        return fn
+
+    lt = left.map_batches(tag(0), batch_format="pandas")
+    rt = right.map_batches(tag(1), batch_format="pandas")
+    # align schemas for union: give each side the other's missing columns
+    all_cols = on_cols + [c for c in lcols + rcols if c not in on_cols]
+    all_cols = list(dict.fromkeys(all_cols)) + ["__bucket", "__side"]
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        for c in all_cols:
+            if c not in df.columns:
+                df[c] = None
+        return df[all_cols]
+
+    both = lt.map_batches(widen, batch_format="pandas").union(
+        rt.map_batches(widen, batch_format="pandas")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["__side"] == 0][[c for c in lcols]]
+        rf = g[g["__side"] == 1][[c for c in rcols]]
+        out = lf.merge(rf, on=on_cols, how="inner", suffixes=("", "_r"))
+        return out.drop(columns=["__bucket", "__side"], errors="ignore")
+
+    if shared:
+        raise ValueError(f"ambiguous non-key columns on both sides: {shared}")
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# order / distinct
+
+
+def top_k(ds, key, k: int, descending: bool = True):
+    return ds.sort(key, descending=descending).limit(k)
+
+
+def distinct(ds, cols):
+    """Distinct rows over ``cols``: map-side drop_duplicates per batch,
+    then a count aggregate (pure shuffle — no per-group Python)."""
+    from ray.data.aggregate import Count
+
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    slim = ds.select_columns(cols).map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas"
+    )
+    return slim.groupby(cols).aggregate(Count(alias_name="__c")).select_columns(cols)

@@ -28,7 +28,9 @@ import pyarrow.parquet as pq
 
 from .extract.html import extract_blocks, extract_text
 
-SYNTH_VERSION = 3
+SYNTH_VERSION = 4  # v4: pages written in small row groups so Ray's parquet
+# read produces enough blocks to parallelize (one giant row group = one
+# block = a serial pipeline)
 EPOCH_US = 1735689600000000  # 2025-01-01T00:00:00Z in microseconds
 
 PREDICATES = [
@@ -275,7 +277,7 @@ def generate_corpus(out_dir: str, n_pages: int = 200, seed: int = 42) -> dict:
             "lang": pa.array(langs, pa.string()),
         }
     )
-    pq.write_table(pages, os.path.join(out_dir, "pages.parquet"))
+    pq.write_table(pages, os.path.join(out_dir, "pages.parquet"), row_group_size=256)
 
     golden_triples = pa.table(
         {

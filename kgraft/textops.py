@@ -1,0 +1,362 @@
+"""Text-analysis + deduplication operators over a ``documents`` table
+(doc_id, text, lang, source, n_chars) — the large-scale training-data
+pipeline toolkit: exact dedup, MinHash-LSH / SimHash / n-gram-Jaccard
+near-dup, language-ID heuristic, quality scoring, token counting,
+document fingerprinting.
+
+All operators are ``map_batches``-vectorized; wide steps (dedup groupby,
+LSH bucket groupby) state their shuffle key in the docstring. The
+reference engine has none of these (SURVEY.md §2.1); they are the
+engine-completing ops demanded by the task brief.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from .hashing import MinHasher, hash_strings, jaccard, simhash64
+
+
+# ---------------------------------------------------------------------------
+# exact dedup — shuffle key: 64-bit content hash
+
+
+def add_text_hash(ds, text_col: str = "text", out_col: str = "text_hash"):
+    def fn(t: pa.Table) -> pa.Table:
+        h = hash_strings(t[text_col].to_pylist())
+        return t.append_column(out_col, pa.array(h.astype(np.int64), pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def exact_dedup(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Keep the min-id row per identical text. Shuffle key = content hash
+    (never the text itself — at 100 TB the key must be 8 bytes, not the
+    document). Implemented as ``groupby(hash).aggregate(Min(id))`` — a
+    pure shuffle-aggregate with no per-group Python."""
+    from .relational import bucketed_groupby_apply
+
+    hashed = add_text_hash(docs.select_columns([id_col, text_col]), text_col)
+    hashed = hashed.select_columns([id_col, "text_hash"])
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("text_hash", as_index=False, sort=False)[[id_col]]
+            .min()[[id_col]]
+        )
+
+    return bucketed_groupby_apply(hashed, "text_hash", reduce)
+
+
+# ---------------------------------------------------------------------------
+# near-dup: MinHash + LSH — shuffle key: (band_id, band_hash)
+
+
+class _DocSigner:
+    def __init__(self, num_perm: int, num_bands: int, text_col: str, shingle_k: int = 4):
+        self.hasher = MinHasher(num_perm=num_perm, seed=1001, shingle_k=shingle_k)
+        self.num_bands = num_bands
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t[self.text_col].to_pylist()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if not texts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "band_id": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                }
+            )
+        sigs = self.hasher.signatures(texts)
+        bands = self.hasher.band_hashes(sigs, self.num_bands)
+        n = len(texts)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, self.num_bands), pa.int64()),
+                "band_id": pa.array(
+                    np.tile(np.arange(self.num_bands, dtype=np.int32), n), pa.int32()
+                ),
+                "band_hash": pa.array(
+                    bands.reshape(-1).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+
+def minhash_candidate_pairs(
+    docs,
+    num_perm: int = 128,
+    num_bands: int = 32,
+    text_col: str = "text",
+    max_bucket_size: int = 64,
+):
+    """LSH candidate (doc_a < doc_b) pairs. Shuffle key (band_id, band_hash).
+
+    Buckets larger than ``max_bucket_size`` are skipped (standard LSH
+    guard: a giant bucket means the band is non-discriminative and would
+    emit O(n²) pairs; the affected docs still meet in their other
+    bands). Pair dedup across bands is a ``groupby(pair_key).aggregate``
+    — no per-group Python, scales to corpus-size candidate sets.
+    """
+    bands = docs.select_columns(["doc_id", text_col]).map_batches(
+        _DocSigner,
+        fn_constructor_args=(num_perm, num_bands, text_col),
+        batch_format="pyarrow",
+        # Autoscaling (1, 4): a fixed-size pool here plus the verifier pool
+        # downstream can reserve every CPU and starve the shuffle between
+        # them (observed deadlock at num_cpus=8).
+        concurrency=(1, 4),
+    )
+    # Shuffle on a COARSENED key (band_id, band_hash % coarse) so the Ray
+    # group count stays ~O(bands × coarse) regardless of corpus size; the
+    # exact per-band_hash bucketing happens vectorized inside each group.
+    coarse = 64
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        h = t["band_hash"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "coarse", pa.array((h % coarse).astype(np.int32), pa.int32())
+        )
+
+    bands = bands.map_batches(add_coarse, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        keys = []
+        for _, grp in g.groupby("band_hash", sort=False):
+            ids = np.sort(grp["doc_id"].unique())
+            if len(ids) < 2 or len(ids) > max_bucket_size:
+                continue
+            a, b = np.triu_indices(len(ids), k=1)
+            keys.append(
+                (ids[a].astype(np.int64) << np.int64(32)) | ids[b].astype(np.int64)
+            )
+        if not keys:
+            return pd.DataFrame({"pair_key": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"pair_key": np.concatenate(keys)})
+
+    cand = bands.groupby(["band_id", "coarse"]).map_groups(
+        pairs, batch_format="pandas"
+    )
+    from .relational import bucketed_groupby_apply
+
+    dedup = bucketed_groupby_apply(
+        cand, "pair_key", lambda g: g.drop_duplicates("pair_key")
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        key = t["pair_key"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_a": pa.array(key >> np.int64(32), pa.int64()),
+                "doc_b": pa.array(key & np.int64(0xFFFFFFFF), pa.int64()),
+            }
+        )
+
+    return dedup.map_batches(decode, batch_format="pyarrow")
+
+
+class _PairVerifier:
+    """Actor: verify candidate pairs with exact k-gram Jaccard.
+
+    Texts are fetched from a broadcast (ray.put) doc_id->text map built
+    once per actor. At corpus scale this becomes a bucketed join of texts
+    onto pairs instead; broadcast holds for vocabulary/test scale.
+    """
+
+    def __init__(self, texts_ref, shingle_k: int = 4):
+        self.texts = ray.get(texts_ref)
+        self.k = shingle_k
+        self._cache: dict = {}
+
+    def _shingles(self, doc_id: int):
+        s = self._cache.get(doc_id)
+        if s is None:
+            from .hashing import shingle_hashes
+
+            s = shingle_hashes(self.texts[doc_id], self.k)
+            self._cache[doc_id] = s
+        return s
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        sims = []
+        for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
+            sa, sb = self._shingles(int(a)), self._shingles(int(b))
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            sims.append(inter / union if union else 1.0)
+        return t.append_column("jaccard", pa.array(sims, pa.float64()))
+
+
+def near_dup_groups(
+    docs,
+    threshold: float = 0.7,
+    num_perm: int = 128,
+    num_bands: int = 32,
+    text_col: str = "text",
+):
+    """(doc_id, dup_group) — dup_group = min doc_id of the near-dup cluster
+    (union-find over verified LSH pairs; singletons map to themselves)."""
+    cand = minhash_candidate_pairs(docs, num_perm, num_bands, text_col)
+    texts_df = docs.select_columns(["doc_id", text_col]).to_pandas()
+    texts_ref = ray.put(dict(zip(texts_df["doc_id"].astype(int), texts_df[text_col])))
+    verified = cand.map_batches(
+        _PairVerifier,
+        fn_constructor_args=(texts_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        batch_size=2048,
+    )
+    good = verified.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["jaccard"], threshold)),
+        batch_format="pyarrow",
+    ).to_pandas()
+
+    from .graph.components import _UnionFind
+
+    uf = _UnionFind()
+    for a, b in zip(good["doc_a"], good["doc_b"]):
+        uf.union(int(a), int(b))
+    all_ids = docs.select_columns(["doc_id"]).to_pandas()["doc_id"]
+    return pd.DataFrame(
+        {
+            "doc_id": all_ids.astype("int64"),
+            "dup_group": [int(uf.find(int(i))) for i in all_ids],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash / fingerprints — embarrassingly parallel
+
+
+def simhash_docs(docs, text_col: str = "text"):
+    def fn(t: pa.Table) -> pa.Table:
+        fps = [
+            np.int64(np.uint64(simhash64(x)).astype(np.int64))
+            for x in t[text_col].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "simhash": pa.array(fps, pa.int64())}
+        )
+
+    return docs.select_columns(["doc_id", text_col]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def fingerprint_docs(docs, text_col: str = "text", k: int = 8, n_mins: int = 4):
+    """Winnowing-style rolling-hash fingerprint: the ``n_mins`` smallest
+    k-gram hashes, xor-folded to one int64 per doc."""
+    from .hashing import shingle_hashes
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = []
+        for x in t[text_col].to_pylist():
+            h = np.sort(shingle_hashes(x, k))[:n_mins]
+            v = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
+            out.append(int(np.uint64(v).astype(np.int64)))
+        return pa.table(
+            {"doc_id": t["doc_id"], "fingerprint": pa.array(out, pa.int64())}
+        )
+
+    return docs.select_columns(["doc_id", text_col]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID / quality / tokens — vectorized pandas kernels
+
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "for", "with"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"},
+    "es": {"el", "la", "los", "de", "que", "y", "es", "en", "un", "por"},
+}
+
+
+class LangId:
+    """Actor: n-gram/stopword-ratio language heuristic (compiled once)."""
+
+    def __init__(self):
+        self.word = re.compile(r"[a-zA-Z]+")
+        self.tables = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(self.word)
+
+        def pick(ws):
+            best, score = "unk", 0
+            for lang, stops in self.tables.items():
+                s = sum(w in stops for w in ws)
+                if s > score:
+                    best, score = lang, s
+            return best
+
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "lang_pred": toks.map(pick)}
+        )
+
+
+def langid_docs(docs):
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        LangId, batch_format="pandas", concurrency=(1, 4)
+    )
+
+
+def quality_scores(docs):
+    """length / punctuation / stopword / word-length quality signals."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"]
+        n_chars = text.str.len().astype("int64")
+        n_tokens = text.str.count(r"[A-Za-z0-9_]+").astype("int64")
+        n_punct = text.str.count(r"[.,;:!?]").astype("int64")
+        stop = text.str.lower().str.count(
+            r"\b(?:" + "|".join(sorted(_STOPWORDS["en"])) + r")\b"
+        )
+        mean_wl = (n_chars - text.str.count(" ")) / n_tokens.replace(0, 1)
+        score = (
+            (n_tokens.clip(0, 500) / 500.0) * 0.5
+            + (1.0 - (n_punct / n_chars.replace(0, 1)).clip(0, 1)) * 0.2
+            + (stop / n_tokens.replace(0, 1)).clip(0, 1) * 0.3
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": n_tokens,
+                "punct_ratio": (n_punct / n_chars.replace(0, 1)).round(6),
+                "stopword_ratio": (stop / n_tokens.replace(0, 1)).round(6),
+                "mean_word_len": mean_wl.round(6),
+                "quality": score.round(6),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+def token_counts(docs):
+    """doc_id, n_tokens — tokens are ``[A-Za-z0-9_]+`` runs (BPE-ish regex
+    twin in SQL: ``length(regexp_extract_all(text, '[A-Za-z0-9_]+'))``)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": df["text"].str.count(r"[A-Za-z0-9_]+").astype("int64"),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )

@@ -1,0 +1,48 @@
+"""Similarity search: brute-force oracle + IVF recall."""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from kgraft import embedops
+
+from tests.conftest import SF_DIR
+
+
+def _all_vectors():
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"].to_pylist())
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    return ids, mat
+
+
+def test_knn_matches_numpy_oracle(ray_session):
+    import ray
+
+    emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    ids, mat = _all_vectors()
+    q = mat[ids.tolist().index(0)]
+    got = embedops.knn_topk(emb, q, k=10).to_pandas()
+    sims = (mat @ (q / np.linalg.norm(q))) / np.linalg.norm(mat, axis=1)
+    order = np.lexsort((ids, -np.round(sims, 4)))[:10]
+    assert got["vec_id"].tolist() == ids[order].tolist()
+
+
+def test_ivf_recall_vs_bruteforce(ray_session):
+    import ray
+
+    emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    ids, mat = _all_vectors()
+    q = mat[ids.tolist().index(0)]
+    exact = set(embedops.knn_topk(emb, q, k=10).to_pandas()["vec_id"])
+    approx = set(
+        embedops.ivf_topk(emb, q, k=10, n_cells=8, nprobe=4).to_pandas()["vec_id"]
+    )
+    assert len(exact & approx) / 10 >= 0.5  # nprobe=half the cells
+
+
+def test_kmeans_deterministic():
+    rng = np.random.RandomState(0)
+    x = rng.randn(200, 8)
+    a = embedops.kmeans_centroids(x, 4)
+    b = embedops.kmeans_centroids(x, 4)
+    np.testing.assert_array_equal(a, b)

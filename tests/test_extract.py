@@ -1,0 +1,61 @@
+"""Stage 2/3: frozen extractor byte-identity + segmentation inverse."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from kgraft.extract.html import extract_blocks, extract_text, text_to_segments
+from kgraft.extract.segment import html_to_text_batch, segment_batch
+
+
+def test_byte_identity_vs_golden(corpus):
+    pages = pq.read_table(os.path.join(corpus, "pages.parquet"))
+    golden = pq.read_table(os.path.join(corpus, "golden_text.parquet"))
+    gold = dict(zip(golden["url"].to_pylist(), golden["text"].to_pylist()))
+    for url, html in zip(pages["url"].to_pylist(), pages["html"].to_pylist()):
+        assert extract_text(html) == gold[url], f"text drift for {url}"
+
+
+def test_boilerplate_dropped():
+    html = (
+        "<html><head><script>x()</script><style>a{}</style></head><body>"
+        "<nav>Home About</nav><header>Logo</header>"
+        "<table><tr><td>Decoy was founded by Noise</td></tr></table>"
+        "<article><p>Real <b>content</b> here.</p></article>"
+        "<aside>Ad</aside><form><input/></form><footer>c</footer></body></html>"
+    )
+    assert extract_blocks(html) == ["Real content here."]
+
+
+def test_whitespace_normalization():
+    html = "<p>  a\n  b\t c  </p><p>d</p>"
+    assert extract_text(html) == "a b c\nd"
+
+
+def test_segmentation_is_exact_inverse(corpus):
+    golden = pq.read_table(os.path.join(corpus, "golden_text.parquet"))
+    for text in golden["text"].to_pylist()[:50]:
+        assert "\n".join(text_to_segments(text)) == text
+
+
+def test_batch_transforms(corpus, ray_session):
+    pages = pq.read_table(os.path.join(corpus, "pages.parquet")).slice(0, 10)
+    out = html_to_text_batch(pages)
+    assert "html" not in out.column_names
+    assert out["text"].to_pylist() == pages["text"].to_pylist()
+    segs = segment_batch(out)
+    assert segs.column_names == ["url", "warc_ts", "seg_idx", "seg_text", "lang"]
+    # rebuild page 0's text from its segments
+    url0 = pages["url"][0].as_py()
+    mine = [
+        (i, s)
+        for u, i, s in zip(
+            segs["url"].to_pylist(),
+            segs["seg_idx"].to_pylist(),
+            segs["seg_text"].to_pylist(),
+        )
+        if u == url0
+    ]
+    rebuilt = "\n".join(s for _, s in sorted(mine))
+    assert rebuilt == pages["text"][0].as_py()

@@ -1,0 +1,74 @@
+"""Stages 8-9: canonicalization equivalence + connected components."""
+
+import numpy as np
+import pandas as pd
+
+from kgraft.graph.canonical import canonicalize, canonicalize_naive
+from kgraft.graph.components import connected_components
+
+
+def _mentions_ds(ray, seed=5, n=5000, n_entities=40):
+    rng = np.random.RandomState(seed)
+    # Zipf skew: entity 0 dominates (the head-entity fixture)
+    w = 1.0 / np.arange(1, n_entities + 1)
+    w /= w.sum()
+    eid = rng.choice(n_entities, size=n, p=w)
+    surf = [f"e{e}-v{rng.randint(3)}" for e in eid]
+    return ray.data.from_pandas(
+        pd.DataFrame({"entity_id": eid.astype("int64"), "surface": surf})
+    )
+
+
+def _norm(df):
+    df = df.copy()
+    df["aliases"] = df["aliases"].map(tuple)
+    return df.sort_values("entity_id").reset_index(drop=True)
+
+
+def test_canonicalize_equals_naive(ray_session):
+    """Pre-aggregated (skew-defused) canonicalization == naive single
+    groupby — the SURVEY §4 salted/partial equivalence requirement."""
+    import ray
+
+    a = _norm(canonicalize(_mentions_ds(ray)).to_pandas())
+    b = _norm(canonicalize_naive(_mentions_ds(ray)).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def _edges_ds(ray, pairs):
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {"src": [a for a, _ in pairs], "dst": [b for _, b in pairs]}
+        ).astype("int64")
+    )
+
+
+_PAIRS = [(1, 2), (2, 3), (10, 11), (12, 11), (20, 20), (3, 1), (30, 31)]
+_WANT = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 30: 30, 31: 30}
+
+
+def test_components_unionfind(ray_session):
+    import ray
+
+    got = connected_components(_edges_ds(ray, _PAIRS), method="unionfind")
+    assert dict(zip(got["entity_id"], got["component_id"])) == _WANT
+
+
+def test_components_labelprop_matches_unionfind(ray_session):
+    import ray
+
+    got = connected_components(_edges_ds(ray, _PAIRS), method="labelprop")
+    assert dict(zip(got["entity_id"], got["component_id"])) == _WANT
+
+
+def test_components_random_graph_both_methods(ray_session):
+    import ray
+
+    rng = np.random.RandomState(11)
+    pairs = [tuple(p) for p in rng.randint(0, 60, size=(80, 2))]
+    uf = connected_components(_edges_ds(ray, pairs), method="unionfind")
+    lp = connected_components(_edges_ds(ray, pairs), method="labelprop")
+    pd.testing.assert_frame_equal(
+        uf.sort_values("entity_id").reset_index(drop=True),
+        lp.sort_values("entity_id").reset_index(drop=True),
+    )

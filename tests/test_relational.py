@@ -1,0 +1,124 @@
+"""Relational layer vs duckdb oracles at sf0.001 (the driver's own gate is
+scripts/check_oracle.py; these are the in-repo equivalents for a few ops
+plus properties the driver doesn't cover)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from kgraft.relational import (
+    bucketed_groupby_apply,
+    distinct,
+    hash_join,
+    pre_aggregate,
+    read_table,
+    semi_anti_join,
+    top_k,
+)
+
+from tests.conftest import SF_DIR
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "events"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con.sql(sql).df()
+
+
+def test_pre_aggregate_matches_duckdb(ray_session):
+    got = pre_aggregate(
+        read_table(SF_DIR, "orders", columns=["o_orderpriority", "o_totalprice"]),
+        ["o_orderpriority"],
+        {
+            "n": (None, "count"),
+            "total": ("o_totalprice", "sum"),
+            "avg_price": ("o_totalprice", "mean"),
+            "max_price": ("o_totalprice", "max"),
+            "min_price": ("o_totalprice", "min"),
+        },
+    ).sort_values("o_orderpriority").reset_index(drop=True)
+    want = _duck(
+        """SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS total,
+                  avg(o_totalprice) AS avg_price, max(o_totalprice) AS max_price,
+                  min(o_totalprice) AS min_price
+           FROM orders GROUP BY 1 ORDER BY 1"""
+    )
+    assert got["o_orderpriority"].tolist() == want["o_orderpriority"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    for c in ("total", "avg_price", "max_price", "min_price"):
+        np.testing.assert_allclose(got[c], want[c], rtol=1e-9)
+
+
+def test_hash_join_matches_duckdb(ray_session):
+    import ray
+
+    orders = read_table(SF_DIR, "orders", columns=["o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda df: df.rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas",
+    )
+    cust = read_table(SF_DIR, "customer", columns=["c_custkey", "c_acctbal"])
+    got = (
+        hash_join(orders, cust, on="c_custkey")
+        .to_pandas()
+        .sort_values(["c_custkey", "o_totalprice"])
+        .reset_index(drop=True)
+    )
+    want = _duck(
+        """SELECT o.o_custkey AS c_custkey, o.o_totalprice, c.c_acctbal
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           ORDER BY 1, 2"""
+    )
+    np.testing.assert_allclose(got["o_totalprice"], want["o_totalprice"])
+    np.testing.assert_allclose(got["c_acctbal"], want["c_acctbal"])
+
+
+def test_semi_anti_join(ray_session):
+    cust = read_table(SF_DIR, "customer", columns=["c_custkey"])
+    keys = {1, 2, 3}
+    semi = semi_anti_join(cust, keys, "c_custkey").to_pandas()
+    anti = semi_anti_join(cust, keys, "c_custkey", anti=True).to_pandas()
+    total = len(cust.to_pandas())
+    assert set(semi["c_custkey"]) <= keys
+    assert len(semi) + len(anti) == total
+
+
+def test_distinct_and_topk(ray_session):
+    got = sorted(
+        distinct(
+            read_table(SF_DIR, "orders", columns=["o_orderpriority"]),
+            "o_orderpriority",
+        )
+        .to_pandas()["o_orderpriority"]
+        .tolist()
+    )
+    want = sorted(_duck("SELECT DISTINCT o_orderpriority FROM orders")["o_orderpriority"])
+    assert got == want
+
+    top = top_k(
+        read_table(SF_DIR, "orders", columns=["o_orderkey", "o_totalprice"]),
+        "o_totalprice",
+        5,
+    ).to_pandas()
+    want_top = _duck(
+        "SELECT o_totalprice FROM orders ORDER BY o_totalprice DESC LIMIT 5"
+    )
+    np.testing.assert_allclose(top["o_totalprice"], want_top["o_totalprice"])
+
+
+def test_bucketed_groupby_colocates_keys(ray_session):
+    """Every row of a key must land in exactly one bucket group."""
+    import ray
+
+    df = pd.DataFrame({"k": np.arange(1000) % 37, "v": np.arange(1000)})
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = bucketed_groupby_apply(
+        ds, "k", lambda g: g.groupby("k", as_index=False)["v"].sum(), num_buckets=16
+    ).to_pandas()
+    want = df.groupby("k", as_index=False)["v"].sum()
+    merged = out.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(merged, want, check_dtype=False)

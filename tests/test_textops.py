@@ -1,0 +1,103 @@
+"""documents-table operators vs straight-line pandas/duckdb oracles."""
+
+import numpy as np
+import pandas as pd
+
+from kgraft import textops
+
+from tests.conftest import SF_DIR
+
+
+def _docs(ray):
+    return ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _docs_df():
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+
+
+def test_exact_dedup_matches_pandas(ray_session):
+    import ray
+
+    got = textops.exact_dedup(_docs(ray)).to_pandas()["doc_id"].sort_values()
+    want = _docs_df().groupby("text")["doc_id"].min().sort_values()
+    assert got.tolist() == sorted(want.tolist())
+
+
+def test_token_counts_match_regex(ray_session):
+    import re
+
+    import ray
+
+    got = textops.token_counts(_docs(ray)).to_pandas().set_index("doc_id")["n_tokens"]
+    df = _docs_df().head(100)
+    pat = re.compile(r"[A-Za-z0-9_]+")
+    for _, row in df.iterrows():
+        assert got[row["doc_id"]] == len(pat.findall(row["text"]))
+
+
+def test_near_dup_groups_planted(ray_session):
+    """Plant exact+near duplicates among distinct docs; MinHash-LSH + verify
+    must cluster them (and nothing else)."""
+    import ray
+
+    base = (
+        "the gondar engine streams arrow batches through actor pools with "
+        "backpressure and spills to the object store when memory is tight "
+    )
+    others = [
+        "volcanic eruptions reshape coastlines and bury ancient settlements under ash layers",
+        "prune the roses in late winter; mulch beds before the first hard frost arrives",
+        "the sicilian defence trades central space for dynamic counterplay on the queenside",
+        "trim the mainsail and bear away; the spinnaker fills on a broad reach downwind",
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(7),
+            "text": [base * 4, base * 4 + " tail.", base * 4, *others],
+        }
+    )
+    out = textops.near_dup_groups(ray.data.from_pandas(docs), threshold=0.7)
+    groups = dict(zip(out["doc_id"], out["dup_group"]))
+    assert groups[0] == groups[1] == groups[2] == 0
+    assert len({groups[i] for i in range(3, 7)}) == 4
+
+
+def test_simhash_and_fingerprint_deterministic(ray_session):
+    import ray
+
+    a = textops.simhash_docs(_docs(ray)).to_pandas().sort_values("doc_id")
+    b = textops.simhash_docs(_docs(ray)).to_pandas().sort_values("doc_id")
+    assert a["simhash"].tolist() == b["simhash"].tolist()
+    f = textops.fingerprint_docs(_docs(ray)).to_pandas()
+    assert f["fingerprint"].nunique() > 1
+
+
+def test_langid_on_real_sentences(ray_session):
+    """The sf documents' text is synthetic token soup (lang label carries no
+    signal), so the heuristic is validated on genuine sentences instead."""
+    import ray
+
+    samples = {
+        "en": "the cat sat on the mat and it is happy with the sun for now",
+        "de": "der hund ist nicht mit der katze und das ist ein problem auf dem hof",
+        "fr": "le chat est dans la maison et les oiseaux sont pour un moment que rien",
+        "es": "el perro es de la casa y los gatos que es en un lugar por ahora",
+    }
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {"doc_id": range(len(samples)), "text": list(samples.values())}
+        )
+    )
+    pred = textops.langid_docs(ds).to_pandas().sort_values("doc_id")
+    assert pred["lang_pred"].tolist() == list(samples.keys())
+
+
+def test_quality_scores_bounded(ray_session):
+    import ray
+
+    q = textops.quality_scores(_docs(ray)).to_pandas()
+    assert ((q["quality"] >= 0) & (q["quality"] <= 1.0)).all()
+    assert (q["punct_ratio"] <= 1.0).all()
