@@ -21,7 +21,6 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 import ray
-from ray.data.aggregate import Sum
 
 
 def _partial_counts(batch: pa.Table) -> pa.Table:
@@ -38,24 +37,40 @@ def _partial_counts(batch: pa.Table) -> pa.Table:
 def canonicalize(mentions: "ray.data.Dataset") -> "ray.data.Dataset":
     """(entity_id, surface) rows -> one row per entity (NODES columns
     minus ``component_id``): entity_id, canonical, aliases, n_mentions.
+
+    One bucketed shuffle: map-side partial counts (raw mention rows never
+    shuffle — Zipf head entities become one partial row per block), then
+    per-bucket fully-vectorized pandas reduction (no per-entity Python
+    through Ray, which costs a group-dispatch per entity).
     """
+    from ..relational import bucketed_groupby_apply
+
     partials = mentions.map_batches(_partial_counts, batch_format="pyarrow")
-    counts = partials.groupby(["entity_id", "surface"]).aggregate(
-        Sum("partial_count", alias_name="n")
-    )
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["n", "surface"], ascending=[False, True])
-        return pd.DataFrame(
-            {
-                "entity_id": [g["entity_id"].iloc[0]],
-                "canonical": [g["surface"].iloc[0]],
-                "aliases": [sorted(g["surface"].unique().tolist())],
-                "n_mentions": [int(g["n"].sum())],
-            }
+    def pick_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.groupby(["entity_id", "surface"], as_index=False, sort=False)[
+                "partial_count"
+            ]
+            .sum()
+            .rename(columns={"partial_count": "n"})
         )
+        g = g.sort_values(
+            ["entity_id", "n", "surface"], ascending=[True, False, True]
+        )
+        agg = g.groupby("entity_id", sort=False).agg(
+            canonical=("surface", "first"), n_mentions=("n", "sum")
+        )
+        aliases = (
+            g.sort_values(["entity_id", "surface"])
+            .groupby("entity_id", sort=False)["surface"]
+            .agg(list)
+        )
+        out = agg.join(aliases.rename("aliases")).reset_index()
+        out["n_mentions"] = out["n_mentions"].astype("int64")
+        return out[["entity_id", "canonical", "aliases", "n_mentions"]]
 
-    return counts.groupby("entity_id").map_groups(pick, batch_format="pandas")
+    return bucketed_groupby_apply(partials, "entity_id", pick_bucket)
 
 
 def canonicalize_naive(mentions: "ray.data.Dataset") -> "ray.data.Dataset":

@@ -89,11 +89,16 @@ def connected_components(
     """
     if method == "unionfind":
         contracted = edges.map_batches(_contract_batch, batch_format="pyarrow")
+        # second contraction round over coalesced blocks: each first-round
+        # block can emit up to #nodes edges, so with many blocks the driver
+        # would union-find blocks×nodes rows; contracting again over ~4
+        # wide blocks bounds the driver's input near vocabulary size
+        contracted = contracted.repartition(4).map_batches(
+            _contract_batch, batch_format="pyarrow"
+        )
         local = contracted.map_batches(
             lambda df: df.drop_duplicates(), batch_format="pandas"
         )
-        # contracted+deduped edges are vocabulary-scale (module docstring);
-        # final dedup on the driver avoids a full sort shuffle
         df = local.to_pandas().drop_duplicates()
         uf = _UnionFind()
         for a, b in zip(df["src"], df["dst"]):

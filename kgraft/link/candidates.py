@@ -3,21 +3,20 @@
 Two-tier linking (SURVEY.md §2.2 stages 6-7):
 
 1. **Exact tier** — the alias dictionary (normalized alias -> entity_id)
-   is broadcast **once** with ``ray.put``; linker actors fetch it in
-   ``__init__`` and resolve surfaces with a vectorized pandas dict map.
-   No shuffle. (Alias vocabularies are entity-scale, not corpus-scale,
-   so broadcast holds even at 10^12 documents.)
+   is broadcast **once** with ``ray.put``; map tasks fetch it once per
+   worker process (lru-cached deserialization) and resolve surfaces with
+   a vectorized pandas dict map. No shuffle. (Alias vocabularies are
+   entity-scale, not corpus-scale, so broadcast holds even at 10^12
+   documents.)
 
 2. **MinHash-LSH tier** — surfaces missing from the dictionary (the
-   corpus uses alias variants the dictionary doesn't know) are blocked
-   against the alias table by LSH: both sides are MinHash-signed and
-   exploded to ``(band_id, band_hash)`` rows — that pair is the shuffle
-   key — then ``groupby(band_id, band_hash).map_groups`` emits candidate
-   (mention, alias) pairs, an actor-pool scorer computes exact trigram
-   Jaccard, and a final groupby keeps each mention's best alias above a
-   threshold. The recovered mapping is distinct-surface-sized (vocab,
-   not corpus), so it is collected and broadcast for the second resolve
-   pass.
+   corpus uses alias variants the dictionary doesn't know) are recovered
+   shuffle-free: the distinct unknown surfaces (vocab-scale) are
+   MinHash-signed driver-side into a band-hash index that is broadcast;
+   the alias table streams through map tasks that probe the index and
+   soft-TFIDF-score colliding pairs exactly once each. The recovered
+   mapping is distinct-surface-sized, so it is collected and merged into
+   the broadcast dictionary for the resolve pass.
 
 Determinism: fixed-seed MinHash permutations (:class:`kgraft.hashing.
 MinHasher`), ties broken by (max score, min entity_id, min alias).
@@ -45,21 +44,34 @@ def _norm_series(s: pd.Series) -> pd.Series:
     return s.str.lower().str.split().str.join(" ")
 
 
-class SurfaceLinker:
-    """Actor: resolve ``subj``/``obj`` surfaces to entity ids.
+from functools import lru_cache
 
-    The (alias -> entity_id) dict arrives as a ``ray.put`` object ref and
-    is fetched once per actor in ``__init__`` (broadcast, zero per-batch
-    shipping). Unresolved surfaces get id -1.
+
+@lru_cache(maxsize=8)
+def _cached_lut(alias_ref) -> pd.Series:
+    """Per-worker-process cache of the broadcast alias LUT (ObjectRefs are
+    hashable). Tasks on warm workers pay the deserialization once."""
+    return pd.Series(ray.get(alias_ref), dtype="int64")
+
+
+class SurfaceLinker:
+    """Resolve ``subj``/``obj`` surfaces to entity ids (broadcast LUT).
+
+    Used in TASK mode (an instance passed to ``map_batches``): the
+    ``ray.put`` LUT ref travels in the closure; each worker process
+    deserializes it once via :func:`_cached_lut`. Task mode reuses warm
+    Ray workers — an actor pool here pays a cold process start per actor,
+    which dominates at this state size. Unresolved surfaces get id -1.
     """
 
     def __init__(self, alias_ref) -> None:
-        self.lut = pd.Series(ray.get(alias_ref), dtype="int64")
+        self.alias_ref = alias_ref
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        lut = _cached_lut(self.alias_ref)
         df = batch.to_pandas()
-        subj_id = _norm_series(df["subj"]).map(self.lut).fillna(-1).astype("int64")
-        obj_id = _norm_series(df["obj"]).map(self.lut).fillna(-1).astype("int64")
+        subj_id = _norm_series(df["subj"]).map(lut).fillna(-1).astype("int64")
+        obj_id = _norm_series(df["obj"]).map(lut).fillna(-1).astype("int64")
         out = batch.append_column("subj_id", pa.array(subj_id.values, pa.int64()))
         return out.append_column("obj_id", pa.array(obj_id.values, pa.int64()))
 
@@ -89,10 +101,16 @@ def link_triples(
         miss = surfs[~surfs.isin(known)]
         return pa.table({"mention": pa.array(miss.tolist(), pa.string())})
 
-    unk = triples.map_batches(unresolved, batch_format="pyarrow").unique("mention")
-    if len(unk) > 0:
-        unk_ds = ray.data.from_items([{"mention": m} for m in unk])
-        recovered = lsh_recover(unk_ds, alias_ds, threshold)
+    # map-side dedup already happened per batch; final dedup of the
+    # vocab-scale result on the driver (cheaper than a .unique() shuffle)
+    unk = (
+        triples.map_batches(unresolved, batch_format="pyarrow")
+        .to_pandas()["mention"]
+        .drop_duplicates()
+        .tolist()
+    )
+    if unk:
+        recovered = lsh_recover(unk, alias_ds, threshold, alias_df=alias_df)
     else:
         recovered = pd.DataFrame({"mention": [], "entity_id": [], "score": []})
 
@@ -101,10 +119,8 @@ def link_triples(
         merged[m] = int(e)
     ref2 = ray.put(merged)
     linked = triples.map_batches(
-        SurfaceLinker,
-        fn_constructor_args=(ref2,),
+        SurfaceLinker(ref2),  # instance -> task mode (see class docstring)
         batch_format="pyarrow",
-        concurrency=(1, 4),
         batch_size=8192,
     )
     return linked, recovered
@@ -164,93 +180,140 @@ def _make_band_fn(text_col: str):
     return fn
 
 
-_MATCH_BUCKETS = 64
+@lru_cache(maxsize=8)
+def _cached_index(idx_ref):
+    return ray.get(idx_ref)
+
+
+def _disc_tokens(tokens, df: dict, max_df: int) -> frozenset:
+    """Discriminative (rare) tokens: document frequency <= max_df in the
+    alias table. Unknown tokens count as maximally rare."""
+    return frozenset(t for t in tokens if df.get(t, 0) <= max_df)
+
+
+@lru_cache(maxsize=8)
+def _cached_scorer(idf_ref) -> LinkScorer:
+    return LinkScorer(idf_ref)
+
+
+class _ProbeScorer:
+    """Probe the broadcast mention band index with each alias batch and
+    score colliding pairs in place (task mode — refs in the closure,
+    state deserialized once per worker process via lru caches).
+
+    Each alias row is MinHash-signed once and each colliding
+    (mention, alias) pair is scored exactly once — bands only widen the
+    candidate set, they never duplicate scoring work.
+    """
+
+    def __init__(self, idx_ref, idf_ref, threshold: float):
+        self.idx_ref = idx_ref
+        self.idf_ref = idf_ref
+        self.threshold = threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from .score import tokenize
+
+        mentions, index, mention_disc, token_df, max_df = _cached_index(
+            self.idx_ref
+        )
+        scorer = _cached_scorer(self.idf_ref)
+        hasher = _shared_hasher()
+        aliases = t["alias"].to_pylist()
+        eids = t["entity_id"].to_pylist()
+        out_m, out_e, out_s = [], [], []
+        if aliases:
+            sigs = hasher.signatures([_blocknorm(a) for a in aliases])
+            bands = hasher.band_hashes(sigs, NUM_BANDS)
+            for j, (a, e) in enumerate(zip(aliases, eids)):
+                cand: set = set()
+                for b in range(NUM_BANDS):
+                    cand.update(index[b].get(int(bands[j, b]), ()))
+                if not cand:
+                    continue
+                a_disc = _disc_tokens(tokenize(a), token_df, max_df)
+                for mi in cand:
+                    # prune: a real variant shares the entity's distinctive
+                    # (rare) token; suffix-only collisions don't. Mentions
+                    # with no rare token fall through to full scoring.
+                    m_disc = mention_disc[mi]
+                    if m_disc and a_disc and not (m_disc & a_disc):
+                        continue
+                    s = scorer._soft_tfidf(mentions[mi], a)
+                    if s >= self.threshold:
+                        out_m.append(mentions[mi])
+                        out_e.append(int(e))
+                        out_s.append(s)
+        return pa.table(
+            {
+                "mention": pa.array(out_m, pa.string()),
+                "entity_id": pa.array(out_e, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
 
 
 def lsh_recover(
-    unknown_surfaces: "ray.data.Dataset",
+    unknown_surfaces,
     alias_ds: "ray.data.Dataset",
     threshold: float = JACCARD_THRESHOLD,
+    alias_df: pd.DataFrame | None = None,
 ) -> pd.DataFrame:
     """Map unknown surfaces to entity ids via LSH blocking + soft-TFIDF.
 
-    ``unknown_surfaces``: one column ``mention`` (distinct, normalized).
-    ``alias_ds``: columns ``alias``, ``entity_id`` (normalized).
-    Returns a small pandas DataFrame ``(mention, entity_id, score)``.
+    ``unknown_surfaces``: a Dataset with one column ``mention``, or a
+    plain list of normalized distinct surfaces.
+    ``alias_ds``: columns ``alias``, ``entity_id`` (normalized);
+    ``alias_df`` optionally passes its already-collected pandas twin to
+    avoid a second read. Returns pandas ``(mention, entity_id, score)``.
 
-    Physical plan: both sides explode to ``(band_id, band_hash)`` rows;
-    ONE shuffle keyed on ``band_hash % B`` co-locates colliding rows in
-    ~B groups; inside each group a vectorized pandas merge emits + scores
-    candidate pairs (scorer state fetched once per group from a ``ray.put``
-    broadcast). The scored survivors are vocabulary-sized by construction
-    (distinct unknown surfaces × their colliding aliases), so best-per-
-    mention finalization happens on the driver — that is the documented
-    partitioning assumption of this operator.
+    Physical plan (shuffle-free): distinct unknown surfaces are
+    vocabulary-scale by construction, so their MinHash band index is built
+    driver-side and **broadcast** (``ray.put``); the alias table streams
+    through ``map_batches`` tasks that probe the index and score
+    colliding pairs map-side. Survivors are (unknowns × colliding
+    aliases) — vocab-scale — so best-per-mention finalizes on the driver.
+    That broadcastability is the documented partitioning assumption; if
+    unknown surfaces ever outgrow broadcast, flip the probe direction
+    (index the aliases, stream the mentions) or shard the index.
     """
-    idf_ref = ray.put(build_token_idf(alias_ds.to_pandas()))
+    if hasattr(unknown_surfaces, "to_pandas"):
+        mentions = (
+            unknown_surfaces.to_pandas()["mention"].drop_duplicates().tolist()
+        )
+    else:
+        mentions = list(dict.fromkeys(unknown_surfaces))
+    if not mentions:
+        return pd.DataFrame({"mention": [], "entity_id": [], "score": []})
+    hasher = _shared_hasher()
+    sigs = hasher.signatures([_blocknorm(m) for m in mentions])
+    bands = hasher.band_hashes(sigs, NUM_BANDS)
+    index: list = [dict() for _ in range(NUM_BANDS)]
+    for i in range(len(mentions)):
+        for b in range(NUM_BANDS):
+            index[b].setdefault(int(bands[i, b]), []).append(i)
+    if alias_df is None:
+        alias_df = alias_ds.to_pandas()
+    from .score import build_token_stats, tokenize
 
-    m_bands = unknown_surfaces.map_batches(
-        _make_band_fn("mention"), batch_format="pyarrow"
-    )
-    a_bands = alias_ds.map_batches(_make_band_fn("alias"), batch_format="pyarrow")
-    # tag and union; shuffle key = band_hash % B (band_id folded into hash)
-    m_tag = m_bands.map_batches(
-        lambda t: t.append_column("alias", pa.array([""] * len(t), pa.string()))
-        .append_column("entity_id", pa.array([-1] * len(t), pa.int64())),
+    token_df, n_entities = build_token_stats(alias_df)
+    max_df = max(3, n_entities // 100)
+    mention_disc = [
+        _disc_tokens(tokenize(m), token_df, max_df) for m in mentions
+    ]
+    idx_ref = ray.put((mentions, index, mention_disc, token_df, max_df))
+    idf_ref = ray.put(build_token_idf(alias_df))
+
+    scored = alias_ds.map_batches(
+        _ProbeScorer(idx_ref, idf_ref, threshold),  # instance -> task mode
         batch_format="pyarrow",
+        batch_size=8192,
     )
-    a_tag = a_bands.map_batches(
-        lambda t: t.append_column("mention", pa.array([""] * len(t), pa.string())),
-        batch_format="pyarrow",
-    )
-    cols = ["band_id", "band_hash", "mention", "alias", "entity_id"]
-    both = m_tag.select_columns(cols).union(a_tag.select_columns(cols))
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        h = t["band_hash"].to_numpy(zero_copy_only=False)
-        return t.append_column(
-            "bucket", pa.array((h % _MATCH_BUCKETS).astype(np.int32), pa.int32())
-        )
-
-    both = both.map_batches(add_bucket, batch_format="pyarrow")
-
-    def match_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "mention": pd.Series([], dtype=object),
-                "alias": pd.Series([], dtype=object),
-                "entity_id": pd.Series([], dtype="int64"),
-                "score": pd.Series([], dtype="float64"),
-            }
-        )
-        men = g[g["entity_id"] < 0][["band_id", "band_hash", "mention"]]
-        ali = g[g["entity_id"] >= 0][
-            ["band_id", "band_hash", "alias", "entity_id"]
-        ]
-        if men.empty or ali.empty:
-            return empty
-        cand = (
-            men.merge(ali, on=["band_id", "band_hash"])[
-                ["mention", "alias", "entity_id"]
-            ]
-            .drop_duplicates()
-            .reset_index(drop=True)
-        )
-        if cand.empty:
-            return empty
-        scorer = LinkScorer(idf_ref)
-        cand["score"] = [
-            scorer._soft_tfidf(m, a) for m, a in zip(cand["mention"], cand["alias"])
-        ]
-        return cand[cand["score"] >= threshold]
-
-    scored = both.groupby("bucket").map_groups(match_bucket, batch_format="pandas")
     df = scored.to_pandas()  # vocabulary-scale (see docstring)
     if len(df) == 0:
         return pd.DataFrame({"mention": [], "entity_id": [], "score": []})
-    df = df.drop_duplicates(["mention", "alias", "entity_id"]).sort_values(
-        ["mention", "score", "entity_id", "alias"],
-        ascending=[True, False, True, True],
+    df = df.sort_values(
+        ["mention", "score", "entity_id"], ascending=[True, False, True]
     )
     best = df.groupby("mention", as_index=False).head(1)
     return best[["mention", "entity_id", "score"]].reset_index(drop=True)

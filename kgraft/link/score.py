@@ -29,17 +29,29 @@ def tokenize(s: str) -> list:
     return _TOKEN_RE.findall(s.lower())
 
 
-def build_token_idf(alias_df) -> dict:
-    """IDF per token over the alias table: df = #distinct entities whose
-    aliases use the token. Vocabulary-sized — safe to broadcast."""
+def build_token_stats(alias_df) -> tuple:
+    """(token -> #distinct entities using it, n_entities) over the alias
+    table. Vocabulary-sized — safe to broadcast. Vectorized (pandas
+    explode + groupby) — this runs on the driver, so a Python loop here
+    is serial time the whole cluster waits on."""
+    import pandas as pd
+
     n_entities = max(int(alias_df["entity_id"].nunique()), 1)
-    df: dict = {}
-    for alias, eid in zip(alias_df["alias"], alias_df["entity_id"]):
-        for tok in set(tokenize(alias)):
-            df.setdefault(tok, set()).add(int(eid))
+    toks = alias_df["alias"].str.findall(_TOKEN_RE)
+    flat = pd.DataFrame(
+        {"tok": toks, "entity_id": alias_df["entity_id"]}
+    ).explode("tok")
+    flat = flat.dropna().drop_duplicates()
+    counts = flat.groupby("tok", sort=False)["entity_id"].nunique()
+    return counts.to_dict(), n_entities
+
+
+def build_token_idf(alias_df) -> dict:
+    """IDF per token over the alias table (smooth log)."""
+    counts, n_entities = build_token_stats(alias_df)
     return {
-        tok: math.log((n_entities + 1) / (len(ents) + 1)) + 1.0
-        for tok, ents in df.items()
+        tok: math.log((n_entities + 1) / (n + 1)) + 1.0
+        for tok, n in counts.items()
     }
 
 
@@ -56,9 +68,35 @@ class LinkScorer:
         self.idf = ray.get(idf_ref) if idf_ref is not None else None
         self._max_idf = max(self.idf.values(), default=1.0) if self.idf else 1.0
         self._tok_cache: dict = {}
+        self._shingle_cache: dict = {}
+        self._sim_cache: dict = {}
 
     def _w(self, tok: str) -> float:
         return self.idf.get(tok, self._max_idf)
+
+    def _shingles(self, tok: str):
+        s = self._shingle_cache.get(tok)
+        if s is None:
+            from ..hashing import shingle_hashes
+
+            s = self._shingle_cache[tok] = shingle_hashes(tok, self.k)
+        return s
+
+    def _tok_sim(self, a: str, b: str) -> float:
+        """Trigram Jaccard between two tokens, memoized — token vocab is
+        tiny relative to the pair stream, so the cache hit rate is high."""
+        if a == b:
+            return 1.0
+        key = (a, b) if a <= b else (b, a)
+        s = self._sim_cache.get(key)
+        if s is None:
+            import numpy as np
+
+            sa, sb = self._shingles(a), self._shingles(b)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            s = self._sim_cache[key] = inter / union if union else 0.0
+        return s
 
     def _soft_tfidf(self, mention: str, alias: str) -> float:
         mt = self._tok_cache.get(mention)
@@ -73,9 +111,7 @@ class LinkScorer:
         den = 0.0
         for side_a, side_b in ((mt, at), (at, mt)):
             for t in side_a:
-                best = max(
-                    (t == b and 1.0 or jaccard(t, b, self.k)) for b in side_b
-                )
+                best = max(self._tok_sim(t, b) for b in side_b)
                 w = self._w(t)
                 num += w * best
                 den += w

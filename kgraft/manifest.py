@@ -31,7 +31,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .hashing import hash_strings
+from .hashing import hash_strings, splitmix64
 
 
 def partition_ids(urls, n_partitions: int):
@@ -81,9 +81,15 @@ class ManifestStore:
             pq.write_table(table, tmp)
             os.replace(tmp, data_path)
 
-            content = hash_strings(
-                ["|".join(map(str, row)) for row in g.itertuples(index=False)]
-            )
+            # vectorized content hash (C speed — a per-row Python join here
+            # costs seconds per partition at bench scale): hash each column,
+            # mix with a rotation so column order matters, XOR-reduce rows
+            content = np.zeros(len(g), dtype=np.uint64)
+            for ci, c in enumerate(g.columns):
+                h = pd.util.hash_pandas_object(g[c], index=False).to_numpy(
+                    dtype=np.uint64
+                )
+                content ^= splitmix64(h ^ np.uint64(ci + 1))
             manifest = {
                 "partition_id": part_id,
                 "input_refs": sorted(g["url"].unique().tolist())[:100],

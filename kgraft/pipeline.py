@@ -50,6 +50,11 @@ class PipelineConfig:
     extract_batch_size: int = 256
     extractor_concurrency: tuple = (1, 4)  # autoscaling pool — a fixed pool
     # can starve the downstream checkpoint shuffle of CPUs on small hosts
+    extractor_kind: str = "task"  # "task": plain map_batches tasks on warm
+    # workers — right for the cheap deterministic backend (an actor pool
+    # pays a cold process start per actor, which dwarfs the regex work).
+    # "actor": the pool the north rule prescribes for real LLM/NER
+    # backends, where per-worker model load must happen once.
     link_threshold: float = 0.50
     components_method: str = "unionfind"
     lang_filter: str | None = None  # e.g. "en" to drop non-English pages
@@ -109,12 +114,23 @@ def extract_triples_checkpointed(
 
     segs = ds.map_batches(seg_with_part, batch_format="pyarrow")
 
-    triples = segs.map_batches(
-        _TripleExtractorWithPart,
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=cfg.extractor_concurrency,
-    )
+    # batch_size here is in PAGES: Ray fuses the whole read->extract->
+    # segment->triples chain into this operator, and the fused chain
+    # coalesces input to this batch size. A large value (e.g. 4096) would
+    # collapse a 20k-page corpus into 5 tasks and cap parallelism at 5.
+    if cfg.extractor_kind == "actor":
+        triples = segs.map_batches(
+            _TripleExtractorWithPart,
+            batch_format="pyarrow",
+            batch_size=cfg.extract_batch_size,
+            concurrency=cfg.extractor_concurrency,
+        )
+    else:
+        triples = segs.map_batches(
+            _TripleExtractorWithPart(),  # instance -> task mode, warm workers
+            batch_format="pyarrow",
+            batch_size=cfg.extract_batch_size,
+        )
 
     writer = store.make_writer(run_id)
     summary = triples.groupby("part_id").map_groups(writer, batch_format="pandas")
@@ -212,8 +228,8 @@ def build_graph_from_triples(
 
     def attach_component(t: pa.Table) -> pa.Table:
         lut = ray.get(comp_ref)
-        eids = t["entity_id"].to_numpy(zero_copy_only=False)
-        cids = np.array([lut.get(int(e), int(e)) for e in eids], dtype=np.int64)
+        eids = pd.Series(t["entity_id"].to_numpy(zero_copy_only=False))
+        cids = eids.map(lut).fillna(eids).astype("int64").to_numpy()
         return t.append_column("component_id", pa.array(cids, pa.int64()))
 
     nodes = nodes_base.map_batches(attach_component, batch_format="pyarrow")
@@ -227,11 +243,24 @@ def build_graph_from_triples(
     return {
         "edges_dir": edges_dir,
         "nodes_dir": nodes_dir,
-        "n_edges": edges.count(),
-        "n_nodes": nodes.count(),
+        # row counts from the written parquet footers — a ds.count() here
+        # would re-execute the whole edges/nodes DAG
+        "n_edges": _parquet_rows(edges_dir),
+        "n_nodes": _parquet_rows(nodes_dir),
         "n_recovered_aliases": int(len(recovered)),
         "components": comp,
     }
+
+
+def _parquet_rows(d: str) -> int:
+    import glob
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(p).metadata.num_rows
+        for p in glob.glob(os.path.join(d, "*.parquet"))
+    )
 
 
 def run_kg_pipeline(
