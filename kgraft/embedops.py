@@ -131,6 +131,106 @@ def ivf_topk(
     return partial.sort(["score", "vec_id"], descending=[True, False]).limit(k)
 
 
+def embed_near_dup(
+    embeddings,
+    threshold: float = 0.95,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    seed: int = 11,
+):
+    """Embedding-cosine near-duplicate groups: (vec_id, dup_group) where
+    dup_group = min vec_id among vectors with cosine >= ``threshold``.
+
+    Scale path — random-hyperplane LSH (SimHash for cosine):
+    1. map_batches signs each vector with ``n_bits`` fixed hyperplanes,
+       split into ``n_bands`` bands; rows explode to (band, band_bits).
+       Shuffle key = (band, band_bits) — vectors agreeing on all bits of
+       some band meet in a bucket (P[bit agree] = 1 - angle/pi, so
+       near-identical vectors collide with high probability).
+    2. per-bucket exact verification: one numpy matmul per bucket emits
+       only pairs with cosine >= threshold (buckets are small — giant
+       buckets mean degenerate embeddings and are truncated).
+    3. union-find over verified pairs (pair set is near-dup-scale).
+    """
+    def sign_bands(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int32()),
+                    "band_bits": pa.array([], pa.int64()),
+                }
+            )
+        mat = _batch_matrix(t)
+        planes = np.random.RandomState(seed).randn(mat.shape[1], n_bits)
+        bits = (mat @ planes > 0).astype(np.int64)  # (n, n_bits)
+        per = n_bits // n_bands
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        out_id, out_band, out_bits = [], [], []
+        for b in range(n_bands):
+            seg = bits[:, b * per : (b + 1) * per]
+            packed = (seg * (1 << np.arange(per))).sum(axis=1)
+            out_id.append(ids)
+            out_band.append(np.full(len(ids), b, dtype=np.int32))
+            out_bits.append(packed)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "band": pa.array(np.concatenate(out_band), pa.int32()),
+                "band_bits": pa.array(np.concatenate(out_bits), pa.int64()),
+            }
+        )
+
+    bands = embeddings.map_batches(sign_bands, batch_format="pyarrow")
+
+    # vectors needed for in-bucket verification: broadcast (vec table is
+    # the operator's documented small side; at corpus scale join instead)
+    df = embeddings.to_pandas()
+    mat = np.stack(df["embedding"].map(np.asarray).values).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1e-12
+    unit = mat / norms[:, None]
+    id_to_row = {int(v): i for i, v in enumerate(df["vec_id"])}
+    vec_ref = ray.put((unit, id_to_row))
+
+    max_bucket = 256
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["vec_id"].to_numpy())
+        if len(ids) < 2 or len(ids) > max_bucket:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+            )
+        unit_m, lut = ray.get(vec_ref)
+        rows = np.array([lut[int(i)] for i in ids])
+        sims = unit_m[rows] @ unit_m[rows].T
+        ai, bi = np.where(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame(
+            {"a": ids[ai].astype("int64"), "b": ids[bi].astype("int64")}
+        )
+
+    pairs = (
+        bands.groupby(["band", "band_bits"])
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+
+    from .graph.components import _UnionFind
+
+    uf = _UnionFind()
+    if "a" in pairs.columns:  # all-empty groups collapse to a 0-col frame
+        for a, b in zip(pairs["a"], pairs["b"]):
+            uf.union(int(a), int(b))
+    all_ids = df["vec_id"].astype("int64")
+    return pd.DataFrame(
+        {
+            "vec_id": all_ids,
+            "dup_group": [int(uf.find(int(i))) for i in all_ids],
+        }
+    ).sort_values("vec_id").reset_index(drop=True)
+
+
 def label_norm_stats(embeddings):
     """label, n_vecs, avg_norm (rounded 6) — partial-aggregated."""
 

@@ -62,6 +62,11 @@ class SurfaceLinker:
     deserializes it once via :func:`_cached_lut`. Task mode reuses warm
     Ray workers — an actor pool here pays a cold process start per actor,
     which dominates at this state size. Unresolved surfaces get id -1.
+
+    Also emits the normalized surfaces (``subj_norm``/``obj_norm``) so
+    downstream stages (canonicalization, unresolved collection) never
+    re-normalize the corpus — normalization is the per-row string cost
+    of this stage and must be paid exactly once.
     """
 
     def __init__(self, alias_ref) -> None:
@@ -70,10 +75,33 @@ class SurfaceLinker:
     def __call__(self, batch: pa.Table) -> pa.Table:
         lut = _cached_lut(self.alias_ref)
         df = batch.to_pandas()
-        subj_id = _norm_series(df["subj"]).map(lut).fillna(-1).astype("int64")
-        obj_id = _norm_series(df["obj"]).map(lut).fillna(-1).astype("int64")
+        subj_norm = _norm_series(df["subj"])
+        obj_norm = _norm_series(df["obj"])
+        subj_id = subj_norm.map(lut).fillna(-1).astype("int64")
+        obj_id = obj_norm.map(lut).fillna(-1).astype("int64")
         out = batch.append_column("subj_id", pa.array(subj_id.values, pa.int64()))
-        return out.append_column("obj_id", pa.array(obj_id.values, pa.int64()))
+        out = out.append_column("obj_id", pa.array(obj_id.values, pa.int64()))
+        out = out.append_column("subj_norm", pa.array(subj_norm.tolist(), pa.string()))
+        return out.append_column("obj_norm", pa.array(obj_norm.tolist(), pa.string()))
+
+
+class _RecoveryPatcher:
+    """Second resolve pass: map still-unresolved (-1) surfaces through the
+    LSH-recovered mapping (broadcast; tiny). Touches only -1 rows."""
+
+    def __init__(self, rec_ref) -> None:
+        self.rec_ref = rec_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rec = _cached_lut(self.rec_ref)
+        df = batch.to_pandas()
+        for id_col, norm_col in (("subj_id", "subj_norm"), ("obj_id", "obj_norm")):
+            miss = df[id_col] < 0
+            if miss.any():
+                df.loc[miss, id_col] = (
+                    df.loc[miss, norm_col].map(rec).fillna(-1).astype("int64")
+                )
+        return pa.Table.from_pandas(df, preserve_index=False)
 
 
 def link_triples(
@@ -88,23 +116,31 @@ def link_triples(
     """
     alias_df = alias_ds.to_pandas()  # vocab-scale, driver-safe
     base = dict(zip(alias_df["alias"], alias_df["entity_id"].astype(int)))
-    known_ref = ray.put(set(base))
 
-    # pass 1 (projection only): distinct surfaces NOT in the dictionary.
-    # Distinct-surface count is vocabulary-sized, not corpus-sized.
+    # resolve-first: one pass normalizes every surface exactly once and
+    # tags unresolved ids -1 (materialized — reused by the collection,
+    # the patch pass, and every downstream graph consumer)
+    ref = ray.put(base)
+    linked0 = triples.map_batches(
+        SurfaceLinker(ref),  # instance -> task mode (see class docstring)
+        batch_format="pyarrow",
+        batch_size=8192,
+    ).materialize()
+
+    # collect distinct unresolved surfaces (vocab-scale by construction):
+    # map-side dedup per batch, final dedup on the driver
     def unresolved(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        known = ray.get(known_ref)
-        surfs = pd.concat(
-            [_norm_series(df["subj"]), _norm_series(df["obj"])]
+        miss = pd.concat(
+            [
+                df.loc[df["subj_id"] < 0, "subj_norm"],
+                df.loc[df["obj_id"] < 0, "obj_norm"],
+            ]
         ).drop_duplicates()
-        miss = surfs[~surfs.isin(known)]
         return pa.table({"mention": pa.array(miss.tolist(), pa.string())})
 
-    # map-side dedup already happened per batch; final dedup of the
-    # vocab-scale result on the driver (cheaper than a .unique() shuffle)
     unk = (
-        triples.map_batches(unresolved, batch_format="pyarrow")
+        linked0.map_batches(unresolved, batch_format="pyarrow")
         .to_pandas()["mention"]
         .drop_duplicates()
         .tolist()
@@ -114,15 +150,15 @@ def link_triples(
     else:
         recovered = pd.DataFrame({"mention": [], "entity_id": [], "score": []})
 
-    merged = dict(base)
-    for m, e in zip(recovered["mention"], recovered["entity_id"]):
-        merged[m] = int(e)
-    ref2 = ray.put(merged)
-    linked = triples.map_batches(
-        SurfaceLinker(ref2),  # instance -> task mode (see class docstring)
-        batch_format="pyarrow",
-        batch_size=8192,
-    )
+    if len(recovered):
+        rec_ref = ray.put(
+            dict(zip(recovered["mention"], recovered["entity_id"].astype(int)))
+        )
+        linked = linked0.map_batches(
+            _RecoveryPatcher(rec_ref), batch_format="pyarrow", batch_size=8192
+        )
+    else:
+        linked = linked0
     return linked, recovered
 
 

@@ -37,7 +37,7 @@ import ray
 from .extract.segment import html_to_text_batch, segment_batch
 from .graph.canonical import canonicalize
 from .graph.components import connected_components
-from .link.candidates import link_triples, _norm_series
+from .link.candidates import link_triples
 from .manifest import ManifestStore, partition_ids
 from .models.triples import TripleExtractor
 
@@ -164,7 +164,15 @@ def _clear_dir(path: str) -> None:
 def build_graph_from_triples(
     triples_paths, alias_path: str, out_dir: str, cfg: PipelineConfig
 ) -> dict:
-    """Stages 6-10: link, canonicalize, components, materialize graph."""
+    """Stages 6-10: link, canonicalize, components, materialize graph.
+
+    The three consumers of the linked triples (edges write,
+    canonicalization, connected components) are independent, so they run
+    CONCURRENTLY from driver threads over the one materialized linked
+    dataset — each is barrier/latency-bound well below full cluster
+    utilization, and overlapping them removes their serial sum from the
+    critical path.
+    """
     triples = ray.data.read_parquet(triples_paths)
     alias_ds = ray.data.read_parquet(alias_path)
 
@@ -190,27 +198,31 @@ def build_graph_from_triples(
             }
         )
 
-    edges = linked.map_batches(to_edges, batch_format="pyarrow")
     edges_dir = os.path.join(out_dir, "edges")
     _clear_dir(edges_dir)  # write_parquet appends new files; a re-run of the
     # (cheap, non-checkpointed) graph stage must not duplicate rows
-    edges.write_parquet(edges_dir)
 
-    # mention rows for canonicalization: each linked endpoint occurrence
+    def run_edges():
+        linked.map_batches(to_edges, batch_format="pyarrow").write_parquet(
+            edges_dir
+        )
+
+    # mention rows for canonicalization — surfaces were normalized once by
+    # the resolve pass (subj_norm/obj_norm); never re-normalize here
     def to_mentions(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        subj = df.loc[df["subj_id"] >= 0, ["subj_id", "subj"]].rename(
-            columns={"subj_id": "entity_id", "subj": "surface"}
+        subj = df.loc[df["subj_id"] >= 0, ["subj_id", "subj_norm"]].rename(
+            columns={"subj_id": "entity_id", "subj_norm": "surface"}
         )
-        obj = df.loc[df["obj_id"] >= 0, ["obj_id", "obj"]].rename(
-            columns={"obj_id": "entity_id", "obj": "surface"}
+        obj = df.loc[df["obj_id"] >= 0, ["obj_id", "obj_norm"]].rename(
+            columns={"obj_id": "entity_id", "obj_norm": "surface"}
         )
         both = pd.concat([subj, obj], ignore_index=True)
-        both["surface"] = _norm_series(both["surface"])
         return pa.Table.from_pandas(both, preserve_index=False)
 
-    mentions = linked.map_batches(to_mentions, batch_format="pyarrow")
-    nodes_base = canonicalize(mentions).materialize()
+    def run_nodes_base():
+        mentions = linked.map_batches(to_mentions, batch_format="pyarrow")
+        return canonicalize(mentions).materialize()
 
     # components over linked edge endpoints
     def to_cc_edges(t: pa.Table) -> pa.Table:
@@ -222,8 +234,19 @@ def build_graph_from_triples(
         t = t.filter(ok)
         return pa.table({"src": t["subj_id"], "dst": t["obj_id"]})
 
-    cc_edges = linked.map_batches(to_cc_edges, batch_format="pyarrow")
-    comp = connected_components(cc_edges, method=cfg.components_method)
+    def run_components():
+        cc_edges = linked.map_batches(to_cc_edges, batch_format="pyarrow")
+        return connected_components(cc_edges, method=cfg.components_method)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_edges = pool.submit(run_edges)
+        f_nodes = pool.submit(run_nodes_base)
+        f_comp = pool.submit(run_components)
+        f_edges.result()
+        nodes_base = f_nodes.result()
+        comp = f_comp.result()
     comp_ref = ray.put(dict(zip(comp["entity_id"], comp["component_id"])))
 
     def attach_component(t: pa.Table) -> pa.Table:

@@ -504,6 +504,12 @@ def simhash_docs_q(sf_dir: str):
     return textops.simhash_docs(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def simhash_near_dup_q(sf_dir: str):
+    return textops.simhash_near_dup(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]), max_hamming=3
+    )
+
+
 def langid_docs_q(sf_dir: str):
     return textops.langid_docs(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
@@ -544,6 +550,11 @@ def ivf_ann_topk(sf_dir: str) -> pd.DataFrame:
 def label_norms(sf_dir: str) -> pd.DataFrame:
     emb = read_table(sf_dir, "embeddings")
     return embedops.label_norm_stats(emb)
+
+
+def embed_near_dup_q(sf_dir: str) -> pd.DataFrame:
+    emb = read_table(sf_dir, "embeddings")
+    return embedops.embed_near_dup(emb, threshold=0.95)
 
 
 _LABEL_NORMS_SQL = """
@@ -606,6 +617,31 @@ def kg_edges(sf_dir: str):
     return ray.data.read_parquet(m["edges_dir"])
 
 
+def kg_mentions(sf_dir: str):
+    """Stage 4 as a standalone query: gazetteer mention detection over the
+    synthetic corpus segments (actor pool, broadcast alias dict)."""
+    from .extract.segment import html_to_text_batch, segment_batch
+    from .models.ner import MentionDetector
+    from .synth import corpus_dir
+
+    d = corpus_dir(_pages_for(sf_dir))
+    pages = ray.data.read_parquet(
+        os.path.join(d, "pages.parquet"), columns=["url", "warc_ts", "html", "lang"]
+    )
+    segs = pages.map_batches(html_to_text_batch, batch_format="pyarrow").map_batches(
+        segment_batch, batch_format="pyarrow"
+    )
+    alias_df = pd.read_parquet(os.path.join(d, "alias_dict.parquet"))
+    ref = ray.put(dict(zip(alias_df["alias"], alias_df["entity_id"].astype(int))))
+    return segs.map_batches(
+        MentionDetector,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        batch_size=512,
+    )
+
+
 def kg_extract_text(sf_dir: str):
     """Byte-identity invariant as a query: re-extract text from html and
     return (url, text_hash) for every page."""
@@ -662,6 +698,8 @@ QUERIES = {
     "doc_stats_by_lang": doc_stats_by_lang,
     "near_dup_docs": near_dup_docs,
     "simhash_docs": simhash_docs_q,
+    "simhash_near_dup": simhash_near_dup_q,
+    "embed_near_dup": embed_near_dup_q,
     "langid_docs": langid_docs_q,
     "quality_docs": quality_docs_q,
     "fingerprint_docs": fingerprint_docs_q,
@@ -671,6 +709,7 @@ QUERIES = {
     "kg_triples": kg_triples,
     "kg_nodes": kg_nodes,
     "kg_edges": kg_edges,
+    "kg_mentions": kg_mentions,
     "kg_extract_text": kg_extract_text,
     "image_features": image_features_q,
 }

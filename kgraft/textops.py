@@ -251,6 +251,87 @@ def simhash_docs(docs, text_col: str = "text"):
     )
 
 
+def simhash_near_dup(docs, max_hamming: int = 3, text_col: str = "text"):
+    """(doc_id, dup_group) via SimHash + pigeonhole blocking.
+
+    Split each 64-bit SimHash into ``max_hamming + 1`` bands: two hashes
+    within hamming distance d must agree exactly on at least one band, so
+    banding finds every candidate (no recall loss — unlike MinHash this
+    blocking is exact for the hamming ball). Shuffle key = (band,
+    band_bits); in-bucket verification is pairwise XOR popcount; groups
+    come from union-find over verified pairs.
+    """
+    nb = max_hamming + 1
+    width = 64 // nb
+    mask = np.uint64((1 << width) - 1)
+
+    fps = simhash_docs(docs, text_col)
+
+    def explode(t: pa.Table) -> pa.Table:
+        h = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out = {
+            "doc_id": np.repeat(ids, nb),
+            "simhash": np.repeat(h.astype(np.int64), nb),
+            "band": np.tile(np.arange(nb, dtype=np.int32), len(ids)),
+        }
+        bits = np.empty(len(ids) * nb, dtype=np.int64)
+        for b in range(nb):
+            bits[b::nb] = ((h >> np.uint64(b * width)) & mask).astype(np.int64)
+        out["band_bits"] = bits
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "simhash": pa.array(out["simhash"], pa.int64()),
+                "band": pa.array(out["band"], pa.int32()),
+                "band_bits": pa.array(out["band_bits"], pa.int64()),
+            }
+        )
+
+    bands = fps.map_batches(explode, batch_format="pyarrow")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates("doc_id")
+        ids = u["doc_id"].to_numpy()
+        hs = u["simhash"].to_numpy().astype(np.uint64)
+        if len(ids) < 2 or len(ids) > 256:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+            )
+        xor = hs[:, None] ^ hs[None, :]
+        # popcount: unpack each uint64's 8 bytes to bits and sum
+        dist = (
+            np.unpackbits(xor.view(np.uint8))
+            .reshape(len(ids), len(ids), 64)
+            .sum(axis=2)
+        )
+        ai, bi = np.where(np.triu(dist <= max_hamming, k=1))
+        return pd.DataFrame(
+            {"a": ids[ai].astype("int64"), "b": ids[bi].astype("int64")}
+        )
+
+    pairs = (
+        bands.groupby(["band", "band_bits"])
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+
+    from .graph.components import _UnionFind
+
+    uf = _UnionFind()
+    if "a" in pairs.columns:  # all-empty groups collapse to a 0-col frame
+        for a, b in zip(pairs["a"], pairs["b"]):
+            uf.union(int(a), int(b))
+    all_ids = docs.select_columns(["doc_id"]).to_pandas()["doc_id"].astype("int64")
+    return pd.DataFrame(
+        {
+            "doc_id": all_ids,
+            "dup_group": [int(uf.find(int(i))) for i in all_ids],
+        }
+    ).sort_values("doc_id").reset_index(drop=True)
+
+
 def fingerprint_docs(docs, text_col: str = "text", k: int = 8, n_mins: int = 4):
     """Winnowing-style rolling-hash fingerprint: the ``n_mins`` smallest
     k-gram hashes, xor-folded to one int64 per doc."""

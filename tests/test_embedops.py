@@ -46,3 +46,35 @@ def test_kmeans_deterministic():
     a = embedops.kmeans_centroids(x, 4)
     b = embedops.kmeans_centroids(x, 4)
     np.testing.assert_array_equal(a, b)
+
+
+def test_embed_near_dup_vs_bruteforce(ray_session):
+    """LSH-bucketed cosine near-dup must match the O(n^2) oracle on a
+    planted set: exact dups + tiny perturbations cluster, others don't."""
+    import pandas as pd
+    import ray
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(20, 16)
+    vecs = [base[i] for i in range(20)]
+    vecs += [base[0] * 2.0, base[1] + 0.001 * rng.randn(16), base[2]]
+    ids = list(range(len(vecs)))
+    df = pd.DataFrame({"vec_id": ids, "embedding": [v.tolist() for v in vecs],
+                       "label": [0] * len(ids)})
+    ds = ray.data.from_pandas(df)
+    got = embedops.embed_near_dup(ds, threshold=0.999)
+    groups = dict(zip(got["vec_id"], got["dup_group"]))
+    # brute-force oracle
+    mat = np.stack([np.asarray(v) for v in vecs])
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    sims = unit @ unit.T
+    from kgraft.graph.components import _UnionFind
+
+    uf = _UnionFind()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if sims[i, j] >= 0.999:
+                uf.union(i, j)
+    want = {i: uf.find(i) for i in ids}
+    assert groups == want
+    assert groups[20] == groups[0] and groups[21] == groups[1]

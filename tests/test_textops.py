@@ -101,3 +101,28 @@ def test_quality_scores_bounded(ray_session):
     q = textops.quality_scores(_docs(ray)).to_pandas()
     assert ((q["quality"] >= 0) & (q["quality"] <= 1.0)).all()
     assert (q["punct_ratio"] <= 1.0).all()
+
+
+def test_simhash_near_dup_planted(ray_session):
+    import ray
+
+    base = (
+        "streaming arrow batches through ray data actor pools with "
+        "backpressure object store spilling and per stage resources "
+    ) * 3
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(5),
+            "text": [
+                base,
+                base + " tiny tail change.",
+                base,
+                "a completely different document about marine biology and tides",
+                "yet another unrelated text concerning medieval architecture",
+            ],
+        }
+    )
+    out = textops.simhash_near_dup(ray.data.from_pandas(docs), max_hamming=3)
+    g = dict(zip(out["doc_id"], out["dup_group"]))
+    assert g[0] == g[1] == g[2] == 0
+    assert g[3] != 0 and g[4] != 0 and g[3] != g[4]
