@@ -54,6 +54,22 @@ def _cached_lut(alias_ref) -> pd.Series:
     return pd.Series(ray.get(alias_ref), dtype="int64")
 
 
+@ray.remote(num_cpus=0)
+class _SetCollector:
+    """Shared mutable set the resolve tasks push unresolved surfaces into
+    (the one state shape the Dataset API can't express — SURVEY.md §2.2's
+    'shared mutable index' carve-out). Contents are vocab-scale."""
+
+    def __init__(self) -> None:
+        self._items: set = set()
+
+    def add(self, items) -> None:
+        self._items.update(items)
+
+    def get(self) -> list:
+        return sorted(self._items)
+
+
 class SurfaceLinker:
     """Resolve ``subj``/``obj`` surfaces to entity ids (broadcast LUT).
 
@@ -66,11 +82,14 @@ class SurfaceLinker:
     Also emits the normalized surfaces (``subj_norm``/``obj_norm``) so
     downstream stages (canonicalization, unresolved collection) never
     re-normalize the corpus — normalization is the per-row string cost
-    of this stage and must be paid exactly once.
+    of this stage and must be paid exactly once. When a collector actor
+    handle is given, each batch's distinct unresolved surfaces are pushed
+    to it in-flight, so the driver needs no separate collection pass.
     """
 
-    def __init__(self, alias_ref) -> None:
+    def __init__(self, alias_ref, collector=None) -> None:
         self.alias_ref = alias_ref
+        self.collector = collector
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lut = _cached_lut(self.alias_ref)
@@ -79,6 +98,14 @@ class SurfaceLinker:
         obj_norm = _norm_series(df["obj"])
         subj_id = subj_norm.map(lut).fillna(-1).astype("int64")
         obj_id = obj_norm.map(lut).fillna(-1).astype("int64")
+        if self.collector is not None:
+            miss = pd.concat(
+                [subj_norm[subj_id < 0], obj_norm[obj_id < 0]]
+            ).drop_duplicates()
+            if len(miss):
+                # synchronous: the batch isn't done until the collector has
+                # it — guarantees completeness when materialize() returns
+                ray.get(self.collector.add.remote(miss.tolist()))
         out = batch.append_column("subj_id", pa.array(subj_id.values, pa.int64()))
         out = out.append_column("obj_id", pa.array(obj_id.values, pa.int64()))
         out = out.append_column("subj_norm", pa.array(subj_norm.tolist(), pa.string()))
@@ -117,34 +144,19 @@ def link_triples(
     alias_df = alias_ds.to_pandas()  # vocab-scale, driver-safe
     base = dict(zip(alias_df["alias"], alias_df["entity_id"].astype(int)))
 
-    # resolve-first: one pass normalizes every surface exactly once and
-    # tags unresolved ids -1 (materialized — reused by the collection,
-    # the patch pass, and every downstream graph consumer)
+    # resolve-first: one pass normalizes every surface exactly once, tags
+    # unresolved ids -1, and streams unresolved surfaces to the collector
+    # actor in-flight (materialized — reused by the patch pass and every
+    # downstream graph consumer; no separate collection pass needed)
     ref = ray.put(base)
+    collector = _SetCollector.remote()
     linked0 = triples.map_batches(
-        SurfaceLinker(ref),  # instance -> task mode (see class docstring)
+        SurfaceLinker(ref, collector),  # instance -> task mode
         batch_format="pyarrow",
         batch_size=8192,
     ).materialize()
 
-    # collect distinct unresolved surfaces (vocab-scale by construction):
-    # map-side dedup per batch, final dedup on the driver
-    def unresolved(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        miss = pd.concat(
-            [
-                df.loc[df["subj_id"] < 0, "subj_norm"],
-                df.loc[df["obj_id"] < 0, "obj_norm"],
-            ]
-        ).drop_duplicates()
-        return pa.table({"mention": pa.array(miss.tolist(), pa.string())})
-
-    unk = (
-        linked0.map_batches(unresolved, batch_format="pyarrow")
-        .to_pandas()["mention"]
-        .drop_duplicates()
-        .tolist()
-    )
+    unk = ray.get(collector.get.remote())
     if unk:
         recovered = lsh_recover(unk, alias_ds, threshold, alias_df=alias_df)
     else:

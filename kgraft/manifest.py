@@ -71,6 +71,7 @@ class ManifestStore:
         manifest_dir = self.manifest_dir
 
         def write_partition(g: pd.DataFrame) -> pd.DataFrame:
+            t_start = time.time()
             part_id = int(g["part_id"].iloc[0])
             g = g.drop(columns=["part_id"]).sort_values(
                 ["url", "seg_idx", "subj", "pred", "obj"]
@@ -99,6 +100,12 @@ class ManifestStore:
                 },
                 "metrics": {
                     "written_at": time.time(),
+                    "write_sec": round(time.time() - t_start, 4),
+                    "triples_per_url": round(
+                        float(len(g)) / max(int(g["url"].nunique()), 1), 4
+                    ),
+                    "distinct_predicates": int(g["pred"].nunique()),
+                    "bytes_written": int(os.path.getsize(data_path)),
                 },
                 "content_hash": int(np.bitwise_xor.reduce(content)) if len(content) else 0,
                 "completed_at_run": run_id,
