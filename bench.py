@@ -187,16 +187,42 @@ def main() -> None:
         )
         return
 
-    ray = _init_ray(num_cpus)
-    headline = run_headline(
-        sf_dir, num_cpus, out_tag=f"cpus{num_cpus}", n_pages=args.pages
-    )
-
     if args.pipeline_only:
+        ray = _init_ray(num_cpus)
+        headline = run_headline(
+            sf_dir, num_cpus, out_tag=f"cpus{num_cpus}", n_pages=args.pages
+        )
         print(json.dumps({**headline, "num_cpus": num_cpus}))
         ray.shutdown()
         return
 
+    # default mode: one self-contained JSON line — headline throughput at
+    # both parallelism levels (fresh subprocesses, like --scaling) plus the
+    # per-query timings. The driver records this as BENCH_r{N}.json.
+    pages = args.pages or int(os.environ.get("GRAFT_BENCH_PAGES", "100000"))
+    levels = {}
+    for cpus in (8, num_cpus):
+        p = subprocess.run(
+            [
+                sys.executable,
+                __file__,
+                "--pipeline-only",
+                f"--cpus={cpus}",
+                f"--pages={pages}",
+            ],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+        )
+        levels[cpus] = json.loads(p.stdout.strip().splitlines()[-1])
+    headline = levels[num_cpus]
+    eff = (
+        (headline["docs_per_sec"] / levels[8]["docs_per_sec"]) / (num_cpus / 8)
+        if num_cpus != 8
+        else 1.0
+    )
+
+    ray = _init_ray(num_cpus)
     queries = {} if args.skip_queries else run_queries(sf_dir)
     print(
         json.dumps(
@@ -208,6 +234,8 @@ def main() -> None:
                     k: round(v, 3) if isinstance(v, float) else v
                     for k, v in headline.items()
                 },
+                "docs_per_sec_8cpu": round(levels[8]["docs_per_sec"], 2),
+                "scaling_efficiency_8_to_%d" % num_cpus: round(eff, 4),
                 "queries": queries,
                 "sf": sf_dir,
                 "num_cpus": num_cpus,

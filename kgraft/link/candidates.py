@@ -131,6 +131,31 @@ class _RecoveryPatcher:
         return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def recover_and_patch(
+    linked: "ray.data.Dataset",
+    alias_ds: "ray.data.Dataset",
+    unknowns: list,
+    threshold: float = JACCARD_THRESHOLD,
+    alias_df: pd.DataFrame | None = None,
+):
+    """Stage-7 tail for PRE-RESOLVED triples (ids + norms already present,
+    e.g. written by the checkpoint writer): LSH-recover the given unknown
+    surfaces and patch only the -1 rows. Returns (patched_ds, recovered).
+    """
+    if unknowns:
+        recovered = lsh_recover(unknowns, alias_ds, threshold, alias_df=alias_df)
+    else:
+        recovered = pd.DataFrame({"mention": [], "entity_id": [], "score": []})
+    if len(recovered):
+        rec_ref = ray.put(
+            dict(zip(recovered["mention"], recovered["entity_id"].astype(int)))
+        )
+        linked = linked.map_batches(
+            _RecoveryPatcher(rec_ref), batch_format="pyarrow", batch_size=8192
+        )
+    return linked, recovered
+
+
 def link_triples(
     triples: "ray.data.Dataset",
     alias_ds: "ray.data.Dataset",

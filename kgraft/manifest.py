@@ -61,11 +61,28 @@ class ManifestStore:
             if f.endswith(".parquet")
         ]
 
-    def make_writer(self, run_id: str):
+    def unresolved_from_manifests(self) -> list:
+        """Union of the per-partition unresolved surfaces (lineage field)
+        — lets a resumed run rebuild the global unknown set without
+        rescanning any checkpoint data."""
+        out: set = set()
+        for f in os.listdir(self.manifest_dir):
+            if f.startswith("part-") and f.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, f)) as fh:
+                    out.update(json.load(fh).get("unresolved_surfaces", []))
+        return sorted(out)
+
+    def make_writer(self, run_id: str, alias_ref=None):
         """A ``map_groups`` writer fn: one group = one partition's triples.
 
         Writes data first (tmp + atomic rename), manifest last, so a crash
         between the two leaves the partition *incomplete* and it re-runs.
+
+        With ``alias_ref`` (a ``ray.put`` alias->entity_id dict), the
+        writer ALSO resolves surfaces against the exact tier — checkpoints
+        then carry ``subj_id``/``obj_id``/``subj_norm``/``obj_norm`` and
+        the manifest records the partition's distinct unresolved surfaces,
+        so the graph stage never re-normalizes or rescans for unknowns.
         """
         triples_dir = self.triples_dir
         manifest_dir = self.manifest_dir
@@ -76,6 +93,20 @@ class ManifestStore:
             g = g.drop(columns=["part_id"]).sort_values(
                 ["url", "seg_idx", "subj", "pred", "obj"]
             )
+            unresolved: list = []
+            if alias_ref is not None:
+                from .link.candidates import _cached_lut, _norm_series
+
+                lut = _cached_lut(alias_ref)
+                g = g.reset_index(drop=True)
+                g["subj_norm"] = _norm_series(g["subj"])
+                g["obj_norm"] = _norm_series(g["obj"])
+                g["subj_id"] = g["subj_norm"].map(lut).fillna(-1).astype("int64")
+                g["obj_id"] = g["obj_norm"].map(lut).fillna(-1).astype("int64")
+                unresolved = sorted(
+                    set(g.loc[g["subj_id"] < 0, "subj_norm"])
+                    | set(g.loc[g["obj_id"] < 0, "obj_norm"])
+                )
             data_path = os.path.join(triples_dir, f"part-{part_id:05d}.parquet")
             tmp = data_path + ".tmp"
             table = pa.Table.from_pandas(g, preserve_index=False)
@@ -108,6 +139,7 @@ class ManifestStore:
                     "bytes_written": int(os.path.getsize(data_path)),
                 },
                 "content_hash": int(np.bitwise_xor.reduce(content)) if len(content) else 0,
+                "unresolved_surfaces": unresolved,
                 "completed_at_run": run_id,
             }
             mpath = os.path.join(manifest_dir, f"part-{part_id:05d}.json")

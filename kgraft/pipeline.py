@@ -61,9 +61,21 @@ class PipelineConfig:
 
 
 def extract_triples_checkpointed(
-    pages_path: str, store: ManifestStore, cfg: PipelineConfig, run_id: str
+    pages_path: str,
+    store: ManifestStore,
+    cfg: PipelineConfig,
+    run_id: str,
+    alias_path: str | None = None,
 ) -> dict:
-    """Stages 1-5 + checkpoint. Returns {'partitions_written': n, ...}."""
+    """Stages 1-5 + exact-tier linking + checkpoint.
+
+    With ``alias_path``, the checkpoint writer resolves surfaces against
+    the broadcast alias dictionary, so checkpoints carry linked ids and
+    each manifest records its partition's unresolved surfaces — the graph
+    stage then skips the resolve pass entirely (stage fusion: the cheap
+    dictionary lookup rides the checkpoint write it shares a barrier
+    with). Returns {'partitions_written': n, ...}.
+    """
     done = store.completed_partitions()
 
     blocks = cfg.read_blocks or int(ray.cluster_resources().get("CPU", 4)) * 2
@@ -132,7 +144,13 @@ def extract_triples_checkpointed(
             batch_size=cfg.extract_batch_size,
         )
 
-    writer = store.make_writer(run_id)
+    alias_ref = None
+    if alias_path is not None:
+        import pyarrow.parquet as pq
+
+        adf = pq.read_table(alias_path).to_pandas()
+        alias_ref = ray.put(dict(zip(adf["alias"], adf["entity_id"].astype(int))))
+    writer = store.make_writer(run_id, alias_ref=alias_ref)
     summary = triples.groupby("part_id").map_groups(writer, batch_format="pandas")
     rows = summary.to_pandas()
     return {
@@ -162,7 +180,11 @@ def _clear_dir(path: str) -> None:
 
 
 def build_graph_from_triples(
-    triples_paths, alias_path: str, out_dir: str, cfg: PipelineConfig
+    triples_paths,
+    alias_path: str,
+    out_dir: str,
+    cfg: PipelineConfig,
+    store: ManifestStore | None = None,
 ) -> dict:
     """Stages 6-10: link, canonicalize, components, materialize graph.
 
@@ -176,7 +198,24 @@ def build_graph_from_triples(
     triples = ray.data.read_parquet(triples_paths)
     alias_ds = ray.data.read_parquet(alias_path)
 
-    linked, recovered = link_triples(triples, alias_ds, cfg.link_threshold)
+    pre_resolved = (
+        store is not None and "subj_id" in ray.data.read_parquet(
+            triples_paths[:1]
+        ).schema().names
+    )
+    if pre_resolved:
+        # checkpoints already carry exact-tier ids + norms; unknowns come
+        # from the manifests — no resolve pass, no rescan
+        from .link.candidates import recover_and_patch
+
+        linked, recovered = recover_and_patch(
+            triples,
+            alias_ds,
+            store.unresolved_from_manifests(),
+            cfg.link_threshold,
+        )
+    else:
+        linked, recovered = link_triples(triples, alias_ds, cfg.link_threshold)
     linked = linked.materialize()  # reused by edges, mentions, components
 
     # edges table (both endpoints linked)
@@ -299,10 +338,12 @@ def run_kg_pipeline(
     os.makedirs(out_dir, exist_ok=True)
     store = ManifestStore(out_dir)
     t0 = time.time()
-    stage_a = extract_triples_checkpointed(pages_path, store, cfg, run_id)
+    stage_a = extract_triples_checkpointed(
+        pages_path, store, cfg, run_id, alias_path=alias_path
+    )
     t1 = time.time()
     stage_b = build_graph_from_triples(
-        store.partition_paths(), alias_path, out_dir, cfg
+        store.partition_paths(), alias_path, out_dir, cfg, store=store
     )
     t2 = time.time()
     metrics = {
