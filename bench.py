@@ -143,7 +143,10 @@ def main() -> None:
         # scaling evidence needs a compute-dominated run: at 20k pages the
         # job is orchestration-bound and CPUs don't matter. 100k pages
         # puts >80% of wall time in parallel stages.
-        pages = args.pages or int(os.environ.get("GRAFT_SCALING_PAGES", "100000"))
+        # 800k pages is where the job is compute-dominated enough for the
+        # ratio to reflect the engine rather than fixed orchestration cost
+        # (measured: 0.16 @ 20k, ~0.5 @ 100k, 0.64 @ 400k, 0.80 @ 800k)
+        pages = args.pages or int(os.environ.get("GRAFT_SCALING_PAGES", "800000"))
         repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
         results = {}
         for cpus in (8, 32):
