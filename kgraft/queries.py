@@ -257,6 +257,212 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 """
 
 
+def q4_late_shipments(sf_dir: str) -> pd.DataFrame:
+    """TPC-H q4 adapted to the trimmed schema: orders placed in 1996-Q3
+    with at least one line shipped >60 days after the order date, counted
+    per priority (EXISTS -> broadcast semi join on the order-key set)."""
+    lo = pa.scalar(np.datetime64("1996-07-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-10-01", "us"))
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi))
+        ),
+        batch_format="pyarrow",
+    )
+    odf = orders.to_pandas()
+    date_ref = ray.put(dict(zip(odf["o_orderkey"], odf["o_orderdate"])))
+
+    def late_keys(df: pd.DataFrame) -> pd.DataFrame:
+        dates = ray.get(date_ref)
+        df = df[df["l_orderkey"].isin(dates)]
+        odate = df["l_orderkey"].map(dates)
+        late = df.loc[
+            df["l_shipdate"] > odate + pd.Timedelta(days=60), ["l_orderkey"]
+        ]
+        return late.drop_duplicates()
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    keys = set(li.map_batches(late_keys, batch_format="pandas").to_pandas()["l_orderkey"])
+    out = odf[odf["o_orderkey"].isin(keys)]
+    out = (
+        out.groupby("o_orderpriority", as_index=False)
+        .size()
+        .rename(columns={"size": "order_count"})
+    )
+    out["order_count"] = out["order_count"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01' AND o.o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
+    """Top 20 customers by revenue on returned items ('R' flag)."""
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+
+    li = li.map_batches(prep, batch_format="pyarrow")
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
+    o_ref = ray.put(dict(zip(orders["o_orderkey"], orders["o_custkey"])))
+
+    def attach_cust(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(o_ref)
+        df = df.copy()
+        df["c_custkey"] = df["l_orderkey"].map(lut)
+        return df.dropna(subset=["c_custkey"])[["c_custkey", "rev"]]
+
+    li = li.map_batches(attach_cust, batch_format="pandas")
+    agg = pre_aggregate(li, ["c_custkey"], {"revenue": ("rev", "sum")})
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    agg = agg.merge(cust, on="c_custkey")
+    agg["c_custkey"] = agg["c_custkey"].astype("int64")
+    agg["revenue"] = agg["revenue"].round(4)
+    agg = agg.sort_values(["revenue", "c_custkey"], ascending=[False, True]).head(20)
+    return agg[["c_custkey", "c_name", "revenue"]].reset_index(drop=True)
+
+
+_Q10_SQL = """
+SELECT c.c_custkey, c.c_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c.c_custkey LIMIT 20
+"""
+
+
+def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    """Promo-type revenue share over a ship-month (broadcast part join)."""
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_type"]).to_pandas()
+    promo = set(part.loc[part["p_type"].str.startswith("PROMO"), "p_partkey"])
+    promo_ref = ray.put(promo)
+    lo = pa.scalar(np.datetime64("1996-03-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-04-01", "us"))
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["l_shipdate"] >= pd.Timestamp("1996-03-01"))
+                & (df["l_shipdate"] < pd.Timestamp("1996-04-01"))]
+        rev = df["l_extendedprice"] * (1 - df["l_discount"])
+        is_promo = df["l_partkey"].isin(ray.get(promo_ref))
+        return pd.DataFrame(
+            {
+                "promo_rev": [float(rev[is_promo].sum())],
+                "total_rev": [float(rev.sum())],
+            }
+        )
+
+    parts = li.map_batches(prep, batch_format="pandas").to_pandas()
+    promo_rev, total = parts["promo_rev"].sum(), parts["total_rev"].sum()
+    return pd.DataFrame(
+        {"promo_revenue_pct": [round(100.0 * promo_rev / total, 4) if total else 0.0]}
+    )
+
+
+_Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01' AND l.l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q18_large_orders(sf_dir: str) -> pd.DataFrame:
+    """Orders whose total quantity exceeds 250 (pre-aggregated groupby
+    then broadcast filter)."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    per_order = pre_aggregate(li, ["l_orderkey"], {"total_qty": ("l_quantity", "sum")})
+    big = per_order[per_order["total_qty"] > 250.0].copy()
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).to_pandas()
+    big = big.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    big["total_qty"] = big["total_qty"].round(4)
+    big = big.sort_values(["total_qty", "l_orderkey"], ascending=[False, True])
+    return big[["l_orderkey", "o_custkey", "o_totalprice", "total_qty"]].reset_index(
+        drop=True
+    )
+
+
+_Q18_SQL = """
+SELECT l.l_orderkey, o.o_custkey, o.o_totalprice,
+       round(sum(l.l_quantity), 4) AS total_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY l.l_orderkey, o.o_custkey, o.o_totalprice
+HAVING sum(l.l_quantity) > 250
+ORDER BY total_qty DESC, l.l_orderkey
+"""
+
+
+def asof_last_order(sf_dir: str) -> pd.DataFrame:
+    """As-of join (custom operator — Ray Data has no asof): each event is
+    matched to the user's most recent order at or before the event time."""
+    from .relational import asof_join
+
+    events = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+    # one row per (user, date): keep max orderkey so the match is unique
+    right = pre_aggregate(
+        orders.map_batches(
+            lambda df: df.rename(columns={"o_custkey": "user_id"}),
+            batch_format="pandas",
+        ),
+        ["user_id", "o_orderdate"],
+        {"o_orderkey": ("o_orderkey", "max")},
+    )
+    joined = asof_join(
+        ray.data.from_pandas(
+            events.to_pandas()
+        ),  # events are driver-small at test scale; stays a Dataset op
+        ray.data.from_pandas(right),
+        by="user_id",
+        left_on="ts",
+        right_on="o_orderdate",
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "event_id": joined["event_id"].astype("int64"),
+            "last_orderkey": joined["o_orderkey"].fillna(-1).astype("int64"),
+        }
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_ASOF_SQL = """
+WITH o2 AS (
+  SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, coalesce(o2.o_orderkey, -1) AS last_orderkey
+FROM events e ASOF LEFT JOIN o2
+  ON e.user_id = o2.user_id AND e.ts >= o2.o_orderdate
+ORDER BY e.event_id
+"""
+
+
 def filter_project_events(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
 
@@ -684,6 +890,11 @@ QUERIES = {
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q4_late_shipments": q4_late_shipments,
+    "q10_returned_revenue": q10_returned_revenue,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
+    "asof_last_order": asof_last_order,
     "filter_project_events": filter_project_events,
     "topk_users_by_value": topk_users_by_value,
     "distinct_mktsegment": distinct_mktsegment,
@@ -719,6 +930,11 @@ ORACLE_SQL = {
     "q3_shipping_priority": _Q3_SQL,
     "q5_local_supplier": _Q5_SQL,
     "q6_forecast_revenue": _Q6_SQL,
+    "q4_late_shipments": _Q4_SQL,
+    "q10_returned_revenue": _Q10_SQL,
+    "q14_promo_revenue": _Q14_SQL,
+    "q18_large_orders": _Q18_SQL,
+    "asof_last_order": _ASOF_SQL,
     "filter_project_events": _FILTER_PROJECT_SQL,
     "topk_users_by_value": _TOPK_USERS_SQL,
     "distinct_mktsegment": _DISTINCT_SQL,

@@ -255,6 +255,78 @@ def hash_join(left, right, on, num_buckets: int = 32, how: str = "inner"):
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
 
+def asof_join(
+    left,
+    right,
+    by: str,
+    left_on: str,
+    right_on: str,
+    num_buckets: int = 32,
+):
+    """As-of join (an operator Ray Data lacks): match each left row to the
+    LATEST right row with ``right[right_on] <= left[left_on]`` within the
+    same ``by`` key; left rows with no prior right row keep nulls.
+
+    Realization: both sides are tagged and co-located with ONE shuffle on
+    ``hash(by) % num_buckets`` (every row of a key lands in exactly one
+    bucket — the partitioning assumption); inside each bucket a single
+    vectorized ``pandas.merge_asof`` over time-sorted frames does the
+    match. Hot keys can be handled by raising ``num_buckets`` only if the
+    by-key cardinality supports it — a single giant key is inherently one
+    group for as-of semantics.
+    """
+    lcols = left.schema().names
+    rcols = right.schema().names
+    shared = [c for c in rcols if c in lcols and c != by]
+    if shared:
+        raise ValueError(f"ambiguous non-key columns on both sides: {shared}")
+
+    def tag(side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__side"] = side
+            h = hash_strings(df[by].astype(str).tolist(), seed=5)
+            df["__bucket"] = (h % np.uint64(num_buckets)).astype("int64")
+            return df
+
+        return fn
+
+    all_cols = list(dict.fromkeys(lcols + rcols)) + ["__side", "__bucket"]
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        for c in all_cols:
+            if c not in df.columns:
+                df[c] = None
+        return df[all_cols]
+
+    lt = left.map_batches(tag(0), batch_format="pandas").map_batches(
+        widen, batch_format="pandas"
+    )
+    rt = right.map_batches(tag(1), batch_format="pandas").map_batches(
+        widen, batch_format="pandas"
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["__side"] == 0][lcols].sort_values(left_on)
+        rf = g[g["__side"] == 1][rcols].sort_values(right_on)
+        if lf.empty:
+            return lf.head(0)
+        if rf.empty:
+            out = lf.copy()
+            for c in rcols:
+                if c not in out.columns:
+                    out[c] = None
+            return out
+        lf[left_on] = pd.to_datetime(lf[left_on])
+        rf[right_on] = pd.to_datetime(rf[right_on])
+        return pd.merge_asof(
+            lf, rf, left_on=left_on, right_on=right_on, by=by, direction="backward"
+        )
+
+    both = lt.union(rt)
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # order / distinct
 

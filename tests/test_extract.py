@@ -59,3 +59,22 @@ def test_batch_transforms(corpus, ray_session):
     ]
     rebuilt = "\n".join(s for _, s in sorted(mine))
     assert rebuilt == pages["text"][0].as_py()
+
+
+def test_extractor_survives_garbage():
+    """Malformed / binary / truncated html must never raise — CC corpora
+    are full of it; a crash would fail the whole block."""
+    cases = [
+        b"\x00\xff\xfe garbage \x80\x81",
+        "<p>unclosed <b>nested <i>tags",
+        "<table><tr><td>only boilerplate</td></tr></table>",
+        "",
+        "<html><body>" + "<div>" * 500 + "deep" + "</div>" * 10,
+        "plain text with no tags at all",
+        b"\xf0\x9f\x98\x80 emoji bytes <p>ok</p>".decode("utf-8"),
+    ]
+    for html in cases:
+        text = extract_text(html)
+        assert isinstance(text, str)
+    assert extract_text("<table><tr><td>x</td></tr></table>") == ""
+    assert "deep" in extract_text(cases[4])

@@ -122,3 +122,51 @@ def test_bucketed_groupby_colocates_keys(ray_session):
     want = df.groupby("k", as_index=False)["v"].sum()
     merged = out.sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(merged, want, check_dtype=False)
+
+
+def test_asof_join_matches_pandas(ray_session):
+    """Bucketed distributed as-of join == single-node pandas merge_asof."""
+    import ray
+
+    from kgraft.relational import asof_join
+
+    rng = np.random.RandomState(4)
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 10, 200),
+            "t": pd.to_datetime("2020-01-01")
+            + pd.to_timedelta(rng.randint(0, 10000, 200), unit="m"),
+            "lv": np.arange(200),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, 10, 80),
+            "t2": pd.to_datetime("2020-01-01")
+            + pd.to_timedelta(rng.randint(0, 10000, 80), unit="m"),
+            "rv": np.arange(80) * 10,
+        }
+    ).drop_duplicates(["k", "t2"])
+    got = (
+        asof_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            by="k",
+            left_on="t",
+            right_on="t2",
+        )
+        .to_pandas()
+        .sort_values("lv")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("t"),
+        right.sort_values("t2"),
+        left_on="t",
+        right_on="t2",
+        by="k",
+        direction="backward",
+    ).sort_values("lv").reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got["rv"].astype("float64"), want["rv"].astype("float64"), check_names=False
+    )
