@@ -202,7 +202,21 @@ def main() -> None:
     # default mode: one self-contained JSON line — headline throughput at
     # both parallelism levels (fresh subprocesses, like --scaling) plus the
     # per-query timings. The driver records this as BENCH_r{N}.json.
-    pages = args.pages or int(os.environ.get("GRAFT_BENCH_PAGES", "100000"))
+    # Corpus size: largest already-generated corpus up to 800k (bigger =
+    # more compute-dominated = honest scaling signal), else 100k — never
+    # force a cold multi-minute generation inside the bench.
+    pages = args.pages or int(os.environ.get("GRAFT_BENCH_PAGES", "0"))
+    if not pages:
+        from kgraft.synth import SYNTH_VERSION
+
+        # capped at 400k: the default bench must finish in ~5 min even with
+        # the 8-CPU child; the 800k scaling evidence is `--scaling`'s job
+        pages = 100000
+        for cand in (400000, 200000):
+            marker = f"/tmp/kgraft_corpus/v{SYNTH_VERSION}_n{cand}_s42/_COMPLETE"
+            if os.path.exists(marker):
+                pages = cand
+                break
     levels = {}
     for cpus in (8, num_cpus):
         p = subprocess.run(

@@ -141,3 +141,30 @@ def test_manifest_lineage(kg_run):
     for key in ("partition_id", "input_refs", "row_counts", "content_hash"):
         assert key in m
     assert m["row_counts"]["triples"] >= 0
+
+
+def test_permutation_invariance(ray_session, corpus, kg_run, tmp_path):
+    """Shuffling the input pages (different row order + different block
+    layout) must produce the identical triple set — no partition-order or
+    dict-order dependence anywhere in the DAG."""
+    import pyarrow as pa
+
+    pages = pq.read_table(os.path.join(corpus, "pages.parquet"))
+    rng = __import__("numpy").random.RandomState(9)
+    perm = rng.permutation(len(pages))
+    shuffled_path = str(tmp_path / "pages_shuffled.parquet")
+    pq.write_table(pages.take(pa.array(perm)), shuffled_path, row_group_size=97)
+    out = str(tmp_path / "perm_out")
+    res = run_kg_pipeline(
+        shuffled_path, os.path.join(corpus, "alias_dict.parquet"), out,
+        PipelineConfig(), run_id="perm",
+    )
+    base = _read_triples(kg_run["triples_paths"])
+    mine = _read_triples(res["triples_paths"])
+    cols = ["url", "seg_idx", "subj", "pred", "obj"]
+    pd.testing.assert_frame_equal(
+        base[cols].sort_values(cols).reset_index(drop=True),
+        mine[cols].sort_values(cols).reset_index(drop=True),
+    )
+    assert res["n_edges"] == kg_run["n_edges"]
+    assert res["n_nodes"] == kg_run["n_nodes"]
