@@ -463,6 +463,52 @@ ORDER BY e.event_id
 """
 
 
+def range_join_events(sf_dir: str) -> pd.DataFrame:
+    """Range join (custom operator): per click event, how many purchases
+    the same user made within the following hour."""
+    from .relational import range_join
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], pa.scalar("click"))).drop_columns(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    purchases = ev.map_batches(
+        lambda df: df[df["event_type"] == "purchase"].rename(
+            columns={"event_id": "p_event_id", "ts": "p_ts"}
+        )[["p_event_id", "user_id", "p_ts"]],
+        batch_format="pandas",
+    )
+    matched = range_join(
+        clicks,
+        purchases,
+        by="user_id",
+        left_on="ts",
+        right_on="p_ts",
+        lower=pd.Timedelta(seconds=0),
+        upper=pd.Timedelta(hours=1),
+    )
+    counts = pre_aggregate(matched, ["event_id"], {"n_purchases": (None, "count")})
+    all_clicks = clicks.to_pandas()[["event_id"]]
+    out = all_clicks.merge(counts, on="event_id", how="left")
+    out["event_id"] = out["event_id"].astype("int64")
+    out["n_purchases"] = out["n_purchases"].fillna(0).astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_RANGE_JOIN_SQL = """
+SELECT c.event_id, count(p.event_id) AS n_purchases
+FROM events c LEFT JOIN events p
+  ON p.user_id = c.user_id AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click'
+GROUP BY c.event_id
+ORDER BY c.event_id
+"""
+
+
 def filter_project_events(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
 
@@ -628,17 +674,28 @@ FROM events GROUP BY 1, 2
 
 
 def user_sessions(sf_dir: str) -> pd.DataFrame:
-    """Sessionization: 30-min-gap sessions per user (ordered log windowing
-    via groupby(user).map_groups over ts-sorted groups)."""
+    """Sessionization: 30-min-gap sessions per user. One bucketed shuffle
+    co-locates each user's events; inside a bucket the whole gap
+    computation is vectorized (sort + groupby-diff — no per-user Python
+    dispatch, which matters when users number in the millions)."""
+    from .relational import bucketed_groupby_apply
+
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values()
-        gaps = ts.diff().dt.total_seconds()
-        n = int((gaps.isna() | (gaps > 1800)).sum())
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        gaps = g.groupby("user_id", sort=False)["ts"].diff().dt.total_seconds()
+        starts = gaps.isna() | (gaps > 1800)
+        out = (
+            starts.groupby(g["user_id"], sort=False)
+            .sum()
+            .rename("n_sessions")
+            .reset_index()
+        )
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        return out
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    out = bucketed_groupby_apply(ds, "user_id", sessions_bucket).to_pandas()
     out["n_sessions"] = out["n_sessions"].astype("int64")
     return out
 
@@ -895,6 +952,7 @@ QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "q18_large_orders": q18_large_orders,
     "asof_last_order": asof_last_order,
+    "range_join_events": range_join_events,
     "filter_project_events": filter_project_events,
     "topk_users_by_value": topk_users_by_value,
     "distinct_mktsegment": distinct_mktsegment,
@@ -935,6 +993,7 @@ ORACLE_SQL = {
     "q14_promo_revenue": _Q14_SQL,
     "q18_large_orders": _Q18_SQL,
     "asof_last_order": _ASOF_SQL,
+    "range_join_events": _RANGE_JOIN_SQL,
     "filter_project_events": _FILTER_PROJECT_SQL,
     "topk_users_by_value": _TOPK_USERS_SQL,
     "distinct_mktsegment": _DISTINCT_SQL,

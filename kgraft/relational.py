@@ -116,7 +116,21 @@ def pre_aggregate(ds, keys, aggs):
         else:
             raise ValueError(kind)
 
+    key_cols = [keys] if isinstance(keys, str) else list(keys)
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or any(k not in df.columns for k in key_cols):
+            # empty upstream groups can yield schema-less blocks
+            cols = {k: pd.Series([], dtype=object) for k in key_cols}
+            cols["__n"] = pd.Series([], dtype="int64")
+            for out, col, kind in sum_cols:
+                if kind != "count":
+                    cols[f"__sum_{out}"] = pd.Series([], dtype="float64")
+            for out, _ in min_cols:
+                cols[f"__min_{out}"] = pd.Series([], dtype="float64")
+            for out, _ in max_cols:
+                cols[f"__max_{out}"] = pd.Series([], dtype="float64")
+            return pd.DataFrame(cols)
         g = df.groupby(keys, observed=True, sort=False)
         parts = {}
         parts["__n"] = g.size()
@@ -149,6 +163,14 @@ def pre_aggregate(ds, keys, aggs):
         )
 
     merged = bucketed_groupby_apply(partials, key_list, merge).to_pandas()
+    if merged.empty and any(k not in merged.columns for k in key_list):
+        # a fully-empty input collapses to a 0-column frame; restore shape
+        merged = pd.DataFrame(
+            {
+                **{k: pd.Series([], dtype=object) for k in key_list},
+                **{c: pd.Series([], dtype="float64") for c in agg_plan},
+            }
+        )
 
     out_df = merged[keys].copy() if isinstance(keys, list) else merged[[keys]].copy()
     for out, col, kind in sum_cols:
@@ -322,6 +344,76 @@ def asof_join(
         return pd.merge_asof(
             lf, rf, left_on=left_on, right_on=right_on, by=by, direction="backward"
         )
+
+    both = lt.union(rt)
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def range_join(
+    left,
+    right,
+    by: str,
+    left_on: str,
+    right_on: str,
+    lower,
+    upper,
+    num_buckets: int = 32,
+):
+    """Range (interval) join — another operator Ray Data lacks: inner-match
+    rows where ``left[left_on] + lower <= right[right_on] < left[left_on]
+    + upper`` within the same ``by`` key.
+
+    Realization mirrors :func:`asof_join`: ONE shuffle co-locates each
+    key's rows in a bucket; inside the bucket the match is a vectorized
+    pandas merge on the key followed by the interval filter. Per-key
+    fanout is bounded by the interval width — the documented assumption;
+    for very wide intervals switch to a sorted ``searchsorted`` sweep
+    inside the same bucket function.
+    """
+    lcols = left.schema().names
+    rcols = right.schema().names
+    shared = [c for c in rcols if c in lcols and c != by]
+    if shared:
+        raise ValueError(f"ambiguous non-key columns on both sides: {shared}")
+
+    def tag(side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__side"] = side
+            h = hash_strings(df[by].astype(str).tolist(), seed=6)
+            df["__bucket"] = (h % np.uint64(num_buckets)).astype("int64")
+            return df
+
+        return fn
+
+    all_cols = list(dict.fromkeys(lcols + rcols)) + ["__side", "__bucket"]
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        for c in all_cols:
+            if c not in df.columns:
+                df[c] = None
+        return df[all_cols]
+
+    lt = left.map_batches(tag(0), batch_format="pandas").map_batches(
+        widen, batch_format="pandas"
+    )
+    rt = right.map_batches(tag(1), batch_format="pandas").map_batches(
+        widen, batch_format="pandas"
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["__side"] == 0][lcols]
+        rf = g[g["__side"] == 1][rcols]
+        # merge even when one side is empty: head(0) merges preserve the
+        # full schema WITH dtypes (an untyped empty frame here would give
+        # this block a different schema and break downstream groupbys)
+        m = lf.merge(rf, on=by)
+        if m.empty:
+            return m.head(0)
+        lo = pd.to_datetime(m[left_on]) + lower
+        hi = pd.to_datetime(m[left_on]) + upper
+        t = pd.to_datetime(m[right_on])
+        return m[(t >= lo) & (t < hi)]
 
     both = lt.union(rt)
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
