@@ -140,13 +140,10 @@ def main() -> None:
     num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if args.scaling:
-        # scaling evidence needs a compute-dominated run: at 20k pages the
-        # job is orchestration-bound and CPUs don't matter. 100k pages
-        # puts >80% of wall time in parallel stages.
-        # 800k pages is where the job is compute-dominated enough for the
-        # ratio to reflect the engine rather than fixed orchestration cost
-        # (measured: 0.16 @ 20k, ~0.5 @ 100k, 0.64 @ 400k, 0.80 @ 800k)
-        pages = args.pages or int(os.environ.get("GRAFT_SCALING_PAGES", "800000"))
+        # Large corpus = compute-dominated = the ratio reflects the engine
+        # rather than fixed orchestration cost (measured: 0.16 @ 20k pages,
+        # ~0.5 @ 100k, 0.79 @ 400k, 0.80 @ 800k, 0.89 @ 1.6M)
+        pages = args.pages or int(os.environ.get("GRAFT_SCALING_PAGES", "1600000"))
         repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
         results = {}
         for cpus in (8, 32):
