@@ -32,25 +32,65 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+# cap on the padded scratch matrix (rows x maxlen bytes) per chunk, so
+# hashing a batch of multi-MB documents never allocates a giant buffer
+_HASH_CHUNK_BYTES = 64 << 20
+
+
 def hash_strings(values, seed: int = 0) -> np.ndarray:
     """Stable 64-bit hash of a sequence of strings -> uint64 ndarray.
 
     FNV-1a over UTF-8 bytes, then splitmix64 finalize with ``seed`` mixed
-    in. Pure-Python per string but C-speed inner loop via int ops on
-    ``bytes``; used for shuffle keys and dedup keys, not the per-shingle
-    hot path (that is :func:`shingle_hashes`, fully vectorized).
+    in. Vectorized ACROSS strings: rows are sorted by length descending,
+    so at byte position ``j`` the still-active strings are a prefix slice
+    and each step is one uint64 xor-multiply over that slice — total work
+    is sum(len) vectorized element-ops, never a Python per-byte loop.
+    Used for shuffle keys, dedup keys and partition ids on the hot path.
     """
-    fnv_offset = 0xCBF29CE484222325
-    fnv_prime = 0x100000001B3
-    mask = (1 << 64) - 1
-    out = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
-        h = fnv_offset
-        for b in v.encode("utf-8") if isinstance(v, str) else bytes(v):
-            h = ((h ^ b) * fnv_prime) & mask
-        out[i] = h
+    n = len(values)
+    out = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if n:
+        enc = [
+            v.encode("utf-8") if isinstance(v, str) else bytes(v) for v in values
+        ]
+        lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
+        maxlen = int(lens.max())
+        if maxlen:
+            # longest-first so the active set at each byte position is a
+            # contiguous prefix (slice, not boolean mask)
+            order = np.argsort(-lens, kind="stable")
+            sorted_lens = lens[order]
+            h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+            chunk_rows = max(1, _HASH_CHUNK_BYTES // max(maxlen, 1))
+            with np.errstate(over="ignore"):
+                for c0 in range(0, n, chunk_rows):
+                    c1 = min(n, c0 + chunk_rows)
+                    rows = order[c0:c1]
+                    clens = sorted_lens[c0:c1]
+                    cmax = int(clens[0])
+                    if cmax == 0:
+                        continue
+                    mat = np.zeros((c1 - c0, cmax), dtype=np.uint8)
+                    for i, r in enumerate(rows):
+                        b = enc[r]
+                        if b:
+                            mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+                    hc = h[c0:c1]
+                    # count of active rows per byte position (descending lens
+                    # -> prefix): active[j] = #rows with len > j
+                    active = np.searchsorted(-clens, -np.arange(cmax), side="left")
+                    for j in range(cmax):
+                        k = active[j]
+                        if k == 0:
+                            break
+                        hc[:k] = (hc[:k] ^ mat[:k, j].astype(np.uint64)) * _FNV_PRIME
+                    h[c0:c1] = hc
+            out[order] = h
     if seed:
-        out = out ^ np.uint64(seed & mask)
+        out = out ^ np.uint64(seed & ((1 << 64) - 1))
     return splitmix64(out)
 
 

@@ -846,13 +846,16 @@ def _kg_outputs(sf_dir: str) -> dict:
     """Run (or reuse) the flagship pipeline for this scale. Memoized so the
     kg_triples/kg_nodes/kg_edges queries share one run per process."""
     from .pipeline import PipelineConfig, run_kg_pipeline
-    from .synth import corpus_dir
+    from .synth import SYNTH_VERSION, corpus_dir
 
     n = _pages_for(sf_dir)
     if n in _KG_CACHE:
         return _KG_CACHE[n]
     d = corpus_dir(n)
-    out = f"/tmp/kgraft_out/n{n}"
+    # output dir keyed by (synth version, n, seed) — a bare n{N} key would
+    # let a resumed run serve checkpoints cut from a PREVIOUS corpus
+    # version after a SYNTH_VERSION bump (ADVICE r1)
+    out = f"/tmp/kgraft_out/v{SYNTH_VERSION}_n{n}_s42"
     res = run_kg_pipeline(
         os.path.join(d, "pages.parquet"),
         os.path.join(d, "alias_dict.parquet"),

@@ -92,16 +92,17 @@ def bucketed_groupby_apply(ds, keys, apply_fn, num_buckets: int = 64):
 # aggregation: map-side partials -> small global groupby
 
 
-def pre_aggregate(ds, keys, aggs):
-    """Grouped aggregation with per-batch partial combine.
+def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
+    """Grouped aggregation with per-batch partial combine — Dataset out.
 
     ``aggs``: dict out_col -> (in_col, kind) with kind in
-    {sum, count, min, max, mean}. Mean is computed as sum+count partials
-    merged at the end (exact). Raw rows never shuffle — only one partial
-    row per (key, batch) does, which is what makes Zipf-skewed keys safe
-    at 100 TB (SURVEY.md §4 skew row).
-
-    Returns a pandas DataFrame (grouped results are reducer-sized).
+    {sum, count, min, max, mean}. Mean is computed from sum + NON-NULL
+    count partials (SQL semantics: nulls are excluded from the divisor).
+    Raw rows never shuffle — only one partial row per (key, batch) does,
+    which is what makes Zipf-skewed keys safe at 100 TB (SURVEY.md §4
+    skew row) — and the merged result STAYS a Dataset, so
+    corpus-cardinality keys (per-order, per-user) never collect to the
+    driver; follow with :func:`top_k` / ``write_parquet`` / a join.
     """
     sum_cols, min_cols, max_cols = [], [], []
     for out, (col, kind) in aggs.items():
@@ -116,16 +117,19 @@ def pre_aggregate(ds, keys, aggs):
         else:
             raise ValueError(kind)
 
-    key_cols = [keys] if isinstance(keys, str) else list(keys)
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    need_n = any(kind == "count" for _, _, kind in sum_cols)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0 or any(k not in df.columns for k in key_cols):
+        if len(df) == 0 or any(k not in df.columns for k in key_list):
             # empty upstream groups can yield schema-less blocks
-            cols = {k: pd.Series([], dtype=object) for k in key_cols}
+            cols = {k: pd.Series([], dtype=object) for k in key_list}
             cols["__n"] = pd.Series([], dtype="int64")
             for out, col, kind in sum_cols:
                 if kind != "count":
                     cols[f"__sum_{out}"] = pd.Series([], dtype="float64")
+                if kind == "mean":
+                    cols[f"__cnt_{out}"] = pd.Series([], dtype="int64")
             for out, _ in min_cols:
                 cols[f"__min_{out}"] = pd.Series([], dtype="float64")
             for out, _ in max_cols:
@@ -138,6 +142,10 @@ def pre_aggregate(ds, keys, aggs):
             if kind == "count":
                 continue
             parts[f"__sum_{out}"] = g[col].sum()
+            if kind == "mean":
+                # non-null count: g[col].sum() skips nulls, so the mean
+                # divisor must too (ADVICE r1: AVG on null-bearing columns)
+                parts[f"__cnt_{out}"] = g[col].count()
         for out, col in min_cols:
             parts[f"__min_{out}"] = g[col].min()
         for out, col in max_cols:
@@ -150,45 +158,120 @@ def pre_aggregate(ds, keys, aggs):
     for out, col, kind in sum_cols:
         if kind != "count":
             agg_plan[f"__sum_{out}"] = "sum"
+        if kind == "mean":
+            agg_plan[f"__cnt_{out}"] = "sum"
     for out, _ in min_cols:
         agg_plan[f"__min_{out}"] = "min"
     for out, _ in max_cols:
         agg_plan[f"__max_{out}"] = "max"
 
-    key_list = [keys] if isinstance(keys, str) else list(keys)
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(key_list, as_index=False, observed=True, sort=False).agg(
+    def merge_finalize(g: pd.DataFrame) -> pd.DataFrame:
+        merged = g.groupby(key_list, as_index=False, observed=True, sort=False).agg(
             agg_plan
         )
+        out_df = merged[key_list].copy()
+        for out, col, kind in sum_cols:
+            if kind == "count":
+                out_df[out] = merged["__n"].astype("int64")
+            elif kind == "sum":
+                out_df[out] = merged[f"__sum_{out}"]
+            else:  # mean
+                out_df[out] = merged[f"__sum_{out}"] / merged[f"__cnt_{out}"]
+        for out, _ in min_cols:
+            out_df[out] = merged[f"__min_{out}"]
+        for out, _ in max_cols:
+            out_df[out] = merged[f"__max_{out}"]
+        return out_df
 
-    merged = bucketed_groupby_apply(partials, key_list, merge).to_pandas()
+    return bucketed_groupby_apply(
+        partials, key_list, merge_finalize, num_buckets=num_buckets
+    )
+
+
+def pre_aggregate(ds, keys, aggs):
+    """:func:`pre_aggregate_ds` collected to pandas — ONLY for
+    dimension-bounded key spaces (returnflag, nation, hour). For
+    corpus-cardinality keys use the Dataset variant + :func:`top_k`."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    merged = pre_aggregate_ds(ds, keys, aggs).to_pandas()
     if merged.empty and any(k not in merged.columns for k in key_list):
         # a fully-empty input collapses to a 0-column frame; restore shape
+        dtypes = {
+            out: "int64" if kind == "count" else "float64"
+            for out, (_, kind) in aggs.items()
+        }
         merged = pd.DataFrame(
             {
                 **{k: pd.Series([], dtype=object) for k in key_list},
-                **{c: pd.Series([], dtype="float64") for c in agg_plan},
+                **{c: pd.Series([], dtype=dt) for c, dt in dtypes.items()},
             }
         )
-
-    out_df = merged[keys].copy() if isinstance(keys, list) else merged[[keys]].copy()
-    for out, col, kind in sum_cols:
-        if kind == "count":
-            out_df[out] = merged["__n"].astype("int64")
-        elif kind == "sum":
-            out_df[out] = merged[f"__sum_{out}"]
-        else:  # mean
-            out_df[out] = merged[f"__sum_{out}"] / merged["__n"]
-    for out, _ in min_cols:
-        out_df[out] = merged[f"__min_{out}"]
-    for out, _ in max_cols:
-        out_df[out] = merged[f"__max_{out}"]
-    return out_df
+    return merged
 
 
 # ---------------------------------------------------------------------------
 # joins
+
+
+def _typed_placeholder(n: int, atype) -> pd.Series:
+    """A length-``n`` pandas Series with the dtype Arrow type ``atype`` maps
+    to. Values are placeholders (0/NaN/NaT/"") — they are only ever carried
+    through the side-union shuffle and dropped before the merge; what
+    matters is that EVERY bucket block carries the same typed schema
+    (an object/None column here breaks Arrow block unification downstream)."""
+    import pyarrow.types as pt
+
+    if isinstance(atype, pa.DataType):
+        if pt.is_integer(atype):
+            return pd.Series(np.zeros(n, dtype="int64"))
+        if pt.is_floating(atype):
+            return pd.Series(np.full(n, np.nan, dtype="float64"))
+        if pt.is_timestamp(atype) or pt.is_date(atype):
+            return pd.Series(
+                np.full(n, np.datetime64("NaT"), dtype="datetime64[ns]")
+            )
+        if pt.is_boolean(atype):
+            return pd.Series(np.zeros(n, dtype=bool))
+        return pd.Series([""] * n, dtype=object)
+    # pandas-backed blocks report numpy dtypes / `object` here instead
+    try:
+        dt = np.dtype(atype)
+    except TypeError:
+        return pd.Series([""] * n, dtype=object)
+    if np.issubdtype(dt, np.integer):
+        return pd.Series(np.zeros(n, dtype="int64"))
+    if np.issubdtype(dt, np.floating):
+        return pd.Series(np.full(n, np.nan, dtype="float64"))
+    if np.issubdtype(dt, np.datetime64):
+        return pd.Series(np.full(n, np.datetime64("NaT"), dtype="datetime64[ns]"))
+    if dt == np.dtype(bool):
+        return pd.Series(np.zeros(n, dtype=bool))
+    return pd.Series([""] * n, dtype=object)
+
+
+def _make_widen(all_cols, arrow_types: dict):
+    """Widen fn: add each missing column with a dtype-correct placeholder
+    (from the source Dataset's Arrow schema), then order columns."""
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        for c in all_cols:
+            if c not in df.columns:
+                df[c] = _typed_placeholder(len(df), arrow_types[c]).values
+        return df[all_cols]
+
+    return widen
+
+
+def _uniform_nullable(df: pd.DataFrame, cols) -> pd.DataFrame:
+    """Cast integer/bool columns to float64 so blocks agree on schema
+    whether or not this particular bucket produced unmatched (NaN) rows
+    in an outer-ish join."""
+    for c in cols:
+        if c in df.columns and (
+            pd.api.types.is_integer_dtype(df[c]) or pd.api.types.is_bool_dtype(df[c])
+        ):
+            df[c] = df[c].astype("float64")
+    return df
 
 
 def broadcast_join(ds, small_df: pd.DataFrame, on, how: str = "inner"):
@@ -237,9 +320,15 @@ def hash_join(left, right, on, num_buckets: int = 32, how: str = "inner"):
             "int64"
         )
 
-    lcols = left.schema().names
-    rcols = right.schema().names
+    lschema, rschema = left.schema(), right.schema()
+    lcols, rcols = lschema.names, rschema.names
     shared = [c for c in rcols if c in lcols and c not in on_cols]
+    if shared:
+        raise ValueError(f"ambiguous non-key columns on both sides: {shared}")
+    if how not in ("inner", "left", "right", "outer"):
+        raise ValueError(f"unsupported how={how!r}")
+    arrow_types = dict(zip(rcols, rschema.types))
+    arrow_types.update(zip(lcols, lschema.types))
 
     def tag(side):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -253,27 +342,30 @@ def hash_join(left, right, on, num_buckets: int = 32, how: str = "inner"):
     lt = left.map_batches(tag(0), batch_format="pandas")
     rt = right.map_batches(tag(1), batch_format="pandas")
     # align schemas for union: give each side the other's missing columns
+    # with dtype-correct placeholders (see _typed_placeholder)
     all_cols = on_cols + [c for c in lcols + rcols if c not in on_cols]
     all_cols = list(dict.fromkeys(all_cols)) + ["__bucket", "__side"]
+    import pyarrow as _pa
 
-    def widen(df: pd.DataFrame) -> pd.DataFrame:
-        for c in all_cols:
-            if c not in df.columns:
-                df[c] = None
-        return df[all_cols]
+    arrow_types["__bucket"] = _pa.int64()
+    arrow_types["__side"] = _pa.int64()
+    widen = _make_widen(all_cols, arrow_types)
 
     both = lt.map_batches(widen, batch_format="pandas").union(
         rt.map_batches(widen, batch_format="pandas")
     )
+    # columns that become NaN-bearing when the other side misses: cast
+    # uniformly so every bucket block has one schema
+    null_left = [c for c in lcols if c not in on_cols] if how in ("right", "outer") else []
+    null_right = [c for c in rcols if c not in on_cols] if how in ("left", "outer") else []
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lf = g[g["__side"] == 0][[c for c in lcols]]
         rf = g[g["__side"] == 1][[c for c in rcols]]
-        out = lf.merge(rf, on=on_cols, how="inner", suffixes=("", "_r"))
+        out = lf.merge(rf, on=on_cols, how=how, suffixes=("", "_r"))
+        out = _uniform_nullable(out, null_left + null_right)
         return out.drop(columns=["__bucket", "__side"], errors="ignore")
 
-    if shared:
-        raise ValueError(f"ambiguous non-key columns on both sides: {shared}")
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
 
@@ -297,11 +389,13 @@ def asof_join(
     by-key cardinality supports it — a single giant key is inherently one
     group for as-of semantics.
     """
-    lcols = left.schema().names
-    rcols = right.schema().names
+    lschema, rschema = left.schema(), right.schema()
+    lcols, rcols = lschema.names, rschema.names
     shared = [c for c in rcols if c in lcols and c != by]
     if shared:
         raise ValueError(f"ambiguous non-key columns on both sides: {shared}")
+    arrow_types = dict(zip(rcols, rschema.types))
+    arrow_types.update(zip(lcols, lschema.types))
 
     def tag(side):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -314,12 +408,11 @@ def asof_join(
         return fn
 
     all_cols = list(dict.fromkeys(lcols + rcols)) + ["__side", "__bucket"]
+    import pyarrow as _pa
 
-    def widen(df: pd.DataFrame) -> pd.DataFrame:
-        for c in all_cols:
-            if c not in df.columns:
-                df[c] = None
-        return df[all_cols]
+    arrow_types["__side"] = _pa.int64()
+    arrow_types["__bucket"] = _pa.int64()
+    widen = _make_widen(all_cols, arrow_types)
 
     lt = left.map_batches(tag(0), batch_format="pandas").map_batches(
         widen, batch_format="pandas"
@@ -327,23 +420,22 @@ def asof_join(
     rt = right.map_batches(tag(1), batch_format="pandas").map_batches(
         widen, batch_format="pandas"
     )
+    # right value columns gain NaN on unmatched left rows — cast uniformly
+    # so a fully-matched bucket emits the same schema as a sparse one
+    null_right = [c for c in rcols if c != by and c != right_on]
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # empty sides flow through the SAME merge_asof (typed placeholders
+        # from widen keep the dtypes), so every bucket — including ones
+        # whose keys exist on only one side — emits one typed schema
         lf = g[g["__side"] == 0][lcols].sort_values(left_on)
         rf = g[g["__side"] == 1][rcols].sort_values(right_on)
-        if lf.empty:
-            return lf.head(0)
-        if rf.empty:
-            out = lf.copy()
-            for c in rcols:
-                if c not in out.columns:
-                    out[c] = None
-            return out
-        lf[left_on] = pd.to_datetime(lf[left_on])
-        rf[right_on] = pd.to_datetime(rf[right_on])
-        return pd.merge_asof(
+        lf = lf.assign(**{left_on: pd.to_datetime(lf[left_on])})
+        rf = rf.assign(**{right_on: pd.to_datetime(rf[right_on])})
+        out = pd.merge_asof(
             lf, rf, left_on=left_on, right_on=right_on, by=by, direction="backward"
         )
+        return _uniform_nullable(out, null_right)
 
     both = lt.union(rt)
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
@@ -370,11 +462,13 @@ def range_join(
     for very wide intervals switch to a sorted ``searchsorted`` sweep
     inside the same bucket function.
     """
-    lcols = left.schema().names
-    rcols = right.schema().names
+    lschema, rschema = left.schema(), right.schema()
+    lcols, rcols = lschema.names, rschema.names
     shared = [c for c in rcols if c in lcols and c != by]
     if shared:
         raise ValueError(f"ambiguous non-key columns on both sides: {shared}")
+    arrow_types = dict(zip(rcols, rschema.types))
+    arrow_types.update(zip(lcols, lschema.types))
 
     def tag(side):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -387,12 +481,11 @@ def range_join(
         return fn
 
     all_cols = list(dict.fromkeys(lcols + rcols)) + ["__side", "__bucket"]
+    import pyarrow as _pa
 
-    def widen(df: pd.DataFrame) -> pd.DataFrame:
-        for c in all_cols:
-            if c not in df.columns:
-                df[c] = None
-        return df[all_cols]
+    arrow_types["__side"] = _pa.int64()
+    arrow_types["__bucket"] = _pa.int64()
+    widen = _make_widen(all_cols, arrow_types)
 
     lt = left.map_batches(tag(0), batch_format="pandas").map_batches(
         widen, batch_format="pandas"

@@ -36,18 +36,34 @@ def add_text_hash(ds, text_col: str = "text", out_col: str = "text_hash"):
 
 def exact_dedup(docs, id_col: str = "doc_id", text_col: str = "text"):
     """Keep the min-id row per identical text. Shuffle key = content hash
-    (never the text itself — at 100 TB the key must be 8 bytes, not the
-    document). Implemented as ``groupby(hash).aggregate(Min(id))`` — a
-    pure shuffle-aggregate with no per-group Python."""
+    (never the text itself — at 100 TB the key must be bytes, not the
+    document). Groups on TWO independent 64-bit hashes (seeds 0 and 1),
+    i.e. a 128-bit key — collision probability ~2^-128, so distinct
+    documents are never merged unverified (ADVICE r1). Pure
+    shuffle-aggregate with no per-group Python."""
     from .relational import bucketed_groupby_apply
 
-    hashed = add_text_hash(docs.select_columns([id_col, text_col]), text_col)
-    hashed = hashed.select_columns([id_col, "text_hash"])
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        h1 = hash_strings(texts).astype(np.int64)
+        h2 = hash_strings(texts, seed=1).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "text_hash": pa.array(h1, pa.int64()),
+                "text_hash2": pa.array(h2, pa.int64()),
+            }
+        )
+
+    hashed = docs.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow"
+    )
 
     def reduce(g: pd.DataFrame) -> pd.DataFrame:
         return (
-            g.groupby("text_hash", as_index=False, sort=False)[[id_col]]
-            .min()[[id_col]]
+            g.groupby(["text_hash", "text_hash2"], as_index=False, sort=False)[
+                [id_col]
+            ].min()[[id_col]]
         )
 
     return bucketed_groupby_apply(hashed, "text_hash", reduce)
@@ -128,38 +144,37 @@ def minhash_candidate_pairs(
     bands = bands.map_batches(add_coarse, batch_format="pyarrow")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        keys = []
+        # pairs stay as TWO int64 columns — a packed (a<<32)|b key would
+        # silently corrupt once doc_id exceeds 2^31 (ADVICE r1)
+        out_a, out_b = [], []
         for _, grp in g.groupby("band_hash", sort=False):
             ids = np.sort(grp["doc_id"].unique())
             if len(ids) < 2 or len(ids) > max_bucket_size:
                 continue
             a, b = np.triu_indices(len(ids), k=1)
-            keys.append(
-                (ids[a].astype(np.int64) << np.int64(32)) | ids[b].astype(np.int64)
+            out_a.append(ids[a].astype(np.int64))
+            out_b.append(ids[b].astype(np.int64))
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                }
             )
-        if not keys:
-            return pd.DataFrame({"pair_key": pd.Series([], dtype="int64")})
-        return pd.DataFrame({"pair_key": np.concatenate(keys)})
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
 
     cand = bands.groupby(["band_id", "coarse"]).map_groups(
         pairs, batch_format="pandas"
     )
     from .relational import bucketed_groupby_apply
 
-    dedup = bucketed_groupby_apply(
-        cand, "pair_key", lambda g: g.drop_duplicates("pair_key")
+    return bucketed_groupby_apply(
+        cand,
+        ["doc_a", "doc_b"],
+        lambda g: g.drop_duplicates(["doc_a", "doc_b"]),
     )
-
-    def decode(t: pa.Table) -> pa.Table:
-        key = t["pair_key"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "doc_a": pa.array(key >> np.int64(32), pa.int64()),
-                "doc_b": pa.array(key & np.int64(0xFFFFFFFF), pa.int64()),
-            }
-        )
-
-    return dedup.map_batches(decode, batch_format="pyarrow")
 
 
 class _PairVerifier:
