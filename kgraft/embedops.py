@@ -159,9 +159,13 @@ def embed_near_dup(
                     "vec_id": pa.array([], pa.int64()),
                     "band": pa.array([], pa.int32()),
                     "band_bits": pa.array([], pa.int64()),
+                    "unit": pa.array([], pa.list_(pa.float64())),
                 }
             )
         mat = _batch_matrix(t)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1e-12
+        unit = mat / norms[:, None]
         planes = np.random.RandomState(seed).randn(mat.shape[1], n_bits)
         bits = (mat @ planes > 0).astype(np.int64)  # (n, n_bits)
         per = n_bits // n_bands
@@ -173,37 +177,32 @@ def embed_near_dup(
             out_id.append(ids)
             out_band.append(np.full(len(ids), b, dtype=np.int32))
             out_bits.append(packed)
+        # the UNIT vector rides the band shuffle (duplicated n_bands x) so
+        # verification reads only in-bucket vectors — no corpus-wide
+        # broadcast of the vector matrix (r1 verdict "what's wrong" #4)
+        unit_rep = np.tile(unit, (n_bands, 1))
         return pa.table(
             {
                 "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
                 "band": pa.array(np.concatenate(out_band), pa.int32()),
                 "band_bits": pa.array(np.concatenate(out_bits), pa.int64()),
+                "unit": pa.array(list(unit_rep), pa.list_(pa.float64())),
             }
         )
 
     bands = embeddings.map_batches(sign_bands, batch_format="pyarrow")
 
-    # vectors needed for in-bucket verification: broadcast (vec table is
-    # the operator's documented small side; at corpus scale join instead)
-    df = embeddings.to_pandas()
-    mat = np.stack(df["embedding"].map(np.asarray).values).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1e-12
-    unit = mat / norms[:, None]
-    id_to_row = {int(v): i for i, v in enumerate(df["vec_id"])}
-    vec_ref = ray.put((unit, id_to_row))
-
     max_bucket = 256
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["vec_id"].to_numpy())
+        u = g.drop_duplicates("vec_id")
+        ids = u["vec_id"].to_numpy()
         if len(ids) < 2 or len(ids) > max_bucket:
             return pd.DataFrame(
                 {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
             )
-        unit_m, lut = ray.get(vec_ref)
-        rows = np.array([lut[int(i)] for i in ids])
-        sims = unit_m[rows] @ unit_m[rows].T
+        unit_m = np.stack(u["unit"].map(np.asarray).values)
+        sims = unit_m @ unit_m.T
         ai, bi = np.where(np.triu(sims >= threshold, k=1))
         return pd.DataFrame(
             {"a": ids[ai].astype("int64"), "b": ids[bi].astype("int64")}
@@ -212,7 +211,7 @@ def embed_near_dup(
     pairs = (
         bands.groupby(["band", "band_bits"])
         .map_groups(verify, batch_format="pandas")
-        .to_pandas()
+        .to_pandas()  # verified pairs: near-dup-scale
         .drop_duplicates()
     )
 
@@ -222,13 +221,20 @@ def embed_near_dup(
     if "a" in pairs.columns:  # all-empty groups collapse to a 0-col frame
         for a, b in zip(pairs["a"], pairs["b"]):
             uf.union(int(a), int(b))
-    all_ids = df["vec_id"].astype("int64")
-    return pd.DataFrame(
-        {
-            "vec_id": all_ids,
-            "dup_group": [int(uf.find(int(i))) for i in all_ids],
-        }
-    ).sort_values("vec_id").reset_index(drop=True)
+    group = {i: int(uf.find(i)) for i in uf.parent}
+    group_ref = ray.put(group)
+
+    def label(t: pa.Table) -> pa.Table:
+        lut = ray.get(group_ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        grp = np.array([lut.get(int(i), int(i)) for i in ids], dtype=np.int64)
+        return pa.table(
+            {"vec_id": t["vec_id"], "dup_group": pa.array(grp, pa.int64())}
+        )
+
+    return embeddings.select_columns(["vec_id"]).map_batches(
+        label, batch_format="pyarrow"
+    )
 
 
 def label_norm_stats(embeddings):

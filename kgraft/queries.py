@@ -758,7 +758,7 @@ FROM documents GROUP BY lang
 """
 
 
-def near_dup_docs(sf_dir: str) -> pd.DataFrame:
+def near_dup_docs(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return textops.near_dup_groups(docs, threshold=0.7)
 
@@ -815,7 +815,7 @@ def label_norms(sf_dir: str) -> pd.DataFrame:
     return embedops.label_norm_stats(emb)
 
 
-def embed_near_dup_q(sf_dir: str) -> pd.DataFrame:
+def embed_near_dup_q(sf_dir: str):
     emb = read_table(sf_dir, "embeddings")
     return embedops.embed_near_dup(emb, threshold=0.95)
 

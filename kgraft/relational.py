@@ -232,6 +232,8 @@ def _typed_placeholder(n: int, atype) -> pd.Series:
             )
         if pt.is_boolean(atype):
             return pd.Series(np.zeros(n, dtype=bool))
+        if pt.is_binary(atype) or pt.is_large_binary(atype):
+            return pd.Series([b""] * n, dtype=object)
         return pd.Series([""] * n, dtype=object)
     # pandas-backed blocks report numpy dtypes / `object` here instead
     try:

@@ -73,37 +73,64 @@ def exact_dedup(docs, id_col: str = "doc_id", text_col: str = "text"):
 # near-dup: MinHash + LSH — shuffle key: (band_id, band_hash)
 
 
-class _DocSigner:
-    def __init__(self, num_perm: int, num_bands: int, text_col: str, shingle_k: int = 4):
+class _DocSketcher:
+    """docs -> ONE row per doc: (doc_id, sig, sig8).
+
+    ``sig`` is the full num_perm x uint64 MinHash signature as a binary
+    blob (band hashes derive from it without re-shingling); ``sig8`` is
+    the low byte of each permutation (num_perm bytes) — the compact
+    sketch that rides the pair-verification shuffle. Folding to 8 bits
+    adds a ~1/256 false-equal rate per permutation, negligible against
+    the estimator's own 1/sqrt(num_perm) noise.
+    """
+
+    def __init__(self, num_perm: int, text_col: str, shingle_k: int = 4):
         self.hasher = MinHasher(num_perm=num_perm, seed=1001, shingle_k=shingle_k)
-        self.num_bands = num_bands
         self.text_col = text_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
         texts = t[self.text_col].to_pylist()
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
         if not texts:
             return pa.table(
                 {
                     "doc_id": pa.array([], pa.int64()),
-                    "band_id": pa.array([], pa.int32()),
-                    "band_hash": pa.array([], pa.int64()),
+                    "sig": pa.array([], pa.binary()),
+                    "sig8": pa.array([], pa.binary()),
                 }
             )
         sigs = self.hasher.signatures(texts)
-        bands = self.hasher.band_hashes(sigs, self.num_bands)
-        n = len(texts)
+        sig8 = (sigs & np.uint64(0xFF)).astype(np.uint8)
         return pa.table(
             {
-                "doc_id": pa.array(np.repeat(ids, self.num_bands), pa.int64()),
-                "band_id": pa.array(
-                    np.tile(np.arange(self.num_bands, dtype=np.int32), n), pa.int32()
-                ),
-                "band_hash": pa.array(
-                    bands.reshape(-1).astype(np.int64), pa.int64()
-                ),
+                "doc_id": t["doc_id"],
+                "sig": pa.array([s.tobytes() for s in sigs], pa.binary()),
+                "sig8": pa.array([s.tobytes() for s in sig8], pa.binary()),
             }
         )
+
+
+def sketch_docs(docs, num_perm: int = 128, text_col: str = "text", shingle_k: int = 4):
+    """MinHash sketch pass — the one place documents are shingled."""
+    return docs.select_columns(["doc_id", text_col]).map_batches(
+        _DocSketcher,
+        fn_constructor_args=(num_perm, text_col, shingle_k),
+        batch_format="pyarrow",
+        # Autoscaling (1, 4): a fixed-size pool here plus the verifier pool
+        # downstream can reserve every CPU and starve the shuffle between
+        # them (observed deadlock at num_cpus=8).
+        concurrency=(1, 4),
+    )
+
+
+def _sig_matrix(col, num_perm: int) -> np.ndarray:
+    """binary sig column -> (n, num_perm) uint64 matrix (zero-copy-ish)."""
+    buf = b"".join(col.to_pylist())
+    return np.frombuffer(buf, dtype=np.uint64).reshape(-1, num_perm)
+
+
+def _sig8_matrix(col, num_perm: int) -> np.ndarray:
+    buf = b"".join(col)
+    return np.frombuffer(buf, dtype=np.uint8).reshape(-1, num_perm)
 
 
 def minhash_candidate_pairs(
@@ -112,24 +139,46 @@ def minhash_candidate_pairs(
     num_bands: int = 32,
     text_col: str = "text",
     max_bucket_size: int = 64,
+    sketches=None,
 ):
     """LSH candidate (doc_a < doc_b) pairs. Shuffle key (band_id, band_hash).
 
     Buckets larger than ``max_bucket_size`` are skipped (standard LSH
     guard: a giant bucket means the band is non-discriminative and would
     emit O(n²) pairs; the affected docs still meet in their other
-    bands). Pair dedup across bands is a ``groupby(pair_key).aggregate``
-    — no per-group Python, scales to corpus-size candidate sets.
+    bands). Pair dedup across bands is a bucketed groupby — no per-group
+    Python, scales to corpus-size candidate sets. ``sketches`` (from
+    :func:`sketch_docs`) lets the caller reuse one shingling pass.
     """
-    bands = docs.select_columns(["doc_id", text_col]).map_batches(
-        _DocSigner,
-        fn_constructor_args=(num_perm, num_bands, text_col),
-        batch_format="pyarrow",
-        # Autoscaling (1, 4): a fixed-size pool here plus the verifier pool
-        # downstream can reserve every CPU and starve the shuffle between
-        # them (observed deadlock at num_cpus=8).
-        concurrency=(1, 4),
-    )
+    sk = sketches if sketches is not None else sketch_docs(docs, num_perm, text_col)
+    hasher = MinHasher(num_perm=num_perm, seed=1001)
+
+    def derive_bands(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "band_id": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                }
+            )
+        sigs = _sig_matrix(t["sig"], num_perm)
+        bands_m = hasher.band_hashes(sigs, num_bands)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, num_bands), pa.int64()),
+                "band_id": pa.array(
+                    np.tile(np.arange(num_bands, dtype=np.int32), n), pa.int32()
+                ),
+                "band_hash": pa.array(
+                    bands_m.reshape(-1).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    bands = sk.map_batches(derive_bands, batch_format="pyarrow")
     # Shuffle on a COARSENED key (band_id, band_hash % coarse) so the Ray
     # group count stays ~O(bands × coarse) regardless of corpus size; the
     # exact per-band_hash bucketing happens vectorized inside each group.
@@ -177,36 +226,37 @@ def minhash_candidate_pairs(
     )
 
 
-class _PairVerifier:
-    """Actor: verify candidate pairs with exact k-gram Jaccard.
+def _verify_pairs_jaccard(t: pa.Table, shingle_k: int, threshold: float) -> pa.Table:
+    """Exact k-gram Jaccard over (text_a, text_b) pair rows; emits only
+    pairs >= threshold. Shingle sets are cached per batch by doc id (a
+    doc in many pairs is shingled once per batch, not per pair)."""
+    from .hashing import shingle_hashes
 
-    Texts are fetched from a broadcast (ray.put) doc_id->text map built
-    once per actor. At corpus scale this becomes a bucketed join of texts
-    onto pairs instead; broadcast holds for vocabulary/test scale.
-    """
+    cache: dict = {}
 
-    def __init__(self, texts_ref, shingle_k: int = 4):
-        self.texts = ray.get(texts_ref)
-        self.k = shingle_k
-        self._cache: dict = {}
-
-    def _shingles(self, doc_id: int):
-        s = self._cache.get(doc_id)
+    def sh(doc_id, text):
+        s = cache.get(doc_id)
         if s is None:
-            from .hashing import shingle_hashes
-
-            s = shingle_hashes(self.texts[doc_id], self.k)
-            self._cache[doc_id] = s
+            s = shingle_hashes(text, shingle_k)
+            cache[doc_id] = s
         return s
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        sims = []
-        for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
-            sa, sb = self._shingles(int(a)), self._shingles(int(b))
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            sims.append(inter / union if union else 1.0)
-        return t.append_column("jaccard", pa.array(sims, pa.float64()))
+    out_a, out_b = [], []
+    for a, b, ta, tb in zip(
+        t["doc_a"].to_pylist(),
+        t["doc_b"].to_pylist(),
+        t["text_a"].to_pylist(),
+        t["text_b"].to_pylist(),
+    ):
+        sa, sb = sh(a, ta), sh(b, tb)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        if (inter / union if union else 1.0) >= threshold:
+            out_a.append(a)
+            out_b.append(b)
+    return pa.table(
+        {"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64())}
+    )
 
 
 def near_dup_groups(
@@ -215,35 +265,144 @@ def near_dup_groups(
     num_perm: int = 128,
     num_bands: int = 32,
     text_col: str = "text",
+    estimate_margin: float = 0.15,
 ):
-    """(doc_id, dup_group) — dup_group = min doc_id of the near-dup cluster
-    (union-find over verified LSH pairs; singletons map to themselves)."""
-    cand = minhash_candidate_pairs(docs, num_perm, num_bands, text_col)
-    texts_df = docs.select_columns(["doc_id", text_col]).to_pandas()
-    texts_ref = ray.put(dict(zip(texts_df["doc_id"].astype(int), texts_df[text_col])))
-    verified = cand.map_batches(
-        _PairVerifier,
-        fn_constructor_args=(texts_ref,),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-        batch_size=2048,
+    """(doc_id, dup_group) Dataset — dup_group = min doc_id of the
+    near-dup cluster (union-find over verified LSH pairs; singletons map
+    to themselves).
+
+    Verification is shuffle-fed and TIERED — never a corpus broadcast:
+
+    1. one sketch pass shingles each doc once (:func:`sketch_docs`);
+       candidate pairs come from the band shuffle as usual;
+    2. **estimate tier**: pairs are bucket-joined (shuffle key = doc id)
+       against the 128-BYTE folded sketches and the MinHash Jaccard
+       estimate is computed vectorized over the whole pair batch; pairs
+       below ``threshold - estimate_margin`` die here (margin = ~3.7
+       sigma of the 128-perm estimator, miss probability ~1e-4). In a
+       dense-similarity corpus this kills the vast majority of
+       candidates while moving only sketches, not documents;
+    3. **exact tier**: the survivor ID set (near-dup-scale) broadcasts;
+       one shuffle-free scan pulls just those texts, and survivors are
+       verified with exact k-gram Jaccard.
+
+    Nothing corpus-sized ever lands on the driver or in a single
+    ``ray.put``: the only driver-side state is the verified pair set
+    (near-dup-scale by construction) whose union-find result is
+    re-broadcast to label the corpus in a final map. The sketch set (a
+    ~260x reduction of the corpus) is materialized so band derivation
+    and the estimate join share one shingle pass.
+    """
+    from .relational import hash_join
+
+    sk = sketch_docs(docs, num_perm, text_col).materialize()
+    # pair/sketch-scale materializations: hash_join needs its inputs'
+    # schemas, and fetching the schema of a LAZY post-shuffle dataset
+    # re-executes its whole prefix — pinning these small intermediates
+    # (pairs are 16 B/row, sketches 136 B/row) avoids O(joins) re-runs
+    cand = minhash_candidate_pairs(
+        docs, num_perm, num_bands, text_col, sketches=sk
+    ).materialize()
+
+    def sk_rename(side):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {f"doc_{side}": t["doc_id"], f"sig8_{side}": t["sig8"]}
+            )
+
+        return fn
+
+    est_a = hash_join(
+        cand, sk.map_batches(sk_rename("a"), batch_format="pyarrow"), on="doc_a"
+    ).materialize()  # pairs + one 128-byte sketch per row
+    est_ab = hash_join(est_a, sk.map_batches(sk_rename("b"), batch_format="pyarrow"),
+                       on="doc_b")
+    est_floor = threshold - estimate_margin
+
+    def estimate_filter(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                }
+            )
+        a = _sig8_matrix(t["sig8_a"].to_pylist(), num_perm)
+        b = _sig8_matrix(t["sig8_b"].to_pylist(), num_perm)
+        est = (a == b).mean(axis=1)
+        keep = est >= est_floor
+        return pa.table(
+            {
+                "doc_a": t["doc_a"].filter(pa.array(keep)),
+                "doc_b": t["doc_b"].filter(pa.array(keep)),
+            }
+        )
+
+    likely_df = (
+        est_ab.map_batches(estimate_filter, batch_format="pyarrow").to_pandas()
+    )  # estimate survivors: near-dup-scale
+
+    # exact tier — semi-join pushdown: only the texts of surviving pairs
+    # are needed, and the surviving ID SET is near-dup-scale, so it
+    # broadcasts legitimately; the corpus is filtered map-side in one
+    # shuffle-free scan (a full hash_join here would shuffle the whole
+    # text corpus to serve a handful of pairs)
+    need_ids = np.unique(
+        np.concatenate(
+            [likely_df["doc_a"].to_numpy(), likely_df["doc_b"].to_numpy()]
+        )
+        if len(likely_df)
+        else np.array([], dtype=np.int64)
     )
-    good = verified.map_batches(
-        lambda t: t.filter(pa.compute.greater_equal(t["jaccard"], threshold)),
-        batch_format="pyarrow",
-    ).to_pandas()
+    ids_ref = ray.put(set(int(i) for i in need_ids))
+
+    def keep_needed(t: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        mask = np.fromiter((int(i) in wanted for i in ids), dtype=bool, count=len(ids))
+        return t.filter(pa.array(mask))
+
+    pair_texts = (
+        docs.select_columns(["doc_id", text_col])
+        .map_batches(keep_needed, batch_format="pyarrow")
+        .to_pandas()
+        if len(need_ids)
+        else pd.DataFrame({"doc_id": [], text_col: []})
+    )
+    text_of = dict(zip(pair_texts["doc_id"].astype(int), pair_texts[text_col]))
+    pairs_t = pa.table(
+        {
+            "doc_a": pa.array(likely_df["doc_a"].astype("int64"), pa.int64()),
+            "doc_b": pa.array(likely_df["doc_b"].astype("int64"), pa.int64()),
+            "text_a": pa.array(
+                [text_of[int(i)] for i in likely_df["doc_a"]], pa.string()
+            ),
+            "text_b": pa.array(
+                [text_of[int(i)] for i in likely_df["doc_b"]], pa.string()
+            ),
+        }
+    )
+    good = _verify_pairs_jaccard(pairs_t, 4, threshold).to_pandas()
 
     from .graph.components import _UnionFind
 
     uf = _UnionFind()
     for a, b in zip(good["doc_a"], good["doc_b"]):
         uf.union(int(a), int(b))
-    all_ids = docs.select_columns(["doc_id"]).to_pandas()["doc_id"]
-    return pd.DataFrame(
-        {
-            "doc_id": all_ids.astype("int64"),
-            "dup_group": [int(uf.find(int(i))) for i in all_ids],
-        }
+    # only docs that appear in a verified pair have a non-trivial group
+    group = {i: int(uf.find(i)) for i in uf.parent}
+    group_ref = ray.put(group)
+
+    def label(t: pa.Table) -> pa.Table:
+        lut = ray.get(group_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        grp = np.array([lut.get(int(i), int(i)) for i in ids], dtype=np.int64)
+        return pa.table(
+            {"doc_id": t["doc_id"], "dup_group": pa.array(grp, pa.int64())}
+        )
+
+    return docs.select_columns(["doc_id"]).map_batches(
+        label, batch_format="pyarrow"
     )
 
 

@@ -62,7 +62,7 @@ def test_embed_near_dup_vs_bruteforce(ray_session):
     df = pd.DataFrame({"vec_id": ids, "embedding": [v.tolist() for v in vecs],
                        "label": [0] * len(ids)})
     ds = ray.data.from_pandas(df)
-    got = embedops.embed_near_dup(ds, threshold=0.999)
+    got = embedops.embed_near_dup(ds, threshold=0.999).to_pandas()
     groups = dict(zip(got["vec_id"], got["dup_group"]))
     # brute-force oracle
     mat = np.stack([np.asarray(v) for v in vecs])

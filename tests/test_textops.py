@@ -59,7 +59,7 @@ def test_near_dup_groups_planted(ray_session):
             "text": [base * 4, base * 4 + " tail.", base * 4, *others],
         }
     )
-    out = textops.near_dup_groups(ray.data.from_pandas(docs), threshold=0.7)
+    out = textops.near_dup_groups(ray.data.from_pandas(docs), threshold=0.7).to_pandas()
     groups = dict(zip(out["doc_id"], out["dup_group"]))
     assert groups[0] == groups[1] == groups[2] == 0
     assert len({groups[i] for i in range(3, 7)}) == 4
