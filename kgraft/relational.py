@@ -302,7 +302,15 @@ def semi_anti_join(ds, keys, on: str, anti: bool = False):
     return ds.map_batches(fn, batch_format="pandas")
 
 
-def hash_join(left, right, on, num_buckets: int = 32, how: str = "inner"):
+def hash_join(
+    left,
+    right,
+    on,
+    num_buckets: int = 32,
+    how: str = "inner",
+    left_schema=None,
+    right_schema=None,
+):
     """Large-large equi-join: explicit bucketed hash join.
 
     Both sides get ``bucket = stable_hash(key) % B``; a union tagged by
@@ -311,6 +319,11 @@ def hash_join(left, right, on, num_buckets: int = 32, how: str = "inner"):
     fan-in. Hot keys can be salted into sub-buckets by raising B.
     (Ray's native ``Dataset.join`` exists in this version; this explicit
     form keeps the partitioning visible and portable.)
+
+    ``left_schema``/``right_schema``: optional ``pyarrow.Schema`` for the
+    inputs. Pass them when an input is a LAZY dataset downstream of a
+    shuffle — fetching such a dataset's schema re-executes its whole
+    prefix, so spelling the schema keeps deep join chains single-pass.
     """
     on_cols = [on] if isinstance(on, str) else list(on)
 
@@ -322,8 +335,9 @@ def hash_join(left, right, on, num_buckets: int = 32, how: str = "inner"):
             "int64"
         )
 
-    lschema, rschema = left.schema(), right.schema()
-    lcols, rcols = lschema.names, rschema.names
+    lschema = left_schema if left_schema is not None else left.schema()
+    rschema = right_schema if right_schema is not None else right.schema()
+    lcols, rcols = list(lschema.names), list(rschema.names)
     shared = [c for c in rcols if c in lcols and c not in on_cols]
     if shared:
         raise ValueError(f"ambiguous non-key columns on both sides: {shared}")
@@ -378,6 +392,8 @@ def asof_join(
     left_on: str,
     right_on: str,
     num_buckets: int = 32,
+    left_schema=None,
+    right_schema=None,
 ):
     """As-of join (an operator Ray Data lacks): match each left row to the
     LATEST right row with ``right[right_on] <= left[left_on]`` within the
@@ -391,8 +407,9 @@ def asof_join(
     by-key cardinality supports it — a single giant key is inherently one
     group for as-of semantics.
     """
-    lschema, rschema = left.schema(), right.schema()
-    lcols, rcols = lschema.names, rschema.names
+    lschema = left_schema if left_schema is not None else left.schema()
+    rschema = right_schema if right_schema is not None else right.schema()
+    lcols, rcols = list(lschema.names), list(rschema.names)
     shared = [c for c in rcols if c in lcols and c != by]
     if shared:
         raise ValueError(f"ambiguous non-key columns on both sides: {shared}")
@@ -432,8 +449,10 @@ def asof_join(
         # whose keys exist on only one side — emits one typed schema
         lf = g[g["__side"] == 0][lcols].sort_values(left_on)
         rf = g[g["__side"] == 1][rcols].sort_values(right_on)
-        lf = lf.assign(**{left_on: pd.to_datetime(lf[left_on])})
-        rf = rf.assign(**{right_on: pd.to_datetime(rf[right_on])})
+        # normalize both time keys to ns — mixed us/ns (parquet vs pandas
+        # blocks) is a MergeError in merge_asof
+        lf = lf.assign(**{left_on: pd.to_datetime(lf[left_on]).astype("datetime64[ns]")})
+        rf = rf.assign(**{right_on: pd.to_datetime(rf[right_on]).astype("datetime64[ns]")})
         out = pd.merge_asof(
             lf, rf, left_on=left_on, right_on=right_on, by=by, direction="backward"
         )
@@ -452,6 +471,8 @@ def range_join(
     lower,
     upper,
     num_buckets: int = 32,
+    left_schema=None,
+    right_schema=None,
 ):
     """Range (interval) join — another operator Ray Data lacks: inner-match
     rows where ``left[left_on] + lower <= right[right_on] < left[left_on]
@@ -464,8 +485,9 @@ def range_join(
     for very wide intervals switch to a sorted ``searchsorted`` sweep
     inside the same bucket function.
     """
-    lschema, rschema = left.schema(), right.schema()
-    lcols, rcols = lschema.names, rschema.names
+    lschema = left_schema if left_schema is not None else left.schema()
+    rschema = right_schema if right_schema is not None else right.schema()
+    lcols, rcols = list(lschema.names), list(rschema.names)
     shared = [c for c in rcols if c in lcols and c != by]
     if shared:
         raise ValueError(f"ambiguous non-key columns on both sides: {shared}")
