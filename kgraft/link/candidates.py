@@ -377,10 +377,22 @@ def lsh_recover(
     idx_ref = ray.put((mentions, index, mention_disc, token_df, max_df))
     idf_ref = ray.put(build_token_idf(alias_df))
 
+    # the alias parquet is typically ONE row group -> ONE read block -> a
+    # single serial probe task; spread the probe across the cluster (this
+    # was the dominant fixed serial cost in the graph stage). With the
+    # pandas twin already in hand, pre-chunked from_pandas blocks skip
+    # the read + repartition shuffle entirely.
+    n_cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_chunks = max(8, n_cpus)
+    if alias_df is not None and len(alias_df) > n_chunks:
+        chunks = np.array_split(alias_df, n_chunks)
+        alias_ds = ray.data.from_pandas(chunks)
+    elif hasattr(alias_ds, "repartition"):
+        alias_ds = alias_ds.repartition(n_chunks)
     scored = alias_ds.map_batches(
         _ProbeScorer(idx_ref, idf_ref, threshold),  # instance -> task mode
         batch_format="pyarrow",
-        batch_size=8192,
+        batch_size=2048,
     )
     df = scored.to_pandas()  # vocabulary-scale (see docstring)
     if len(df) == 0:

@@ -190,33 +190,68 @@ def build_graph_from_triples(
 
     The three consumers of the linked triples (edges write,
     canonicalization, connected components) are independent, so they run
-    CONCURRENTLY from driver threads over the one materialized linked
-    dataset — each is barrier/latency-bound well below full cluster
-    utilization, and overlapping them removes their serial sum from the
+    CONCURRENTLY from driver threads, each STREAMING its own read of the
+    checkpointed triples (plus a cheap broadcast recovery patch) — no
+    whole-dataset materialize pinning the object store, and each
+    consumer is barrier/latency-bound well below full cluster
+    utilization, so overlapping them removes their serial sum from the
     critical path.
     """
-    triples = ray.data.read_parquet(triples_paths)
+    import time as _time
+
     alias_ds = ray.data.read_parquet(alias_path)
+    timings: dict = {}
 
     pre_resolved = (
         store is not None and "subj_id" in ray.data.read_parquet(
             triples_paths[:1]
         ).schema().names
     )
+    t0 = _time.time()
     if pre_resolved:
         # checkpoints already carry exact-tier ids + norms; unknowns come
-        # from the manifests — no resolve pass, no rescan
-        from .link.candidates import recover_and_patch
+        # from the manifests — no resolve pass, no rescan of data
+        from .link.candidates import _RecoveryPatcher, lsh_recover
 
-        linked, recovered = recover_and_patch(
-            triples,
-            alias_ds,
-            store.unresolved_from_manifests(),
-            cfg.link_threshold,
+        unknowns = store.unresolved_from_manifests()
+        if unknowns:
+            import pyarrow.parquet as pq
+
+            # vocab-scale pandas twin: lets lsh_recover build pre-chunked
+            # probe blocks without a read + repartition round-trip
+            adf = pq.read_table(alias_path).to_pandas()
+            recovered = lsh_recover(
+                unknowns, alias_ds, cfg.link_threshold, alias_df=adf
+            )
+        else:
+            recovered = pd.DataFrame({"mention": [], "entity_id": [], "score": []})
+        rec_ref = (
+            ray.put(dict(zip(recovered["mention"], recovered["entity_id"].astype(int))))
+            if len(recovered)
+            else None
         )
+
+        def linked_ds():
+            # each consumer STREAMS the checkpointed triples from disk —
+            # no whole-dataset materialize pinning the object store (r1
+            # verdict next-round #9); the recovery patch is a cheap
+            # broadcast map re-applied per consumer
+            ds = ray.data.read_parquet(triples_paths)
+            if rec_ref is not None:
+                ds = ds.map_batches(
+                    _RecoveryPatcher(rec_ref), batch_format="pyarrow",
+                    batch_size=8192,
+                )
+            return ds
+
     else:
-        linked, recovered = link_triples(triples, alias_ds, cfg.link_threshold)
-    linked = linked.materialize()  # reused by edges, mentions, components
+        triples = ray.data.read_parquet(triples_paths)
+        linked0, recovered = link_triples(triples, alias_ds, cfg.link_threshold)
+
+        def linked_ds():
+            return linked0
+
+    timings["recover_sec"] = _time.time() - t0
 
     # edges table (both endpoints linked)
     def to_edges(t: pa.Table) -> pa.Table:
@@ -241,10 +276,17 @@ def build_graph_from_triples(
     _clear_dir(edges_dir)  # write_parquet appends new files; a re-run of the
     # (cheap, non-checkpointed) graph stage must not duplicate rows
 
+    # dataset CONSTRUCTION happens on the main thread (read_parquet's
+    # path resolution is not thread-safe to race); only the lazy
+    # EXECUTION runs in the worker threads below
+    edges_in, nodes_in, comp_in = linked_ds(), linked_ds(), linked_ds()
+
     def run_edges():
-        linked.map_batches(to_edges, batch_format="pyarrow").write_parquet(
+        t = _time.time()
+        edges_in.map_batches(to_edges, batch_format="pyarrow").write_parquet(
             edges_dir
         )
+        timings["edges_sec"] = _time.time() - t
 
     # mention rows for canonicalization — surfaces were normalized once by
     # the resolve pass (subj_norm/obj_norm); never re-normalize here
@@ -260,8 +302,11 @@ def build_graph_from_triples(
         return pa.Table.from_pandas(both, preserve_index=False)
 
     def run_nodes_base():
-        mentions = linked.map_batches(to_mentions, batch_format="pyarrow")
-        return canonicalize(mentions).materialize()
+        t = _time.time()
+        mentions = nodes_in.map_batches(to_mentions, batch_format="pyarrow")
+        out = canonicalize(mentions).materialize()
+        timings["canonicalize_sec"] = _time.time() - t
+        return out
 
     # components over linked edge endpoints
     def to_cc_edges(t: pa.Table) -> pa.Table:
@@ -274,8 +319,11 @@ def build_graph_from_triples(
         return pa.table({"src": t["subj_id"], "dst": t["obj_id"]})
 
     def run_components():
-        cc_edges = linked.map_batches(to_cc_edges, batch_format="pyarrow")
-        return connected_components(cc_edges, method=cfg.components_method)
+        t = _time.time()
+        cc_edges = comp_in.map_batches(to_cc_edges, batch_format="pyarrow")
+        out = connected_components(cc_edges, method=cfg.components_method)
+        timings["components_sec"] = _time.time() - t
+        return out
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -294,6 +342,7 @@ def build_graph_from_triples(
         cids = eids.map(lut).fillna(eids).astype("int64").to_numpy()
         return t.append_column("component_id", pa.array(cids, pa.int64()))
 
+    t_n = _time.time()
     nodes = nodes_base.map_batches(attach_component, batch_format="pyarrow")
     nodes = nodes.select_columns(
         ["entity_id", "canonical", "aliases", "component_id", "n_mentions"]
@@ -301,8 +350,10 @@ def build_graph_from_triples(
     nodes_dir = os.path.join(out_dir, "nodes")
     _clear_dir(nodes_dir)
     nodes.write_parquet(nodes_dir)
+    timings["nodes_write_sec"] = _time.time() - t_n
 
     return {
+        "timings": {k: round(v, 3) for k, v in timings.items()},
         "edges_dir": edges_dir,
         "nodes_dir": nodes_dir,
         # row counts from the written parquet footers — a ds.count() here
@@ -355,6 +406,7 @@ def run_kg_pipeline(
         "n_edges": stage_b["n_edges"],
         "n_nodes": stage_b["n_nodes"],
         "n_recovered_aliases": stage_b["n_recovered_aliases"],
+        "graph_timings": stage_b.get("timings", {}),
     }
     with open(os.path.join(out_dir, "run_metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)
