@@ -30,16 +30,51 @@ class ExtractionBackend:
 
 
 class LLMBackend(ExtractionBackend):
-    """Stub for a real LLM client (JSON mode, temperature 0, fixed seed).
+    """A real LLM-client backend over the seam in :mod:`kgraft.models.llm`.
 
-    Construction would build the chat client once (the reference builds
-    its Azure client in a pydantic validator, ``modules/PubMedFlow.py:87-96``);
-    ``extract`` would render the 3-message prompt per text
-    (``modules/PubMedFlow.py:147-208``), call the API batched, and decode
-    the JSON rows. No network in this sandbox -> explicitly unavailable.
+    Construction builds the chat client once per actor (the reference
+    builds its Azure client in a pydantic validator,
+    ``modules/PubMedFlow.py:87-96``); ``extract`` renders the 3-role
+    prompt per text (``modules/PubMedFlow.py:147-208``), calls
+    ``client.complete`` with retries, and decodes the JSON envelope.
+    Any object with ``complete(messages) -> str`` plugs in; this sandbox
+    has no network, so the offline deterministic
+    :class:`kgraft.models.llm.FakeLLMClient` is the default — a real
+    OpenAI/Azure wrapper drops in without touching the pipeline DAG.
     """
 
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError(
-            "LLMBackend requires network credentials; use DeterministicBackend"
-        )
+    def __init__(self, client=None, max_retries: int = 2):
+        import json
+
+        from .llm import FakeLLMClient, TransientLLMError, build_messages
+
+        self.client = client if client is not None else FakeLLMClient()
+        self.max_retries = max_retries
+        self._json = json
+        self._build = build_messages
+        self._transient = TransientLLMError
+
+    def extract(self, texts: list) -> list:
+        """texts -> one list of (subj, pred, obj) tuples per text;
+        malformed responses yield an empty list (callers wanting the
+        dead-letter column use :class:`kgraft.models.llm.LLMTripleExtractor`)."""
+        out = []
+        for text in texts:
+            rows = []
+            try:
+                last = None
+                for _ in range(self.max_retries + 1):
+                    try:
+                        raw = self.client.complete(self._build(text))
+                        break
+                    except self._transient as e:
+                        last = e
+                else:
+                    raise last
+                for row in self._json.loads(raw)["data"].values():
+                    if isinstance(row, list) and len(row) == 3:
+                        rows.append(tuple(row))
+            except Exception:
+                rows = []
+            out.append(rows)
+        return out

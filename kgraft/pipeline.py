@@ -137,6 +137,23 @@ def extract_triples_checkpointed(
             batch_size=cfg.extract_batch_size,
             concurrency=cfg.extractor_concurrency,
         )
+    elif cfg.extractor_kind == "llm":
+        # the LLM-seam backend (offline FakeLLMClient by default): an
+        # actor pool — the client is built once per actor. Dead-letter
+        # rows (error non-null) are dropped before the checkpoint; keep
+        # them via kgraft.models.llm.split_dead_letters at operator level.
+        triples = segs.map_batches(
+            _LLMExtractorWithPart,
+            batch_format="pyarrow",
+            batch_size=cfg.extract_batch_size,
+            concurrency=cfg.extractor_concurrency,
+        )
+        triples = triples.map_batches(
+            lambda t: t.filter(pa.compute.is_null(t["error"])).drop_columns(
+                ["error"]
+            ),
+            batch_format="pyarrow",
+        )
     else:
         triples = segs.map_batches(
             _TripleExtractorWithPart(),  # instance -> task mode, warm workers
@@ -162,6 +179,21 @@ def extract_triples_checkpointed(
 
 class _TripleExtractorWithPart(TripleExtractor):
     """TripleExtractor that threads the checkpoint partition id through."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
+        part = dict(
+            zip(batch["url"].to_pylist(), batch["part_id"].to_pylist())
+        )
+        out = super().__call__(batch.drop_columns(["part_id"]))
+        pid = [part[u] for u in out["url"].to_pylist()]
+        return out.append_column("part_id", pa.array(pid, pa.int64()))
+
+
+from .models.llm import LLMTripleExtractor
+
+
+class _LLMExtractorWithPart(LLMTripleExtractor):
+    """LLMTripleExtractor that threads the checkpoint partition id through."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
         part = dict(

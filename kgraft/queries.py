@@ -1135,6 +1135,32 @@ def kg_mentions(sf_dir: str):
     )
 
 
+def kg_triples_llm(sf_dir: str):
+    """Stage 4-5 through the LLM seam (offline FakeLLMClient): segments
+    flow through the actor-pool LLMTripleExtractor (3-role prompt ->
+    JSON-mode chat -> Arrow decode); dead-letter rows are split off and
+    the clean triples returned."""
+    from .extract.segment import html_to_text_batch, segment_batch
+    from .models.llm import LLMTripleExtractor, split_dead_letters
+    from .synth import corpus_dir
+
+    d = corpus_dir(_pages_for(sf_dir))
+    pages = ray.data.read_parquet(
+        os.path.join(d, "pages.parquet"), columns=["url", "warc_ts", "html", "lang"]
+    )
+    segs = pages.map_batches(html_to_text_batch, batch_format="pyarrow").map_batches(
+        segment_batch, batch_format="pyarrow"
+    )
+    with_err = segs.map_batches(
+        LLMTripleExtractor,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        batch_size=256,
+    )
+    ok, _dead = split_dead_letters(with_err)
+    return ok.select_columns(["url", "seg_idx", "subj", "pred", "obj", "conf"])
+
+
 def kg_extract_text(sf_dir: str):
     """Byte-identity invariant as a query: re-extract text from html and
     return (url, text_hash) for every page."""
@@ -1209,6 +1235,7 @@ QUERIES = {
     "kg_nodes": kg_nodes,
     "kg_edges": kg_edges,
     "kg_mentions": kg_mentions,
+    "kg_triples_llm": kg_triples_llm,
     "kg_extract_text": kg_extract_text,
     "image_features": image_features_q,
 }
