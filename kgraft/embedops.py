@@ -24,9 +24,16 @@ import ray
 
 def _batch_matrix(t: pa.Table) -> np.ndarray:
     col = t["embedding"]
-    flat = col.combine_chunks().flatten().to_numpy(zero_copy_only=False)
-    n = len(t)
-    return flat.reshape(n, -1).astype(np.float64)
+    if hasattr(col, "combine_chunks"):
+        col = col.combine_chunks()
+    if isinstance(col, pa.ListArray):
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(t), -1).astype(np.float64)
+    # Ray's ArrowTensorArray (from_pandas list columns) or object arrays
+    arr = col.to_numpy(zero_copy_only=False)
+    if arr.dtype == object:
+        return np.stack([np.asarray(v) for v in arr]).astype(np.float64)
+    return np.asarray(arr, dtype=np.float64).reshape(len(t), -1)
 
 
 def _cosine(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
@@ -93,8 +100,44 @@ def ivf_topk(
     nprobe: int = 4,
     sample_limit: int = 4096,
 ):
-    """IVF-style ANN: probe the ``nprobe`` nearest coarse cells only."""
-    sample_df = embeddings.limit(sample_limit).to_pandas()
+    """IVF-style ANN: probe the ``nprobe`` nearest coarse cells only.
+
+    The k-means training sample is the ``sample_limit`` rows with the
+    SMALLEST splitmix64(vec_id) — a deterministic, permutation-invariant
+    uniform sample (each batch emits its local bottom-k, a tiny global
+    sort finishes), instead of ``limit(N)`` which took whatever blocks
+    arrived first and biased centroids by storage order (r1 verdict #8).
+    """
+    from .hashing import splitmix64
+
+    def local_sample(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float64())),
+                    "__h": pa.array([], pa.int64()),
+                }
+            )
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = splitmix64(ids ^ np.uint64(0xA5A5)).astype(np.int64)
+        order = np.argsort(h)[:sample_limit]
+        taken = t.take(pa.array(order))
+        return pa.table(
+            {
+                "vec_id": taken["vec_id"],
+                "embedding": taken["embedding"],
+                "__h": pa.array(h[order], pa.int64()),
+            }
+        )
+
+    sample_df = (
+        embeddings.select_columns(["vec_id", "embedding"])
+        .map_batches(local_sample, batch_format="pyarrow")
+        .sort("__h")
+        .limit(sample_limit)
+        .to_pandas()
+    )
     sample = np.stack(sample_df["embedding"].map(np.asarray).values).astype(np.float64)
     cents = kmeans_centroids(sample, n_cells)
     q = np.asarray(query, dtype=np.float64)

@@ -1161,6 +1161,32 @@ def kg_triples_llm(sf_dir: str):
     return ok.select_columns(["url", "seg_idx", "subj", "pred", "obj", "conf"])
 
 
+def page_meta(sf_dir: str):
+    """Reference get_Meta as data: (url, title, h1, meta_description)
+    projected from the raw HTML (gondar/tools/entrez.py:21-33)."""
+    from .extract.meta import page_meta_batch
+    from .synth import corpus_dir
+
+    d = corpus_dir(_pages_for(sf_dir))
+    pages = ray.data.read_parquet(
+        os.path.join(d, "pages.parquet"), columns=["url", "html"]
+    )
+    return pages.map_batches(page_meta_batch, batch_format="pyarrow")
+
+
+def page_tables(sf_dir: str):
+    """Reference get_Tables as data: attr-stripped table subtrees per
+    page (gondar/tools/entrez.py:71-85) as a list<string> column."""
+    from .extract.meta import page_tables_batch
+    from .synth import corpus_dir
+
+    d = corpus_dir(_pages_for(sf_dir))
+    pages = ray.data.read_parquet(
+        os.path.join(d, "pages.parquet"), columns=["url", "html"]
+    )
+    return pages.map_batches(page_tables_batch, batch_format="pyarrow")
+
+
 def kg_extract_text(sf_dir: str):
     """Byte-identity invariant as a query: re-extract text from html and
     return (url, text_hash) for every page."""
@@ -1236,6 +1262,8 @@ QUERIES = {
     "kg_edges": kg_edges,
     "kg_mentions": kg_mentions,
     "kg_triples_llm": kg_triples_llm,
+    "page_meta": page_meta,
+    "page_tables": page_tables,
     "kg_extract_text": kg_extract_text,
     "image_features": image_features_q,
 }

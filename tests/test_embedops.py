@@ -78,3 +78,26 @@ def test_embed_near_dup_vs_bruteforce(ray_session):
     want = {i: uf.find(i) for i in ids}
     assert groups == want
     assert groups[20] == groups[0] and groups[21] == groups[1]
+
+
+def test_ivf_invariant_to_input_order(ray_session):
+    """Centroid training must not depend on storage order: a permuted
+    input must give the identical IVF result (r1 verdict #8)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    ids, mat = _all_vectors()
+    q = mat[ids.tolist().index(0)]
+    a = embedops.ivf_topk(
+        ray.data.from_pandas(t), q, k=10, n_cells=8, nprobe=4
+    ).to_pandas()
+    rng = np.random.RandomState(9)
+    perm = t.iloc[rng.permutation(len(t))].reset_index(drop=True)
+    chunks = [perm.iloc[i : i + 173] for i in range(0, len(perm), 173)]
+    b = embedops.ivf_topk(
+        ray.data.from_pandas(chunks), q, k=10, n_cells=8, nprobe=4
+    ).to_pandas()
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
+    assert a["score"].tolist() == b["score"].tolist()

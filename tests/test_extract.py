@@ -78,3 +78,51 @@ def test_extractor_survives_garbage():
         assert isinstance(text, str)
     assert extract_text("<table><tr><td>x</td></tr></table>") == ""
     assert "deep" in extract_text(cases[4])
+
+
+def test_page_meta_and_tables_golden(ray_session):
+    """Meta/tables extraction vs the synth generator's known chrome: every
+    page has title 'Bulletin {i} from site {site}', an identical h1, and
+    exactly one decoy table with the known cells (synth.py _CHROME_TAIL).
+    The frozen text extractor must still DROP the table (byte identity)."""
+    import os
+
+    import ray
+
+    from kgraft.extract.meta import parse_meta_tables
+    from kgraft.queries import page_meta, page_tables
+    from kgraft.synth import corpus_dir
+
+    meta = page_meta("/root/testdata/sf0.001").to_pandas()
+    tabs = page_tables("/root/testdata/sf0.001").to_pandas()
+    assert len(meta) == 200 and len(tabs) == 200
+    assert meta["title"].str.match(r"Bulletin \d+ from site \d+").all()
+    assert (meta["title"] == meta["h1"]).all()
+    assert (tabs["n_tables"] == 1).all()
+    assert (
+        tabs["tables"].map(lambda ts: ts[0])
+        == "DecoyEntity Alpha was founded by DecoyEntity Beta"
+    ).all()
+    # table content must NOT leak into the canonical extracted text
+    d = corpus_dir(200)
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(os.path.join(d, "pages.parquet"), columns=["text"])
+    assert not any("DecoyEntity" in t for t in texts["text"].to_pylist())
+
+
+def test_parse_meta_tables_handles_nesting_and_attrs():
+    from kgraft.extract.meta import parse_meta_tables
+
+    html = (
+        "<html><head><title> A  Title </title>"
+        '<meta name="Description" content="  some   desc "/></head>'
+        '<body><h1 class="x">Head<span>ing</span></h1>'
+        '<table border="1"><tr><td>a</td><th>b</th></tr><tr><td>c</td></tr></table>'
+        "<table><tr><td>second</td></tr></table></body></html>"
+    )
+    m = parse_meta_tables(html)
+    assert m["title"] == "A Title"
+    assert m["h1"] == "Head ing"
+    assert m["meta_description"] == "some desc"
+    assert m["tables"] == ["a b\nc", "second"]
