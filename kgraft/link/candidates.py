@@ -56,9 +56,12 @@ def _cached_lut(alias_ref) -> pd.Series:
 
 @ray.remote(num_cpus=0)
 class _SetCollector:
-    """Shared mutable set the resolve tasks push unresolved surfaces into
-    (the one state shape the Dataset API can't express — SURVEY.md §2.2's
-    'shared mutable index' carve-out). Contents are vocab-scale."""
+    """Shared mutable set actor (SURVEY.md §2.2's 'shared mutable index'
+    carve-out). Kept as the building block for genuinely ONLINE
+    accumulation; the linking path no longer routes per-batch pushes
+    through it — a synchronous single-actor ``add`` per batch is a
+    serialization point on the extract path (r1 verdict #10). Batch
+    pushes and shard the actor if you do use it under load."""
 
     def __init__(self) -> None:
         self._items: set = set()
@@ -82,14 +85,11 @@ class SurfaceLinker:
     Also emits the normalized surfaces (``subj_norm``/``obj_norm``) so
     downstream stages (canonicalization, unresolved collection) never
     re-normalize the corpus — normalization is the per-row string cost
-    of this stage and must be paid exactly once. When a collector actor
-    handle is given, each batch's distinct unresolved surfaces are pushed
-    to it in-flight, so the driver needs no separate collection pass.
+    of this stage and must be paid exactly once.
     """
 
-    def __init__(self, alias_ref, collector=None) -> None:
+    def __init__(self, alias_ref) -> None:
         self.alias_ref = alias_ref
-        self.collector = collector
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lut = _cached_lut(self.alias_ref)
@@ -98,14 +98,6 @@ class SurfaceLinker:
         obj_norm = _norm_series(df["obj"])
         subj_id = subj_norm.map(lut).fillna(-1).astype("int64")
         obj_id = obj_norm.map(lut).fillna(-1).astype("int64")
-        if self.collector is not None:
-            miss = pd.concat(
-                [subj_norm[subj_id < 0], obj_norm[obj_id < 0]]
-            ).drop_duplicates()
-            if len(miss):
-                # synchronous: the batch isn't done until the collector has
-                # it — guarantees completeness when materialize() returns
-                ray.get(self.collector.add.remote(miss.tolist()))
         out = batch.append_column("subj_id", pa.array(subj_id.values, pa.int64()))
         out = out.append_column("obj_id", pa.array(obj_id.values, pa.int64()))
         out = out.append_column("subj_norm", pa.array(subj_norm.tolist(), pa.string()))
@@ -169,19 +161,38 @@ def link_triples(
     alias_df = alias_ds.to_pandas()  # vocab-scale, driver-safe
     base = dict(zip(alias_df["alias"], alias_df["entity_id"].astype(int)))
 
-    # resolve-first: one pass normalizes every surface exactly once, tags
-    # unresolved ids -1, and streams unresolved surfaces to the collector
-    # actor in-flight (materialized — reused by the patch pass and every
-    # downstream graph consumer; no separate collection pass needed)
+    # resolve-first: one pass normalizes every surface exactly once and
+    # tags unresolved ids -1 (materialized — reused by the patch pass and
+    # every downstream graph consumer)
     ref = ray.put(base)
-    collector = _SetCollector.remote()
     linked0 = triples.map_batches(
-        SurfaceLinker(ref, collector),  # instance -> task mode
+        SurfaceLinker(ref),  # instance -> task mode
         batch_format="pyarrow",
         batch_size=8192,
     ).materialize()
 
-    unk = ray.get(collector.get.remote())
+    # distinct unresolved surfaces from a cheap scan of the materialized
+    # result (vocab-scale output) — no per-batch synchronous pushes into
+    # a single collector actor on the extract path (r1 verdict #10)
+    def _miss(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = t.filter(pc.less(t["subj_id"], 0))["subj_norm"]
+        o = t.filter(pc.less(t["obj_id"], 0))["obj_norm"]
+        vals = pd.unique(
+            np.concatenate(
+                [s.to_numpy(zero_copy_only=False), o.to_numpy(zero_copy_only=False)]
+            )
+        )
+        return pa.table({"mention": pa.array(vals, pa.string())})
+
+    unk = sorted(
+        set(
+            linked0.map_batches(_miss, batch_format="pyarrow")
+            .to_pandas()["mention"]
+            .tolist()
+        )
+    )
     if unk:
         recovered = lsh_recover(unk, alias_ds, threshold, alias_df=alias_df)
     else:

@@ -546,19 +546,26 @@ class LangId:
         self.tables = {k: frozenset(v) for k, v in _STOPWORDS.items()}
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.lower().str.findall(self.word)
-
-        def pick(ws):
-            best, score = "unk", 0
-            for lang, stops in self.tables.items():
-                s = sum(w in stops for w in ws)
-                if s > score:
-                    best, score = lang, s
-            return best
-
-        return pd.DataFrame(
-            {"doc_id": df["doc_id"], "lang_pred": toks.map(pick)}
-        )
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "lang_pred": pd.Series([], dtype=object),
+                }
+            )
+        df = df.reset_index(drop=True)
+        # vectorized: explode tokens once, one isin per language table,
+        # per-row sums via groupby(level) — no Python loop over rows
+        ex = df["text"].str.lower().str.findall(self.word).explode()
+        scores = pd.DataFrame(index=df.index)
+        for lang, stops in self.tables.items():
+            hit = ex.isin(stops)
+            scores[lang] = hit.groupby(hit.index).sum()
+        scores = scores.fillna(0)
+        best = scores.idxmax(axis=1)  # ties -> first table in dict order,
+        # matching the previous per-row strict-greater scan
+        pred = best.where(scores.max(axis=1) > 0, "unk")
+        return pd.DataFrame({"doc_id": df["doc_id"], "lang_pred": pred})
 
 
 def langid_docs(docs):
