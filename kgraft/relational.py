@@ -324,16 +324,19 @@ def hash_join(
     inputs. Pass them when an input is a LAZY dataset downstream of a
     shuffle — fetching such a dataset's schema re-executes its whole
     prefix, so spelling the schema keeps deep join chains single-pass.
+
+    Arrow-native end to end (r1 verdict #10), via a PACK shuffle: each
+    input block slices itself per bucket and ships ONE row per
+    (block, bucket) — ``(bucket, side, payload)`` where payload is the
+    typed sub-table as Arrow IPC bytes. The all-to-all therefore moves
+    (#blocks x #buckets) rows of opaque binary instead of raw rows, the
+    shuffle machinery can never retype columns (Ray's sort path
+    round-trips rows through pandas, turning null-padded int64 into
+    double and all-null into null), and the per-bucket merge is
+    ``pyarrow.Table.join`` (Acero hash join) with schema-derived output
+    types — no pandas, no placeholder widening, no uniformity casts.
     """
     on_cols = [on] if isinstance(on, str) else list(on)
-
-    def keyhash(df: pd.DataFrame) -> np.ndarray:
-        key = df[on_cols[0]].astype(str)
-        for c in on_cols[1:]:
-            key = key + "\x1f" + df[c].astype(str)
-        return (hash_strings(key.tolist(), seed=3) % np.uint64(num_buckets)).astype(
-            "int64"
-        )
 
     lschema = left_schema if left_schema is not None else left.schema()
     rschema = right_schema if right_schema is not None else right.schema()
@@ -341,48 +344,97 @@ def hash_join(
     shared = [c for c in rcols if c in lcols and c not in on_cols]
     if shared:
         raise ValueError(f"ambiguous non-key columns on both sides: {shared}")
-    if how not in ("inner", "left", "right", "outer"):
+    join_type = {
+        "inner": "inner",
+        "left": "left outer",
+        "right": "right outer",
+        "outer": "full outer",
+    }.get(how)
+    if join_type is None:
         raise ValueError(f"unsupported how={how!r}")
     arrow_types = dict(zip(rcols, rschema.types))
     arrow_types.update(zip(lcols, lschema.types))
+    import pyarrow.types as pt
 
-    def tag(side):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["__bucket"] = keyhash(df)
-            df["__side"] = side
-            return df
+    int_keys = all(
+        isinstance(arrow_types[c], pa.DataType) and pt.is_integer(arrow_types[c])
+        for c in on_cols
+    )
+    all_cols = list(dict.fromkeys(lcols + rcols)) + ["__bucket", "__side"]
+    out_cols = lcols + [c for c in rcols if c not in on_cols]
+
+    def keyhash(t: pa.Table) -> np.ndarray:
+        from .hashing import splitmix64
+
+        if int_keys:
+            h = np.zeros(len(t), dtype=np.uint64)
+            for i, c in enumerate(on_cols):
+                v = t[c].to_numpy(zero_copy_only=False).astype(np.uint64)
+                h ^= splitmix64(v + np.uint64(0x9E3779B97F4A7C15 * (i + 1) & (2**64 - 1)))
+            return (h % np.uint64(num_buckets)).astype(np.int64)
+        key = pd.Series(t[on_cols[0]].to_pandas()).astype(str)
+        for c in on_cols[1:]:
+            key = key + "\x1f" + pd.Series(t[c].to_pandas()).astype(str)
+        return (hash_strings(key.tolist(), seed=3) % np.uint64(num_buckets)).astype(
+            "int64"
+        )
+
+    l_side_schema = pa.schema([(c, arrow_types[c]) for c in lcols])
+    r_side_schema = pa.schema([(c, arrow_types[c]) for c in rcols])
+
+    def pack(side, side_schema):
+        def fn(t: pa.Table) -> pa.Table:
+            buckets = keyhash(t)
+            out_b, out_p = [], []
+            for b in np.unique(buckets):
+                sub = t.filter(pa.array(buckets == b)).select(side_schema.names)
+                # cast pins the payload to the declared side schema (empty
+                # pandas blocks arrive null-typed; timestamps vary ns/us)
+                sub = sub.cast(side_schema).combine_chunks()
+                sink = pa.BufferOutputStream()
+                with pa.ipc.new_stream(sink, side_schema) as w:
+                    w.write_table(sub)
+                out_b.append(int(b))
+                out_p.append(sink.getvalue().to_pybytes())
+            return pa.table(
+                {
+                    "__bucket": pa.array(out_b, pa.int64()),
+                    "__side": pa.array([side] * len(out_b), pa.int64()),
+                    "payload": pa.array(out_p, pa.binary()),
+                }
+            )
 
         return fn
 
-    lt = left.map_batches(tag(0), batch_format="pandas")
-    rt = right.map_batches(tag(1), batch_format="pandas")
-    # align schemas for union: give each side the other's missing columns
-    # with dtype-correct placeholders (see _typed_placeholder)
-    all_cols = on_cols + [c for c in lcols + rcols if c not in on_cols]
-    all_cols = list(dict.fromkeys(all_cols)) + ["__bucket", "__side"]
-    import pyarrow as _pa
+    lt = left.map_batches(pack(0, l_side_schema), batch_format="pyarrow")
+    rt = right.map_batches(pack(1, r_side_schema), batch_format="pyarrow")
+    both = lt.union(rt)
 
-    arrow_types["__bucket"] = _pa.int64()
-    arrow_types["__side"] = _pa.int64()
-    widen = _make_widen(all_cols, arrow_types)
+    def _unpack(payloads) -> list:
+        return [
+            pa.ipc.open_stream(pa.py_buffer(p)).read_all() for p in payloads
+        ]
 
-    both = lt.map_batches(widen, batch_format="pandas").union(
-        rt.map_batches(widen, batch_format="pandas")
-    )
-    # columns that become NaN-bearing when the other side misses: cast
-    # uniformly so every bucket block has one schema
-    null_left = [c for c in lcols if c not in on_cols] if how in ("right", "outer") else []
-    null_right = [c for c in rcols if c not in on_cols] if how in ("left", "outer") else []
+    def join_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lf = g[g["__side"] == 0][[c for c in lcols]]
-        rf = g[g["__side"] == 1][[c for c in rcols]]
-        out = lf.merge(rf, on=on_cols, how=how, suffixes=("", "_r"))
-        out = _uniform_nullable(out, null_left + null_right)
-        return out.drop(columns=["__bucket", "__side"], errors="ignore")
+        side = g["__side"]
+        lparts = _unpack(g.filter(pc.equal(side, 0))["payload"].to_pylist())
+        rparts = _unpack(g.filter(pc.equal(side, 1))["payload"].to_pylist())
+        lf = (
+            pa.concat_tables(lparts).combine_chunks()
+            if lparts
+            else l_side_schema.empty_table()
+        )
+        rf = (
+            pa.concat_tables(rparts).combine_chunks()
+            if rparts
+            else r_side_schema.empty_table()
+        )
+        out = lf.join(rf, keys=on_cols, join_type=join_type)
+        return out.select(out_cols)
 
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
 def asof_join(
