@@ -58,6 +58,11 @@ class PipelineConfig:
     link_threshold: float = 0.50
     components_method: str = "unionfind"
     lang_filter: str | None = None  # e.g. "en" to drop non-English pages
+    max_errored_blocks: int = 0  # blocks allowed to fail without killing
+    # the run (Ray DataContext.max_errored_blocks) — the engine-level twin
+    # of the reference's declared-but-unenforced MAX_RETRY
+    # (settings/_DefaultConfig.py:22-24); per-request LLM retries live on
+    # the extractor (models/llm.py max_retries)
 
 
 def extract_triples_checkpointed(
@@ -418,6 +423,10 @@ def run_kg_pipeline(
     """End-to-end flagship pipeline. Resumable: re-running after a partial
     failure skips checkpointed partitions."""
     cfg = cfg or PipelineConfig()
+    if cfg.max_errored_blocks:
+        from ray.data import DataContext
+
+        DataContext.get_current().max_errored_blocks = cfg.max_errored_blocks
     os.makedirs(out_dir, exist_ok=True)
     store = ManifestStore(out_dir)
     t0 = time.time()

@@ -487,7 +487,7 @@ def simhash_near_dup(docs, max_hamming: int = 3, text_col: str = "text"):
     pairs = (
         bands.groupby(["band", "band_bits"])
         .map_groups(verify, batch_format="pandas")
-        .to_pandas()
+        .to_pandas()  # verified pairs: near-dup-scale
         .drop_duplicates()
     )
 
@@ -497,13 +497,22 @@ def simhash_near_dup(docs, max_hamming: int = 3, text_col: str = "text"):
     if "a" in pairs.columns:  # all-empty groups collapse to a 0-col frame
         for a, b in zip(pairs["a"], pairs["b"]):
             uf.union(int(a), int(b))
-    all_ids = docs.select_columns(["doc_id"]).to_pandas()["doc_id"].astype("int64")
-    return pd.DataFrame(
-        {
-            "doc_id": all_ids,
-            "dup_group": [int(uf.find(int(i))) for i in all_ids],
-        }
-    ).sort_values("doc_id").reset_index(drop=True)
+    # label the corpus with a broadcast of the (near-dup-scale) group map
+    # — the full (doc_id, dup_group) frame never sits on the driver
+    group = {i: int(uf.find(i)) for i in uf.parent}
+    group_ref = ray.put(group)
+
+    def label(t: pa.Table) -> pa.Table:
+        lut = ray.get(group_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        grp = np.array([lut.get(int(i), int(i)) for i in ids], dtype=np.int64)
+        return pa.table(
+            {"doc_id": t["doc_id"], "dup_group": pa.array(grp, pa.int64())}
+        )
+
+    return docs.select_columns(["doc_id"]).map_batches(
+        label, batch_format="pyarrow"
+    )
 
 
 def fingerprint_docs(docs, text_col: str = "text", k: int = 8, n_mins: int = 4):

@@ -122,7 +122,7 @@ def test_simhash_near_dup_planted(ray_session):
             ],
         }
     )
-    out = textops.simhash_near_dup(ray.data.from_pandas(docs), max_hamming=3)
+    out = textops.simhash_near_dup(ray.data.from_pandas(docs), max_hamming=3).to_pandas()
     g = dict(zip(out["doc_id"], out["dup_group"]))
     assert g[0] == g[1] == g[2] == 0
     assert g[3] != 0 and g[4] != 0 and g[3] != g[4]
