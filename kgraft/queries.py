@@ -990,6 +990,12 @@ def near_dup_docs(sf_dir: str):
     return textops.near_dup_groups(docs, threshold=0.7)
 
 
+def ngram_jaccard_dup(sf_dir: str):
+    """Pure n-gram-Jaccard near-dup labels (LSH blocking, exact verify)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textops.ngram_jaccard_groups(docs, threshold=0.7, shingle_k=4)
+
+
 def simhash_docs_q(sf_dir: str):
     return textops.simhash_docs(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
@@ -1248,6 +1254,7 @@ QUERIES = {
     "token_count_docs": token_count_docs,
     "doc_stats_by_lang": doc_stats_by_lang,
     "near_dup_docs": near_dup_docs,
+    "ngram_jaccard_dup": ngram_jaccard_dup,
     "simhash_docs": simhash_docs_q,
     "simhash_near_dup": simhash_near_dup_q,
     "embed_near_dup": embed_near_dup_q,

@@ -265,7 +265,8 @@ def near_dup_groups(
     num_perm: int = 128,
     num_bands: int = 32,
     text_col: str = "text",
-    estimate_margin: float = 0.15,
+    estimate_margin: float | None = 0.15,
+    shingle_k: int = 4,
 ):
     """(doc_id, dup_group) Dataset — dup_group = min doc_id of the
     near-dup cluster (union-find over verified LSH pairs; singletons map
@@ -292,10 +293,16 @@ def near_dup_groups(
     re-broadcast to label the corpus in a final map. The sketch set (a
     ~260x reduction of the corpus) is materialized so band derivation
     and the estimate join share one shingle pass.
+
+    ``estimate_margin=None`` disables the estimate tier entirely: every
+    LSH candidate pair is verified with exact k-gram Jaccard. That is
+    the pure n-gram-Jaccard dedup semantics (see
+    :func:`ngram_jaccard_groups`) — MinHash is used only for candidate
+    blocking, never to reject a pair.
     """
     from .relational import hash_join
 
-    sk = sketch_docs(docs, num_perm, text_col).materialize()
+    sk = sketch_docs(docs, num_perm, text_col, shingle_k).materialize()
     # pair/sketch-scale materializations: hash_join needs its inputs'
     # schemas, and fetching the schema of a LAZY post-shuffle dataset
     # re-executes its whole prefix — pinning these small intermediates
@@ -311,6 +318,13 @@ def near_dup_groups(
             )
 
         return fn
+
+    if estimate_margin is None:
+        # pure n-gram-Jaccard mode: every LSH candidate goes straight to
+        # the exact tier (candidate sets are near-dup-scale by the LSH
+        # bucket guard, so this stays driver-safe)
+        likely_df = cand.to_pandas()
+        return _exact_tier_groups(docs, likely_df, text_col, shingle_k, threshold)
 
     est_a = hash_join(
         cand, sk.map_batches(sk_rename("a"), batch_format="pyarrow"), on="doc_a"
@@ -341,7 +355,16 @@ def near_dup_groups(
     likely_df = (
         est_ab.map_batches(estimate_filter, batch_format="pyarrow").to_pandas()
     )  # estimate survivors: near-dup-scale
+    return _exact_tier_groups(docs, likely_df, text_col, shingle_k, threshold)
 
+
+def _exact_tier_groups(docs, likely_df, text_col, shingle_k, threshold):
+    """Exact k-gram-Jaccard verification of candidate pairs + union-find
+    labeling; shared by the MinHash-estimate and pure-Jaccard paths.
+
+    ``likely_df`` is the (doc_a, doc_b) survivor pair frame —
+    near-dup-scale by construction, so driver-side is legitimate.
+    """
     # exact tier — semi-join pushdown: only the texts of surviving pairs
     # are needed, and the surviving ID SET is near-dup-scale, so it
     # broadcasts legitimately; the corpus is filtered map-side in one
@@ -382,7 +405,7 @@ def near_dup_groups(
             ),
         }
     )
-    good = _verify_pairs_jaccard(pairs_t, 4, threshold).to_pandas()
+    good = _verify_pairs_jaccard(pairs_t, shingle_k, threshold).to_pandas()
 
     from .graph.components import _UnionFind
 
@@ -403,6 +426,34 @@ def near_dup_groups(
 
     return docs.select_columns(["doc_id"]).map_batches(
         label, batch_format="pyarrow"
+    )
+
+
+def ngram_jaccard_groups(
+    docs,
+    threshold: float = 0.7,
+    shingle_k: int = 4,
+    num_perm: int = 128,
+    num_bands: int = 32,
+    text_col: str = "text",
+):
+    """(doc_id, dup_group) by pure n-gram (character k-gram) Jaccard.
+
+    Every LSH candidate pair is verified with the EXACT k-gram Jaccard
+    coefficient — MinHash serves only as the candidate-blocking scheme
+    (reference has no dedup at all; this is the brief's n-gram-Jaccard
+    dedup as a first-class op, distinct from :func:`near_dup_groups`
+    whose sketch-estimate tier can reject borderline pairs before the
+    exact check ever sees them).
+    """
+    return near_dup_groups(
+        docs,
+        threshold=threshold,
+        num_perm=num_perm,
+        num_bands=num_bands,
+        text_col=text_col,
+        estimate_margin=None,
+        shingle_k=shingle_k,
     )
 
 

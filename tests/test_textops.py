@@ -65,6 +65,54 @@ def test_near_dup_groups_planted(ray_session):
     assert len({groups[i] for i in range(3, 7)}) == 4
 
 
+def test_ngram_jaccard_groups_matches_bruteforce(ray_session):
+    """Pure n-gram-Jaccard dedup must reproduce the brute-force all-pairs
+    exact-Jaccard clustering on a planted corpus (LSH is only blocking —
+    near-identical docs always share a band)."""
+    import itertools
+
+    import ray
+
+    from kgraft.hashing import shingle_hashes
+
+    base = (
+        "ray data streams arrow blocks through the object store with "
+        "backpressure so wide shuffles never hold the whole corpus in memory "
+    )
+    texts = [base * 4, base * 4 + " trailing sentence.", base * 4] + [
+        f"unrelated filler document number {i} about {w} and nothing else"
+        for i, w in enumerate(["kelp", "granite", "meteors", "violins"])
+    ]
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+    out = textops.ngram_jaccard_groups(
+        ray.data.from_pandas(docs), threshold=0.7, shingle_k=4
+    ).to_pandas()
+    groups = dict(zip(out["doc_id"], out["dup_group"]))
+
+    # brute-force oracle: union-find over all pairs with exact Jaccard >= 0.7
+    sh = [shingle_hashes(t, 4) for t in texts]
+    parent = list(range(len(texts)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        inter = np.intersect1d(sh[a], sh[b], assume_unique=True).size
+        union = sh[a].size + sh[b].size - inter
+        if (inter / union if union else 1.0) >= 0.7:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in range(len(texts))}
+    # same partition: group labels must induce identical equivalence classes
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        assert (groups[a] == groups[b]) == (expected[a] == expected[b])
+
+
 def test_simhash_and_fingerprint_deterministic(ray_session):
     import ray
 
