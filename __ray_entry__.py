@@ -8,8 +8,15 @@ this module is imported — nothing here calls ``ray.init``/``ray.shutdown``.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 from typing import Any
+
+# numpy hugepage madvise stalls on this host's THP compaction (see
+# bench.py); best-effort here — helps any process that imports this
+# module before numpy
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
 
 
 def entry() -> Any:

@@ -26,6 +26,13 @@ import subprocess
 import sys
 import time
 
+# MUST be set before numpy loads anywhere in this process tree (Ray
+# workers inherit it through the raylet): with transparent hugepages in
+# madvise mode, numpy's hugepage madvise on large buffers triggers
+# synchronous page-compaction stalls on this host — measured 4.5s to
+# fill a fresh 500MB buffer vs 0.36s with the madvise disabled.
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
@@ -45,6 +52,9 @@ def _init_ray(num_cpus: int):
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    # see run_kg_pipeline: reservation idles half the cluster ahead of
+    # all-to-all barriers; the query suite is shuffle-heavy too
+    DataContext.get_current().op_resource_reservation_enabled = False
     return ray
 
 
@@ -84,8 +94,10 @@ def run_headline(
     shutil.rmtree(out, ignore_errors=True)
     # measured at 20k pages / 32 CPUs: partitions beyond 16 cost more in
     # per-partition writer overhead than they buy in parallelism at this
-    # corpus size; read_blocks ~= num_cpus beats 2x (task overhead).
-    cfg = PipelineConfig(n_partitions=16, read_blocks=num_cpus)
+    # corpus size. read_blocks = 4x CPUs: at 400k pages, CPU-count-sized
+    # blocks made ~14s tasks whose skew (8.5-17.4s) left CPUs idle at the
+    # tail; 4x smaller tasks smooth it (measured -15% extract wall).
+    cfg = PipelineConfig(n_partitions=16, read_blocks=num_cpus * 4)
     _warm_workers(num_cpus)
     t0 = time.time()
     res = run_kg_pipeline(

@@ -157,14 +157,26 @@ class MinHasher:
         nonempty = np.flatnonzero(lengths > 0)
         if len(nonempty) == 0:
             return out
-        flat64 = np.concatenate([shingle_sets[i] for i in nonempty])
-        flat = (flat64 ^ (flat64 >> np.uint64(32))).astype(np.uint32)
-        with np.errstate(over="ignore"):
-            prods = self.a[:, None] * flat[None, :] + self.b[:, None]
-        starts = np.zeros(len(nonempty), dtype=np.int64)
-        np.cumsum(lengths[nonempty][:-1], out=starts[1:])
-        mins = np.minimum.reduceat(prods, starts, axis=1)  # (num_perm, k)
-        out[nonempty] = mins.T.astype(np.uint64)
+        # chunk so the (num_perm × shingles) product matrix stays ~100 MB:
+        # one unchunked pass over a 150k-string batch allocated a >1 GB
+        # temporary (twice) and ran 2.5x slower than the sum of its chunks
+        max_shingles = max(1, (1 << 24) // self.num_perm * 2)
+        csum = np.cumsum(lengths[nonempty])
+        lo = 0
+        while lo < len(nonempty):
+            base = csum[lo - 1] if lo else 0
+            hi = int(np.searchsorted(csum, base + max_shingles, side="left")) + 1
+            hi = max(hi, lo + 1)
+            idx = nonempty[lo:hi]
+            flat64 = np.concatenate([shingle_sets[i] for i in idx])
+            flat = (flat64 ^ (flat64 >> np.uint64(32))).astype(np.uint32)
+            with np.errstate(over="ignore"):
+                prods = self.a[:, None] * flat[None, :] + self.b[:, None]
+            starts = np.zeros(len(idx), dtype=np.int64)
+            np.cumsum(lengths[idx][:-1], out=starts[1:])
+            mins = np.minimum.reduceat(prods, starts, axis=1)
+            out[idx] = mins.T.astype(np.uint64)
+            lo = hi
         return out
 
     def band_hashes(self, sigs: np.ndarray, num_bands: int) -> np.ndarray:

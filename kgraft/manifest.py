@@ -44,8 +44,10 @@ class ManifestStore:
         self.out_dir = out_dir
         self.manifest_dir = os.path.join(out_dir, "_manifest")
         self.triples_dir = os.path.join(out_dir, "triples")
+        self.derived_dir = os.path.join(out_dir, "_derived")
         os.makedirs(self.manifest_dir, exist_ok=True)
         os.makedirs(self.triples_dir, exist_ok=True)
+        os.makedirs(self.derived_dir, exist_ok=True)
 
     def completed_partitions(self) -> set:
         done = set()
@@ -60,6 +62,33 @@ class ManifestStore:
             for f in sorted(os.listdir(self.triples_dir))
             if f.endswith(".parquet")
         ]
+
+    def derived_paths(self, kind: str) -> list:
+        """Per-partition derived side files (``comps``/``canon``/``pending``)
+        written alongside each checkpoint — vocabulary-scale reductions the
+        graph stage consumes instead of rescanning the triple corpus."""
+        return [
+            os.path.join(self.derived_dir, f)
+            for f in sorted(os.listdir(self.derived_dir))
+            if f.startswith(f"{kind}-part-") and f.endswith(".parquet")
+        ]
+
+    def has_derived(self) -> bool:
+        """True when every completed partition carries all three derived
+        files (a checkpoint dir written by a pre-fusion engine version
+        falls back to the corpus-scan graph path)."""
+        done = self.completed_partitions()
+        if not done:
+            return False
+        for kind in ("comps", "canon", "pending"):
+            have = {
+                int(f.split("-part-")[1][:-8])
+                for f in os.listdir(self.derived_dir)
+                if f.startswith(f"{kind}-part-")
+            }
+            if not done <= have:
+                return False
+        return True
 
     def unresolved_from_manifests(self) -> list:
         """Union of the per-partition unresolved surfaces (lineage field)
@@ -86,6 +115,7 @@ class ManifestStore:
         """
         triples_dir = self.triples_dir
         manifest_dir = self.manifest_dir
+        derived_dir = self.derived_dir
 
         def write_partition(g: pd.DataFrame) -> pd.DataFrame:
             t_start = time.time()
@@ -112,6 +142,57 @@ class ManifestStore:
             table = pa.Table.from_pandas(g, preserve_index=False)
             pq.write_table(table, tmp)
             os.replace(tmp, data_path)
+
+            if alias_ref is not None:
+                # fused derived side outputs (all vocabulary-scale): the
+                # graph stage consumes these instead of rescanning the
+                # triple corpus — (a) locally-contracted component edges,
+                # (b) partial (entity, surface) mention counts, (c) the
+                # rows with an unresolved endpoint ("pending"), which the
+                # LSH recovery pass patches later. Written BEFORE the
+                # manifest: the manifest stays the atomic commit point.
+                from .graph.components import _UnionFind
+
+                both = g[(g["subj_id"] >= 0) & (g["obj_id"] >= 0)]
+                pairs = both[["subj_id", "obj_id"]].drop_duplicates()
+                uf = _UnionFind()
+                for a, b in zip(pairs["subj_id"].to_numpy(), pairs["obj_id"].to_numpy()):
+                    uf.union(int(a), int(b))
+                nodes_seen = sorted(
+                    set(pairs["subj_id"]) | set(pairs["obj_id"])
+                )
+                comp_df = pd.DataFrame(
+                    {
+                        "src": np.array(
+                            [uf.find(n) for n in nodes_seen], dtype=np.int64
+                        ),
+                        "dst": np.array(nodes_seen, dtype=np.int64),
+                    }
+                )
+                subj_m = g.loc[g["subj_id"] >= 0, ["subj_id", "subj_norm"]]
+                subj_m.columns = ["entity_id", "surface"]
+                obj_m = g.loc[g["obj_id"] >= 0, ["obj_id", "obj_norm"]]
+                obj_m.columns = ["entity_id", "surface"]
+                canon_df = (
+                    pd.concat([subj_m, obj_m], ignore_index=True)
+                    .groupby(["entity_id", "surface"], as_index=False)
+                    .size()
+                    .rename(columns={"size": "partial_count"})
+                )
+                pending_df = g[(g["subj_id"] < 0) | (g["obj_id"] < 0)]
+                for kind, df in (
+                    ("comps", comp_df),
+                    ("canon", canon_df),
+                    ("pending", pending_df),
+                ):
+                    dpath = os.path.join(
+                        derived_dir, f"{kind}-part-{part_id:05d}.parquet"
+                    )
+                    dtmp = dpath + ".tmp"
+                    pq.write_table(
+                        pa.Table.from_pandas(df, preserve_index=False), dtmp
+                    )
+                    os.replace(dtmp, dpath)
 
             # vectorized content hash (C speed — a per-row Python join here
             # costs seconds per partition at bench scale): hash each column,

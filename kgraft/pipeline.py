@@ -222,6 +222,7 @@ def build_graph_from_triples(
     out_dir: str,
     cfg: PipelineConfig,
     store: ManifestStore | None = None,
+    alias_index_future=None,
 ) -> dict:
     """Stages 6-10: link, canonicalize, components, materialize graph.
 
@@ -238,6 +239,12 @@ def build_graph_from_triples(
 
     alias_ds = ray.data.read_parquet(alias_path)
     timings: dict = {}
+
+    if store is not None and store.has_derived():
+        return _build_graph_fused(
+            triples_paths, alias_path, alias_ds, out_dir, cfg, store, timings,
+            alias_index_future=alias_index_future,
+        )
 
     pre_resolved = (
         store is not None and "subj_id" in ray.data.read_parquet(
@@ -402,6 +409,226 @@ def build_graph_from_triples(
     }
 
 
+def _build_graph_fused(
+    triples_paths,
+    alias_path: str,
+    alias_ds,
+    out_dir: str,
+    cfg: PipelineConfig,
+    store,
+    timings: dict,
+    alias_index_future=None,
+) -> dict:
+    """Graph stage over the writer's fused derived outputs.
+
+    The checkpoint writer already emitted, per partition, (a) locally
+    contracted component edges, (b) partial ``(entity, surface)`` mention
+    counts, and (c) the rows with an unresolved endpoint ("pending") —
+    all vocabulary-scale. So this stage runs exactly ONE corpus-scale
+    scan (the edges write, whose rows recovery cannot change: the LSH
+    patch only fills ``-1`` ids, which the edge filter drops) and
+    overlaps the LSH recovery with it; components and canonicalization
+    reduce the derived files driver-side (vocab-bounded — the documented
+    partitioning assumption of stage 9).
+    """
+    import glob as _glob
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    from .graph.components import _UnionFind
+    from .link.candidates import lsh_recover
+
+    t_all = _time.time()
+    unknowns = store.unresolved_from_manifests()
+
+    def recover():
+        t0 = _time.time()
+        if not unknowns:
+            rec = pd.DataFrame({"mention": [], "entity_id": [], "score": []})
+        elif alias_index_future is not None:
+            # flipped probe: the alias-side index was built on a driver
+            # thread during extraction — recovery is pure driver work
+            idx = alias_index_future.result()
+            timings["index_wait_sec"] = _time.time() - t0
+            rec = idx.recover(unknowns, cfg.link_threshold)
+        else:
+            adf = pq.read_table(alias_path).to_pandas()
+            rec = lsh_recover(unknowns, alias_ds, cfg.link_threshold, alias_df=adf)
+        timings["recover_sec"] = _time.time() - t0
+        return rec
+
+    edges_dir = os.path.join(out_dir, "edges")
+    _clear_dir(edges_dir)  # write_parquet appends; re-runs must not duplicate
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ok = pc.and_(
+            pc.greater_equal(t["subj_id"], 0), pc.greater_equal(t["obj_id"], 0)
+        )
+        t = t.filter(ok)
+        return t.select(["subj_id", "pred", "obj_id", "conf", "url", "warc_ts"])
+
+    def run_edges():
+        t0 = _time.time()
+        ray.data.read_parquet(triples_paths).map_batches(
+            to_edges, batch_format="pyarrow"
+        ).write_parquet(edges_dir)
+        timings["edges_sec"] = _time.time() - t0
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_rec = pool.submit(recover)
+        f_edges = pool.submit(run_edges)
+
+        # driver meanwhile: reduce the vocabulary-scale derived files
+        t0 = _time.time()
+        comp_pairs = pd.concat(
+            [pq.read_table(p).to_pandas() for p in store.derived_paths("comps")],
+            ignore_index=True,
+        )
+        canon_partials = pd.concat(
+            [pq.read_table(p).to_pandas() for p in store.derived_paths("canon")],
+            ignore_index=True,
+        )
+        pending = pd.concat(
+            [pq.read_table(p).to_pandas() for p in store.derived_paths("pending")],
+            ignore_index=True,
+        )
+        timings["derived_read_sec"] = _time.time() - t0
+
+        recovered = f_rec.result()
+
+        # patch the pending rows with the recovered aliases and fold the
+        # newly-resolved rows into each consumer (all near-dup... small)
+        t0 = _time.time()
+        delta_edges = pending.iloc[0:0]
+        delta_canon = []
+        if len(pending):
+            lut = dict(zip(recovered["mention"], recovered["entity_id"].astype(int)))
+            was_subj = pending["subj_id"] < 0
+            was_obj = pending["obj_id"] < 0
+            if lut:
+                pending = pending.copy()
+                pending.loc[was_subj, "subj_id"] = (
+                    pending.loc[was_subj, "subj_norm"].map(lut).fillna(-1).astype("int64")
+                )
+                pending.loc[was_obj, "obj_id"] = (
+                    pending.loc[was_obj, "obj_norm"].map(lut).fillna(-1).astype("int64")
+                )
+            now_subj = was_subj & (pending["subj_id"] >= 0)
+            now_obj = was_obj & (pending["obj_id"] >= 0)
+            delta_canon.append(
+                pending.loc[now_subj, ["subj_id", "subj_norm"]].set_axis(
+                    ["entity_id", "surface"], axis=1
+                )
+            )
+            delta_canon.append(
+                pending.loc[now_obj, ["obj_id", "obj_norm"]].set_axis(
+                    ["entity_id", "surface"], axis=1
+                )
+            )
+            delta_edges = pending[(pending["subj_id"] >= 0) & (pending["obj_id"] >= 0)]
+        timings["patch_sec"] = _time.time() - t0
+
+        f_edges.result()
+
+    if len(delta_edges):
+        # after the Dataset write finishes: Ray's write_parquet may clean
+        # the output dir when it starts, clobbering a concurrently-written
+        # side file
+        pq.write_table(
+            pa.Table.from_pandas(
+                delta_edges[["subj_id", "pred", "obj_id", "conf", "url", "warc_ts"]],
+                preserve_index=False,
+            ),
+            os.path.join(edges_dir, "delta-recovered.parquet"),
+        )
+
+    # components: driver union-find over the contracted pairs + delta
+    t0 = _time.time()
+    uf = _UnionFind()
+    for a, b in zip(comp_pairs["src"].to_numpy(), comp_pairs["dst"].to_numpy()):
+        uf.union(int(a), int(b))
+    if len(delta_edges):
+        dpairs = delta_edges[["subj_id", "obj_id"]].drop_duplicates()
+        for a, b in zip(dpairs["subj_id"].to_numpy(), dpairs["obj_id"].to_numpy()):
+            uf.union(int(a), int(b))
+    comp_nodes = set(comp_pairs["src"]) | set(comp_pairs["dst"])
+    if len(delta_edges):
+        comp_nodes |= set(dpairs["subj_id"]) | set(dpairs["obj_id"])
+    comp_nodes = sorted(comp_nodes)
+    comp = pd.DataFrame(
+        {
+            "entity_id": np.array(comp_nodes, dtype=np.int64),
+            "component_id": np.array(
+                [uf.find(int(n)) for n in comp_nodes], dtype=np.int64
+            ),
+        }
+    )
+    timings["components_sec"] = _time.time() - t0
+
+    # canonicalization: reduce partial counts + delta mentions (same
+    # semantics as graph.canonical.canonicalize: canonical = most-frequent
+    # surface, ties -> lexicographically smallest; aliases sorted distinct)
+    t0 = _time.time()
+    if delta_canon:
+        dm = pd.concat(delta_canon, ignore_index=True)
+        if len(dm):
+            dm = (
+                dm.groupby(["entity_id", "surface"], as_index=False)
+                .size()
+                .rename(columns={"size": "partial_count"})
+            )
+            canon_partials = pd.concat([canon_partials, dm], ignore_index=True)
+    gsum = (
+        canon_partials.groupby(["entity_id", "surface"], as_index=False)[
+            "partial_count"
+        ]
+        .sum()
+        .rename(columns={"partial_count": "n"})
+    )
+    gsum = gsum.sort_values(["entity_id", "n", "surface"], ascending=[True, False, True])
+    agg = gsum.groupby("entity_id", sort=False).agg(
+        canonical=("surface", "first"), n_mentions=("n", "sum")
+    )
+    aliases = (
+        gsum.sort_values(["entity_id", "surface"])
+        .groupby("entity_id", sort=False)["surface"]
+        .agg(list)
+    )
+    nodes_df = agg.join(aliases.rename("aliases")).reset_index()
+    nodes_df["n_mentions"] = nodes_df["n_mentions"].astype("int64")
+    comp_map = dict(zip(comp["entity_id"], comp["component_id"]))
+    nodes_df["component_id"] = (
+        nodes_df["entity_id"].map(comp_map).fillna(nodes_df["entity_id"]).astype("int64")
+    )
+    nodes_df = nodes_df[
+        ["entity_id", "canonical", "aliases", "component_id", "n_mentions"]
+    ]
+    nodes_dir = os.path.join(out_dir, "nodes")
+    _clear_dir(nodes_dir)
+    os.makedirs(nodes_dir, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(nodes_df, preserve_index=False),
+        os.path.join(nodes_dir, "nodes-00000.parquet"),
+    )
+    timings["canonicalize_sec"] = _time.time() - t0
+    timings["graph_total_sec"] = _time.time() - t_all
+
+    return {
+        "timings": {k: round(v, 3) for k, v in timings.items()},
+        "edges_dir": edges_dir,
+        "nodes_dir": nodes_dir,
+        "n_edges": _parquet_rows(edges_dir),
+        "n_nodes": int(len(nodes_df)),
+        "n_recovered_aliases": int(len(recovered)),
+        "components": comp,
+    }
+
+
 def _parquet_rows(d: str) -> int:
     import glob
 
@@ -423,10 +650,36 @@ def run_kg_pipeline(
     """End-to-end flagship pipeline. Resumable: re-running after a partial
     failure skips checkpointed partitions."""
     cfg = cfg or PipelineConfig()
-    if cfg.max_errored_blocks:
-        from ray.data import DataContext
+    from ray.data import DataContext
 
-        DataContext.get_current().max_errored_blocks = cfg.max_errored_blocks
+    ctx = DataContext.get_current()
+    if cfg.max_errored_blocks:
+        ctx.max_errored_blocks = cfg.max_errored_blocks
+    # The executor's per-operator resource reservation (default: half the
+    # cluster held back for downstream ops) is built for long actor-pool
+    # chains; this DAG ends in an all-to-all whose reserved CPUs sit idle
+    # until the barrier, which measured 2x extract wall at 8 CPUs (66s ->
+    # 117s) and ~15% at 32. Autoscaling pools (min=1) still make progress
+    # without reservation because upstream batch tasks always drain.
+    ctx.op_resource_reservation_enabled = False
+
+    # build the alias-side LSH recovery index on a DRIVER thread while
+    # stage A runs on the cluster: the alias table is static per run, so
+    # by the time the graph stage needs recovery the index is ready and
+    # recovery is seconds of driver work instead of a cluster probe burst
+    # on the extract->graph critical path (link/candidates.AliasLSHIndex)
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    def _build_index():
+        import pyarrow.parquet as _pq
+
+        from .link.candidates import AliasLSHIndex
+
+        return AliasLSHIndex(_pq.read_table(alias_path).to_pandas())
+
+    _index_pool = _TPE(max_workers=1)
+    alias_index_future = _index_pool.submit(_build_index)
+    _index_pool.shutdown(wait=False)
     os.makedirs(out_dir, exist_ok=True)
     store = ManifestStore(out_dir)
     t0 = time.time()
@@ -435,7 +688,8 @@ def run_kg_pipeline(
     )
     t1 = time.time()
     stage_b = build_graph_from_triples(
-        store.partition_paths(), alias_path, out_dir, cfg, store=store
+        store.partition_paths(), alias_path, out_dir, cfg, store=store,
+        alias_index_future=alias_index_future,
     )
     t2 = time.time()
     metrics = {

@@ -10,6 +10,8 @@ from __future__ import annotations
 import os
 import sys
 
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")  # see bench.py
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb

@@ -11,6 +11,9 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# before numpy loads; Ray workers inherit via the raylet (see bench.py)
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 N_PAGES = 120  # small but big enough for dups, skew, held-out aliases
 SF_DIR = "/root/testdata/sf0.001"
 
