@@ -2,19 +2,34 @@
 
 The expensive, embarrassingly-parallel prefix of the pipeline (html ->
 text -> segments -> triples) is checkpointed per *partition* (``part_id
-= stable_hash(url) % n_partitions``): each partition's triples land in
-one atomically-renamed parquet file plus a manifest JSON recording
-lineage (partition id, url count, row counts per stage, content hash,
-run id). On restart, partitions already present in the manifest are
-filtered out of the read — pages for done partitions never leave the
-scan. The reference has no checkpointing (SURVEY.md §4); this is
-required by the north rule ("resumable from checkpoint with
-per-partition lineage + metrics").
+= stable_hash(url) % n_partitions``) WITHOUT a shuffle: each extract
+task splits its output block by partition and writes one atomically-
+renamed parquet FRAGMENT per (task, partition), plus the same split of
+the vocabulary-scale derived outputs the graph stage consumes
+(contracted component edges, partial mention counts, pending rows).
+The driver then commits one manifest JSON per partition recording
+lineage (fragment list, row counts, content hash, unresolved surfaces,
+run id) — the manifest is the atomic commit point; fragment files not
+listed in a manifest are ignored and cleaned up.
+
+Co-locating each partition in one file would need an all-to-all
+exchange of the full triple corpus — the single widest shuffle of the
+old design — while buying nothing: the exchange is itself a barrier, so
+crash granularity is identical either way. At 10^12 documents the
+fragment layout is the difference between a corpus-wide shuffle and
+zero shuffles in the flagship DAG. On restart, partitions already
+present in the manifest are filtered out of the read — pages for done
+partitions never leave the scan. The reference has no checkpointing
+(SURVEY.md §4); this is required by the north rule ("resumable from
+checkpoint with per-partition lineage + metrics").
 
 Layout::
 
     out_dir/
-      triples/part-00000.parquet      # checkpointed stage output
+      triples/part-00000/frag-<id>.parquet   # checkpointed stage output
+      _derived/comps-part-00000/frag-<id>.parquet   # contracted CC edges
+      _derived/canon-part-00000/frag-<id>.parquet   # partial mention counts
+      _derived/pending-part-00000/frag-<id>.parquet # unresolved-endpoint rows
       _manifest/part-00000.json       # lineage + metrics, written last
       nodes/...  edges/...            # final graph tables
       run_metrics.json
@@ -25,6 +40,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 
 import numpy as np
 import pandas as pd
@@ -33,10 +49,18 @@ import pyarrow.parquet as pq
 
 from .hashing import hash_strings, splitmix64
 
+DERIVED_KINDS = ("comps", "canon", "pending")
+
 
 def partition_ids(urls, n_partitions: int):
     """Stable partition assignment for url arrays (fixed hash, versioned)."""
     return (hash_strings(urls, seed=7) % np.uint64(n_partitions)).astype("int64")
+
+
+def _atomic_write(table: pa.Table, path: str) -> None:
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
 
 
 class ManifestStore:
@@ -49,6 +73,16 @@ class ManifestStore:
         os.makedirs(self.triples_dir, exist_ok=True)
         os.makedirs(self.derived_dir, exist_ok=True)
 
+    # ------------------------------------------------------------- reads
+
+    def _manifests(self) -> list:
+        out = []
+        for f in sorted(os.listdir(self.manifest_dir)):
+            if f.startswith("part-") and f.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, f)) as fh:
+                    out.append(json.load(fh))
+        return out
+
     def completed_partitions(self) -> set:
         done = set()
         for f in os.listdir(self.manifest_dir):
@@ -57,37 +91,60 @@ class ManifestStore:
         return done
 
     def partition_paths(self) -> list:
-        return [
-            os.path.join(self.triples_dir, f)
-            for f in sorted(os.listdir(self.triples_dir))
-            if f.endswith(".parquet")
-        ]
+        """Checkpointed triple files, as listed by the manifests (the
+        commit point) — unlisted stragglers from a crashed run are never
+        read. Falls back to the legacy one-file-per-partition layout."""
+        paths = []
+        for m in self._manifests():
+            pid = int(m["partition_id"])
+            if "fragments" in m:
+                pdir = os.path.join(self.triples_dir, f"part-{pid:05d}")
+                paths.extend(os.path.join(pdir, fr) for fr in m["fragments"])
+            else:  # legacy layout
+                paths.append(
+                    os.path.join(self.triples_dir, f"part-{pid:05d}.parquet")
+                )
+        return sorted(paths)
 
     def derived_paths(self, kind: str) -> list:
-        """Per-partition derived side files (``comps``/``canon``/``pending``)
-        written alongside each checkpoint — vocabulary-scale reductions the
+        """Per-fragment derived side files (``comps``/``canon``/``pending``)
+        for every committed partition — vocabulary-scale reductions the
         graph stage consumes instead of rescanning the triple corpus."""
-        return [
-            os.path.join(self.derived_dir, f)
-            for f in sorted(os.listdir(self.derived_dir))
-            if f.startswith(f"{kind}-part-") and f.endswith(".parquet")
-        ]
+        paths = []
+        for m in self._manifests():
+            pid = int(m["partition_id"])
+            if "fragments" in m:
+                ddir = os.path.join(self.derived_dir, f"{kind}-part-{pid:05d}")
+                paths.extend(os.path.join(ddir, fr) for fr in m["fragments"])
+            else:
+                p = os.path.join(
+                    self.derived_dir, f"{kind}-part-{pid:05d}.parquet"
+                )
+                if os.path.exists(p):
+                    paths.append(p)
+        return sorted(paths)
 
     def has_derived(self) -> bool:
-        """True when every completed partition carries all three derived
-        files (a checkpoint dir written by a pre-fusion engine version
+        """True when every committed partition carries all three derived
+        outputs (a checkpoint dir written by a pre-fusion engine version
         falls back to the corpus-scan graph path)."""
-        done = self.completed_partitions()
-        if not done:
+        manifests = self._manifests()
+        if not manifests:
             return False
-        for kind in ("comps", "canon", "pending"):
-            have = {
-                int(f.split("-part-")[1][:-8])
-                for f in os.listdir(self.derived_dir)
-                if f.startswith(f"{kind}-part-")
-            }
-            if not done <= have:
-                return False
+        for m in manifests:
+            pid = int(m["partition_id"])
+            if "fragments" in m:
+                for kind in DERIVED_KINDS:
+                    ddir = os.path.join(self.derived_dir, f"{kind}-part-{pid:05d}")
+                    for fr in m["fragments"]:
+                        if not os.path.exists(os.path.join(ddir, fr)):
+                            return False
+            else:
+                for kind in DERIVED_KINDS:
+                    if not os.path.exists(
+                        os.path.join(self.derived_dir, f"{kind}-part-{pid:05d}.parquet")
+                    ):
+                        return False
         return True
 
     def unresolved_from_manifests(self) -> list:
@@ -95,35 +152,28 @@ class ManifestStore:
         — lets a resumed run rebuild the global unknown set without
         rescanning any checkpoint data."""
         out: set = set()
-        for f in os.listdir(self.manifest_dir):
-            if f.startswith("part-") and f.endswith(".json"):
-                with open(os.path.join(self.manifest_dir, f)) as fh:
-                    out.update(json.load(fh).get("unresolved_surfaces", []))
+        for m in self._manifests():
+            out.update(m.get("unresolved_surfaces", []))
         return sorted(out)
 
-    def make_writer(self, run_id: str, alias_ref=None):
-        """A ``map_groups`` writer fn: one group = one partition's triples.
+    # ------------------------------------------------------------ writes
 
-        Writes data first (tmp + atomic rename), manifest last, so a crash
-        between the two leaves the partition *incomplete* and it re-runs.
+    def make_fragment_writer(self, run_id: str, alias_ref=None):
+        """A ``map_batches`` writer: splits each output block by partition
+        and writes one triple fragment + three derived fragments per
+        (task, partition) — no shuffle. Returns one summary row per
+        fragment; the driver folds those into per-partition manifests via
+        :meth:`commit_manifests` (the atomic commit).
 
-        With ``alias_ref`` (a ``ray.put`` alias->entity_id dict), the
-        writer ALSO resolves surfaces against the exact tier — checkpoints
-        then carry ``subj_id``/``obj_id``/``subj_norm``/``obj_norm`` and
-        the manifest records the partition's distinct unresolved surfaces,
-        so the graph stage never re-normalizes or rescans for unknowns.
+        With ``alias_ref`` (a ``ray.put`` alias->entity_id dict), surfaces
+        are resolved against the exact tier in the same pass — fragments
+        carry ``subj_id``/``obj_id``/``subj_norm``/``obj_norm`` and the
+        summary carries each fragment's distinct unresolved surfaces.
         """
         triples_dir = self.triples_dir
-        manifest_dir = self.manifest_dir
         derived_dir = self.derived_dir
 
-        def write_partition(g: pd.DataFrame) -> pd.DataFrame:
-            t_start = time.time()
-            part_id = int(g["part_id"].iloc[0])
-            g = g.drop(columns=["part_id"]).sort_values(
-                ["url", "seg_idx", "subj", "pred", "obj"]
-            )
-            unresolved: list = []
+        def write_fragments(g: pd.DataFrame) -> pd.DataFrame:
             if alias_ref is not None:
                 from .link.candidates import _cached_lut, _norm_series
 
@@ -133,103 +183,188 @@ class ManifestStore:
                 g["obj_norm"] = _norm_series(g["obj"])
                 g["subj_id"] = g["subj_norm"].map(lut).fillna(-1).astype("int64")
                 g["obj_id"] = g["obj_norm"].map(lut).fillna(-1).astype("int64")
-                unresolved = sorted(
-                    set(g.loc[g["subj_id"] < 0, "subj_norm"])
-                    | set(g.loc[g["obj_id"] < 0, "obj_norm"])
-                )
-            data_path = os.path.join(triples_dir, f"part-{part_id:05d}.parquet")
-            tmp = data_path + ".tmp"
-            table = pa.Table.from_pandas(g, preserve_index=False)
-            pq.write_table(table, tmp)
-            os.replace(tmp, data_path)
 
-            if alias_ref is not None:
-                # fused derived side outputs (all vocabulary-scale): the
-                # graph stage consumes these instead of rescanning the
-                # triple corpus — (a) locally-contracted component edges,
-                # (b) partial (entity, surface) mention counts, (c) the
-                # rows with an unresolved endpoint ("pending"), which the
-                # LSH recovery pass patches later. Written BEFORE the
-                # manifest: the manifest stays the atomic commit point.
-                from .graph.components import _UnionFind
-
-                both = g[(g["subj_id"] >= 0) & (g["obj_id"] >= 0)]
-                pairs = both[["subj_id", "obj_id"]].drop_duplicates()
-                uf = _UnionFind()
-                for a, b in zip(pairs["subj_id"].to_numpy(), pairs["obj_id"].to_numpy()):
-                    uf.union(int(a), int(b))
-                nodes_seen = sorted(
-                    set(pairs["subj_id"]) | set(pairs["obj_id"])
-                )
-                comp_df = pd.DataFrame(
+            cols = [
+                "part_id", "fragment", "n_triples", "n_urls", "n_predicates",
+                "content_hash", "url_sample", "unresolved", "bytes_written",
+            ]
+            if len(g) == 0:
+                return pd.DataFrame(
                     {
-                        "src": np.array(
-                            [uf.find(n) for n in nodes_seen], dtype=np.int64
-                        ),
-                        "dst": np.array(nodes_seen, dtype=np.int64),
+                        "part_id": pd.Series([], dtype="int64"),
+                        "fragment": pd.Series([], dtype="object"),
+                        "n_triples": pd.Series([], dtype="int64"),
+                        "n_urls": pd.Series([], dtype="int64"),
+                        "n_predicates": pd.Series([], dtype="int64"),
+                        "content_hash": pd.Series([], dtype="uint64"),
+                        "url_sample": pd.Series([], dtype="object"),
+                        "unresolved": pd.Series([], dtype="object"),
+                        "bytes_written": pd.Series([], dtype="int64"),
                     }
                 )
-                subj_m = g.loc[g["subj_id"] >= 0, ["subj_id", "subj_norm"]]
-                subj_m.columns = ["entity_id", "surface"]
-                obj_m = g.loc[g["obj_id"] >= 0, ["obj_id", "obj_norm"]]
-                obj_m.columns = ["entity_id", "surface"]
-                canon_df = (
-                    pd.concat([subj_m, obj_m], ignore_index=True)
-                    .groupby(["entity_id", "surface"], as_index=False)
-                    .size()
-                    .rename(columns={"size": "partial_count"})
+            out_rows = []
+            for part_id, part in g.groupby("part_id", sort=True):
+                part_id = int(part_id)
+                frag = f"frag-{uuid.uuid4().hex[:12]}.parquet"
+                part = part.drop(columns=["part_id"]).sort_values(
+                    ["url", "seg_idx", "subj", "pred", "obj"]
                 )
-                pending_df = g[(g["subj_id"] < 0) | (g["obj_id"] < 0)]
-                for kind, df in (
-                    ("comps", comp_df),
-                    ("canon", canon_df),
-                    ("pending", pending_df),
-                ):
-                    dpath = os.path.join(
-                        derived_dir, f"{kind}-part-{part_id:05d}.parquet"
-                    )
-                    dtmp = dpath + ".tmp"
-                    pq.write_table(
-                        pa.Table.from_pandas(df, preserve_index=False), dtmp
-                    )
-                    os.replace(dtmp, dpath)
+                pdir = os.path.join(triples_dir, f"part-{part_id:05d}")
+                os.makedirs(pdir, exist_ok=True)
+                part_table = pa.Table.from_pandas(part, preserve_index=False)
+                _atomic_write(part_table, os.path.join(pdir, frag))
 
-            # vectorized content hash (C speed — a per-row Python join here
-            # costs seconds per partition at bench scale): hash each column,
-            # mix with a rotation so column order matters, XOR-reduce rows
-            content = np.zeros(len(g), dtype=np.uint64)
-            for ci, c in enumerate(g.columns):
-                h = pd.util.hash_pandas_object(g[c], index=False).to_numpy(
-                    dtype=np.uint64
+                unresolved: list = []
+                if alias_ref is not None:
+                    unresolved = sorted(
+                        set(part.loc[part["subj_id"] < 0, "subj_norm"])
+                        | set(part.loc[part["obj_id"] < 0, "obj_norm"])
+                    )
+                    self._write_derived(part, part_table.schema, part_id, frag)
+
+                # vectorized content hash (order-independent XOR-reduce, so
+                # fragment composition order cannot change the partition
+                # hash): hash each column, mix with a rotation so column
+                # order matters, XOR rows
+                content = np.zeros(len(part), dtype=np.uint64)
+                for ci, c in enumerate(part.columns):
+                    h = pd.util.hash_pandas_object(part[c], index=False).to_numpy(
+                        dtype=np.uint64
+                    )
+                    content ^= splitmix64(h ^ np.uint64(ci + 1))
+                out_rows.append(
+                    {
+                        "part_id": part_id,
+                        "fragment": frag,
+                        "n_triples": int(len(part)),
+                        "n_urls": int(part["url"].nunique()),
+                        "n_predicates": int(part["pred"].nunique()),
+                        "content_hash": int(np.bitwise_xor.reduce(content))
+                        if len(content)
+                        else 0,
+                        # JSON strings, not list cells: an empty block
+                        # must present the same primitive schema
+                        "url_sample": json.dumps(
+                            sorted(part["url"].unique().tolist())[:8]
+                        ),
+                        "unresolved": json.dumps(unresolved),
+                        "bytes_written": int(
+                            os.path.getsize(os.path.join(pdir, frag))
+                        ),
+                    }
                 )
-                content ^= splitmix64(h ^ np.uint64(ci + 1))
+            return pd.DataFrame(out_rows, columns=cols)
+
+        return write_fragments
+
+    def _write_derived(
+        self, part: pd.DataFrame, part_schema: pa.Schema, part_id: int, frag: str
+    ) -> None:
+        """The graph stage's inputs, reduced per fragment (all
+        vocabulary-scale): locally-contracted component edges, partial
+        (entity, surface) mention counts, and unresolved-endpoint rows."""
+        from .graph.components import _UnionFind
+
+        both = part[(part["subj_id"] >= 0) & (part["obj_id"] >= 0)]
+        pairs = both[["subj_id", "obj_id"]].drop_duplicates()
+        uf = _UnionFind()
+        for a, b in zip(pairs["subj_id"].to_numpy(), pairs["obj_id"].to_numpy()):
+            uf.union(int(a), int(b))
+        nodes_seen = sorted(set(pairs["subj_id"]) | set(pairs["obj_id"]))
+        comp_df = pd.DataFrame(
+            {
+                "src": np.array([uf.find(n) for n in nodes_seen], dtype=np.int64),
+                "dst": np.array(nodes_seen, dtype=np.int64),
+            }
+        )
+        subj_m = part.loc[part["subj_id"] >= 0, ["subj_id", "subj_norm"]]
+        subj_m.columns = ["entity_id", "surface"]
+        obj_m = part.loc[part["obj_id"] >= 0, ["obj_id", "obj_norm"]]
+        obj_m.columns = ["entity_id", "surface"]
+        canon_df = (
+            pd.concat([subj_m, obj_m], ignore_index=True)
+            .groupby(["entity_id", "surface"], as_index=False)
+            .size()
+            .rename(columns={"size": "partial_count"})
+        )
+        pending_df = part[(part["subj_id"] < 0) | (part["obj_id"] < 0)]
+        # explicit schemas: a fragment with zero pending rows or zero
+        # mentions must carry the SAME types as its siblings, or the
+        # parallel read of the fragment set fails schema unification
+        canon_schema = pa.schema(
+            [
+                ("entity_id", pa.int64()),
+                ("surface", pa.string()),
+                ("partial_count", pa.int64()),
+            ]
+        )
+        for kind, df, schema in (
+            ("comps", comp_df, None),
+            ("canon", canon_df, canon_schema),
+            ("pending", pending_df, part_schema),
+        ):
+            ddir = os.path.join(self.derived_dir, f"{kind}-part-{part_id:05d}")
+            os.makedirs(ddir, exist_ok=True)
+            _atomic_write(
+                pa.Table.from_pandas(df, schema=schema, preserve_index=False),
+                os.path.join(ddir, frag),
+            )
+
+    def commit_manifests(self, summary: pd.DataFrame, run_id: str) -> int:
+        """Fold fragment summary rows into one manifest per partition and
+        write it (tmp + atomic rename) — the commit point. Fragment files
+        in a partition dir that the manifest does not list (strays from a
+        crashed run) are deleted. Returns the number of partitions
+        committed."""
+        n = 0
+        for part_id, rows in summary.groupby("part_id"):
+            part_id = int(part_id)
+            frags = sorted(rows["fragment"].tolist())
+            unresolved = sorted(
+                set().union(*(json.loads(u) for u in rows["unresolved"]))
+            )
+            url_sample = sorted(
+                set().union(*(json.loads(u) for u in rows["url_sample"]))
+            )[:100]
+            content = 0
+            for h in rows["content_hash"]:
+                content ^= int(h)
             manifest = {
                 "partition_id": part_id,
-                "input_refs": sorted(g["url"].unique().tolist())[:100],
+                "fragments": frags,
+                "input_refs": url_sample,
                 "row_counts": {
-                    "urls": int(g["url"].nunique()),
-                    "triples": int(len(g)),
+                    "urls": int(rows["n_urls"].sum()),
+                    "triples": int(rows["n_triples"].sum()),
                 },
                 "metrics": {
                     "written_at": time.time(),
-                    "write_sec": round(time.time() - t_start, 4),
-                    "triples_per_url": round(
-                        float(len(g)) / max(int(g["url"].nunique()), 1), 4
-                    ),
-                    "distinct_predicates": int(g["pred"].nunique()),
-                    "bytes_written": int(os.path.getsize(data_path)),
+                    "n_fragments": len(frags),
+                    "distinct_predicates": int(rows["n_predicates"].max()),
+                    "bytes_written": int(rows["bytes_written"].sum()),
                 },
-                "content_hash": int(np.bitwise_xor.reduce(content)) if len(content) else 0,
+                "content_hash": content,
                 "unresolved_surfaces": unresolved,
                 "completed_at_run": run_id,
             }
-            mpath = os.path.join(manifest_dir, f"part-{part_id:05d}.json")
+            # prune strays before committing, so a reader never sees a
+            # committed manifest alongside unlisted files
+            listed = set(frags)
+            pdir = os.path.join(self.triples_dir, f"part-{part_id:05d}")
+            if os.path.isdir(pdir):
+                for f in os.listdir(pdir):
+                    if f not in listed:
+                        os.remove(os.path.join(pdir, f))
+            for kind in DERIVED_KINDS:
+                ddir = os.path.join(self.derived_dir, f"{kind}-part-{part_id:05d}")
+                if os.path.isdir(ddir):
+                    for f in os.listdir(ddir):
+                        if f not in listed:
+                            os.remove(os.path.join(ddir, f))
+            mpath = os.path.join(self.manifest_dir, f"part-{part_id:05d}.json")
             mtmp = mpath + ".tmp"
             with open(mtmp, "w") as f:
                 json.dump(manifest, f)
             os.replace(mtmp, mpath)
-            return pd.DataFrame(
-                {"part_id": [part_id], "n_triples": [len(g)]}
-            )
-
-        return write_partition
+            n += 1
+        return n

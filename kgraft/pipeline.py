@@ -172,11 +172,18 @@ def extract_triples_checkpointed(
 
         adf = pq.read_table(alias_path).to_pandas()
         alias_ref = ray.put(dict(zip(adf["alias"], adf["entity_id"].astype(int))))
-    writer = store.make_writer(run_id, alias_ref=alias_ref)
-    summary = triples.groupby("part_id").map_groups(writer, batch_format="pandas")
+    # shuffle-free checkpoint: each task splits its block by partition
+    # and writes fragments; the driver folds the summary rows into
+    # per-partition manifests (manifest.py module docstring). The old
+    # groupby(part_id) co-location was the single widest exchange of the
+    # pipeline and bought nothing: the sort is itself a barrier, so crash
+    # granularity is the same either way.
+    writer = store.make_fragment_writer(run_id, alias_ref=alias_ref)
+    summary = triples.map_batches(writer, batch_format="pandas", batch_size=None)
     rows = summary.to_pandas()
+    committed = store.commit_manifests(rows, run_id) if len(rows) else 0
     return {
-        "partitions_written": int(len(rows)),
+        "partitions_written": committed,
         "partitions_skipped": len(done),
         "triples_written": int(rows["n_triples"].sum()) if len(rows) else 0,
     }
@@ -483,20 +490,23 @@ def _build_graph_fused(
         f_rec = pool.submit(recover)
         f_edges = pool.submit(run_edges)
 
-        # driver meanwhile: reduce the vocabulary-scale derived files
+        # driver meanwhile: reduce the vocabulary-scale derived files.
+        # One fragment per (task, partition) means thousands of small
+        # files at bench scale — a serial driver loop over them costs
+        # 10s+; a threaded read keeps it ~1s (pyarrow releases the GIL)
         t0 = _time.time()
-        comp_pairs = pd.concat(
-            [pq.read_table(p).to_pandas() for p in store.derived_paths("comps")],
-            ignore_index=True,
-        )
-        canon_partials = pd.concat(
-            [pq.read_table(p).to_pandas() for p in store.derived_paths("canon")],
-            ignore_index=True,
-        )
-        pending = pd.concat(
-            [pq.read_table(p).to_pandas() for p in store.derived_paths("pending")],
-            ignore_index=True,
-        )
+
+        def _read_all(kind):
+            paths = store.derived_paths(kind)
+            from concurrent.futures import ThreadPoolExecutor as _T
+
+            with _T(max_workers=8) as rp:
+                frames = list(rp.map(lambda p: pq.read_table(p).to_pandas(), paths))
+            return pd.concat(frames, ignore_index=True)
+
+        comp_pairs = _read_all("comps")
+        canon_partials = _read_all("canon")
+        pending = _read_all("pending")
         timings["derived_read_sec"] = _time.time() - t0
 
         recovered = f_rec.result()

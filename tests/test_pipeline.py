@@ -96,12 +96,25 @@ def test_resume_equals_single_run(ray_session, corpus, kg_run, tmp_path):
     pages = os.path.join(corpus, "pages.parquet")
     aliases = os.path.join(corpus, "alias_dict.parquet")
     run_kg_pipeline(pages, aliases, out, cfg, run_id="first")
-    # simulate a crash that lost some partitions
+    # simulate a crash that lost some partitions (manifest = commit point;
+    # fragment dirs may be partially present — strays must be pruned)
+    import shutil
+
     for pid in range(0, cfg.n_partitions, 4):
-        for sub, ext in (("_manifest", "json"), ("triples", "parquet")):
-            p = os.path.join(out, sub, f"part-{pid:05d}.{ext}")
-            if os.path.exists(p):
-                os.remove(p)
+        mp = os.path.join(out, "_manifest", f"part-{pid:05d}.json")
+        if os.path.exists(mp):
+            os.remove(mp)
+        pdir = os.path.join(out, "triples", f"part-{pid:05d}")
+        if os.path.isdir(pdir):
+            frags = sorted(os.listdir(pdir))
+            # leave one stray fragment behind to prove unlisted files are
+            # ignored and cleaned on the next commit
+            for f in frags[1:]:
+                os.remove(os.path.join(pdir, f))
+        for kind in ("comps", "canon", "pending"):
+            ddir = os.path.join(out, "_derived", f"{kind}-part-{pid:05d}")
+            if os.path.isdir(ddir):
+                shutil.rmtree(ddir)
     res = run_kg_pipeline(pages, aliases, out, cfg, run_id="second")
     assert res["partitions_skipped"] == cfg.n_partitions - len(
         range(0, cfg.n_partitions, 4)
