@@ -152,30 +152,59 @@ class MinHasher:
         out = np.full((n, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
         if n == 0:
             return out
-        shingle_sets = [shingle_hashes(t, self.shingle_k) for t in texts]
-        lengths = np.array([len(s) for s in shingle_sets], dtype=np.int64)
-        nonempty = np.flatnonzero(lengths > 0)
-        if len(nonempty) == 0:
-            return out
+        k = self.shingle_k
+        # ONE flat byte buffer for the whole batch (strings shorter than k
+        # zero-padded, matching shingle_hashes' per-string padding); the
+        # per-string Python of the old implementation (sliding_window_view
+        # + unique per string) cost 40s on a 150k-alias table. Dropping
+        # the per-string unique is exact: the min over a multiset equals
+        # the min over its distinct values.
+        bufs = [t.encode("utf-8") for t in texts]
+        pad = b"\x00" * k
+        bufs = [b if len(b) >= k else b + pad[: k - len(b)] for b in bufs]
+        lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+        data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        offs = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        counts = lens - k + 1  # valid window starts per string (>= 1)
+
+        # polynomial shingle hash via shifted sums — no (positions, k)
+        # window matrix; chunked so temporaries stay bounded
+        weights = np.uint64(31) ** np.arange(k, dtype=np.uint64)
+        n_pos = len(data) - k + 1
+        sh = np.empty(n_pos, dtype=np.uint64)
+        step = 1 << 24
+        for p0 in range(0, n_pos, step):
+            p1 = min(p0 + step, n_pos)
+            acc = data[p0:p1].astype(np.uint64) * weights[0]
+            for j in range(1, k):
+                acc += data[p0 + j : p1 + j].astype(np.uint64) * weights[j]
+            sh[p0:p1] = splitmix64(acc)
+
+        # keep only windows fully inside one string (positions past
+        # offs[i] + counts[i] - 1 straddle a boundary)
+        pos = np.arange(n_pos, dtype=np.int64)
+        tid = np.searchsorted(offs, pos, side="right") - 1
+        flat64 = sh[pos < offs[tid] + counts[tid]]
+        flat = (flat64 ^ (flat64 >> np.uint64(32))).astype(np.uint32)
+
         # chunk so the (num_perm × shingles) product matrix stays ~100 MB:
         # one unchunked pass over a 150k-string batch allocated a >1 GB
         # temporary (twice) and ran 2.5x slower than the sum of its chunks
         max_shingles = max(1, (1 << 24) // self.num_perm * 2)
-        csum = np.cumsum(lengths[nonempty])
+        starts_all = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts_all[1:])
+        csum = np.cumsum(counts)
         lo = 0
-        while lo < len(nonempty):
+        while lo < n:
             base = csum[lo - 1] if lo else 0
             hi = int(np.searchsorted(csum, base + max_shingles, side="left")) + 1
-            hi = max(hi, lo + 1)
-            idx = nonempty[lo:hi]
-            flat64 = np.concatenate([shingle_sets[i] for i in idx])
-            flat = (flat64 ^ (flat64 >> np.uint64(32))).astype(np.uint32)
+            hi = min(max(hi, lo + 1), n)
+            seg = flat[base : csum[hi - 1]]
             with np.errstate(over="ignore"):
-                prods = self.a[:, None] * flat[None, :] + self.b[:, None]
-            starts = np.zeros(len(idx), dtype=np.int64)
-            np.cumsum(lengths[idx][:-1], out=starts[1:])
-            mins = np.minimum.reduceat(prods, starts, axis=1)
-            out[idx] = mins.T.astype(np.uint64)
+                prods = self.a[:, None] * seg[None, :] + self.b[:, None]
+            mins = np.minimum.reduceat(prods, starts_all[lo:hi] - base, axis=1)
+            out[lo:hi] = mins.T.astype(np.uint64)
             lo = hi
         return out
 

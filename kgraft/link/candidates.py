@@ -442,6 +442,38 @@ class AliasLSHIndex:
             {"mention": out_m, "entity_id": out_e, "score": out_s}
         )
 
+    def recover_parallel(
+        self,
+        unknown_surfaces,
+        threshold: float = JACCARD_THRESHOLD,
+        n_tasks: int = 8,
+        index_ref=None,
+    ) -> pd.DataFrame:
+        """Same contract as :meth:`recover`, but sharded across Ray tasks
+        — per-mention probes are independent, so the unknown set splits
+        into ``n_tasks`` chunks and each task probes a shared broadcast
+        copy of the index (``index_ref``: pass the ``ray.put`` handle to
+        avoid re-shipping the index per call). The driver-serial version
+        costs ~10s at bench scale, squarely on the graph critical path."""
+        mentions = list(dict.fromkeys(unknown_surfaces))
+        if len(mentions) < 512:  # not worth task overhead
+            return self.recover(mentions, threshold)
+        if index_ref is None:
+            index_ref = ray.put(self)
+        chunks = np.array_split(np.array(mentions, dtype=object), n_tasks)
+
+        @ray.remote(num_cpus=1)
+        def _probe(ref, chunk, thr):
+            idx = ref  # Ray resolves the ObjectRef to the index
+            return idx.recover(list(chunk), thr)
+
+        parts = ray.get(
+            [_probe.remote(index_ref, c, threshold) for c in chunks if len(c)]
+        )
+        if not parts:
+            return pd.DataFrame({"mention": [], "entity_id": [], "score": []})
+        return pd.concat(parts, ignore_index=True)
+
 
 def lsh_recover(
     unknown_surfaces,

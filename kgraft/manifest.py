@@ -63,6 +63,20 @@ def _atomic_write(table: pa.Table, path: str) -> None:
     os.replace(tmp, path)
 
 
+def ipc_bytes(table: pa.Table) -> bytes:
+    """Arrow IPC stream serialization (for shipping vocabulary-scale
+    derived partials through the summary Dataset instead of re-opening
+    thousands of fragment files on the driver)."""
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, table.schema) as w:
+        w.write_table(table)
+    return sink.getvalue().to_pybytes()
+
+
+def ipc_to_df(b: bytes) -> pd.DataFrame:
+    return pa.ipc.open_stream(b).read_all().to_pandas()
+
+
 class ManifestStore:
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
@@ -106,13 +120,17 @@ class ManifestStore:
                 )
         return sorted(paths)
 
-    def derived_paths(self, kind: str) -> list:
+    def derived_paths(self, kind: str, parts: set | None = None) -> list:
         """Per-fragment derived side files (``comps``/``canon``/``pending``)
         for every committed partition — vocabulary-scale reductions the
-        graph stage consumes instead of rescanning the triple corpus."""
+        graph stage consumes instead of rescanning the triple corpus.
+        ``parts`` restricts to those partition ids (a resumed run reads
+        only the partitions its own summary blobs don't cover)."""
         paths = []
         for m in self._manifests():
             pid = int(m["partition_id"])
+            if parts is not None and pid not in parts:
+                continue
             if "fragments" in m:
                 ddir = os.path.join(self.derived_dir, f"{kind}-part-{pid:05d}")
                 paths.extend(os.path.join(ddir, fr) for fr in m["fragments"])
@@ -187,6 +205,7 @@ class ManifestStore:
             cols = [
                 "part_id", "fragment", "n_triples", "n_urls", "n_predicates",
                 "content_hash", "url_sample", "unresolved", "bytes_written",
+                "comps_blob", "canon_blob", "pending_blob",
             ]
             if len(g) == 0:
                 return pd.DataFrame(
@@ -200,6 +219,9 @@ class ManifestStore:
                         "url_sample": pd.Series([], dtype="object"),
                         "unresolved": pd.Series([], dtype="object"),
                         "bytes_written": pd.Series([], dtype="int64"),
+                        "comps_blob": pd.Series([], dtype="object"),
+                        "canon_blob": pd.Series([], dtype="object"),
+                        "pending_blob": pd.Series([], dtype="object"),
                     }
                 )
             out_rows = []
@@ -215,12 +237,15 @@ class ManifestStore:
                 _atomic_write(part_table, os.path.join(pdir, frag))
 
                 unresolved: list = []
+                blobs = {"comps": None, "canon": None, "pending": None}
                 if alias_ref is not None:
                     unresolved = sorted(
                         set(part.loc[part["subj_id"] < 0, "subj_norm"])
                         | set(part.loc[part["obj_id"] < 0, "obj_norm"])
                     )
-                    self._write_derived(part, part_table.schema, part_id, frag)
+                    blobs = self._write_derived(
+                        part, part_table.schema, part_id, frag
+                    )
 
                 # vectorized content hash (order-independent XOR-reduce, so
                 # fragment composition order cannot change the partition
@@ -251,6 +276,9 @@ class ManifestStore:
                         "bytes_written": int(
                             os.path.getsize(os.path.join(pdir, frag))
                         ),
+                        "comps_blob": blobs["comps"],
+                        "canon_blob": blobs["canon"],
+                        "pending_blob": blobs["pending"],
                     }
                 )
             return pd.DataFrame(out_rows, columns=cols)
@@ -298,6 +326,7 @@ class ManifestStore:
                 ("partial_count", pa.int64()),
             ]
         )
+        blobs = {}
         for kind, df, schema in (
             ("comps", comp_df, None),
             ("canon", canon_df, canon_schema),
@@ -305,10 +334,10 @@ class ManifestStore:
         ):
             ddir = os.path.join(self.derived_dir, f"{kind}-part-{part_id:05d}")
             os.makedirs(ddir, exist_ok=True)
-            _atomic_write(
-                pa.Table.from_pandas(df, schema=schema, preserve_index=False),
-                os.path.join(ddir, frag),
-            )
+            t = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+            _atomic_write(t, os.path.join(ddir, frag))
+            blobs[kind] = ipc_bytes(t)
+        return blobs
 
     def commit_manifests(self, summary: pd.DataFrame, run_id: str) -> int:
         """Fold fragment summary rows into one manifest per partition and

@@ -166,26 +166,62 @@ def extract_triples_checkpointed(
             batch_size=cfg.extract_batch_size,
         )
 
+    ext_t: dict = {}
+    _t = time.time()
     alias_ref = None
     if alias_path is not None:
         import pyarrow.parquet as pq
 
         adf = pq.read_table(alias_path).to_pandas()
         alias_ref = ray.put(dict(zip(adf["alias"], adf["entity_id"].astype(int))))
+    ext_t["alias_put_sec"] = time.time() - _t
     # shuffle-free checkpoint: each task splits its block by partition
     # and writes fragments; the driver folds the summary rows into
     # per-partition manifests (manifest.py module docstring). The old
     # groupby(part_id) co-location was the single widest exchange of the
     # pipeline and bought nothing: the sort is itself a barrier, so crash
     # granularity is the same either way.
+    # NOTE: no batch_size here — the writer fuses with the read->extract->
+    # segment->triples chain (Ray fuses task stages into downstream map
+    # ops, actor pools included), so any batch_size would be applied to
+    # the fused operator's INPUT (pages) and collapse extract parallelism
+    # to n_pages/batch_size tasks. One fragment set per extract task is
+    # fine because the driver consumes the derived partials from the
+    # summary blobs, not by re-opening the fragment files.
     writer = store.make_fragment_writer(run_id, alias_ref=alias_ref)
     summary = triples.map_batches(writer, batch_format="pandas", batch_size=None)
+    _t = time.time()
     rows = summary.to_pandas()
+    ext_t["job_sec"] = time.time() - _t
+    _t = time.time()
     committed = store.commit_manifests(rows, run_id) if len(rows) else 0
+    ext_t["commit_sec"] = time.time() - _t
+    _t = time.time()
+    # the derived partials rode back in the summary blobs — hand them to
+    # the graph stage so a fresh run never re-opens the fragment files
+    # it just wrote (a resumed run reads the skipped partitions from disk)
+    derived_frames = None
+    if len(rows) and rows["comps_blob"].notna().any():
+        # concat as ARROW, convert to pandas ONCE — a per-blob to_pandas
+        # here measured 11s of driver time at 1.5k fragments
+        derived_frames = {
+            kind: pa.concat_tables(
+                [
+                    pa.ipc.open_stream(b).read_all()
+                    for b in rows[f"{kind}_blob"]
+                    if b is not None
+                ]
+            ).to_pandas()
+            for kind in ("comps", "canon", "pending")
+        }
+    ext_t["blob_sec"] = time.time() - _t
     return {
         "partitions_written": committed,
         "partitions_skipped": len(done),
         "triples_written": int(rows["n_triples"].sum()) if len(rows) else 0,
+        "derived_frames": derived_frames,
+        "covered_parts": set(rows["part_id"].astype(int)) if len(rows) else set(),
+        "extract_timings": {k: round(v, 3) for k, v in ext_t.items()},
     }
 
 
@@ -230,6 +266,8 @@ def build_graph_from_triples(
     cfg: PipelineConfig,
     store: ManifestStore | None = None,
     alias_index_future=None,
+    derived_frames=None,
+    covered_parts=None,
 ) -> dict:
     """Stages 6-10: link, canonicalize, components, materialize graph.
 
@@ -251,6 +289,7 @@ def build_graph_from_triples(
         return _build_graph_fused(
             triples_paths, alias_path, alias_ds, out_dir, cfg, store, timings,
             alias_index_future=alias_index_future,
+            derived_frames=derived_frames, covered_parts=covered_parts,
         )
 
     pre_resolved = (
@@ -425,6 +464,8 @@ def _build_graph_fused(
     store,
     timings: dict,
     alias_index_future=None,
+    derived_frames=None,
+    covered_parts=None,
 ) -> dict:
     """Graph stage over the writer's fused derived outputs.
 
@@ -454,11 +495,14 @@ def _build_graph_fused(
         if not unknowns:
             rec = pd.DataFrame({"mention": [], "entity_id": [], "score": []})
         elif alias_index_future is not None:
-            # flipped probe: the alias-side index was built on a driver
-            # thread during extraction — recovery is pure driver work
-            idx = alias_index_future.result()
+            # flipped probe: the alias-side index was built (and ray.put)
+            # on a driver thread during extraction; the probe itself is
+            # sharded across Ray tasks, off the driver's GIL
+            idx, idx_ref = alias_index_future.result()
             timings["index_wait_sec"] = _time.time() - t0
-            rec = idx.recover(unknowns, cfg.link_threshold)
+            rec = idx.recover_parallel(
+                unknowns, cfg.link_threshold, index_ref=idx_ref
+            )
         else:
             adf = pq.read_table(alias_path).to_pandas()
             rec = lsh_recover(unknowns, alias_ds, cfg.link_threshold, alias_df=adf)
@@ -490,24 +534,46 @@ def _build_graph_fused(
         f_rec = pool.submit(recover)
         f_edges = pool.submit(run_edges)
 
-        # driver meanwhile: reduce the vocabulary-scale derived files.
-        # One fragment per (task, partition) means thousands of small
-        # files at bench scale — a serial driver loop over them costs
-        # 10s+; a threaded read keeps it ~1s (pyarrow releases the GIL)
+        # driver meanwhile: assemble the vocabulary-scale derived
+        # partials. For the partitions THIS run wrote, they arrived as
+        # Arrow IPC blobs in the writer's summary — zero file re-opens
+        # (one fragment per (task, partition) means thousands of tiny
+        # files at bench scale, and re-reading them cost 5-25s of the
+        # graph critical path). Only a resumed run's skipped partitions
+        # come from disk, via one multi-file pyarrow dataset scan.
         t0 = _time.time()
 
         def _read_all(kind):
-            paths = store.derived_paths(kind)
-            from concurrent.futures import ThreadPoolExecutor as _T
+            frames = []
+            if derived_frames is not None:
+                frames.append(derived_frames[kind])
+            disk_parts = store.completed_partitions() - (covered_parts or set())
+            if disk_parts:
+                import pyarrow.dataset as pads
 
-            with _T(max_workers=8) as rp:
-                frames = list(rp.map(lambda p: pq.read_table(p).to_pandas(), paths))
+                paths = store.derived_paths(kind, parts=disk_parts)
+                if paths:
+                    frames.append(
+                        pads.dataset(paths, format="parquet").to_table().to_pandas()
+                    )
+            if not frames:
+                return pd.DataFrame()
             return pd.concat(frames, ignore_index=True)
 
         comp_pairs = _read_all("comps")
         canon_partials = _read_all("canon")
         pending = _read_all("pending")
         timings["derived_read_sec"] = _time.time() - t0
+
+        # base reduce (union-find over contracted pairs + canonical pick,
+        # WITHOUT the recovery deltas) needs nothing from recovery, so it
+        # runs as a Ray task in parallel with recover and the edges scan
+        # — as a driver thread it would fight recover for the GIL. The
+        # deltas it misses are recovery-scale; the driver applies them
+        # incrementally afterwards.
+        base_ref = ray.remote(num_cpus=1)(_base_reduce).remote(
+            comp_pairs, canon_partials
+        )
 
         recovered = f_rec.result()
 
@@ -543,6 +609,14 @@ def _build_graph_fused(
             delta_edges = pending[(pending["subj_id"] >= 0) & (pending["obj_id"] >= 0)]
         timings["patch_sec"] = _time.time() - t0
 
+        comp, nodes_df, nodes_dir = _finalize_graph_driver(
+            ray.get(base_ref),
+            comp_pairs,
+            delta_edges,
+            delta_canon,
+            out_dir,
+            timings,
+        )
         f_edges.result()
 
     if len(delta_edges):
@@ -557,11 +631,73 @@ def _build_graph_fused(
             os.path.join(edges_dir, "delta-recovered.parquet"),
         )
 
-    # components: driver union-find over the contracted pairs + delta
-    t0 = _time.time()
+    timings["graph_total_sec"] = _time.time() - t_all
+
+    return {
+        "timings": {k: round(v, 3) for k, v in timings.items()},
+        "edges_dir": edges_dir,
+        "nodes_dir": nodes_dir,
+        "n_edges": _parquet_rows(edges_dir),
+        "n_nodes": int(len(nodes_df)),
+        "n_recovered_aliases": int(len(recovered)),
+        "components": comp,
+    }
+
+
+def _nodes_from_gsum(gsum: pd.DataFrame) -> pd.DataFrame:
+    """(entity_id, surface, n) counts -> nodes rows. Same semantics as
+    graph.canonical.canonicalize: canonical = most-frequent surface,
+    ties -> lexicographically smallest; aliases sorted distinct."""
+    gsum = gsum.sort_values(["entity_id", "n", "surface"], ascending=[True, False, True])
+    agg = gsum.groupby("entity_id", sort=False).agg(
+        canonical=("surface", "first"), n_mentions=("n", "sum")
+    )
+    aliases = (
+        gsum.sort_values(["entity_id", "surface"])
+        .groupby("entity_id", sort=False)["surface"]
+        .agg(list)
+    )
+    nodes_df = agg.join(aliases.rename("aliases")).reset_index()
+    nodes_df["n_mentions"] = nodes_df["n_mentions"].astype("int64")
+    return nodes_df
+
+
+def _base_reduce(comp_pairs: pd.DataFrame, canon_partials: pd.DataFrame):
+    """Delta-free reduction of the fragment partials (runs as a Ray task,
+    overlapped with recovery and the edges scan): union-find over the
+    contracted component pairs, canonical-surface pick over the mention
+    counts. Returns (union-find, summed counts, delta-free nodes rows)."""
+    from .graph.components import _UnionFind
+
+    # fragments repeat the same contracted edge many times; dedup in C
+    # before the pure-Python union loop
+    pairs = comp_pairs.drop_duplicates()
     uf = _UnionFind()
-    for a, b in zip(comp_pairs["src"].to_numpy(), comp_pairs["dst"].to_numpy()):
+    for a, b in zip(pairs["src"].to_numpy(), pairs["dst"].to_numpy()):
         uf.union(int(a), int(b))
+    gsum = (
+        canon_partials.groupby(["entity_id", "surface"], as_index=False)[
+            "partial_count"
+        ]
+        .sum()
+        .rename(columns={"partial_count": "n"})
+    )
+    return uf, gsum, _nodes_from_gsum(gsum)
+
+
+def _finalize_graph_driver(
+    base, comp_pairs, delta_edges, delta_canon, out_dir, timings
+):
+    """Fold the recovery deltas (recovery-scale, tiny) into the base
+    reduction and write the nodes table."""
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    uf, gsum, nodes_df = base
+
+    # components: extend the union-find with the recovered edges
+    t0 = _time.time()
     if len(delta_edges):
         dpairs = delta_edges[["subj_id", "obj_id"]].drop_duplicates()
         for a, b in zip(dpairs["subj_id"].to_numpy(), dpairs["obj_id"].to_numpy()):
@@ -580,37 +716,25 @@ def _build_graph_fused(
     )
     timings["components_sec"] = _time.time() - t0
 
-    # canonicalization: reduce partial counts + delta mentions (same
-    # semantics as graph.canonical.canonicalize: canonical = most-frequent
-    # surface, ties -> lexicographically smallest; aliases sorted distinct)
+    # canonicalization: recompute only the entities the recovery deltas
+    # touched; everything else keeps its delta-free row
     t0 = _time.time()
-    if delta_canon:
-        dm = pd.concat(delta_canon, ignore_index=True)
-        if len(dm):
-            dm = (
-                dm.groupby(["entity_id", "surface"], as_index=False)
-                .size()
-                .rename(columns={"size": "partial_count"})
-            )
-            canon_partials = pd.concat([canon_partials, dm], ignore_index=True)
-    gsum = (
-        canon_partials.groupby(["entity_id", "surface"], as_index=False)[
-            "partial_count"
-        ]
-        .sum()
-        .rename(columns={"partial_count": "n"})
-    )
-    gsum = gsum.sort_values(["entity_id", "n", "surface"], ascending=[True, False, True])
-    agg = gsum.groupby("entity_id", sort=False).agg(
-        canonical=("surface", "first"), n_mentions=("n", "sum")
-    )
-    aliases = (
-        gsum.sort_values(["entity_id", "surface"])
-        .groupby("entity_id", sort=False)["surface"]
-        .agg(list)
-    )
-    nodes_df = agg.join(aliases.rename("aliases")).reset_index()
-    nodes_df["n_mentions"] = nodes_df["n_mentions"].astype("int64")
+    dm = pd.concat(delta_canon, ignore_index=True) if delta_canon else pd.DataFrame()
+    if len(dm):
+        dm = (
+            dm.groupby(["entity_id", "surface"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        affected = set(dm["entity_id"])
+        sub = pd.concat(
+            [gsum[gsum["entity_id"].isin(affected)], dm], ignore_index=True
+        )
+        sub = sub.groupby(["entity_id", "surface"], as_index=False)["n"].sum()
+        nodes_df = pd.concat(
+            [nodes_df[~nodes_df["entity_id"].isin(affected)], _nodes_from_gsum(sub)],
+            ignore_index=True,
+        ).sort_values("entity_id", ignore_index=True)
     comp_map = dict(zip(comp["entity_id"], comp["component_id"]))
     nodes_df["component_id"] = (
         nodes_df["entity_id"].map(comp_map).fillna(nodes_df["entity_id"]).astype("int64")
@@ -626,17 +750,7 @@ def _build_graph_fused(
         os.path.join(nodes_dir, "nodes-00000.parquet"),
     )
     timings["canonicalize_sec"] = _time.time() - t0
-    timings["graph_total_sec"] = _time.time() - t_all
-
-    return {
-        "timings": {k: round(v, 3) for k, v in timings.items()},
-        "edges_dir": edges_dir,
-        "nodes_dir": nodes_dir,
-        "n_edges": _parquet_rows(edges_dir),
-        "n_nodes": int(len(nodes_df)),
-        "n_recovered_aliases": int(len(recovered)),
-        "components": comp,
-    }
+    return comp, nodes_df, nodes_dir
 
 
 def _parquet_rows(d: str) -> int:
@@ -685,7 +799,10 @@ def run_kg_pipeline(
 
         from .link.candidates import AliasLSHIndex
 
-        return AliasLSHIndex(_pq.read_table(alias_path).to_pandas())
+        idx = AliasLSHIndex(_pq.read_table(alias_path).to_pandas())
+        # broadcast once so the graph stage can shard recovery across
+        # Ray tasks without re-shipping the index
+        return idx, ray.put(idx)
 
     _index_pool = _TPE(max_workers=1)
     alias_index_future = _index_pool.submit(_build_index)
@@ -696,10 +813,13 @@ def run_kg_pipeline(
     stage_a = extract_triples_checkpointed(
         pages_path, store, cfg, run_id, alias_path=alias_path
     )
+    derived_frames = stage_a.pop("derived_frames", None)
+    covered_parts = stage_a.pop("covered_parts", set())
     t1 = time.time()
     stage_b = build_graph_from_triples(
         store.partition_paths(), alias_path, out_dir, cfg, store=store,
         alias_index_future=alias_index_future,
+        derived_frames=derived_frames, covered_parts=covered_parts,
     )
     t2 = time.time()
     metrics = {
