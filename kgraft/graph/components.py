@@ -55,6 +55,32 @@ class _UnionFind:
             self.parent[rb] = ra
 
 
+def components_numpy(src: np.ndarray, dst: np.ndarray):
+    """Vectorized connected components over int64 edge arrays:
+    ``(sorted distinct nodes, component label per node)`` where the label
+    is the minimum entity_id in the component — identical semantics to
+    the min-rooted :class:`_UnionFind`, but min-label propagation with
+    pointer jumping in numpy (the pure-Python union/find loop cost
+    seconds on million-edge inputs; this is ~milliseconds)."""
+    edges = np.concatenate([src, dst])
+    nodes, inv = np.unique(edges, return_inverse=True)
+    a, b = inv[: len(src)], inv[len(src) :]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        before = label.copy()
+        lo = np.minimum(label[a], label[b])
+        np.minimum.at(label, a, lo)
+        np.minimum.at(label, b, lo)
+        while True:
+            nxt = label[label]
+            if np.array_equal(nxt, label):
+                break
+            label = nxt
+        if np.array_equal(label, before):
+            break
+    return nodes, nodes[label]
+
+
 def _contract_batch(batch: pa.Table) -> pa.Table:
     """Local union-find contraction: edges in -> spanning-forest edges out."""
     uf = _UnionFind()
@@ -100,14 +126,13 @@ def connected_components(
             lambda df: df.drop_duplicates(), batch_format="pandas"
         )
         df = local.to_pandas().drop_duplicates()
-        uf = _UnionFind()
-        for a, b in zip(df["src"], df["dst"]):
-            uf.union(int(a), int(b))
-        nodes = sorted(set(df["src"]) | set(df["dst"]))
+        nodes, labels = components_numpy(
+            df["src"].to_numpy(dtype=np.int64), df["dst"].to_numpy(dtype=np.int64)
+        )
         return pd.DataFrame(
             {
-                "entity_id": np.array(nodes, dtype=np.int64),
-                "component_id": np.array([uf.find(n) for n in nodes], dtype=np.int64),
+                "entity_id": nodes,
+                "component_id": labels,
             }
         )
     if method == "labelprop":

@@ -361,35 +361,60 @@ class AliasLSHIndex:
         h = _shared_hasher()
         sigs = h.signatures([_blocknorm(a) for a in self.aliases])
         bands = h.band_hashes(sigs, NUM_BANDS)
-        self.index: list = [dict() for _ in range(NUM_BANDS)]
+        # COMPACT bucket layout — (sorted keys, offsets, members) arrays
+        # per band, looked up by searchsorted — instead of dicts of tiny
+        # numpy views. The dict layout made the index hostile to
+        # serialization (hundreds of thousands of 1-element buffers:
+        # 13s pickle / 17s ray.put / ~12s PER-TASK deserialize, which
+        # turned the sharded probe 10x SLOWER than the serial one); a
+        # handful of large arrays ships near-zero-copy through plasma.
+        self.band_keys: list = []
+        self.band_offs: list = []
+        self.band_members: list = []
         for b in range(NUM_BANDS):
             col = bands[:, b]
             order = np.argsort(col, kind="stable").astype(np.int64)
             sc = col[order]
             starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
             ends = np.r_[starts[1:], len(sc)]
-            d = self.index[b]
-            for s0, e0 in zip(starts, ends):
-                # giant buckets are non-discriminative band patterns;
-                # true variants still meet in their other bands
-                if e0 - s0 <= max_bucket:
-                    d[int(sc[s0])] = order[s0:e0]
+            sizes = ends - starts
+            # giant buckets are non-discriminative band patterns;
+            # true variants still meet in their other bands
+            keep = sizes <= max_bucket
+            ks, lens = starts[keep], sizes[keep]
+            # gather members: order[ks[j] : ks[j]+lens[j]] for all j,
+            # loop-free (repeat each start, add a per-bucket ramp)
+            total = int(lens.sum())
+            ramp = np.arange(total, dtype=np.int64) - np.repeat(
+                np.r_[0, np.cumsum(lens[:-1])], lens
+            )
+            self.band_members.append(order[np.repeat(ks, lens) + ramp])
+            self.band_keys.append(sc[ks])
+            self.band_offs.append(np.r_[0, np.cumsum(lens)])
         self.token_df, n_entities = build_token_stats(self.alias_df)
         self.max_df = max(3, n_entities // 100)
-        # inverted rare-token -> sorted alias-idx arrays (the vectorized
-        # twin of the per-pair disc-token prune), plus the aliases with
-        # no rare token at all (prune always lets those through)
-        tok2alias: dict = {}
+        # inverted rare-token -> alias-idx index (the vectorized twin of
+        # the per-pair disc-token prune), plus the aliases with no rare
+        # token at all (prune always lets those through). Same compact
+        # (bucket-id dict, offsets, members) layout as the band index.
+        tok_ids: dict = {}
+        pairs_t: list = []
+        pairs_a: list = []
         no_disc: list = []
         for ai, a in enumerate(self.aliases):
             disc = _disc_tokens(tokenize(a), self.token_df, self.max_df)
             if not disc:
                 no_disc.append(ai)
             for t in disc:
-                tok2alias.setdefault(t, []).append(ai)
-        self.tok2alias = {
-            t: np.array(v, dtype=np.int64) for t, v in tok2alias.items()
-        }
+                pairs_t.append(tok_ids.setdefault(t, len(tok_ids)))
+                pairs_a.append(ai)
+        tid = np.array(pairs_t, dtype=np.int64)
+        aid = np.array(pairs_a, dtype=np.int64)
+        torder = np.argsort(tid, kind="stable")
+        counts = np.bincount(tid, minlength=len(tok_ids)).astype(np.int64)
+        self.tok_bucket = tok_ids  # token -> bucket id (plain str->int)
+        self.tok_offs = np.r_[0, np.cumsum(counts)]
+        self.tok_members = aid[torder]
         self.no_disc = np.array(sorted(no_disc), dtype=np.int64)
         self.idf = build_token_idf(self.alias_df)
 
@@ -405,26 +430,40 @@ class AliasLSHIndex:
         h = _shared_hasher()
         sigs = h.signatures([_blocknorm(m) for m in mentions])
         bands = h.band_hashes(sigs, NUM_BANDS)
-        scorer = LinkScorer(ray.put(self.idf))
+        scorer = LinkScorer(self.idf)
+        # bucket hits for ALL mentions per band in one searchsorted,
+        # instead of NUM_BANDS dict probes per mention
+        n = len(mentions)
+        hits: list = [[] for _ in range(n)]
+        for b in range(NUM_BANDS):
+            keys = self.band_keys[b]
+            if not len(keys):
+                continue
+            col = bands[:, b]
+            pos = np.searchsorted(keys, col)
+            inb = pos < len(keys)
+            valid = np.flatnonzero(inb & (keys[np.minimum(pos, len(keys) - 1)] == col))
+            offs, members = self.band_offs[b], self.band_members[b]
+            for i in valid:
+                p = pos[i]
+                hits[i].append(members[offs[p] : offs[p + 1]])
         out_m, out_e, out_s = [], [], []
         empty = np.array([], dtype=np.int64)
         for i, m in enumerate(mentions):
-            hit = [
-                self.index[b].get(int(bands[i, b]))
-                for b in range(NUM_BANDS)
-            ]
-            hit = [a for a in hit if a is not None]
+            hit = hits[i]
             if not hit:
                 continue
             cand = np.unique(np.concatenate(hit))
             m_disc = _disc_tokens(tokenize(m), self.token_df, self.max_df)
             if m_disc:
-                allowed = np.unique(
-                    np.concatenate(
-                        [self.tok2alias.get(t, empty) for t in m_disc]
-                        + [self.no_disc]
-                    )
-                )
+                slices = [self.no_disc]
+                for t in m_disc:
+                    j = self.tok_bucket.get(t)
+                    if j is not None:
+                        slices.append(
+                            self.tok_members[self.tok_offs[j] : self.tok_offs[j + 1]]
+                        )
+                allowed = np.unique(np.concatenate(slices))
                 cand = cand[np.isin(cand, allowed, assume_unique=True)]
             best = None
             for ai in cand:

@@ -60,12 +60,16 @@ class LinkScorer:
 
     ``idf_ref``: optional ``ray.put`` handle of the token-IDF dict
     (broadcast once, fetched in ``__init__`` — never re-shipped per
-    batch). Without it, falls back to unweighted trigram Jaccard.
+    batch), or the dict itself when the caller already holds it
+    in-process. Without it, falls back to unweighted trigram Jaccard.
     """
 
     def __init__(self, idf_ref=None, shingle_k: int = 3) -> None:
         self.k = shingle_k
-        self.idf = ray.get(idf_ref) if idf_ref is not None else None
+        if idf_ref is None or isinstance(idf_ref, dict):
+            self.idf = idf_ref
+        else:
+            self.idf = ray.get(idf_ref)
         self._max_idf = max(self.idf.values(), default=1.0) if self.idf else 1.0
         self._tok_cache: dict = {}
         self._shingle_cache: dict = {}

@@ -51,6 +51,15 @@ from .hashing import hash_strings, splitmix64
 
 DERIVED_KINDS = ("comps", "canon", "pending")
 
+COMPS_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+CANON_SCHEMA = pa.schema(
+    [
+        ("entity_id", pa.int64()),
+        ("surface", pa.string()),
+        ("partial_count", pa.int64()),
+    ]
+)
+
 
 def partition_ids(urls, n_partitions: int):
     """Stable partition assignment for url arrays (fixed hash, versioned)."""
@@ -83,6 +92,11 @@ class ManifestStore:
         self.manifest_dir = os.path.join(out_dir, "_manifest")
         self.triples_dir = os.path.join(out_dir, "triples")
         self.derived_dir = os.path.join(out_dir, "_derived")
+        # final edge-table fragments, written by the SAME pass that
+        # checkpoints triples (the rows are identical after a filter +
+        # projection, so a separate corpus re-scan to produce them is
+        # pure waste); recovery deltas land as a root-level delta file
+        self.edges_dir = os.path.join(out_dir, "edges")
         os.makedirs(self.manifest_dir, exist_ok=True)
         os.makedirs(self.triples_dir, exist_ok=True)
         os.makedirs(self.derived_dir, exist_ok=True)
@@ -165,6 +179,35 @@ class ManifestStore:
                         return False
         return True
 
+    def edges_paths(self) -> list:
+        """Manifest-listed edge fragments for every committed partition
+        (never a directory glob, so strays from crashed runs are
+        invisible)."""
+        paths = []
+        for m in self._manifests():
+            pid = int(m["partition_id"])
+            edir = os.path.join(self.edges_dir, f"part-{pid:05d}")
+            for fr in m.get("fragments", []):
+                paths.append(os.path.join(edir, fr))
+        return sorted(paths)
+
+    def has_edges(self) -> bool:
+        """True when every committed partition's edge fragments exist —
+        a checkpoint dir written by a pre-edges engine version falls back
+        to the corpus-scan edges path."""
+        manifests = self._manifests()
+        if not manifests:
+            return False
+        for m in manifests:
+            if "fragments" not in m:
+                return False
+            pid = int(m["partition_id"])
+            edir = os.path.join(self.edges_dir, f"part-{pid:05d}")
+            for fr in m["fragments"]:
+                if not os.path.exists(os.path.join(edir, fr)):
+                    return False
+        return True
+
     def unresolved_from_manifests(self) -> list:
         """Union of the per-partition unresolved surfaces (lineage field)
         — lets a resumed run rebuild the global unknown set without
@@ -203,9 +246,9 @@ class ManifestStore:
                 g["obj_id"] = g["obj_norm"].map(lut).fillna(-1).astype("int64")
 
             cols = [
-                "part_id", "fragment", "n_triples", "n_urls", "n_predicates",
-                "content_hash", "url_sample", "unresolved", "bytes_written",
-                "comps_blob", "canon_blob", "pending_blob",
+                "part_id", "fragment", "n_triples", "n_edges", "n_urls",
+                "n_predicates", "content_hash", "url_sample", "unresolved",
+                "bytes_written", "comps_blob", "canon_blob", "pending_blob",
             ]
             if len(g) == 0:
                 return pd.DataFrame(
@@ -213,6 +256,7 @@ class ManifestStore:
                         "part_id": pd.Series([], dtype="int64"),
                         "fragment": pd.Series([], dtype="object"),
                         "n_triples": pd.Series([], dtype="int64"),
+                        "n_edges": pd.Series([], dtype="int64"),
                         "n_urls": pd.Series([], dtype="int64"),
                         "n_predicates": pd.Series([], dtype="int64"),
                         "content_hash": pd.Series([], dtype="uint64"),
@@ -225,6 +269,8 @@ class ManifestStore:
                     }
                 )
             out_rows = []
+            acc: dict = {"comps": [], "canon": [], "pending": []}
+            pending_schema = None
             for part_id, part in g.groupby("part_id", sort=True):
                 part_id = int(part_id)
                 frag = f"frag-{uuid.uuid4().hex[:12]}.parquet"
@@ -237,14 +283,40 @@ class ManifestStore:
                 _atomic_write(part_table, os.path.join(pdir, frag))
 
                 unresolved: list = []
-                blobs = {"comps": None, "canon": None, "pending": None}
+                n_edges = 0
                 if alias_ref is not None:
                     unresolved = sorted(
                         set(part.loc[part["subj_id"] < 0, "subj_norm"])
                         | set(part.loc[part["obj_id"] < 0, "obj_norm"])
                     )
-                    blobs = self._write_derived(
+                    dfs = self._write_derived(
                         part, part_table.schema, part_id, frag
+                    )
+                    pending_schema = part_table.schema
+                    for k in acc:
+                        acc[k].append(dfs[k])
+                    # final edge rows fall out of the same in-memory pass:
+                    # filter to both-resolved, project. Writing them here
+                    # removes the graph stage's whole-corpus edges re-scan.
+                    edges = part.loc[
+                        (part["subj_id"] >= 0) & (part["obj_id"] >= 0),
+                        ["subj_id", "pred", "obj_id", "conf", "url", "warc_ts"],
+                    ]
+                    n_edges = int(len(edges))
+                    edir = os.path.join(self.edges_dir, f"part-{part_id:05d}")
+                    os.makedirs(edir, exist_ok=True)
+                    _atomic_write(
+                        pa.Table.from_pandas(
+                            edges,
+                            schema=pa.schema(
+                                [
+                                    (n, part_table.schema.field(n).type)
+                                    for n in edges.columns
+                                ]
+                            ),
+                            preserve_index=False,
+                        ),
+                        os.path.join(edir, frag),
                     )
 
                 # vectorized content hash (order-independent XOR-reduce, so
@@ -262,6 +334,7 @@ class ManifestStore:
                         "part_id": part_id,
                         "fragment": frag,
                         "n_triples": int(len(part)),
+                        "n_edges": n_edges,
                         "n_urls": int(part["url"].nunique()),
                         "n_predicates": int(part["pred"].nunique()),
                         "content_hash": int(np.bitwise_xor.reduce(content))
@@ -276,10 +349,37 @@ class ManifestStore:
                         "bytes_written": int(
                             os.path.getsize(os.path.join(pdir, frag))
                         ),
-                        "comps_blob": blobs["comps"],
-                        "canon_blob": blobs["canon"],
-                        "pending_blob": blobs["pending"],
+                        "comps_blob": None,
+                        "canon_blob": None,
+                        "pending_blob": None,
                     }
+                )
+            # ONE pre-reduced derived blob per kind per TASK, not per
+            # fragment: the driver's blob concat was 13s at 4.5k blobs
+            # and is <1s at ~100. Comps/canon reduce across partitions
+            # (dedup / partial-sum); pending only concatenates. The
+            # per-partition DISK files written above are untouched —
+            # they are what a resumed run's skipped partitions read.
+            if alias_ref is not None and out_rows:
+                comps = pd.concat(acc["comps"], ignore_index=True).drop_duplicates()
+                canon = (
+                    pd.concat(acc["canon"], ignore_index=True)
+                    .groupby(["entity_id", "surface"], as_index=False)[
+                        "partial_count"
+                    ]
+                    .sum()
+                )
+                pending = pd.concat(acc["pending"], ignore_index=True)
+                out_rows[0]["comps_blob"] = ipc_bytes(
+                    pa.Table.from_pandas(comps, schema=COMPS_SCHEMA, preserve_index=False)
+                )
+                out_rows[0]["canon_blob"] = ipc_bytes(
+                    pa.Table.from_pandas(canon, schema=CANON_SCHEMA, preserve_index=False)
+                )
+                out_rows[0]["pending_blob"] = ipc_bytes(
+                    pa.Table.from_pandas(
+                        pending, schema=pending_schema, preserve_index=False
+                    )
                 )
             return pd.DataFrame(out_rows, columns=cols)
 
@@ -289,22 +389,17 @@ class ManifestStore:
         self, part: pd.DataFrame, part_schema: pa.Schema, part_id: int, frag: str
     ) -> None:
         """The graph stage's inputs, reduced per fragment (all
-        vocabulary-scale): locally-contracted component edges, partial
-        (entity, surface) mention counts, and unresolved-endpoint rows."""
-        from .graph.components import _UnionFind
+        vocabulary-scale): deduped component edges, partial
+        (entity, surface) mention counts, and unresolved-endpoint rows.
 
+        comps are deduped raw pairs, NOT locally contracted: the global
+        reduce union-finds over them anyway, so fragment-level
+        contraction only compressed — and its per-partition pure-Python
+        union/find loop was the single largest writer cost (~40% of the
+        writer CPU at bench scale)."""
         both = part[(part["subj_id"] >= 0) & (part["obj_id"] >= 0)]
-        pairs = both[["subj_id", "obj_id"]].drop_duplicates()
-        uf = _UnionFind()
-        for a, b in zip(pairs["subj_id"].to_numpy(), pairs["obj_id"].to_numpy()):
-            uf.union(int(a), int(b))
-        nodes_seen = sorted(set(pairs["subj_id"]) | set(pairs["obj_id"]))
-        comp_df = pd.DataFrame(
-            {
-                "src": np.array([uf.find(n) for n in nodes_seen], dtype=np.int64),
-                "dst": np.array(nodes_seen, dtype=np.int64),
-            }
-        )
+        comp_df = both[["subj_id", "obj_id"]].drop_duplicates()
+        comp_df.columns = ["src", "dst"]
         subj_m = part.loc[part["subj_id"] >= 0, ["subj_id", "subj_norm"]]
         subj_m.columns = ["entity_id", "surface"]
         obj_m = part.loc[part["obj_id"] >= 0, ["obj_id", "obj_norm"]]
@@ -319,25 +414,16 @@ class ManifestStore:
         # explicit schemas: a fragment with zero pending rows or zero
         # mentions must carry the SAME types as its siblings, or the
         # parallel read of the fragment set fails schema unification
-        canon_schema = pa.schema(
-            [
-                ("entity_id", pa.int64()),
-                ("surface", pa.string()),
-                ("partial_count", pa.int64()),
-            ]
-        )
-        blobs = {}
         for kind, df, schema in (
-            ("comps", comp_df, None),
-            ("canon", canon_df, canon_schema),
+            ("comps", comp_df, COMPS_SCHEMA),
+            ("canon", canon_df, CANON_SCHEMA),
             ("pending", pending_df, part_schema),
         ):
             ddir = os.path.join(self.derived_dir, f"{kind}-part-{part_id:05d}")
             os.makedirs(ddir, exist_ok=True)
             t = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
             _atomic_write(t, os.path.join(ddir, frag))
-            blobs[kind] = ipc_bytes(t)
-        return blobs
+        return {"comps": comp_df, "canon": canon_df, "pending": pending_df}
 
     def commit_manifests(self, summary: pd.DataFrame, run_id: str) -> int:
         """Fold fragment summary rows into one manifest per partition and
@@ -365,6 +451,9 @@ class ManifestStore:
                 "row_counts": {
                     "urls": int(rows["n_urls"].sum()),
                     "triples": int(rows["n_triples"].sum()),
+                    "edges": int(rows["n_edges"].sum())
+                    if "n_edges" in rows
+                    else 0,
                 },
                 "metrics": {
                     "written_at": time.time(),
@@ -390,6 +479,11 @@ class ManifestStore:
                     for f in os.listdir(ddir):
                         if f not in listed:
                             os.remove(os.path.join(ddir, f))
+            edir = os.path.join(self.edges_dir, f"part-{part_id:05d}")
+            if os.path.isdir(edir):
+                for f in os.listdir(edir):
+                    if f not in listed:
+                        os.remove(os.path.join(edir, f))
             mpath = os.path.join(self.manifest_dir, f"part-{part_id:05d}.json")
             mtmp = mpath + ".tmp"
             with open(mtmp, "w") as f:

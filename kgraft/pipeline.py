@@ -193,6 +193,8 @@ def extract_triples_checkpointed(
     _t = time.time()
     rows = summary.to_pandas()
     ext_t["job_sec"] = time.time() - _t
+    if os.environ.get("KGRAFT_STATS"):
+        print(summary.stats())
     _t = time.time()
     committed = store.commit_manifests(rows, run_id) if len(rows) else 0
     ext_t["commit_sec"] = time.time() - _t
@@ -484,7 +486,6 @@ def _build_graph_fused(
 
     import pyarrow.parquet as pq
 
-    from .graph.components import _UnionFind
     from .link.candidates import lsh_recover
 
     t_all = _time.time()
@@ -510,7 +511,17 @@ def _build_graph_fused(
         return rec
 
     edges_dir = os.path.join(out_dir, "edges")
-    _clear_dir(edges_dir)  # write_parquet appends; re-runs must not duplicate
+    edges_at_write = store.has_edges()
+    if edges_at_write:
+        # the checkpoint writer already materialized the exact-tier edge
+        # fragments in the same pass that wrote the triples — the only
+        # cleanup needed is a stale recovery-delta from a previous graph
+        # build over this checkpoint (it is re-derived below)
+        delta_path = os.path.join(edges_dir, "delta-recovered.parquet")
+        if os.path.exists(delta_path):
+            os.remove(delta_path)
+    else:
+        _clear_dir(edges_dir)  # write_parquet appends; re-runs must not duplicate
 
     def to_edges(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -522,6 +533,11 @@ def _build_graph_fused(
         return t.select(["subj_id", "pred", "obj_id", "conf", "url", "warc_ts"])
 
     def run_edges():
+        # fallback for checkpoints written by a pre-edges engine version:
+        # re-derive the edge table by scanning the triple fragments
+        if edges_at_write:
+            timings["edges_sec"] = 0.0
+            return
         t0 = _time.time()
         ray.data.read_parquet(triples_paths).map_batches(
             to_edges, batch_format="pyarrow"
@@ -611,7 +627,6 @@ def _build_graph_fused(
 
         comp, nodes_df, nodes_dir = _finalize_graph_driver(
             ray.get(base_ref),
-            comp_pairs,
             delta_edges,
             delta_canon,
             out_dir,
@@ -637,7 +652,17 @@ def _build_graph_fused(
         "timings": {k: round(v, 3) for k, v in timings.items()},
         "edges_dir": edges_dir,
         "nodes_dir": nodes_dir,
-        "n_edges": _parquet_rows(edges_dir),
+        # manifest-recorded counts when the writer produced the edge
+        # fragments (walking thousands of footers is serial driver time)
+        "n_edges": (
+            sum(
+                int(m.get("row_counts", {}).get("edges", 0))
+                for m in store._manifests()
+            )
+            + int(len(delta_edges))
+            if edges_at_write
+            else _parquet_rows(edges_dir)
+        ),
         "n_nodes": int(len(nodes_df)),
         "n_recovered_aliases": int(len(recovered)),
         "components": comp,
@@ -664,17 +689,16 @@ def _nodes_from_gsum(gsum: pd.DataFrame) -> pd.DataFrame:
 
 def _base_reduce(comp_pairs: pd.DataFrame, canon_partials: pd.DataFrame):
     """Delta-free reduction of the fragment partials (runs as a Ray task,
-    overlapped with recovery and the edges scan): union-find over the
-    contracted component pairs, canonical-surface pick over the mention
-    counts. Returns (union-find, summed counts, delta-free nodes rows)."""
-    from .graph.components import _UnionFind
+    overlapped with recovery): vectorized connected components over the
+    deduped pairs, canonical-surface pick over the mention counts.
+    Returns ((nodes, labels) arrays, summed counts, delta-free nodes
+    rows)."""
+    from .graph.components import components_numpy
 
-    # fragments repeat the same contracted edge many times; dedup in C
-    # before the pure-Python union loop
     pairs = comp_pairs.drop_duplicates()
-    uf = _UnionFind()
-    for a, b in zip(pairs["src"].to_numpy(), pairs["dst"].to_numpy()):
-        uf.union(int(a), int(b))
+    base_comp = components_numpy(
+        pairs["src"].to_numpy(dtype=np.int64), pairs["dst"].to_numpy(dtype=np.int64)
+    )
     gsum = (
         canon_partials.groupby(["entity_id", "surface"], as_index=False)[
             "partial_count"
@@ -682,11 +706,11 @@ def _base_reduce(comp_pairs: pd.DataFrame, canon_partials: pd.DataFrame):
         .sum()
         .rename(columns={"partial_count": "n"})
     )
-    return uf, gsum, _nodes_from_gsum(gsum)
+    return base_comp, gsum, _nodes_from_gsum(gsum)
 
 
 def _finalize_graph_driver(
-    base, comp_pairs, delta_edges, delta_canon, out_dir, timings
+    base, delta_edges, delta_canon, out_dir, timings
 ):
     """Fold the recovery deltas (recovery-scale, tiny) into the base
     reduction and write the nodes table."""
@@ -694,26 +718,20 @@ def _finalize_graph_driver(
 
     import pyarrow.parquet as pq
 
-    uf, gsum, nodes_df = base
+    (ent, lab), gsum, nodes_df = base
 
-    # components: extend the union-find with the recovered edges
+    # components: re-run the (vectorized) reduction over the contracted
+    # base (one label->node star edge per node) plus the recovery deltas
     t0 = _time.time()
     if len(delta_edges):
+        from .graph.components import components_numpy
+
         dpairs = delta_edges[["subj_id", "obj_id"]].drop_duplicates()
-        for a, b in zip(dpairs["subj_id"].to_numpy(), dpairs["obj_id"].to_numpy()):
-            uf.union(int(a), int(b))
-    comp_nodes = set(comp_pairs["src"]) | set(comp_pairs["dst"])
-    if len(delta_edges):
-        comp_nodes |= set(dpairs["subj_id"]) | set(dpairs["obj_id"])
-    comp_nodes = sorted(comp_nodes)
-    comp = pd.DataFrame(
-        {
-            "entity_id": np.array(comp_nodes, dtype=np.int64),
-            "component_id": np.array(
-                [uf.find(int(n)) for n in comp_nodes], dtype=np.int64
-            ),
-        }
-    )
+        ent, lab = components_numpy(
+            np.concatenate([lab, dpairs["subj_id"].to_numpy(dtype=np.int64)]),
+            np.concatenate([ent, dpairs["obj_id"].to_numpy(dtype=np.int64)]),
+        )
+    comp = pd.DataFrame({"entity_id": ent, "component_id": lab})
     timings["components_sec"] = _time.time() - t0
 
     # canonicalization: recompute only the entities the recovery deltas
@@ -754,13 +772,15 @@ def _finalize_graph_driver(
 
 
 def _parquet_rows(d: str) -> int:
+    """Row count from parquet footers only (no data read), recursing into
+    per-partition subdirectories."""
     import glob
 
     import pyarrow.parquet as pq
 
     return sum(
         pq.ParquetFile(p).metadata.num_rows
-        for p in glob.glob(os.path.join(d, "*.parquet"))
+        for p in glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
     )
 
 

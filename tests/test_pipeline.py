@@ -50,7 +50,10 @@ def test_linked_id_precision_recall(kg_run, corpus):
     edges = pd.concat(
         [
             pq.read_table(p).to_pandas()
-            for p in glob.glob(os.path.join(kg_run["edges_dir"], "*.parquet"))
+            for p in glob.glob(
+                os.path.join(kg_run["edges_dir"], "**", "*.parquet"),
+                recursive=True,
+            )
         ],
         ignore_index=True,
     )
