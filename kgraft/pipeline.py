@@ -200,20 +200,14 @@ def extract_triples_checkpointed(
     ext_t["commit_sec"] = time.time() - _t
     _t = time.time()
     # the derived partials rode back in the summary blobs — hand them to
-    # the graph stage so a fresh run never re-opens the fragment files
-    # it just wrote (a resumed run reads the skipped partitions from disk)
+    # the graph stage AS RAW IPC BYTES so a fresh run never re-opens the
+    # fragment files it just wrote (a resumed run reads the skipped
+    # partitions from disk); decoding happens in the reduce task, not on
+    # the driver
     derived_frames = None
     if len(rows) and rows["comps_blob"].notna().any():
-        # concat as ARROW, convert to pandas ONCE — a per-blob to_pandas
-        # here measured 11s of driver time at 1.5k fragments
         derived_frames = {
-            kind: pa.concat_tables(
-                [
-                    pa.ipc.open_stream(b).read_all()
-                    for b in rows[f"{kind}_blob"]
-                    if b is not None
-                ]
-            ).to_pandas()
+            kind: [b for b in rows[f"{kind}_blob"] if b is not None]
             for kind in ("comps", "canon", "pending")
         }
     ext_t["blob_sec"] = time.time() - _t
@@ -558,37 +552,43 @@ def _build_graph_fused(
         # graph critical path). Only a resumed run's skipped partitions
         # come from disk, via one multi-file pyarrow dataset scan.
         t0 = _time.time()
+        disk_parts = store.completed_partitions() - (covered_parts or set())
 
-        def _read_all(kind):
-            frames = []
-            if derived_frames is not None:
-                frames.append(derived_frames[kind])
-            disk_parts = store.completed_partitions() - (covered_parts or set())
-            if disk_parts:
-                import pyarrow.dataset as pads
+        def _disk_table(kind):
+            if not disk_parts:
+                return None
+            import pyarrow.dataset as pads
 
-                paths = store.derived_paths(kind, parts=disk_parts)
-                if paths:
-                    frames.append(
-                        pads.dataset(paths, format="parquet").to_table().to_pandas()
-                    )
-            if not frames:
-                return pd.DataFrame()
-            return pd.concat(frames, ignore_index=True)
+            paths = store.derived_paths(kind, parts=disk_parts)
+            if not paths:
+                return None
+            return pads.dataset(paths, format="parquet").to_table()
 
-        comp_pairs = _read_all("comps")
-        canon_partials = _read_all("canon")
-        pending = _read_all("pending")
+        def _blobs(kind):
+            return (derived_frames or {}).get(kind, [])
+
+        # pending is needed ON the driver (the recovery patch below);
+        # comps/canon go straight to the reduce task as raw IPC bytes —
+        # the driver never decodes or concatenates them
+        pend_tables = [pa.ipc.open_stream(b).read_all() for b in _blobs("pending")]
+        dt = _disk_table("pending")
+        if dt is not None:
+            pend_tables.append(dt)
+        pending = (
+            pa.concat_tables(pend_tables).to_pandas()
+            if pend_tables
+            else pd.DataFrame()
+        )
         timings["derived_read_sec"] = _time.time() - t0
 
-        # base reduce (union-find over contracted pairs + canonical pick,
-        # WITHOUT the recovery deltas) needs nothing from recovery, so it
-        # runs as a Ray task in parallel with recover and the edges scan
-        # — as a driver thread it would fight recover for the GIL. The
-        # deltas it misses are recovery-scale; the driver applies them
-        # incrementally afterwards.
+        # base reduce (connected components over deduped pairs + the
+        # canonical pick, WITHOUT the recovery deltas) needs nothing from
+        # recovery, so it runs as a Ray task in parallel with it — as a
+        # driver thread it would fight recover for the GIL. The deltas it
+        # misses are recovery-scale; the driver applies them afterwards.
         base_ref = ray.remote(num_cpus=1)(_base_reduce).remote(
-            comp_pairs, canon_partials
+            _blobs("comps"), _disk_table("comps"),
+            _blobs("canon"), _disk_table("canon"),
         )
 
         recovered = f_rec.result()
@@ -687,25 +687,49 @@ def _nodes_from_gsum(gsum: pd.DataFrame) -> pd.DataFrame:
     return nodes_df
 
 
-def _base_reduce(comp_pairs: pd.DataFrame, canon_partials: pd.DataFrame):
+def _base_reduce(comps_blobs, comps_extra, canon_blobs, canon_extra):
     """Delta-free reduction of the fragment partials (runs as a Ray task,
     overlapped with recovery): vectorized connected components over the
     deduped pairs, canonical-surface pick over the mention counts.
-    Returns ((nodes, labels) arrays, summed counts, delta-free nodes
-    rows)."""
+    Inputs are the writer's raw Arrow IPC blobs (bytes ship at memcpy
+    speed; decoding happens here, off the driver) plus an optional disk
+    table for a resumed run's skipped partitions. Returns ((nodes,
+    labels) arrays, summed counts, delta-free nodes rows)."""
     from .graph.components import components_numpy
 
-    pairs = comp_pairs.drop_duplicates()
-    base_comp = components_numpy(
-        pairs["src"].to_numpy(dtype=np.int64), pairs["dst"].to_numpy(dtype=np.int64)
-    )
-    gsum = (
-        canon_partials.groupby(["entity_id", "surface"], as_index=False)[
-            "partial_count"
-        ]
-        .sum()
-        .rename(columns={"partial_count": "n"})
-    )
+    def _concat(blobs, extra):
+        tabs = [pa.ipc.open_stream(b).read_all() for b in blobs]
+        if extra is not None:
+            tabs.append(extra)
+        return pa.concat_tables(tabs) if tabs else None
+
+    comp = _concat(comps_blobs, comps_extra)
+    if comp is not None and comp.num_rows:
+        # Arrow group_by with no aggregates = distinct, without a pandas
+        # round-trip of the multi-million-row pair set
+        pairs = comp.group_by(["src", "dst"]).aggregate([])
+        base_comp = components_numpy(
+            pairs["src"].to_numpy().astype(np.int64, copy=False),
+            pairs["dst"].to_numpy().astype(np.int64, copy=False),
+        )
+    else:
+        base_comp = (np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+    canon = _concat(canon_blobs, canon_extra)
+    if canon is not None and canon.num_rows:
+        gsum = (
+            canon.group_by(["entity_id", "surface"])
+            .aggregate([("partial_count", "sum")])
+            .rename_columns(["entity_id", "surface", "n"])
+            .to_pandas()
+        )
+    else:
+        gsum = pd.DataFrame(
+            {
+                "entity_id": pd.Series([], dtype="int64"),
+                "surface": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
     return base_comp, gsum, _nodes_from_gsum(gsum)
 
 
