@@ -20,6 +20,7 @@ import numpy as np
 import pyarrow as pa
 
 from .hashing import hash_strings
+from .util import pool_concurrency
 
 
 class ImageFeatureExtractor:
@@ -82,7 +83,7 @@ class ImageFeatureExtractor:
         )
 
 
-def extract_image_features(ds, id_col="url", payload_col="html", concurrency=(1, 4), batch_size=64):
+def extract_image_features(ds, id_col="url", payload_col="html", concurrency=None, batch_size=64):
     """Actor-pool feature extraction over a binary column. Small batches:
     payload bytes dominate block memory."""
     return ds.select_columns([id_col, payload_col]).map_batches(
@@ -90,5 +91,5 @@ def extract_image_features(ds, id_col="url", payload_col="html", concurrency=(1,
         fn_constructor_kwargs={"id_col": id_col, "payload_col": payload_col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or pool_concurrency(),
     )

@@ -583,12 +583,23 @@ def _build_graph_fused(
 
         # base reduce (connected components over deduped pairs + the
         # canonical pick, WITHOUT the recovery deltas) needs nothing from
-        # recovery, so it runs as a Ray task in parallel with it — as a
+        # recovery, so it runs on the cluster in parallel with it — as a
         # driver thread it would fight recover for the GIL. The deltas it
         # misses are recovery-scale; the driver applies them afterwards.
+        # TREE reduce: the per-fragment partials are locally contracted
+        # but their union still grows with the corpus (measured ~13s in
+        # one task at 1.6M pages / 10.5M edges), so shards first dedup+
+        # contract disjoint blob groups in parallel; the root merges the
+        # vocab-scale contracted results.
+        comps_blobs, canon_blobs = _blobs("comps"), _blobs("canon")
+        shard_fn = ray.remote(num_cpus=1)(_partial_reduce)
+        nsh = max(1, min(14, len(comps_blobs) // 8))
+        shard_refs = [
+            shard_fn.remote(comps_blobs[i::nsh], canon_blobs[i::nsh])
+            for i in range(nsh)
+        ]
         base_ref = ray.remote(num_cpus=1)(_base_reduce).remote(
-            _blobs("comps"), _disk_table("comps"),
-            _blobs("canon"), _disk_table("canon"),
+            shard_refs, _disk_table("comps"), _disk_table("canon")
         )
 
         recovered = f_rec.result()
@@ -625,8 +636,11 @@ def _build_graph_fused(
             delta_edges = pending[(pending["subj_id"] >= 0) & (pending["obj_id"] >= 0)]
         timings["patch_sec"] = _time.time() - t0
 
+        t0 = _time.time()
+        base = ray.get(base_ref)
+        timings["base_reduce_wait_sec"] = _time.time() - t0
         comp, nodes_df, nodes_dir = _finalize_graph_driver(
-            ray.get(base_ref),
+            base,
             delta_edges,
             delta_canon,
             out_dir,
@@ -687,26 +701,62 @@ def _nodes_from_gsum(gsum: pd.DataFrame) -> pd.DataFrame:
     return nodes_df
 
 
-def _base_reduce(comps_blobs, comps_extra, canon_blobs, canon_extra):
-    """Delta-free reduction of the fragment partials (runs as a Ray task,
-    overlapped with recovery): vectorized connected components over the
-    deduped pairs, canonical-surface pick over the mention counts.
-    Inputs are the writer's raw Arrow IPC blobs (bytes ship at memcpy
-    speed; decoding happens here, off the driver) plus an optional disk
-    table for a resumed run's skipped partitions. Returns ((nodes,
-    labels) arrays, summed counts, delta-free nodes rows)."""
+def _partial_reduce(comps_blobs, canon_blobs):
+    """Tree-reduce leaf over a disjoint slice of the writer's fragment
+    partials: dedup the pair set and CONTRACT it — a local connected-
+    components pass turns the slice's pairs into one ``(node, label)``
+    star edge per node, which preserves connectivity under union — and
+    pre-sum the per-(entity, surface) mention counts. Each leaf's output
+    is vocabulary-scale, so the root merge no longer grows with the
+    corpus (the single-task reduce measured ~13 s at 1.6 M pages)."""
     from .graph.components import components_numpy
 
-    def _concat(blobs, extra):
+    def _concat(blobs):
         tabs = [pa.ipc.open_stream(b).read_all() for b in blobs]
-        if extra is not None:
-            tabs.append(extra)
         return pa.concat_tables(tabs) if tabs else None
 
-    comp = _concat(comps_blobs, comps_extra)
+    comp = _concat(comps_blobs)
+    pairs = None
     if comp is not None and comp.num_rows:
         # Arrow group_by with no aggregates = distinct, without a pandas
         # round-trip of the multi-million-row pair set
+        uniq = comp.group_by(["src", "dst"]).aggregate([])
+        ent, lab = components_numpy(
+            uniq["src"].to_numpy().astype(np.int64, copy=False),
+            uniq["dst"].to_numpy().astype(np.int64, copy=False),
+        )
+        pairs = pa.table(
+            {"src": pa.array(ent, pa.int64()), "dst": pa.array(lab, pa.int64())}
+        )
+    canon = _concat(canon_blobs)
+    if canon is not None and canon.num_rows:
+        canon = (
+            canon.group_by(["entity_id", "surface"])
+            .aggregate([("partial_count", "sum")])
+            .rename_columns(["entity_id", "surface", "partial_count"])
+        )
+    else:
+        canon = None
+    return pairs, canon
+
+
+def _base_reduce(shard_refs, comps_extra, canon_extra):
+    """Delta-free reduction of the fragment partials (runs as a Ray task,
+    overlapped with recovery): vectorized connected components over the
+    shard-contracted pairs, canonical-surface pick over the pre-summed
+    mention counts. Inputs are ObjectRefs of :func:`_partial_reduce`
+    outputs (already vocab-scale) plus an optional disk table for a
+    resumed run's skipped partitions. Returns ((nodes, labels) arrays,
+    summed counts, delta-free nodes rows)."""
+    from .graph.components import components_numpy
+
+    parts = ray.get(list(shard_refs))
+
+    pair_tabs = [p for p, _ in parts if p is not None]
+    if comps_extra is not None and comps_extra.num_rows:
+        pair_tabs.append(comps_extra.select(["src", "dst"]))
+    if pair_tabs:
+        comp = pa.concat_tables(pair_tabs)
         pairs = comp.group_by(["src", "dst"]).aggregate([])
         base_comp = components_numpy(
             pairs["src"].to_numpy().astype(np.int64, copy=False),
@@ -714,8 +764,14 @@ def _base_reduce(comps_blobs, comps_extra, canon_blobs, canon_extra):
         )
     else:
         base_comp = (np.array([], dtype=np.int64), np.array([], dtype=np.int64))
-    canon = _concat(canon_blobs, canon_extra)
-    if canon is not None and canon.num_rows:
+
+    canon_tabs = [c for _, c in parts if c is not None]
+    if canon_extra is not None and canon_extra.num_rows:
+        canon_tabs.append(
+            canon_extra.select(["entity_id", "surface", "partial_count"])
+        )
+    if canon_tabs:
+        canon = pa.concat_tables(canon_tabs)
         gsum = (
             canon.group_by(["entity_id", "surface"])
             .aggregate([("partial_count", "sum")])

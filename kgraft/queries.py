@@ -21,6 +21,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
+from .util import pool_concurrency
+
 from . import embedops, textops
 from .relational import (
     broadcast_join,
@@ -1136,7 +1138,7 @@ def kg_mentions(sf_dir: str):
         MentionDetector,
         fn_constructor_args=(ref,),
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=pool_concurrency(),
         batch_size=512,
     )
 
@@ -1160,7 +1162,7 @@ def kg_triples_llm(sf_dir: str):
     with_err = segs.map_batches(
         LLMTripleExtractor,
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=pool_concurrency(),
         batch_size=256,
     )
     ok, _dead = split_dead_letters(with_err)

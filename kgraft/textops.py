@@ -20,6 +20,7 @@ import pyarrow as pa
 import ray
 
 from .hashing import MinHasher, hash_strings, jaccard, simhash64
+from .util import pool_concurrency
 
 
 # ---------------------------------------------------------------------------
@@ -115,10 +116,10 @@ def sketch_docs(docs, num_perm: int = 128, text_col: str = "text", shingle_k: in
         _DocSketcher,
         fn_constructor_args=(num_perm, text_col, shingle_k),
         batch_format="pyarrow",
-        # Autoscaling (1, 4): a fixed-size pool here plus the verifier pool
-        # downstream can reserve every CPU and starve the shuffle between
-        # them (observed deadlock at num_cpus=8).
-        concurrency=(1, 4),
+        # Autoscaling from 1 actor: a fixed-size pool here plus the
+        # verifier pool downstream can reserve every CPU and starve the
+        # shuffle between them (observed deadlock at num_cpus=8).
+        concurrency=pool_concurrency(),
     )
 
 
@@ -630,7 +631,7 @@ class LangId:
 
 def langid_docs(docs):
     return docs.select_columns(["doc_id", "text"]).map_batches(
-        LangId, batch_format="pandas", concurrency=(1, 4)
+        LangId, batch_format="pandas", concurrency=pool_concurrency()
     )
 
 
