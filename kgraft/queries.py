@@ -941,6 +941,99 @@ SELECT user_id, count(*) AS n_sessions FROM (
 """
 
 
+def user_event_windows(sf_dir: str):
+    """Partitioned window functions over the click stream: per user,
+    ordered by (ts, event_id) — row_number, lag(value), running sum,
+    3-row rolling mean. One bucketed shuffle on user_id; everything
+    inside a bucket is a vectorized pandas groupby transform."""
+    from .relational import windowed
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+    clicks = ds.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "ts", "user_id", "value"]
+    )
+    win = windowed(
+        clicks,
+        part_keys="user_id",
+        order_keys=["ts", "event_id"],
+        specs={
+            "rn": ("row_number", None),
+            "prev_value": ("lag", "value", 1),
+            "run_value": ("cumsum", "value"),
+            "avg3": ("rolling_mean", "value", 3),
+        },
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("prev_value", "run_value", "avg3"):
+            df[c] = df[c].round(4)
+        return df[["event_id", "user_id", "rn", "prev_value", "run_value", "avg3"]]
+
+    return win.map_batches(fin, batch_format="pandas").sort("event_id").to_pandas()
+
+
+_WINDOWS_SQL = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       round(coalesce(lag(value) OVER w, 0.0), 4) AS prev_value,
+       round(sum(value) OVER (w ROWS UNBOUNDED PRECEDING), 4) AS run_value,
+       round(avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3
+FROM events
+WHERE event_type = 'click'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""
+
+
+def users_per_hour(sf_dir: str) -> pd.DataFrame:
+    """Grouped COUNT DISTINCT: unique active users per hour. Two
+    partial-combined shuffles (distinct pairs, then grouped count) —
+    raw events never shuffle."""
+    from .relational import grouped_count_distinct
+
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+
+    def add_hour(df: pd.DataFrame) -> pd.DataFrame:
+        epoch = df["ts"].astype("int64") // 1_000_000
+        out = pd.DataFrame(
+            {"hour_epoch": (epoch // 3600) * 3600, "user_id": df["user_id"]}
+        )
+        return out
+
+    hours = ds.map_batches(add_hour, batch_format="pandas")
+    out = grouped_count_distinct(hours, "hour_epoch", "user_id", out_col="n_users")
+    df = out.to_pandas()
+    df["n_users"] = df["n_users"].astype("int64")
+    return df
+
+
+_USERS_PER_HOUR_SQL = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+def median_price_by_priority(sf_dir: str) -> pd.DataFrame:
+    """Exact discrete median order price per priority class, computed
+    from a partial-combined (priority, price) histogram — raw orders
+    never shuffle, and the per-group walk touches distinct values only."""
+    from .relational import grouped_quantile_disc
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    out = grouped_quantile_disc(
+        orders, "o_orderpriority", "o_totalprice", q=0.5, out_col="median_price"
+    ).to_pandas()
+    out["median_price"] = out["median_price"].round(2)
+    return out
+
+
+_MEDIAN_PRICE_SQL = """
+SELECT o_orderpriority, round(quantile_disc(o_totalprice, 0.5), 2) AS median_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup + text analysis
 
@@ -1252,6 +1345,9 @@ QUERIES = {
     "customers_without_big_orders": customers_without_big_orders,
     "hourly_event_stats": hourly_event_stats,
     "user_sessions": user_sessions,
+    "user_event_windows": user_event_windows,
+    "users_per_hour": users_per_hour,
+    "median_price_by_priority": median_price_by_priority,
     "dedup_exact_docs": dedup_exact_docs,
     "token_count_docs": token_count_docs,
     "doc_stats_by_lang": doc_stats_by_lang,
@@ -1297,6 +1393,9 @@ ORACLE_SQL = {
     "customers_without_big_orders": _NO_BIG_ORDERS_SQL,
     "hourly_event_stats": _HOURLY_SQL,
     "user_sessions": _SESSIONS_SQL,
+    "user_event_windows": _WINDOWS_SQL,
+    "users_per_hour": _USERS_PER_HOUR_SQL,
+    "median_price_by_priority": _MEDIAN_PRICE_SQL,
     "dedup_exact_docs": _DEDUP_EXACT_SQL,
     "token_count_docs": _TOKEN_COUNT_SQL,
     "doc_stats_by_lang": _DOC_STATS_SQL,

@@ -170,3 +170,69 @@ def test_asof_join_matches_pandas(ray_session):
     pd.testing.assert_series_equal(
         got["rv"].astype("float64"), want["rv"].astype("float64"), check_names=False
     )
+
+
+def test_windowed_matches_pandas_oracle():
+    import ray
+
+    from kgraft.relational import windowed
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {
+            "pid": rng.randint(0, 23, 400),
+            "ord": rng.permutation(400),
+            "v": rng.rand(400) * 100,
+        }
+    )
+    got = (
+        windowed(
+            ray.data.from_pandas(df.sample(frac=1, random_state=1)),
+            part_keys="pid",
+            order_keys="ord",
+            specs={
+                "rn": ("row_number", None),
+                "prev": ("lag", "v", 1),
+                "run": ("cumsum", "v"),
+                "m3": ("rolling_mean", "v", 3),
+            },
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["pid", "ord"])
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["pid", "ord"]).reset_index(drop=True)
+    g = want.groupby("pid", sort=False)
+    want["rn"] = (g.cumcount() + 1).astype("int64")
+    want["prev"] = g["v"].shift(1).fillna(0.0)
+    want["run"] = g["v"].cumsum()
+    want["m3"] = g["v"].rolling(3, min_periods=1).mean().reset_index(drop=True).to_numpy()
+    for c in ("rn", "prev", "run", "m3"):
+        np.testing.assert_allclose(got[c].to_numpy(), want[c].to_numpy(), rtol=1e-12)
+
+
+def test_grouped_quantile_disc_matches_duckdb():
+    import ray
+
+    from kgraft.relational import grouped_quantile_disc
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 7, 500),
+            # duplicate-heavy values exercise the histogram combine
+            "v": rng.randint(0, 40, 500).astype("float64"),
+        }
+    )
+    for q in (0.25, 0.5, 0.9):
+        got = (
+            grouped_quantile_disc(ray.data.from_pandas(df), "k", "v", q=q, num_buckets=8)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            f"SELECT k, quantile_disc(v, {q}) AS vq FROM df GROUP BY k ORDER BY k"
+        ).df()
+        np.testing.assert_allclose(got.iloc[:, 1].to_numpy(), want["vq"].to_numpy())
