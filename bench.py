@@ -86,22 +86,26 @@ def run_headline(
     """Fresh (non-resumed) flagship pipeline run; returns timing metrics."""
     from kgraft.pipeline import PipelineConfig, run_kg_pipeline
     from kgraft.queries import _pages_for
-    from kgraft.synth import corpus_dir
+    from kgraft.synth import corpus_dir, sharded_pages
 
     n_pages = n_pages or _pages_for(sf_dir)
     d = corpus_dir(n_pages)
+    pages_path = sharded_pages(d)
     out = f"/tmp/kgraft_bench/{out_tag}_n{n_pages}"
     shutil.rmtree(out, ignore_errors=True)
     # measured at 20k pages / 32 CPUs: partitions beyond 16 cost more in
     # per-partition writer overhead than they buy in parallelism at this
-    # corpus size. read_blocks = 4x CPUs: at 400k pages, CPU-count-sized
-    # blocks made ~14s tasks whose skew (8.5-17.4s) left CPUs idle at the
-    # tail; 4x smaller tasks smooth it (measured -15% extract wall).
-    cfg = PipelineConfig(n_partitions=16, read_blocks=num_cpus * 4)
+    # corpus size. read_blocks targets ~2000-page (~4 s) tasks: CPU-count-
+    # sized blocks made ~14s tasks whose skew (8.5-17.4s) left CPUs idle
+    # at the tail, and exact-multiple-of-CPUs task counts quantize the
+    # job into whole waves whose last straggler idles the cluster.
+    cfg = PipelineConfig(
+        n_partitions=16, read_blocks=max(num_cpus * 4, n_pages // 2000)
+    )
     _warm_workers(num_cpus)
     t0 = time.time()
     res = run_kg_pipeline(
-        os.path.join(d, "pages.parquet"),
+        pages_path,
         os.path.join(d, "alias_dict.parquet"),
         out,
         cfg,
@@ -218,10 +222,12 @@ def main() -> None:
     if not pages:
         from kgraft.synth import SYNTH_VERSION
 
-        # capped at 400k: the default bench must finish in ~5 min even with
-        # the 8-CPU child; the 800k scaling evidence is `--scaling`'s job
+        # prefer 800k (compute-dominated: fixed graph-stage cost and wave
+        # quantization amortize, so the recorded scaling efficiency
+        # reflects the engine), falling back to smaller cached corpora —
+        # never force a cold multi-minute generation inside the bench
         pages = 100000
-        for cand in (400000, 200000):
+        for cand in (800000, 400000, 200000):
             marker = f"/tmp/kgraft_corpus/v{SYNTH_VERSION}_n{cand}_s42/_COMPLETE"
             if os.path.exists(marker):
                 pages = cand

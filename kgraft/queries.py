@@ -1174,7 +1174,7 @@ def _kg_outputs(sf_dir: str) -> dict:
     """Run (or reuse) the flagship pipeline for this scale. Memoized so the
     kg_triples/kg_nodes/kg_edges queries share one run per process."""
     from .pipeline import PipelineConfig, run_kg_pipeline
-    from .synth import SYNTH_VERSION, corpus_dir
+    from .synth import SYNTH_VERSION, corpus_dir, sharded_pages
 
     n = _pages_for(sf_dir)
     if n in _KG_CACHE:
@@ -1185,7 +1185,7 @@ def _kg_outputs(sf_dir: str) -> dict:
     # version after a SYNTH_VERSION bump (ADVICE r1)
     out = f"/tmp/kgraft_out/v{SYNTH_VERSION}_n{n}_s42"
     res = run_kg_pipeline(
-        os.path.join(d, "pages.parquet"),
+        sharded_pages(d),
         os.path.join(d, "alias_dict.parquet"),
         out,
         PipelineConfig(),
@@ -1216,11 +1216,11 @@ def kg_mentions(sf_dir: str):
     synthetic corpus segments (actor pool, broadcast alias dict)."""
     from .extract.segment import html_to_text_batch, segment_batch
     from .models.ner import MentionDetector
-    from .synth import corpus_dir
+    from .synth import corpus_dir, sharded_pages
 
     d = corpus_dir(_pages_for(sf_dir))
     pages = ray.data.read_parquet(
-        os.path.join(d, "pages.parquet"), columns=["url", "warc_ts", "html", "lang"]
+        sharded_pages(d), columns=["url", "warc_ts", "html", "lang"]
     )
     segs = pages.map_batches(html_to_text_batch, batch_format="pyarrow").map_batches(
         segment_batch, batch_format="pyarrow"
@@ -1243,11 +1243,11 @@ def kg_triples_llm(sf_dir: str):
     the clean triples returned."""
     from .extract.segment import html_to_text_batch, segment_batch
     from .models.llm import LLMTripleExtractor, split_dead_letters
-    from .synth import corpus_dir
+    from .synth import corpus_dir, sharded_pages
 
     d = corpus_dir(_pages_for(sf_dir))
     pages = ray.data.read_parquet(
-        os.path.join(d, "pages.parquet"), columns=["url", "warc_ts", "html", "lang"]
+        sharded_pages(d), columns=["url", "warc_ts", "html", "lang"]
     )
     segs = pages.map_batches(html_to_text_batch, batch_format="pyarrow").map_batches(
         segment_batch, batch_format="pyarrow"
@@ -1266,11 +1266,11 @@ def page_meta(sf_dir: str):
     """Reference get_Meta as data: (url, title, h1, meta_description)
     projected from the raw HTML (gondar/tools/entrez.py:21-33)."""
     from .extract.meta import page_meta_batch
-    from .synth import corpus_dir
+    from .synth import corpus_dir, sharded_pages
 
     d = corpus_dir(_pages_for(sf_dir))
     pages = ray.data.read_parquet(
-        os.path.join(d, "pages.parquet"), columns=["url", "html"]
+        sharded_pages(d), columns=["url", "html"]
     )
     return pages.map_batches(page_meta_batch, batch_format="pyarrow")
 
@@ -1279,11 +1279,11 @@ def page_tables(sf_dir: str):
     """Reference get_Tables as data: attr-stripped table subtrees per
     page (gondar/tools/entrez.py:71-85) as a list<string> column."""
     from .extract.meta import page_tables_batch
-    from .synth import corpus_dir
+    from .synth import corpus_dir, sharded_pages
 
     d = corpus_dir(_pages_for(sf_dir))
     pages = ray.data.read_parquet(
-        os.path.join(d, "pages.parquet"), columns=["url", "html"]
+        sharded_pages(d), columns=["url", "html"]
     )
     return pages.map_batches(page_tables_batch, batch_format="pyarrow")
 
@@ -1293,11 +1293,11 @@ def kg_extract_text(sf_dir: str):
     return (url, text_hash) for every page."""
     from .extract.segment import html_to_text_batch
     from .hashing import hash_strings
-    from .synth import corpus_dir
+    from .synth import corpus_dir, sharded_pages
 
     d = corpus_dir(_pages_for(sf_dir))
     pages = ray.data.read_parquet(
-        os.path.join(d, "pages.parquet"), columns=["url", "warc_ts", "html", "lang"]
+        sharded_pages(d), columns=["url", "warc_ts", "html", "lang"]
     )
 
     def fn(t: pa.Table) -> pa.Table:
@@ -1312,11 +1312,11 @@ def image_features_q(sf_dir: str):
     """Multimodal plumbing demo: fake-decode features over the pages'
     binary column (actor pool, small batches)."""
     from .multimodal import extract_image_features
-    from .synth import corpus_dir
+    from .synth import corpus_dir, sharded_pages
 
     d = corpus_dir(_pages_for(sf_dir))
     pages = ray.data.read_parquet(
-        os.path.join(d, "pages.parquet"), columns=["url", "html"]
+        sharded_pages(d), columns=["url", "html"]
     )
     return extract_image_features(pages)
 
