@@ -59,6 +59,10 @@ CANON_SCHEMA = pa.schema(
         ("partial_count", pa.int64()),
     ]
 )
+# layout v2: one derived file per (task, kind) carrying part_id, so a
+# resumed run filters rows instead of opening 16x more files
+COMPS_SCHEMA_V2 = COMPS_SCHEMA.append(pa.field("part_id", pa.int64()))
+CANON_SCHEMA_V2 = CANON_SCHEMA.append(pa.field("part_id", pa.int64()))
 
 
 def partition_ids(urls, n_partitions: int):
@@ -145,7 +149,10 @@ class ManifestStore:
             pid = int(m["partition_id"])
             if parts is not None and pid not in parts:
                 continue
-            if "fragments" in m:
+            if m.get("layout") == 2:
+                ddir = os.path.join(self.derived_dir, kind)
+                paths.extend(os.path.join(ddir, fr) for fr in m["fragments"])
+            elif "fragments" in m:
                 ddir = os.path.join(self.derived_dir, f"{kind}-part-{pid:05d}")
                 paths.extend(os.path.join(ddir, fr) for fr in m["fragments"])
             else:
@@ -154,7 +161,43 @@ class ManifestStore:
                 )
                 if os.path.exists(p):
                     paths.append(p)
-        return sorted(paths)
+        return sorted(set(paths))
+
+    def derived_disk_table(self, kind: str, parts: set) -> "pa.Table | None":
+        """One Arrow table of a derived kind restricted to ``parts``
+        (a resumed run's skipped partitions), handling both layouts:
+        legacy files filter by FILE (per-partition dirs), v2 files carry
+        ``part_id`` and filter by ROW. ``part_id`` never leaves here."""
+        if not parts:
+            return None
+        import pyarrow.dataset as pads
+
+        legacy, v2 = [], []
+        for m in self._manifests():
+            pid = int(m["partition_id"])
+            if pid not in parts:
+                continue
+            if m.get("layout") == 2:
+                ddir = os.path.join(self.derived_dir, kind)
+                v2.extend(os.path.join(ddir, fr) for fr in m["fragments"])
+            elif "fragments" in m:
+                ddir = os.path.join(self.derived_dir, f"{kind}-part-{pid:05d}")
+                legacy.extend(os.path.join(ddir, fr) for fr in m["fragments"])
+            else:
+                p = os.path.join(self.derived_dir, f"{kind}-part-{pid:05d}.parquet")
+                if os.path.exists(p):
+                    legacy.append(p)
+        tabs = []
+        if legacy:
+            tabs.append(pads.dataset(sorted(set(legacy)), format="parquet").to_table())
+        if v2:
+            t = pads.dataset(sorted(set(v2)), format="parquet").to_table(
+                filter=pads.field("part_id").isin(sorted(parts))
+            )
+            tabs.append(t.drop_columns(["part_id"]))
+        if not tabs:
+            return None
+        return pa.concat_tables(tabs) if len(tabs) > 1 else tabs[0]
 
     def has_derived(self) -> bool:
         """True when every committed partition carries all three derived
@@ -165,7 +208,13 @@ class ManifestStore:
             return False
         for m in manifests:
             pid = int(m["partition_id"])
-            if "fragments" in m:
+            if m.get("layout") == 2:
+                for kind in DERIVED_KINDS:
+                    ddir = os.path.join(self.derived_dir, kind)
+                    for fr in m["fragments"]:
+                        if not os.path.exists(os.path.join(ddir, fr)):
+                            return False
+            elif "fragments" in m:
                 for kind in DERIVED_KINDS:
                     ddir = os.path.join(self.derived_dir, f"{kind}-part-{pid:05d}")
                     for fr in m["fragments"]:
@@ -235,11 +284,11 @@ class ManifestStore:
         derived_dir = self.derived_dir
 
         def write_fragments(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.reset_index(drop=True)  # positional index == content-hash rows
             if alias_ref is not None:
                 from .link.candidates import _cached_lut, _norm_series
 
                 lut = _cached_lut(alias_ref)
-                g = g.reset_index(drop=True)
                 g["subj_norm"] = _norm_series(g["subj"])
                 g["obj_norm"] = _norm_series(g["obj"])
                 g["subj_id"] = g["subj_norm"].map(lut).fillna(-1).astype("int64")
@@ -268,33 +317,75 @@ class ManifestStore:
                         "pending_blob": pd.Series([], dtype="object"),
                     }
                 )
+            frag = f"frag-{uuid.uuid4().hex[:12]}.parquet"
             out_rows = []
-            acc: dict = {"comps": [], "canon": [], "pending": []}
-            pending_schema = None
+
+            # ---- once-per-task work (was once-per-partition-slice: the
+            # 16x repetition of groupbys/hashing/derived writes made the
+            # writer cost rival the extractor's) ----
+            comps = canon = pending = None
+            pend_unresolved: dict = {}
+            if alias_ref is not None:
+                both = g[(g["subj_id"] >= 0) & (g["obj_id"] >= 0)]
+                comps = both[["subj_id", "obj_id", "part_id"]].drop_duplicates()
+                comps.columns = ["src", "dst", "part_id"]
+                sm = g.loc[g["subj_id"] >= 0, ["subj_id", "subj_norm", "part_id"]]
+                sm.columns = ["entity_id", "surface", "part_id"]
+                om = g.loc[g["obj_id"] >= 0, ["obj_id", "obj_norm", "part_id"]]
+                om.columns = ["entity_id", "surface", "part_id"]
+                canon = (
+                    pd.concat([sm, om], ignore_index=True)
+                    .groupby(["part_id", "entity_id", "surface"], as_index=False)
+                    .size()
+                    .rename(columns={"size": "partial_count"})
+                )
+                pending = g[(g["subj_id"] < 0) | (g["obj_id"] < 0)]
+                # per-partition unresolved surfaces (manifest lineage)
+                for pid, pp in pending.groupby("part_id"):
+                    pend_unresolved[int(pid)] = sorted(
+                        set(pp.loc[pp["subj_id"] < 0, "subj_norm"])
+                        | set(pp.loc[pp["obj_id"] < 0, "obj_norm"])
+                    )
+                # ONE derived file per kind per task (layout v2), carrying
+                # part_id so a resumed run can filter to its disk
+                # partitions; blobs below are what a fresh run consumes
+                pending_t = pa.Table.from_pandas(pending, preserve_index=False)
+                for kind, df, schema in (
+                    ("comps", comps, COMPS_SCHEMA_V2),
+                    ("canon", canon[["entity_id", "surface", "partial_count", "part_id"]], CANON_SCHEMA_V2),
+                ):
+                    ddir = os.path.join(derived_dir, kind)
+                    os.makedirs(ddir, exist_ok=True)
+                    _atomic_write(
+                        pa.Table.from_pandas(df, schema=schema, preserve_index=False),
+                        os.path.join(ddir, frag),
+                    )
+                ddir = os.path.join(derived_dir, "pending")
+                os.makedirs(ddir, exist_ok=True)
+                _atomic_write(pending_t, os.path.join(ddir, frag))
+
+            # vectorized content hash over the WHOLE block (order-
+            # independent XOR-reduce per partition, so fragment
+            # composition order cannot change the partition hash)
+            data_cols = [c for c in g.columns if c != "part_id"]
+            content = np.zeros(len(g), dtype=np.uint64)
+            for ci, c in enumerate(data_cols):
+                h = pd.util.hash_pandas_object(g[c], index=False).to_numpy(
+                    dtype=np.uint64
+                )
+                content ^= splitmix64(h ^ np.uint64(ci + 1))
+
             for part_id, part in g.groupby("part_id", sort=True):
                 part_id = int(part_id)
-                frag = f"frag-{uuid.uuid4().hex[:12]}.parquet"
-                part = part.drop(columns=["part_id"]).sort_values(
-                    ["url", "seg_idx", "subj", "pred", "obj"]
-                )
+                idx = part.index.to_numpy()
+                part = part.drop(columns=["part_id"])
                 pdir = os.path.join(triples_dir, f"part-{part_id:05d}")
                 os.makedirs(pdir, exist_ok=True)
                 part_table = pa.Table.from_pandas(part, preserve_index=False)
                 _atomic_write(part_table, os.path.join(pdir, frag))
 
-                unresolved: list = []
                 n_edges = 0
                 if alias_ref is not None:
-                    unresolved = sorted(
-                        set(part.loc[part["subj_id"] < 0, "subj_norm"])
-                        | set(part.loc[part["obj_id"] < 0, "obj_norm"])
-                    )
-                    dfs = self._write_derived(
-                        part, part_table.schema, part_id, frag
-                    )
-                    pending_schema = part_table.schema
-                    for k in acc:
-                        acc[k].append(dfs[k])
                     # final edge rows fall out of the same in-memory pass:
                     # filter to both-resolved, project. Writing them here
                     # removes the graph stage's whole-corpus edges re-scan.
@@ -319,16 +410,6 @@ class ManifestStore:
                         os.path.join(edir, frag),
                     )
 
-                # vectorized content hash (order-independent XOR-reduce, so
-                # fragment composition order cannot change the partition
-                # hash): hash each column, mix with a rotation so column
-                # order matters, XOR rows
-                content = np.zeros(len(part), dtype=np.uint64)
-                for ci, c in enumerate(part.columns):
-                    h = pd.util.hash_pandas_object(part[c], index=False).to_numpy(
-                        dtype=np.uint64
-                    )
-                    content ^= splitmix64(h ^ np.uint64(ci + 1))
                 out_rows.append(
                     {
                         "part_id": part_id,
@@ -337,15 +418,19 @@ class ManifestStore:
                         "n_edges": n_edges,
                         "n_urls": int(part["url"].nunique()),
                         "n_predicates": int(part["pred"].nunique()),
-                        "content_hash": int(np.bitwise_xor.reduce(content))
-                        if len(content)
+                        "content_hash": int(
+                            np.bitwise_xor.reduce(content[idx])
+                        )
+                        if len(idx)
                         else 0,
                         # JSON strings, not list cells: an empty block
                         # must present the same primitive schema
                         "url_sample": json.dumps(
                             sorted(part["url"].unique().tolist())[:8]
                         ),
-                        "unresolved": json.dumps(unresolved),
+                        "unresolved": json.dumps(
+                            pend_unresolved.get(part_id, [])
+                        ),
                         "bytes_written": int(
                             os.path.getsize(os.path.join(pdir, frag))
                         ),
@@ -354,76 +439,32 @@ class ManifestStore:
                         "pending_blob": None,
                     }
                 )
-            # ONE pre-reduced derived blob per kind per TASK, not per
-            # fragment: the driver's blob concat was 13s at 4.5k blobs
-            # and is <1s at ~100. Comps/canon reduce across partitions
-            # (dedup / partial-sum); pending only concatenates. The
-            # per-partition DISK files written above are untouched —
-            # they are what a resumed run's skipped partitions read.
+            # ONE pre-reduced derived blob per kind per TASK: what a fresh
+            # run's graph reduction consumes (the v2 disk files above are
+            # only for a resumed run's skipped partitions)
             if alias_ref is not None and out_rows:
-                comps = pd.concat(acc["comps"], ignore_index=True).drop_duplicates()
-                canon = (
-                    pd.concat(acc["canon"], ignore_index=True)
-                    .groupby(["entity_id", "surface"], as_index=False)[
-                        "partial_count"
-                    ]
-                    .sum()
-                )
-                pending = pd.concat(acc["pending"], ignore_index=True)
                 out_rows[0]["comps_blob"] = ipc_bytes(
-                    pa.Table.from_pandas(comps, schema=COMPS_SCHEMA, preserve_index=False)
+                    pa.Table.from_pandas(
+                        comps[["src", "dst"]].drop_duplicates(),
+                        schema=COMPS_SCHEMA,
+                        preserve_index=False,
+                    )
                 )
                 out_rows[0]["canon_blob"] = ipc_bytes(
-                    pa.Table.from_pandas(canon, schema=CANON_SCHEMA, preserve_index=False)
+                    pa.Table.from_pandas(
+                        canon.groupby(["entity_id", "surface"], as_index=False)[
+                            "partial_count"
+                        ].sum(),
+                        schema=CANON_SCHEMA,
+                        preserve_index=False,
+                    )
                 )
                 out_rows[0]["pending_blob"] = ipc_bytes(
-                    pa.Table.from_pandas(
-                        pending, schema=pending_schema, preserve_index=False
-                    )
+                    pending_t.drop_columns(["part_id"])
                 )
             return pd.DataFrame(out_rows, columns=cols)
 
         return write_fragments
-
-    def _write_derived(
-        self, part: pd.DataFrame, part_schema: pa.Schema, part_id: int, frag: str
-    ) -> None:
-        """The graph stage's inputs, reduced per fragment (all
-        vocabulary-scale): deduped component edges, partial
-        (entity, surface) mention counts, and unresolved-endpoint rows.
-
-        comps are deduped raw pairs, NOT locally contracted: the global
-        reduce union-finds over them anyway, so fragment-level
-        contraction only compressed — and its per-partition pure-Python
-        union/find loop was the single largest writer cost (~40% of the
-        writer CPU at bench scale)."""
-        both = part[(part["subj_id"] >= 0) & (part["obj_id"] >= 0)]
-        comp_df = both[["subj_id", "obj_id"]].drop_duplicates()
-        comp_df.columns = ["src", "dst"]
-        subj_m = part.loc[part["subj_id"] >= 0, ["subj_id", "subj_norm"]]
-        subj_m.columns = ["entity_id", "surface"]
-        obj_m = part.loc[part["obj_id"] >= 0, ["obj_id", "obj_norm"]]
-        obj_m.columns = ["entity_id", "surface"]
-        canon_df = (
-            pd.concat([subj_m, obj_m], ignore_index=True)
-            .groupby(["entity_id", "surface"], as_index=False)
-            .size()
-            .rename(columns={"size": "partial_count"})
-        )
-        pending_df = part[(part["subj_id"] < 0) | (part["obj_id"] < 0)]
-        # explicit schemas: a fragment with zero pending rows or zero
-        # mentions must carry the SAME types as its siblings, or the
-        # parallel read of the fragment set fails schema unification
-        for kind, df, schema in (
-            ("comps", comp_df, COMPS_SCHEMA),
-            ("canon", canon_df, CANON_SCHEMA),
-            ("pending", pending_df, part_schema),
-        ):
-            ddir = os.path.join(self.derived_dir, f"{kind}-part-{part_id:05d}")
-            os.makedirs(ddir, exist_ok=True)
-            t = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
-            _atomic_write(t, os.path.join(ddir, frag))
-        return {"comps": comp_df, "canon": canon_df, "pending": pending_df}
 
     def commit_manifests(self, summary: pd.DataFrame, run_id: str) -> int:
         """Fold fragment summary rows into one manifest per partition and
@@ -446,6 +487,7 @@ class ManifestStore:
                 content ^= int(h)
             manifest = {
                 "partition_id": part_id,
+                "layout": 2,
                 "fragments": frags,
                 "input_refs": url_sample,
                 "row_counts": {
@@ -473,12 +515,6 @@ class ManifestStore:
                 for f in os.listdir(pdir):
                     if f not in listed:
                         os.remove(os.path.join(pdir, f))
-            for kind in DERIVED_KINDS:
-                ddir = os.path.join(self.derived_dir, f"{kind}-part-{part_id:05d}")
-                if os.path.isdir(ddir):
-                    for f in os.listdir(ddir):
-                        if f not in listed:
-                            os.remove(os.path.join(ddir, f))
             edir = os.path.join(self.edges_dir, f"part-{part_id:05d}")
             if os.path.isdir(edir):
                 for f in os.listdir(edir):
@@ -490,4 +526,16 @@ class ManifestStore:
                 json.dump(manifest, f)
             os.replace(mtmp, mpath)
             n += 1
+        # v2 derived dirs are shared across partitions — prune against the
+        # union of EVERY committed manifest's fragment list (this run's
+        # plus prior runs'), never a single partition's
+        all_listed = set(summary["fragment"])
+        for m in self._manifests():
+            all_listed.update(m.get("fragments", []))
+        for kind in DERIVED_KINDS:
+            ddir = os.path.join(self.derived_dir, kind)
+            if os.path.isdir(ddir):
+                for f in os.listdir(ddir):
+                    if f not in all_listed:
+                        os.remove(os.path.join(ddir, f))
         return n

@@ -65,12 +65,121 @@ class PipelineConfig:
     # the extractor (models/llm.py max_retries)
 
 
+class _GraphFeeder:
+    """Incremental consumer of the extract job's summary stream.
+
+    The graph stage's inputs (tree-reduce leaves over the comps/canon
+    blobs, the pending-row concat, the LSH recovery probes) do not need
+    the WHOLE summary — each leaf covers a disjoint slice of tasks. So
+    the driver feeds summary blocks here as the streaming executor emits
+    them, and by the time the last extract task finishes most of the
+    graph reduction is already computed, off the critical path.
+    """
+
+    BLOB_GROUP = 16  # writer tasks per tree-reduce leaf
+    PROBE_MIN = 2048  # unknown surfaces per incremental recovery probe
+
+    def __init__(self, alias_index_future, threshold: float):
+        self._index_future = alias_index_future
+        self._threshold = threshold
+        self._comps: list = []
+        self._canon: list = []
+        self._pend: list = []
+        self._levels: dict[int, list] = {}  # merge-cascade: level -> refs
+        self.pending_refs: list = []
+        self.probe_refs: list = []
+        self.probed: set = set()
+        self.unresolved: set = set()
+        self._unprobed: list = []
+        self._shard_fn = ray.remote(num_cpus=1)(_partial_reduce)
+        self._merge_fn = ray.remote(num_cpus=1)(_merge_partials)
+        self._concat_fn = ray.remote(num_cpus=1)(_concat_ipc)
+
+    def _push_ref(self, ref, level: int = 0) -> None:
+        # eager binary merge cascade: two refs at a level merge into one
+        # at level+1 as soon as both exist, so the reduction tree runs
+        # DURING the extract job and the root sees O(log) residual refs
+        pool = self._levels.setdefault(level, [])
+        pool.append(ref)
+        if len(pool) == 2:
+            a, b = pool
+            self._levels[level] = []
+            self._push_ref(self._merge_fn.remote(a, b), level + 1)
+
+    @property
+    def shard_refs(self) -> list:
+        return [r for refs in self._levels.values() for r in refs]
+
+    def _index_ref(self):
+        f = self._index_future
+        if f is not None and f.done():
+            return f.result()[1]
+        return None
+
+    def feed(self, batch: pd.DataFrame) -> None:
+        for blob in batch["comps_blob"]:
+            if blob is not None:
+                self._comps.append(blob)
+        for blob in batch["canon_blob"]:
+            if blob is not None:
+                self._canon.append(blob)
+        for blob in batch["pending_blob"]:
+            if blob is not None:
+                self._pend.append(blob)
+        while len(self._comps) >= self.BLOB_GROUP:
+            self._push_ref(
+                self._shard_fn.remote(
+                    self._comps[: self.BLOB_GROUP], self._canon[: self.BLOB_GROUP]
+                )
+            )
+            del self._comps[: self.BLOB_GROUP]
+            del self._canon[: self.BLOB_GROUP]
+        while len(self._pend) >= self.BLOB_GROUP:
+            self.pending_refs.append(
+                self._concat_fn.remote(self._pend[: self.BLOB_GROUP], None)
+            )
+            del self._pend[: self.BLOB_GROUP]
+        for u in batch["unresolved"]:
+            for s in json.loads(u):
+                if s not in self.unresolved:
+                    self.unresolved.add(s)
+                    self._unprobed.append(s)
+        # recovery probes launch as soon as the alias index is broadcast
+        # (built on its own driver thread) and enough new unknowns
+        # accumulated — recovery work rides the extract job's tail
+        idx_ref = self._index_ref()
+        while idx_ref is not None and len(self._unprobed) >= self.PROBE_MIN:
+            chunk = self._unprobed[: self.PROBE_MIN]
+            del self._unprobed[: self.PROBE_MIN]
+            self.probe_refs.append(
+                _probe_chunk.remote(idx_ref, chunk, self._threshold)
+            )
+            self.probed.update(chunk)
+
+    def flush(self) -> None:
+        if self._comps or self._canon:
+            self._push_ref(self._shard_fn.remote(self._comps, self._canon))
+            self._comps, self._canon = [], []
+        if self._pend:
+            self.pending_refs.append(self._concat_fn.remote(self._pend, None))
+            self._pend = []
+
+
+@ray.remote(num_cpus=1)
+def _probe_chunk(index, surfaces, threshold):
+    """LSH-recovery probe over one chunk of unknown surfaces (index is a
+    broadcast AliasLSHIndex; Ray resolves the ObjectRef)."""
+    return index.recover(list(surfaces), threshold)
+
+
 def extract_triples_checkpointed(
     pages_path: str,
     store: ManifestStore,
     cfg: PipelineConfig,
     run_id: str,
     alias_path: str | None = None,
+    alias_lut_future=None,
+    feeder: _GraphFeeder | None = None,
 ) -> dict:
     """Stages 1-5 + exact-tier linking + checkpoint.
 
@@ -169,7 +278,11 @@ def extract_triples_checkpointed(
     ext_t: dict = {}
     _t = time.time()
     alias_ref = None
-    if alias_path is not None:
+    if alias_lut_future is not None:
+        # the broadcast alias LUT was built on the index driver thread,
+        # overlapped with read planning — this is normally a no-wait
+        alias_ref = alias_lut_future.result()
+    elif alias_path is not None:
         import pyarrow.parquet as pq
 
         adf = pq.read_table(alias_path).to_pandas()
@@ -191,31 +304,40 @@ def extract_triples_checkpointed(
     writer = store.make_fragment_writer(run_id, alias_ref=alias_ref)
     summary = triples.map_batches(writer, batch_format="pandas", batch_size=None)
     _t = time.time()
-    rows = summary.to_pandas()
+    # stream the summary: each block arrives as its writer task finishes,
+    # and the feeder launches graph-reduce leaves / pending concats /
+    # recovery probes for it immediately — the graph reduction overlaps
+    # the extract job instead of waiting behind a to_pandas barrier
+    parts_acc: list[pd.DataFrame] = []
+    meta_cols = [
+        c
+        for c in (
+            "part_id", "fragment", "n_triples", "n_edges", "n_urls",
+            "n_predicates", "content_hash", "url_sample", "unresolved",
+            "bytes_written",
+        )
+    ]
+    for batch in summary.iter_batches(batch_size=None, batch_format="pandas"):
+        if not len(batch):
+            continue
+        if feeder is not None and "comps_blob" in batch.columns:
+            feeder.feed(batch)
+        parts_acc.append(batch[[c for c in meta_cols if c in batch.columns]])
+    if feeder is not None:
+        feeder.flush()
+    rows = (
+        pd.concat(parts_acc, ignore_index=True) if parts_acc else pd.DataFrame()
+    )
     ext_t["job_sec"] = time.time() - _t
     if os.environ.get("KGRAFT_STATS"):
         print(summary.stats())
     _t = time.time()
     committed = store.commit_manifests(rows, run_id) if len(rows) else 0
     ext_t["commit_sec"] = time.time() - _t
-    _t = time.time()
-    # the derived partials rode back in the summary blobs — hand them to
-    # the graph stage AS RAW IPC BYTES so a fresh run never re-opens the
-    # fragment files it just wrote (a resumed run reads the skipped
-    # partitions from disk); decoding happens in the reduce task, not on
-    # the driver
-    derived_frames = None
-    if len(rows) and rows["comps_blob"].notna().any():
-        derived_frames = {
-            kind: [b for b in rows[f"{kind}_blob"] if b is not None]
-            for kind in ("comps", "canon", "pending")
-        }
-    ext_t["blob_sec"] = time.time() - _t
     return {
         "partitions_written": committed,
         "partitions_skipped": len(done),
         "triples_written": int(rows["n_triples"].sum()) if len(rows) else 0,
-        "derived_frames": derived_frames,
         "covered_parts": set(rows["part_id"].astype(int)) if len(rows) else set(),
         "extract_timings": {k: round(v, 3) for k, v in ext_t.items()},
     }
@@ -262,7 +384,7 @@ def build_graph_from_triples(
     cfg: PipelineConfig,
     store: ManifestStore | None = None,
     alias_index_future=None,
-    derived_frames=None,
+    feeder: _GraphFeeder | None = None,
     covered_parts=None,
 ) -> dict:
     """Stages 6-10: link, canonicalize, components, materialize graph.
@@ -285,7 +407,7 @@ def build_graph_from_triples(
         return _build_graph_fused(
             triples_paths, alias_path, alias_ds, out_dir, cfg, store, timings,
             alias_index_future=alias_index_future,
-            derived_frames=derived_frames, covered_parts=covered_parts,
+            feeder=feeder, covered_parts=covered_parts,
         )
 
     pre_resolved = (
@@ -460,7 +582,7 @@ def _build_graph_fused(
     store,
     timings: dict,
     alias_index_future=None,
-    derived_frames=None,
+    feeder: _GraphFeeder | None = None,
     covered_parts=None,
 ) -> dict:
     """Graph stage over the writer's fused derived outputs.
@@ -487,20 +609,35 @@ def _build_graph_fused(
 
     def recover():
         t0 = _time.time()
-        if not unknowns:
-            rec = pd.DataFrame({"mention": [], "entity_id": [], "score": []})
-        elif alias_index_future is not None:
+        probed = feeder.probed if feeder is not None else set()
+        remaining = [u for u in unknowns if u not in probed]
+        parts = []
+        if remaining and alias_index_future is not None:
             # flipped probe: the alias-side index was built (and ray.put)
             # on a driver thread during extraction; the probe itself is
-            # sharded across Ray tasks, off the driver's GIL
+            # sharded across Ray tasks, off the driver's GIL. Most
+            # surfaces were already probed incrementally by the feeder
+            # while extraction ran — this covers the tail (plus, on a
+            # resumed run, prior partitions' unresolved surfaces).
             idx, idx_ref = alias_index_future.result()
             timings["index_wait_sec"] = _time.time() - t0
-            rec = idx.recover_parallel(
-                unknowns, cfg.link_threshold, index_ref=idx_ref
+            parts.append(
+                idx.recover_parallel(
+                    remaining, cfg.link_threshold, index_ref=idx_ref
+                )
             )
-        else:
+        elif remaining:
             adf = pq.read_table(alias_path).to_pandas()
-            rec = lsh_recover(unknowns, alias_ds, cfg.link_threshold, alias_df=adf)
+            parts.append(
+                lsh_recover(remaining, alias_ds, cfg.link_threshold, alias_df=adf)
+            )
+        if feeder is not None and feeder.probe_refs:
+            parts.extend(ray.get(feeder.probe_refs))
+        rec = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame({"mention": [], "entity_id": [], "score": []})
+        )
         timings["recover_sec"] = _time.time() - t0
         return rec
 
@@ -545,61 +682,38 @@ def _build_graph_fused(
         f_edges = pool.submit(run_edges)
 
         # driver meanwhile: assemble the vocabulary-scale derived
-        # partials. For the partitions THIS run wrote, they arrived as
-        # Arrow IPC blobs in the writer's summary — zero file re-opens
-        # (one fragment per (task, partition) means thousands of tiny
-        # files at bench scale, and re-reading them cost 5-25s of the
-        # graph critical path). Only a resumed run's skipped partitions
-        # come from disk, via one multi-file pyarrow dataset scan.
+        # partials. For the partitions THIS run wrote, the feeder already
+        # launched tree-reduce leaves / pending concats per summary block
+        # WHILE extraction ran — zero file re-opens and (for a fresh run)
+        # near-zero residual work here. Only a resumed run's skipped
+        # partitions come from disk, via one multi-file pyarrow dataset
+        # scan.
         t0 = _time.time()
         disk_parts = store.completed_partitions() - (covered_parts or set())
 
         def _disk_table(kind):
-            if not disk_parts:
-                return None
-            import pyarrow.dataset as pads
+            return store.derived_disk_table(kind, disk_parts)
 
-            paths = store.derived_paths(kind, parts=disk_parts)
-            if not paths:
-                return None
-            return pads.dataset(paths, format="parquet").to_table()
-
-        def _blobs(kind):
-            return (derived_frames or {}).get(kind, [])
-
-        # pending is needed ON the driver (the recovery patch below);
-        # comps/canon go straight to the reduce task as raw IPC bytes —
-        # the driver never decodes or concatenates them. Pending's own
-        # decode also runs OFF the driver: on a driver thread it fights
-        # recover for the GIL (measured 4.3s at 800k pages / 400 blobs);
-        # a Ray task concats and plasma hands the Arrow table back
-        # near-zero-copy.
-        pend_blobs = _blobs("pending")
+        # pending is needed ON the driver (the recovery patch below); its
+        # per-group concats ran as Ray tasks during extraction — here only
+        # the final merge of those shard tables (plus a resumed run's disk
+        # partitions) happens, in a Ray task, off the driver's GIL.
+        pend_refs = feeder.pending_refs if feeder is not None else []
         pend_disk = _disk_table("pending")
         pending_ref = (
-            ray.remote(num_cpus=1)(_concat_ipc).remote(pend_blobs, pend_disk)
-            if (pend_blobs or pend_disk is not None)
+            ray.remote(num_cpus=1)(_merge_tables).remote(pend_refs, pend_disk)
+            if (pend_refs or pend_disk is not None)
             else None
         )
         timings["derived_read_sec"] = _time.time() - t0
 
         # base reduce (connected components over deduped pairs + the
         # canonical pick, WITHOUT the recovery deltas) needs nothing from
-        # recovery, so it runs on the cluster in parallel with it — as a
-        # driver thread it would fight recover for the GIL. The deltas it
-        # misses are recovery-scale; the driver applies them afterwards.
-        # TREE reduce: the per-fragment partials are locally contracted
-        # but their union still grows with the corpus (measured ~13s in
-        # one task at 1.6M pages / 10.5M edges), so shards first dedup+
-        # contract disjoint blob groups in parallel; the root merges the
-        # vocab-scale contracted results.
-        comps_blobs, canon_blobs = _blobs("comps"), _blobs("canon")
-        shard_fn = ray.remote(num_cpus=1)(_partial_reduce)
-        nsh = max(1, min(14, len(comps_blobs) // 8))
-        shard_refs = [
-            shard_fn.remote(comps_blobs[i::nsh], canon_blobs[i::nsh])
-            for i in range(nsh)
-        ]
+        # recovery, so it runs on the cluster in parallel with it. The
+        # tree LEAVES (_partial_reduce over disjoint blob groups) were
+        # launched incrementally by the feeder; the root merges their
+        # vocab-scale contracted outputs.
+        shard_refs = feeder.shard_refs if feeder is not None else []
         base_ref = ray.remote(num_cpus=1)(_base_reduce).remote(
             shard_refs, _disk_table("comps"), _disk_table("canon")
         )
@@ -720,6 +834,15 @@ def _concat_ipc(blobs, extra):
     return pa.concat_tables(tabs) if tabs else None
 
 
+def _merge_tables(refs, extra):
+    """Final merge of the feeder's pending-concat shard tables (runs as
+    a Ray task; ``refs`` are ObjectRefs of :func:`_concat_ipc` outputs)."""
+    tabs = [t for t in ray.get(list(refs)) if t is not None]
+    if extra is not None and extra.num_rows:
+        tabs.append(extra)
+    return pa.concat_tables(tabs) if tabs else None
+
+
 def _partial_reduce(comps_blobs, canon_blobs):
     """Tree-reduce leaf over a disjoint slice of the writer's fragment
     partials: dedup the pair set and CONTRACT it — a local connected-
@@ -756,6 +879,38 @@ def _partial_reduce(comps_blobs, canon_blobs):
         )
     else:
         canon = None
+    return pairs, canon
+
+
+def _merge_partials(a, b):
+    """Binary merge node of the feeder's reduce cascade: union two
+    contracted (pairs, canon) partials and contract again — local
+    connected components over star edges preserve global connectivity,
+    and the per-(entity, surface) counts just re-sum. Ray resolves the
+    two ObjectRef args; output stays vocabulary-scale."""
+    from .graph.components import components_numpy
+
+    (pa_a, ca_a), (pa_b, ca_b) = a, b
+    pair_tabs = [t for t in (pa_a, pa_b) if t is not None]
+    pairs = None
+    if pair_tabs:
+        uniq = pa.concat_tables(pair_tabs).group_by(["src", "dst"]).aggregate([])
+        ent, lab = components_numpy(
+            uniq["src"].to_numpy().astype(np.int64, copy=False),
+            uniq["dst"].to_numpy().astype(np.int64, copy=False),
+        )
+        pairs = pa.table(
+            {"src": pa.array(ent, pa.int64()), "dst": pa.array(lab, pa.int64())}
+        )
+    canon_tabs = [t for t in (ca_a, ca_b) if t is not None]
+    canon = None
+    if canon_tabs:
+        canon = (
+            pa.concat_tables(canon_tabs)
+            .group_by(["entity_id", "surface"])
+            .aggregate([("partial_count", "sum")])
+            .rename_columns(["entity_id", "surface", "partial_count"])
+        )
     return pairs, canon
 
 
@@ -906,39 +1061,49 @@ def run_kg_pipeline(
     # without reservation because upstream batch tasks always drain.
     ctx.op_resource_reservation_enabled = False
 
-    # build the alias-side LSH recovery index on a DRIVER thread while
-    # stage A runs on the cluster: the alias table is static per run, so
-    # by the time the graph stage needs recovery the index is ready and
-    # recovery is seconds of driver work instead of a cluster probe burst
-    # on the extract->graph critical path (link/candidates.AliasLSHIndex)
+    # build the broadcast alias LUT and then the alias-side LSH recovery
+    # index on a DRIVER thread while stage A runs on the cluster: the
+    # alias table is static per run, so the extract stage's exact tier
+    # picks up the LUT without reading the parquet on its critical path,
+    # and by the time recovery probes launch the index is broadcast
+    # (link/candidates.AliasLSHIndex)
     from concurrent.futures import ThreadPoolExecutor as _TPE
 
-    def _build_index():
+    def _build_lut():
         import pyarrow.parquet as _pq
 
+        adf = _pq.read_table(alias_path).to_pandas()
+        ref = ray.put(dict(zip(adf["alias"], adf["entity_id"].astype(int))))
+        return adf, ref
+
+    def _build_index(lut_future):
         from .link.candidates import AliasLSHIndex
 
-        idx = AliasLSHIndex(_pq.read_table(alias_path).to_pandas())
-        # broadcast once so the graph stage can shard recovery across
-        # Ray tasks without re-shipping the index
+        adf, _ = lut_future.result()
+        idx = AliasLSHIndex(adf)
+        # broadcast once so recovery can shard across Ray tasks without
+        # re-shipping the index
         return idx, ray.put(idx)
 
     _index_pool = _TPE(max_workers=1)
-    alias_index_future = _index_pool.submit(_build_index)
+    _lut_future = _index_pool.submit(_build_lut)
+    alias_lut_future = _index_pool.submit(lambda: _lut_future.result()[1])
+    alias_index_future = _index_pool.submit(_build_index, _lut_future)
     _index_pool.shutdown(wait=False)
+    feeder = _GraphFeeder(alias_index_future, cfg.link_threshold)
     os.makedirs(out_dir, exist_ok=True)
     store = ManifestStore(out_dir)
     t0 = time.time()
     stage_a = extract_triples_checkpointed(
-        pages_path, store, cfg, run_id, alias_path=alias_path
+        pages_path, store, cfg, run_id, alias_path=alias_path,
+        alias_lut_future=alias_lut_future, feeder=feeder,
     )
-    derived_frames = stage_a.pop("derived_frames", None)
     covered_parts = stage_a.pop("covered_parts", set())
     t1 = time.time()
     stage_b = build_graph_from_triples(
         store.partition_paths(), alias_path, out_dir, cfg, store=store,
         alias_index_future=alias_index_future,
-        derived_frames=derived_frames, covered_parts=covered_parts,
+        feeder=feeder, covered_parts=covered_parts,
     )
     t2 = time.time()
     metrics = {
