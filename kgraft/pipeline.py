@@ -94,6 +94,9 @@ class _GraphFeeder:
         self._shard_fn = ray.remote(num_cpus=1)(_partial_reduce)
         self._merge_fn = ray.remote(num_cpus=1)(_merge_partials)
         self._concat_fn = ray.remote(num_cpus=1)(_concat_ipc)
+        self.base_ref = None
+        self.pending_merged_ref = None
+        self.root_launched = False
 
     def _push_ref(self, ref, level: int = 0) -> None:
         # eager binary merge cascade: two refs at a level merge into one
@@ -163,6 +166,29 @@ class _GraphFeeder:
         if self._pend:
             self.pending_refs.append(self._concat_fn.remote(self._pend, None))
             self._pend = []
+
+    def launch_root(self, store, covered_parts: set) -> None:
+        """Kick off the root reduce + final pending merge the moment the
+        last summary block lands (before manifests commit), so by the
+        time the graph stage asks, both are done or nearly so. Disk
+        extras cover a resumed run's previously-committed partitions
+        (this run's commits happen after this call, so
+        ``completed_partitions()`` is exactly the prior-run set)."""
+        disk_parts = store.completed_partitions() - covered_parts
+        comps_extra = store.derived_disk_table("comps", disk_parts)
+        canon_extra = store.derived_disk_table("canon", disk_parts)
+        pend_extra = store.derived_disk_table("pending", disk_parts)
+        self.base_ref = ray.remote(num_cpus=1)(_base_reduce).remote(
+            self.shard_refs, comps_extra, canon_extra
+        )
+        self.pending_merged_ref = (
+            ray.remote(num_cpus=1)(_merge_tables).remote(
+                self.pending_refs, pend_extra
+            )
+            if (self.pending_refs or pend_extra is not None)
+            else None
+        )
+        self.root_launched = True
 
 
 @ray.remote(num_cpus=1)
@@ -323,11 +349,14 @@ def extract_triples_checkpointed(
         if feeder is not None and "comps_blob" in batch.columns:
             feeder.feed(batch)
         parts_acc.append(batch[[c for c in meta_cols if c in batch.columns]])
-    if feeder is not None:
-        feeder.flush()
     rows = (
         pd.concat(parts_acc, ignore_index=True) if parts_acc else pd.DataFrame()
     )
+    if feeder is not None:
+        feeder.flush()
+        feeder.launch_root(
+            store, set(rows["part_id"].astype(int)) if len(rows) else set()
+        )
     ext_t["job_sec"] = time.time() - _t
     if os.environ.get("KGRAFT_STATS"):
         print(summary.stats())
@@ -695,28 +724,25 @@ def _build_graph_fused(
             return store.derived_disk_table(kind, disk_parts)
 
         # pending is needed ON the driver (the recovery patch below); its
-        # per-group concats ran as Ray tasks during extraction — here only
-        # the final merge of those shard tables (plus a resumed run's disk
-        # partitions) happens, in a Ray task, off the driver's GIL.
-        pend_refs = feeder.pending_refs if feeder is not None else []
-        pend_disk = _disk_table("pending")
-        pending_ref = (
-            ray.remote(num_cpus=1)(_merge_tables).remote(pend_refs, pend_disk)
-            if (pend_refs or pend_disk is not None)
-            else None
-        )
+        # per-group concats ran as Ray tasks during extraction and the
+        # final merge + the root reduce were launched at flush time
+        # (feeder.launch_root) — normally both are already done here.
+        if feeder is not None and feeder.root_launched:
+            pending_ref = feeder.pending_merged_ref
+            base_ref = feeder.base_ref
+        else:
+            pend_refs = feeder.pending_refs if feeder is not None else []
+            pend_disk = _disk_table("pending")
+            pending_ref = (
+                ray.remote(num_cpus=1)(_merge_tables).remote(pend_refs, pend_disk)
+                if (pend_refs or pend_disk is not None)
+                else None
+            )
+            shard_refs = feeder.shard_refs if feeder is not None else []
+            base_ref = ray.remote(num_cpus=1)(_base_reduce).remote(
+                shard_refs, _disk_table("comps"), _disk_table("canon")
+            )
         timings["derived_read_sec"] = _time.time() - t0
-
-        # base reduce (connected components over deduped pairs + the
-        # canonical pick, WITHOUT the recovery deltas) needs nothing from
-        # recovery, so it runs on the cluster in parallel with it. The
-        # tree LEAVES (_partial_reduce over disjoint blob groups) were
-        # launched incrementally by the feeder; the root merges their
-        # vocab-scale contracted outputs.
-        shard_refs = feeder.shard_refs if feeder is not None else []
-        base_ref = ray.remote(num_cpus=1)(_base_reduce).remote(
-            shard_refs, _disk_table("comps"), _disk_table("canon")
-        )
 
         recovered = f_rec.result()
 
@@ -807,22 +833,46 @@ def _build_graph_fused(
     }
 
 
-def _nodes_from_gsum(gsum: pd.DataFrame) -> pd.DataFrame:
-    """(entity_id, surface, n) counts -> nodes rows. Same semantics as
-    graph.canonical.canonicalize: canonical = most-frequent surface,
-    ties -> lexicographically smallest; aliases sorted distinct."""
-    gsum = gsum.sort_values(["entity_id", "n", "surface"], ascending=[True, False, True])
-    agg = gsum.groupby("entity_id", sort=False).agg(
-        canonical=("surface", "first"), n_mentions=("n", "sum")
+def _nodes_from_gsum(gsum: pd.DataFrame) -> pa.Table:
+    """(entity_id, surface, n) counts -> nodes rows (Arrow). Same
+    semantics as graph.canonical.canonicalize: canonical = most-frequent
+    surface, ties -> lexicographically smallest; aliases sorted distinct.
+
+    One pandas sort + numpy group boundaries + an Arrow ListArray built
+    straight from offsets — the previous two-sorts-plus-agg(list) pandas
+    version was ~1s of the graph critical path at 80k entities."""
+    if not len(gsum):
+        return pa.table(
+            {
+                "entity_id": pa.array([], pa.int64()),
+                "canonical": pa.array([], pa.string()),
+                "aliases": pa.array([], pa.list_(pa.string())),
+                "n_mentions": pa.array([], pa.int64()),
+            }
+        )
+    df = gsum.sort_values(["entity_id", "surface"], ignore_index=True)
+    ent = df["entity_id"].to_numpy(dtype=np.int64)
+    n = df["n"].to_numpy(dtype=np.int64)
+    bounds = np.flatnonzero(np.r_[True, ent[1:] != ent[:-1]])
+    offsets = np.r_[bounds, len(ent)].astype(np.int32)
+    surf = pa.array(df["surface"], pa.string())
+    aliases = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), surf)
+    n_mentions = np.add.reduceat(n, bounds)
+    # canonical = first (i.e. lexicographically smallest, rows are
+    # surface-sorted within entity) row achieving the group max count
+    grp = np.cumsum(np.r_[False, ent[1:] != ent[:-1]])
+    gmax = np.maximum.reduceat(n, bounds)
+    pos = np.arange(len(ent), dtype=np.int64)
+    cand = np.where(n == gmax[grp], pos, np.iinfo(np.int64).max)
+    first_max = np.minimum.reduceat(cand, bounds)
+    return pa.table(
+        {
+            "entity_id": pa.array(ent[bounds], pa.int64()),
+            "canonical": surf.take(pa.array(first_max, pa.int64())),
+            "aliases": aliases,
+            "n_mentions": pa.array(n_mentions, pa.int64()),
+        }
     )
-    aliases = (
-        gsum.sort_values(["entity_id", "surface"])
-        .groupby("entity_id", sort=False)["surface"]
-        .agg(list)
-    )
-    nodes_df = agg.join(aliases.rename("aliases")).reset_index()
-    nodes_df["n_mentions"] = nodes_df["n_mentions"].astype("int64")
-    return nodes_df
 
 
 def _concat_ipc(blobs, extra):
@@ -950,17 +1000,19 @@ def _base_reduce(shard_refs, comps_extra, canon_extra):
             canon.group_by(["entity_id", "surface"])
             .aggregate([("partial_count", "sum")])
             .rename_columns(["entity_id", "surface", "n"])
-            .to_pandas()
         )
     else:
-        gsum = pd.DataFrame(
+        gsum = pa.table(
             {
-                "entity_id": pd.Series([], dtype="int64"),
-                "surface": pd.Series([], dtype="object"),
-                "n": pd.Series([], dtype="int64"),
+                "entity_id": pa.array([], pa.int64()),
+                "surface": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
             }
         )
-    return base_comp, gsum, _nodes_from_gsum(gsum)
+    # gsum stays Arrow (plasma hands it back to the driver zero-copy);
+    # nodes are pre-built here so the driver's finalize only patches the
+    # recovery-affected entities
+    return base_comp, gsum, _nodes_from_gsum(gsum.to_pandas())
 
 
 def _finalize_graph_driver(
@@ -972,7 +1024,7 @@ def _finalize_graph_driver(
 
     import pyarrow.parquet as pq
 
-    (ent, lab), gsum, nodes_df = base
+    (ent, lab), gsum, nodes_t = base
 
     # components: re-run the (vectorized) reduction over the contracted
     # base (one label->node star edge per node) plus the recovery deltas
@@ -989,40 +1041,53 @@ def _finalize_graph_driver(
     timings["components_sec"] = _time.time() - t0
 
     # canonicalization: recompute only the entities the recovery deltas
-    # touched; everything else keeps its delta-free row
+    # touched; everything else keeps its delta-free Arrow row as-is
     t0 = _time.time()
     dm = pd.concat(delta_canon, ignore_index=True) if delta_canon else pd.DataFrame()
     if len(dm):
+        import pyarrow.compute as pc
+
         dm = (
             dm.groupby(["entity_id", "surface"], as_index=False)
             .size()
             .rename(columns={"size": "n"})
         )
-        affected = set(dm["entity_id"])
+        affected = pa.array(sorted(set(dm["entity_id"])), pa.int64())
         sub = pd.concat(
-            [gsum[gsum["entity_id"].isin(affected)], dm], ignore_index=True
+            [
+                gsum.filter(pc.is_in(gsum["entity_id"], affected)).to_pandas(),
+                dm,
+            ],
+            ignore_index=True,
         )
         sub = sub.groupby(["entity_id", "surface"], as_index=False)["n"].sum()
-        nodes_df = pd.concat(
-            [nodes_df[~nodes_df["entity_id"].isin(affected)], _nodes_from_gsum(sub)],
-            ignore_index=True,
-        ).sort_values("entity_id", ignore_index=True)
-    comp_map = dict(zip(comp["entity_id"], comp["component_id"]))
-    nodes_df["component_id"] = (
-        nodes_df["entity_id"].map(comp_map).fillna(nodes_df["entity_id"]).astype("int64")
-    )
-    nodes_df = nodes_df[
-        ["entity_id", "canonical", "aliases", "component_id", "n_mentions"]
-    ]
+        keep = nodes_t.filter(
+            pc.invert(pc.is_in(nodes_t["entity_id"], affected))
+        )
+        nodes_t = pa.concat_tables([keep, _nodes_from_gsum(sub)]).sort_by(
+            "entity_id"
+        )
+    # component_id via searchsorted over the (sorted) component entity
+    # array — no python dict of the whole vocabulary
+    node_ids = nodes_t["entity_id"].to_numpy()
+    if len(ent):
+        order = np.argsort(ent, kind="stable")
+        s_ent, s_lab = ent[order], lab[order]
+        ins = np.searchsorted(s_ent, node_ids)
+        ins_c = np.minimum(ins, len(s_ent) - 1)
+        hit = s_ent[ins_c] == node_ids
+        cids = np.where(hit, s_lab[ins_c], node_ids)
+    else:
+        cids = node_ids
+    nodes_t = nodes_t.append_column(
+        "component_id", pa.array(cids, pa.int64())
+    ).select(["entity_id", "canonical", "aliases", "component_id", "n_mentions"])
     nodes_dir = os.path.join(out_dir, "nodes")
     _clear_dir(nodes_dir)
     os.makedirs(nodes_dir, exist_ok=True)
-    pq.write_table(
-        pa.Table.from_pandas(nodes_df, preserve_index=False),
-        os.path.join(nodes_dir, "nodes-00000.parquet"),
-    )
+    pq.write_table(nodes_t, os.path.join(nodes_dir, "nodes-00000.parquet"))
     timings["canonicalize_sec"] = _time.time() - t0
-    return comp, nodes_df, nodes_dir
+    return comp, nodes_t, nodes_dir
 
 
 def _parquet_rows(d: str) -> int:
