@@ -123,6 +123,19 @@ def run_headline(
     }
 
 
+def _largest_cached(target: int) -> int:
+    """Largest already-generated corpus <= target (never force a cold
+    multi-minute generation inside the bench)."""
+    from kgraft.synth import SYNTH_VERSION
+
+    for cand in (800000, 400000, 200000, 100000, 20000):
+        if cand <= target and os.path.exists(
+            f"/tmp/kgraft_corpus/v{SYNTH_VERSION}_n{cand}_s42/_COMPLETE"
+        ):
+            return cand
+    return min(target, 20000)
+
+
 def _pipeline_subprocess(cpus: int, pages: int, sf_dir: str) -> dict:
     """One fresh-process headline run (the N-vs-4N levels must not share
     a Ray session or page cache state)."""
@@ -242,18 +255,18 @@ def main() -> None:
             if os.path.exists(marker):
                 pages = cand
                 break
-    # best-of-N per level: this host is a shared hypervisor and single
-    # runs see ±30% external load; one noisy sample at either level
-    # corrupts the recorded scaling efficiency
+    # best-of-N per level, INTERLEAVED across levels: this host is a
+    # shared hypervisor whose external load comes in multi-minute windows
+    # (identical runs measured ±30-50% apart); running the levels of a
+    # ratio back-to-back in alternation gives each level a sample in each
+    # window, so one noisy window cannot corrupt the recorded efficiency
     repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
-    levels = {}
-    for cpus in (8, num_cpus):
-        best = None
-        for _ in range(repeats):
+    levels: dict = {}
+    for _ in range(repeats):
+        for cpus in (8, num_cpus):
             r = _pipeline_subprocess(cpus, pages, sf_dir)
-            if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
-                best = r
-        levels[cpus] = best
+            if cpus not in levels or r["docs_per_sec"] > levels[cpus]["docs_per_sec"]:
+                levels[cpus] = r
     headline = levels[num_cpus]
     eff = (
         (headline["docs_per_sec"] / levels[8]["docs_per_sec"]) / (num_cpus / 8)
@@ -263,18 +276,20 @@ def main() -> None:
 
     # Second N->4N pair BELOW the host's saturation knee (2->8 CPUs): on
     # this single shared 32-core socket, widths >=16 contend on the shared
-    # L3/memory subsystem, inflating per-core CPU time ~28% — a physical
-    # ceiling of ~0.78 on the 8->32 ratio that a real N->4N NODE scale-up
-    # (4x sockets, 4x caches, 4x DRAM) does not have. The 2->8 pair keeps
-    # the high level uncontended, so it isolates ENGINE scaling (fixed
-    # serial cost, barriers, stragglers) from host physics. Evidence and
-    # microbenchmarks: BASELINE.md "Host contention". Smaller corpus +
-    # single samples keep total bench time bounded; the long runs
-    # integrate over load noise.
-    low_pages = min(pages, 400000)
-    low_levels = {}
-    for cpus in (2, 8):
-        low_levels[cpus] = _pipeline_subprocess(cpus, low_pages, sf_dir)
+    # L3/memory subsystem, inflating per-core CPU time (measured ladder in
+    # BASELINE.md "Host contention") — a physical ceiling on the 8->32
+    # ratio that a real N->4N NODE scale-up (4x sockets, 4x caches, 4x
+    # DRAM) does not have. The 2->8 pair keeps the high level uncontended,
+    # so it isolates ENGINE scaling (fixed serial cost, barriers,
+    # stragglers) from host physics. A smaller corpus keeps the 2-CPU
+    # runs short enough to repeat.
+    low_pages = _largest_cached(min(pages, 200000))
+    low_levels: dict = {}
+    for _ in range(repeats):
+        for cpus in (2, 8):
+            r = _pipeline_subprocess(cpus, low_pages, sf_dir)
+            if cpus not in low_levels or r["docs_per_sec"] > low_levels[cpus]["docs_per_sec"]:
+                low_levels[cpus] = r
     eff_low = (
         low_levels[8]["docs_per_sec"] / low_levels[2]["docs_per_sec"]
     ) / 4.0

@@ -45,10 +45,73 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from ..hashing import hash_strings, splitmix64
+from ..hashing import _FNV_OFFSET, _FNV_PRIME, hash_strings, splitmix64
 
 _TOKEN_RE = re.compile(r"[\w-]+")
 _COMBINE_SALT = np.uint64(0x9E3779B97F4A7C15)
+
+# ASCII [\w-] classifier (python re's \w on ASCII = [a-zA-Z0-9_])
+_WORD_LUT = np.zeros(256, dtype=bool)
+for _c in b"0123456789_-":
+    _WORD_LUT[_c] = True
+for _c in range(ord("a"), ord("z") + 1):
+    _WORD_LUT[_c] = True
+for _c in range(ord("A"), ord("Z") + 1):
+    _WORD_LUT[_c] = True
+
+
+def _hash_token_slices(
+    lower: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> np.ndarray:
+    """FNV-1a + splitmix64 over byte slices of ``lower`` — bit-identical
+    to :func:`kgraft.hashing.hash_strings` on the equivalent lowercase
+    strings, without materializing per-token Python strings."""
+    n = len(starts)
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if n:
+        maxlen = int(lens.max())
+        with np.errstate(over="ignore"):
+            for j in range(maxlen):
+                act = lens > j
+                if not act.any():
+                    break
+                b = lower[starts[act] + j].astype(np.uint64)
+                h[act] = (h[act] ^ b) * _FNV_PRIME
+    return splitmix64(h)
+
+
+def _fast_tokenize(texts: list):
+    """Byte-domain tokenizer for ASCII segments: one numpy pass finds all
+    ``[\\w-]+`` runs across the concatenated corpus (rows separated by
+    two NUL bytes, which are non-word and break single-space adjacency).
+    Returns (row, start, end, sep_ok, token_hash) arrays — the exact
+    quantities the per-token Python loop produced, with zero per-token
+    Python work."""
+    joined = "\x00\x00".join(texts)
+    data = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
+    w = _WORD_LUT[data]
+    dw = np.diff(w.astype(np.int8), prepend=np.int8(0), append=np.int8(0))
+    starts = np.flatnonzero(dw == 1)
+    ends = np.flatnonzero(dw == -1)
+    if not len(starts):
+        e = np.array([], dtype=np.int64)
+        return e, e, e, np.array([], dtype=bool), e.astype(np.uint64)
+    lens_rows = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    row_starts = np.concatenate(([0], np.cumsum(lens_rows[:-1] + 2)))
+    rows = np.searchsorted(row_starts, starts, side="right") - 1
+    starts_local = starts - row_starts[rows]
+    ends_local = ends - row_starts[rows]
+    # token i followed by exactly one char, a space, then token i+1, same row
+    sep_ok = np.zeros(len(starts), dtype=bool)
+    if len(starts) > 1:
+        sep_ok[:-1] = (
+            (starts[1:] - ends[:-1] == 1)
+            & (rows[1:] == rows[:-1])
+            & (data[ends[:-1]] == 32)
+        )
+    lower = np.where((data >= 65) & (data <= 90), data + 32, data)
+    th = _hash_token_slices(lower, starts, ends - starts)
+    return rows, starts_local, ends_local, sep_ok, th
 
 
 def _combine_step(acc: np.ndarray, nxt: np.ndarray) -> np.ndarray:
@@ -106,36 +169,65 @@ class MentionDetector:
         if n_rows == 0 or not self.lengths:
             return _empty_mentions()
 
-        # 1. tokenize all segments into flat arrays (one C finditer per row)
-        tok_low: list[str] = []
-        starts_l: list[int] = []
-        ends_l: list[int] = []
-        rows_l: list[int] = []
-        sep_l: list[bool] = []  # token i is followed by exactly " " + token
-        for r, text in enumerate(texts):
-            prev_end = None
-            for m in self.token_re.finditer(text):
-                s, e = m.start(), m.end()
+        # 1+2. tokenize + hash. ASCII rows (virtually all of a normalized
+        # web corpus) go through the byte-domain numpy tokenizer — zero
+        # per-token Python; rows with non-ASCII word chars fall back to
+        # the reference-semantics Python finditer loop (unicode \w).
+        fast_ids, slow_ids = [], []
+        for i, t in enumerate(texts):
+            (fast_ids if t.isascii() else slow_ids).append(i)
+        parts = []
+        if fast_ids:
+            r_f, s_f, e_f, sep_f, th_f = _fast_tokenize([texts[i] for i in fast_ids])
+            if len(r_f):
+                parts.append(
+                    (np.asarray(fast_ids, dtype=np.int64)[r_f], s_f, e_f, sep_f, th_f)
+                )
+        if slow_ids:
+            tok_low: list = []
+            starts_l: list = []
+            ends_l: list = []
+            rows_l: list = []
+            sep_l: list = []
+            for r in slow_ids:
+                text = texts[r]
+                prev_end = None
+                for m in self.token_re.finditer(text):
+                    s, e = m.start(), m.end()
+                    if prev_end is not None:
+                        sep_l.append(s - prev_end == 1 and text[prev_end] == " ")
+                    tok_low.append(m.group(0).lower())
+                    starts_l.append(s)
+                    ends_l.append(e)
+                    rows_l.append(r)
+                    prev_end = e
                 if prev_end is not None:
-                    sep_l.append(s - prev_end == 1 and text[prev_end] == " ")
-                tok_low.append(m.group(0).lower())
-                starts_l.append(s)
-                ends_l.append(e)
-                rows_l.append(r)
-                prev_end = e
-            if prev_end is not None:
-                sep_l.append(False)  # last token of the row: no successor
-        n_tok = len(tok_low)
-        if n_tok == 0:
+                    sep_l.append(False)  # last token of the row
+            if tok_low:
+                parts.append(
+                    (
+                        np.asarray(rows_l, dtype=np.int64),
+                        np.asarray(starts_l, dtype=np.int64),
+                        np.asarray(ends_l, dtype=np.int64),
+                        np.asarray(sep_l, dtype=bool),
+                        hash_strings(tok_low),
+                    )
+                )
+        if not parts:
             return _empty_mentions()
-        starts = np.asarray(starts_l, dtype=np.int64)
-        ends = np.asarray(ends_l, dtype=np.int64)
-        rows = np.asarray(rows_l, dtype=np.int64)
-        sep_ok = np.asarray(sep_l, dtype=bool)
+        rows = np.concatenate([p[0] for p in parts])
+        starts = np.concatenate([p[1] for p in parts])
+        ends = np.concatenate([p[2] for p in parts])
+        sep_ok = np.concatenate([p[3] for p in parts])
+        th = np.concatenate([p[4] for p in parts])
+        n_tok = len(rows)
+        if len(parts) > 1:
+            # restore (row, start) order; tokens of one row all come from
+            # one path, so row-internal order (and sep flags) survive
+            order = np.lexsort((starts, rows))
+            rows, starts, ends = rows[order], starts[order], ends[order]
+            sep_ok, th = sep_ok[order], th[order]
         sep_ok &= np.r_[rows[1:] == rows[:-1], False]
-
-        # 2. hash every token once, vectorized
-        th = hash_strings(tok_low)
 
         # 3. n-gram membership per alias length
         cands: list = []  # (row, start_char, end_char, ngram_hash, L)
