@@ -1325,6 +1325,84 @@ def image_features_q(sf_dir: str):
 # registry
 
 
+def stratified_sample_events(sf_dir: str):
+    """Deterministic stratified sampling of the event stream — keep 20%
+    of clicks, 10% of views, 50% of purchases, 2% of everything else,
+    decided by a stable per-id hash (relational.stratified_sample) so
+    the sample is reproducible under repartitioning/resume and exactly
+    replayable by the SQL oracle."""
+    from .relational import stratified_sample
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "event_type", "user_id", "value"]
+    )
+    out = stratified_sample(
+        ds,
+        "event_type",
+        "event_id",
+        {"click": 0.20, "view": 0.10, "purchase": 0.50},
+        default_rate=0.02,
+    )
+    return out.sort("event_id")
+
+
+_STRATIFIED_SQL = """
+SELECT event_id, event_type, user_id, value
+FROM events
+WHERE (event_id * 2654435761) % 4294967296 % 10000 <
+      CASE event_type
+          WHEN 'click' THEN 2000
+          WHEN 'view' THEN 1000
+          WHEN 'purchase' THEN 5000
+          ELSE 200
+      END
+ORDER BY event_id
+"""
+
+
+def top_events_per_user(sf_dir: str) -> pd.DataFrame:
+    """Top-3 events per user by value (ties -> earliest ts, then lowest
+    event_id): the 'keep the best k documents per key' pattern, realized
+    as a partitioned row_number window over a DESC ordering + filter.
+    One bucketed shuffle on user_id; no per-group Python."""
+    from .relational import windowed
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def neg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["neg_value"] = -df["value"]
+        return df
+
+    win = windowed(
+        ds.map_batches(neg, batch_format="pandas"),
+        part_keys="user_id",
+        order_keys=["neg_value", "ts", "event_id"],
+        specs={"rn": ("row_number", None)},
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["rn"] <= 3]
+        return df[["user_id", "event_id", "value", "rn"]]
+
+    out = win.map_batches(fin, batch_format="pandas").to_pandas()
+    return out.sort_values(["user_id", "rn"], ignore_index=True)
+
+
+_TOP_PER_USER_SQL = """
+SELECT user_id, event_id, value, rn
+FROM (
+    SELECT user_id, event_id, value,
+           CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY value DESC, ts, event_id
+           ) AS BIGINT) AS rn
+    FROM events
+)
+WHERE rn <= 3
+ORDER BY user_id, rn
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1347,6 +1425,8 @@ QUERIES = {
     "user_sessions": user_sessions,
     "user_event_windows": user_event_windows,
     "users_per_hour": users_per_hour,
+    "stratified_sample_events": stratified_sample_events,
+    "top_events_per_user": top_events_per_user,
     "median_price_by_priority": median_price_by_priority,
     "dedup_exact_docs": dedup_exact_docs,
     "token_count_docs": token_count_docs,
@@ -1395,6 +1475,8 @@ ORACLE_SQL = {
     "user_sessions": _SESSIONS_SQL,
     "user_event_windows": _WINDOWS_SQL,
     "users_per_hour": _USERS_PER_HOUR_SQL,
+    "stratified_sample_events": _STRATIFIED_SQL,
+    "top_events_per_user": _TOP_PER_USER_SQL,
     "median_price_by_priority": _MEDIAN_PRICE_SQL,
     "dedup_exact_docs": _DEDUP_EXACT_SQL,
     "token_count_docs": _TOKEN_COUNT_SQL,

@@ -713,3 +713,35 @@ def grouped_quantile_disc(ds, keys, col, q: float = 0.5, out_col=None, num_bucke
         return hit[keys + [col]].rename(columns={col: out_col})
 
     return bucketed_groupby_apply(hist, keys, pick, num_buckets)
+
+
+def stratified_sample(ds, stratum_col, id_col, rates: dict, default_rate: float = 0.0):
+    """Deterministic stratified sampling: keep a row iff its stable
+    per-id hash falls below the stratum's rate.
+
+    The hash is the Knuth multiplicative mix ``(id * 2654435761) mod
+    2^32`` scaled to basis points — fixed and documented so an external
+    system (or the DuckDB oracle) can reproduce the exact sample. A
+    training-data pipeline uses this to downsample dominant strata
+    (language, domain, source) without a shuffle: the operator is a
+    stateless map over blocks, scale-free at any corpus size. Sampling
+    DECISIONS depend only on (id, stratum), so the sample is stable
+    under repartitioning, resume, and reordering — the property random()
+    sampling lacks.
+
+    Reference seed: none (the reference has no sampling at all,
+    SURVEY.md §2.1 "does NOT implement"); required for the
+    training-data operator set (brief: stratified/deterministic
+    sampling for corpus shaping).
+    """
+    bps = {k: int(round(r * 10000)) for k, r in rates.items()}
+    dflt = int(round(default_rate * 10000))
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * np.int64(2654435761)) % np.int64(2**32) % np.int64(10000)
+        strata = t[stratum_col].to_pandas()
+        cut = strata.map(bps).fillna(dflt).to_numpy(dtype=np.int64)
+        return t.filter(pa.array(h < cut))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -236,3 +236,37 @@ def test_grouped_quantile_disc_matches_duckdb():
             f"SELECT k, quantile_disc(v, {q}) AS vq FROM df GROUP BY k ORDER BY k"
         ).df()
         np.testing.assert_allclose(got.iloc[:, 1].to_numpy(), want["vq"].to_numpy())
+
+
+def test_stratified_sample_deterministic_under_repartition():
+    import ray
+
+    from kgraft.relational import stratified_sample
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(4000, dtype="int64"),
+            "stratum": rng.choice(["a", "b", "c"], 4000),
+        }
+    )
+    rates = {"a": 0.5, "b": 0.1}
+    got1 = (
+        stratified_sample(ray.data.from_pandas(df), "stratum", "id", rates, 0.02)
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    # same decisions regardless of block layout (resume/repartition safety)
+    got2 = (
+        stratified_sample(
+            ray.data.from_pandas(df).repartition(13), "stratum", "id", rates, 0.02
+        )
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got1, got2)
+    # rates land near nominal (hash uniformity sanity)
+    frac_a = (got1["stratum"] == "a").sum() / (df["stratum"] == "a").sum()
+    assert 0.4 < frac_a < 0.6
+    frac_b = (got1["stratum"] == "b").sum() / (df["stratum"] == "b").sum()
+    assert 0.05 < frac_b < 0.16
