@@ -48,10 +48,11 @@ class TripleExtractor:
         seg = batch.to_pandas()
         if len(seg) == 0:
             return _empty()
-        sents = (
-            seg["seg_text"].str.split(self.split_pat, regex=True).explode().dropna()
-        )
-        hits = sents.str.extractall(self.sentence_re)
+        # extractall directly over segment text: the pattern's [^.]+?
+        # classes cannot cross a sentence period, so pre-splitting into
+        # sentences (split + explode + dropna) only allocated throwaway
+        # string frames — verified output-identical on the full corpus
+        hits = seg["seg_text"].str.extractall(self.sentence_re)
         if hits.empty:
             return _empty()
         hits = hits.reset_index(level="match", drop=True)
