@@ -1325,6 +1325,29 @@ def image_features_q(sf_dir: str):
 # registry
 
 
+def search_docs(sf_dir: str) -> pd.DataFrame:
+    """Reference-S1 twin (query -> ranked document ids): top-20 documents
+    by total occurrence count of the query terms, vectorized scan +
+    per-block top-k (textops.keyword_search)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textops.keyword_search(docs, ["sort", "merge"], k=20)
+
+
+_SEARCH_SQL = """
+SELECT doc_id, score
+FROM (
+    SELECT doc_id,
+           CAST((length(text) - length(replace(text, 'sort', ''))) / 4
+              + (length(text) - length(replace(text, 'merge', ''))) / 5
+              AS BIGINT) AS score
+    FROM documents
+)
+WHERE score > 0
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
 def stratified_sample_events(sf_dir: str):
     """Deterministic stratified sampling of the event stream — keep 20%
     of clicks, 10% of views, 50% of purchases, 2% of everything else,
@@ -1427,6 +1450,7 @@ QUERIES = {
     "users_per_hour": users_per_hour,
     "stratified_sample_events": stratified_sample_events,
     "top_events_per_user": top_events_per_user,
+    "search_docs": search_docs,
     "median_price_by_priority": median_price_by_priority,
     "dedup_exact_docs": dedup_exact_docs,
     "token_count_docs": token_count_docs,
@@ -1477,6 +1501,7 @@ ORACLE_SQL = {
     "users_per_hour": _USERS_PER_HOUR_SQL,
     "stratified_sample_events": _STRATIFIED_SQL,
     "top_events_per_user": _TOP_PER_USER_SQL,
+    "search_docs": _SEARCH_SQL,
     "median_price_by_priority": _MEDIAN_PRICE_SQL,
     "dedup_exact_docs": _DEDUP_EXACT_SQL,
     "token_count_docs": _TOKEN_COUNT_SQL,

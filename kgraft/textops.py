@@ -683,3 +683,37 @@ def token_counts(docs):
     return docs.select_columns(["doc_id", "text"]).map_batches(
         fn, batch_format="pandas"
     )
+
+
+def keyword_search(docs, terms, k: int = 20, text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus search: rank documents by total (non-overlapping) occurrence
+    count of the query terms, return the top ``k`` as a pandas frame
+    ``(doc_id, score)`` ordered by (score DESC, doc_id).
+
+    The engine twin of the reference's document-search entry point
+    (``EntrezAPIWrapper._search_ID``, ``tools/entrez.py:153-173`` —
+    query -> ranked id list, retmax-capped): scoring is a vectorized
+    ``str.count`` per batch (zero-copy scan, no index), each block emits
+    only its local top-k, and the global cut sorts the (blocks x k)-row
+    survivor set — the corpus never leaves the scan, so the operator is
+    scale-free like :func:`kgraft.embedops.knn_topk`.
+    """
+    import re as _re
+
+    pats = [_re.escape(t) for t in terms]
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        s = np.zeros(len(df), dtype=np.int64)
+        for p in pats:
+            s += df[text_col].str.count(p).to_numpy(dtype=np.int64)
+        out = pd.DataFrame({id_col: df[id_col], "score": s})
+        out = out[out["score"] > 0]
+        return out.sort_values(["score", id_col], ascending=[False, True]).head(k)
+
+    local = docs.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pandas"
+    )
+    survivors = local.to_pandas()  # (blocks x k) rows — k-scale, not corpus-scale
+    return survivors.sort_values(
+        ["score", id_col], ascending=[False, True], ignore_index=True
+    ).head(k)
