@@ -746,44 +746,28 @@ def _build_graph_fused(
 
         recovered = f_rec.result()
 
+        # patch the pending rows with the recovered aliases IN A RAY TASK
+        # — pending is corpus-fraction-scale (every triple with an
+        # unresolved endpoint), so it must never land on the driver; only
+        # the recovery-scale deltas (newly-resolved edge PAIRS and
+        # (entity, surface) counts) come back. The task also writes the
+        # delta edge file when the writer-produced edge fragments make
+        # that safe (no concurrent Dataset write to clobber it).
         t0 = _time.time()
+        lut = dict(zip(recovered["mention"], recovered["entity_id"].astype(int)))
         if pending_ref is not None:
-            pend_t = ray.get(pending_ref)
-            pending = pend_t.to_pandas() if pend_t is not None else pd.DataFrame()
+            dpairs, delta_canon, n_delta_edges, delta_t = ray.get(
+                ray.remote(num_cpus=1)(_patch_pending).remote(
+                    pending_ref, lut, edges_dir if edges_at_write else None
+                )
+            )
         else:
-            pending = pd.DataFrame()
-        timings["pending_wait_sec"] = _time.time() - t0
-
-        # patch the pending rows with the recovered aliases and fold the
-        # newly-resolved rows into each consumer (all near-dup... small)
-        t0 = _time.time()
-        delta_edges = pending.iloc[0:0]
-        delta_canon = []
-        if len(pending):
-            lut = dict(zip(recovered["mention"], recovered["entity_id"].astype(int)))
-            was_subj = pending["subj_id"] < 0
-            was_obj = pending["obj_id"] < 0
-            if lut:
-                pending = pending.copy()
-                pending.loc[was_subj, "subj_id"] = (
-                    pending.loc[was_subj, "subj_norm"].map(lut).fillna(-1).astype("int64")
-                )
-                pending.loc[was_obj, "obj_id"] = (
-                    pending.loc[was_obj, "obj_norm"].map(lut).fillna(-1).astype("int64")
-                )
-            now_subj = was_subj & (pending["subj_id"] >= 0)
-            now_obj = was_obj & (pending["obj_id"] >= 0)
-            delta_canon.append(
-                pending.loc[now_subj, ["subj_id", "subj_norm"]].set_axis(
-                    ["entity_id", "surface"], axis=1
-                )
+            dpairs, delta_canon, n_delta_edges, delta_t = (
+                pd.DataFrame({"subj_id": [], "obj_id": []}),
+                pd.DataFrame({"entity_id": [], "surface": [], "n": []}),
+                0,
+                None,
             )
-            delta_canon.append(
-                pending.loc[now_obj, ["obj_id", "obj_norm"]].set_axis(
-                    ["entity_id", "surface"], axis=1
-                )
-            )
-            delta_edges = pending[(pending["subj_id"] >= 0) & (pending["obj_id"] >= 0)]
         timings["patch_sec"] = _time.time() - t0
 
         t0 = _time.time()
@@ -791,24 +775,19 @@ def _build_graph_fused(
         timings["base_reduce_wait_sec"] = _time.time() - t0
         comp, nodes_df, nodes_dir = _finalize_graph_driver(
             base,
-            delta_edges,
+            dpairs,
             delta_canon,
             out_dir,
             timings,
         )
         f_edges.result()
 
-    if len(delta_edges):
-        # after the Dataset write finishes: Ray's write_parquet may clean
-        # the output dir when it starts, clobbering a concurrently-written
-        # side file
-        pq.write_table(
-            pa.Table.from_pandas(
-                delta_edges[["subj_id", "pred", "obj_id", "conf", "url", "warc_ts"]],
-                preserve_index=False,
-            ),
-            os.path.join(edges_dir, "delta-recovered.parquet"),
-        )
+    if delta_t is not None and delta_t.num_rows:
+        # legacy-fallback path only (edges re-derived by a Dataset write):
+        # the delta file lands after that write finishes, because Ray's
+        # write_parquet may clean the output dir when it starts,
+        # clobbering a concurrently-written side file
+        pq.write_table(delta_t, os.path.join(edges_dir, "delta-recovered.parquet"))
 
     timings["graph_total_sec"] = _time.time() - t_all
 
@@ -823,7 +802,7 @@ def _build_graph_fused(
                 int(m.get("row_counts", {}).get("edges", 0))
                 for m in store._manifests()
             )
-            + int(len(delta_edges))
+            + int(n_delta_edges)
             if edges_at_write
             else _parquet_rows(edges_dir)
         ),
@@ -882,6 +861,67 @@ def _concat_ipc(blobs, extra):
     if extra is not None and extra.num_rows:
         tabs.append(extra)
     return pa.concat_tables(tabs) if tabs else None
+
+
+def _patch_pending(pend_t, lut, edges_dir):
+    """Ray task: fold the recovered alias LUT into the pending
+    (unresolved-endpoint) rows. Input is corpus-fraction-scale and stays
+    off the driver; returns only recovery-scale reductions — deduped
+    newly-resolved edge pairs, pre-grouped (entity, surface, n) mention
+    deltas, and the delta edge count. With ``edges_dir`` set, also
+    writes the delta edge fragment (atomic tmp+rename)."""
+    import pyarrow.parquet as pq
+
+    if pend_t is None or pend_t.num_rows == 0:
+        return (
+            pd.DataFrame({"subj_id": [], "obj_id": []}),
+            pd.DataFrame({"entity_id": [], "surface": [], "n": []}),
+            0,
+            None,
+        )
+    pending = pend_t.to_pandas()
+    was_subj = pending["subj_id"] < 0
+    was_obj = pending["obj_id"] < 0
+    if lut:
+        pending.loc[was_subj, "subj_id"] = (
+            pending.loc[was_subj, "subj_norm"].map(lut).fillna(-1).astype("int64")
+        )
+        pending.loc[was_obj, "obj_id"] = (
+            pending.loc[was_obj, "obj_norm"].map(lut).fillna(-1).astype("int64")
+        )
+    now_subj = was_subj & (pending["subj_id"] >= 0)
+    now_obj = was_obj & (pending["obj_id"] >= 0)
+    delta_canon = (
+        pd.concat(
+            [
+                pending.loc[now_subj, ["subj_id", "subj_norm"]].set_axis(
+                    ["entity_id", "surface"], axis=1
+                ),
+                pending.loc[now_obj, ["obj_id", "obj_norm"]].set_axis(
+                    ["entity_id", "surface"], axis=1
+                ),
+            ],
+            ignore_index=True,
+        )
+        .groupby(["entity_id", "surface"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+    )
+    delta_edges = pending.loc[
+        (pending["subj_id"] >= 0) & (pending["obj_id"] >= 0),
+        ["subj_id", "pred", "obj_id", "conf", "url", "warc_ts"],
+    ]
+    dpairs = delta_edges[["subj_id", "obj_id"]].drop_duplicates()
+    delta_t = pa.Table.from_pandas(delta_edges, preserve_index=False)
+    if edges_dir is not None:
+        if len(delta_edges):
+            path = os.path.join(edges_dir, "delta-recovered.parquet")
+            tmp = path + ".tmp"
+            pq.write_table(delta_t, tmp)
+            os.replace(tmp, path)
+        # written here — the driver has nothing left to write
+        return dpairs, delta_canon, int(len(delta_edges)), None
+    return dpairs, delta_canon, int(len(delta_edges)), delta_t
 
 
 def _merge_tables(refs, extra):
@@ -1016,10 +1056,12 @@ def _base_reduce(shard_refs, comps_extra, canon_extra):
 
 
 def _finalize_graph_driver(
-    base, delta_edges, delta_canon, out_dir, timings
+    base, dpairs, delta_canon, out_dir, timings
 ):
-    """Fold the recovery deltas (recovery-scale, tiny) into the base
-    reduction and write the nodes table."""
+    """Fold the recovery deltas (recovery-scale, tiny — pre-reduced by
+    :func:`_patch_pending`) into the base reduction and write the nodes
+    table. ``dpairs``: deduped newly-resolved (subj_id, obj_id) pairs;
+    ``delta_canon``: pre-grouped (entity_id, surface, n) mention deltas."""
     import time as _time
 
     import pyarrow.parquet as pq
@@ -1029,10 +1071,9 @@ def _finalize_graph_driver(
     # components: re-run the (vectorized) reduction over the contracted
     # base (one label->node star edge per node) plus the recovery deltas
     t0 = _time.time()
-    if len(delta_edges):
+    if len(dpairs):
         from .graph.components import components_numpy
 
-        dpairs = delta_edges[["subj_id", "obj_id"]].drop_duplicates()
         ent, lab = components_numpy(
             np.concatenate([lab, dpairs["subj_id"].to_numpy(dtype=np.int64)]),
             np.concatenate([ent, dpairs["obj_id"].to_numpy(dtype=np.int64)]),
@@ -1043,15 +1084,10 @@ def _finalize_graph_driver(
     # canonicalization: recompute only the entities the recovery deltas
     # touched; everything else keeps its delta-free Arrow row as-is
     t0 = _time.time()
-    dm = pd.concat(delta_canon, ignore_index=True) if delta_canon else pd.DataFrame()
+    dm = delta_canon
     if len(dm):
         import pyarrow.compute as pc
 
-        dm = (
-            dm.groupby(["entity_id", "surface"], as_index=False)
-            .size()
-            .rename(columns={"size": "n"})
-        )
         affected = pa.array(sorted(set(dm["entity_id"])), pa.int64())
         sub = pd.concat(
             [
