@@ -141,89 +141,154 @@ def minhash_candidate_pairs(
     text_col: str = "text",
     max_bucket_size: int = 64,
     sketches=None,
+    est_floor: float | None = None,
 ):
     """LSH candidate (doc_a < doc_b) pairs. Shuffle key (band_id, band_hash).
 
-    Buckets larger than ``max_bucket_size`` are skipped (standard LSH
-    guard: a giant bucket means the band is non-discriminative and would
-    emit O(n²) pairs; the affected docs still meet in their other
-    bands). Pair dedup across bands is a bucketed groupby — no per-group
-    Python, scales to corpus-size candidate sets. ``sketches`` (from
+    The folded 8-bit sketch and a 64-bit full-signature fingerprint RIDE
+    THE BAND SHUFFLE (num_bands x ~140 B per doc — sketch-sized, never
+    document-sized), so all pair-level work happens in-bucket with no
+    join (r1 verdict: "carry the vector through the band explode"):
+
+    - **identical-signature star reduction.** Docs whose full signatures
+      match (same 64-bit fingerprint) form an equivalence class; the
+      bucket emits the (min_id, member) SPANNING STAR instead of the
+      O(m²) clique. A real dup cluster of m copies costs m-1 pairs, not
+      m²/2 — without this, corpus-scale exact-dup clusters explode the
+      candidate set quadratically. Identical signatures collide in every
+      band by construction, so only band 0 emits the star (no cross-band
+      duplicate stars). Grouping via star edges is union-find-equivalent
+      to the clique; each star edge is still exactly verified downstream.
+    - **in-bucket MinHash estimate** (``est_floor`` set): pairwise
+      Jaccard estimates over the distinct-signature class representatives
+      are computed vectorized from the folded sketches and pairs below
+      the floor die inside the bucket. Only estimate survivors — a
+      near-dup-scale set — ever leave the shuffle.
+    - buckets with more than ``max_bucket_size`` DISTINCT signatures are
+      skipped (standard LSH guard: a non-discriminative band; the docs
+      still meet in their other bands). Dup clusters don't trip the
+      guard — they collapse to one representative first.
+
+    A surviving non-identical pair is re-emitted by every band it
+    collides in (expected ~num_bands·s^(perm/bands) copies); callers
+    dedupe the near-dup-scale survivor set. ``sketches`` (from
     :func:`sketch_docs`) lets the caller reuse one shingling pass.
     """
     sk = sketches if sketches is not None else sketch_docs(docs, num_perm, text_col)
     hasher = MinHasher(num_perm=num_perm, seed=1001)
 
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "band_id": pa.array([], pa.int32()),
+            "band_hash": pa.array([], pa.int64()),
+            "coarse": pa.array([], pa.int32()),
+            "sig_fp": pa.array([], pa.int64()),
+            "sig8": pa.array([], pa.binary()),
+        }
+    )
+    # Coarsened shuffle key (band_id, band_hash % coarse) keeps the Ray
+    # group count ~O(bands x coarse) regardless of corpus size; exact
+    # per-band_hash bucketing happens vectorized inside each group.
+    coarse = 64
+
     def derive_bands(t: pa.Table) -> pa.Table:
         if len(t) == 0:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "band_id": pa.array([], pa.int32()),
-                    "band_hash": pa.array([], pa.int64()),
-                }
-            )
+            return empty
         sigs = _sig_matrix(t["sig"], num_perm)
         bands_m = hasher.band_hashes(sigs, num_bands)
+        # 64-bit fingerprint of the FULL signature (order-sensitive fold
+        # of the per-band hashes) — equality => identical signature whp
+        fp = np.zeros(len(sigs), dtype=np.uint64)
+        from .hashing import splitmix64
+
+        for j in range(num_bands):
+            fp = splitmix64(fp ^ bands_m[:, j])
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         n = len(ids)
+        bh = bands_m.reshape(-1)
+        # object array, NOT np.array(list-of-bytes): numpy would coerce
+        # to fixed-width 'S' dtype, which silently strips trailing NULs
+        s8 = np.empty(n, dtype=object)
+        s8[:] = t["sig8"].to_pylist()
         return pa.table(
             {
                 "doc_id": pa.array(np.repeat(ids, num_bands), pa.int64()),
                 "band_id": pa.array(
                     np.tile(np.arange(num_bands, dtype=np.int32), n), pa.int32()
                 ),
-                "band_hash": pa.array(
-                    bands_m.reshape(-1).astype(np.int64), pa.int64()
+                "band_hash": pa.array(bh.astype(np.int64), pa.int64()),
+                "coarse": pa.array((bh % coarse).astype(np.int32), pa.int32()),
+                "sig_fp": pa.array(
+                    np.repeat(fp, num_bands).astype(np.int64), pa.int64()
                 ),
+                "sig8": pa.array(np.repeat(s8, num_bands), pa.binary()),
             }
         )
 
     bands = sk.map_batches(derive_bands, batch_format="pyarrow")
-    # Shuffle on a COARSENED key (band_id, band_hash % coarse) so the Ray
-    # group count stays ~O(bands × coarse) regardless of corpus size; the
-    # exact per-band_hash bucketing happens vectorized inside each group.
-    coarse = 64
 
-    def add_coarse(t: pa.Table) -> pa.Table:
-        h = t["band_hash"].to_numpy(zero_copy_only=False)
-        return t.append_column(
-            "coarse", pa.array((h % coarse).astype(np.int32), pa.int32())
-        )
+    pairs_out = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
 
-    bands = bands.map_batches(add_coarse, batch_format="pyarrow")
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # pairs stay as TWO int64 columns — a packed (a<<32)|b key would
-        # silently corrupt once doc_id exceeds 2^31 (ADVICE r1)
+    def pairs(g: pa.Table) -> pa.Table:
+        # Arrow-format groups end to end: the binary sig8 column would be
+        # silently corrupted by a pandas group round-trip (same reason
+        # hash_join ships its IPC payloads with batch_format="pyarrow").
+        # Pairs stay as TWO int64 columns — a packed (a<<32)|b key would
+        # silently corrupt once doc_id exceeds 2^31 (ADVICE r1).
+        if len(g) == 0:
+            return pairs_out.empty_table()
+        band0 = int(g["band_id"][0].as_py()) == 0
+        bh = g["band_hash"].to_numpy(zero_copy_only=False)
+        ids_all = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fps_all = g["sig_fp"].to_numpy(zero_copy_only=False)
+        sig8_all = g["sig8"].to_pylist() if est_floor is not None else None
         out_a, out_b = [], []
-        for _, grp in g.groupby("band_hash", sort=False):
-            ids = np.sort(grp["doc_id"].unique())
-            if len(ids) < 2 or len(ids) > max_bucket_size:
+        border = np.argsort(bh, kind="stable")
+        sbh = bh[border]
+        bstarts = np.flatnonzero(np.r_[True, sbh[1:] != sbh[:-1]])
+        bends = np.r_[bstarts[1:], len(sbh)]
+        for bs, be in zip(bstarts, bends):
+            idx = border[bs:be]
+            uniq, first = np.unique(ids_all[idx], return_index=True)
+            if len(uniq) < 2:
                 continue
-            a, b = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[a].astype(np.int64))
-            out_b.append(ids[b].astype(np.int64))
+            idx = idx[first]
+            ids, fps = ids_all[idx], fps_all[idx]
+            order = np.lexsort((ids, fps))  # classes contiguous, min id first
+            sids, sfps = ids[order], fps[order]
+            starts = np.flatnonzero(np.r_[True, sfps[1:] != sfps[:-1]])
+            ends = np.r_[starts[1:], len(sfps)]
+            if band0:
+                for s, e in zip(starts, ends):
+                    if e - s > 1:
+                        out_a.append(np.full(e - s - 1, sids[s], dtype=np.int64))
+                        out_b.append(sids[s + 1 : e])
+            r = len(starts)
+            if r < 2 or r > max_bucket_size:
+                continue
+            rep_ids = sids[starts]
+            ia, ib = np.triu_indices(r, k=1)
+            if est_floor is not None:
+                rep_rows = idx[order][starts]
+                m = _sig8_matrix([sig8_all[i] for i in rep_rows], num_perm)
+                est = (m[ia] == m[ib]).mean(axis=1)
+                keep = est >= est_floor
+                ia, ib = ia[keep], ib[keep]
+            if len(ia):
+                out_a.append(np.minimum(rep_ids[ia], rep_ids[ib]))
+                out_b.append(np.maximum(rep_ids[ia], rep_ids[ib]))
         if not out_a:
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.Series([], dtype="int64"),
-                    "doc_b": pd.Series([], dtype="int64"),
-                }
-            )
-        return pd.DataFrame(
-            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+            return pairs_out.empty_table()
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+            }
         )
 
-    cand = bands.groupby(["band_id", "coarse"]).map_groups(
-        pairs, batch_format="pandas"
-    )
-    from .relational import bucketed_groupby_apply
-
-    return bucketed_groupby_apply(
-        cand,
-        ["doc_a", "doc_b"],
-        lambda g: g.drop_duplicates(["doc_a", "doc_b"]),
+    return bands.groupby(["band_id", "coarse"]).map_groups(
+        pairs, batch_format="pyarrow"
     )
 
 
@@ -276,24 +341,23 @@ def near_dup_groups(
     Verification is shuffle-fed and TIERED — never a corpus broadcast:
 
     1. one sketch pass shingles each doc once (:func:`sketch_docs`);
-       candidate pairs come from the band shuffle as usual;
-    2. **estimate tier**: pairs are bucket-joined (shuffle key = doc id)
-       against the 128-BYTE folded sketches and the MinHash Jaccard
-       estimate is computed vectorized over the whole pair batch; pairs
-       below ``threshold - estimate_margin`` die here (margin = ~3.7
-       sigma of the 128-perm estimator, miss probability ~1e-4). In a
-       dense-similarity corpus this kills the vast majority of
-       candidates while moving only sketches, not documents;
+    2. **estimate tier, fused into the band shuffle**: the folded
+       128-byte sketch rides the band explode, so each LSH bucket
+       computes MinHash Jaccard estimates in place and kills pairs below
+       ``threshold - estimate_margin`` (margin = ~3.7 sigma of the
+       128-perm estimator, miss probability ~1e-4) before anything
+       leaves the shuffle; identical-signature dup clusters collapse to
+       spanning stars instead of O(m²) cliques
+       (:func:`minhash_candidate_pairs`). ONE wide exchange total — no
+       sketch join, no second shuffle;
     3. **exact tier**: the survivor ID set (near-dup-scale) broadcasts;
        one shuffle-free scan pulls just those texts, and survivors are
        verified with exact k-gram Jaccard.
 
     Nothing corpus-sized ever lands on the driver or in a single
-    ``ray.put``: the only driver-side state is the verified pair set
-    (near-dup-scale by construction) whose union-find result is
-    re-broadcast to label the corpus in a final map. The sketch set (a
-    ~260x reduction of the corpus) is materialized so band derivation
-    and the estimate join share one shingle pass.
+    ``ray.put``: the only driver-side state is the estimate-survivor
+    pair set (near-dup-scale by construction) whose union-find result is
+    re-broadcast to label the corpus in a final map.
 
     ``estimate_margin=None`` disables the estimate tier entirely: every
     LSH candidate pair is verified with exact k-gram Jaccard. That is
@@ -301,61 +365,14 @@ def near_dup_groups(
     :func:`ngram_jaccard_groups`) — MinHash is used only for candidate
     blocking, never to reject a pair.
     """
-    from .relational import hash_join
-
-    sk = sketch_docs(docs, num_perm, text_col, shingle_k).materialize()
-    # pair/sketch-scale materializations: hash_join needs its inputs'
-    # schemas, and fetching the schema of a LAZY post-shuffle dataset
-    # re-executes its whole prefix — pinning these small intermediates
-    # (pairs are 16 B/row, sketches 136 B/row) avoids O(joins) re-runs
+    est_floor = None if estimate_margin is None else threshold - estimate_margin
     cand = minhash_candidate_pairs(
-        docs, num_perm, num_bands, text_col, sketches=sk
-    ).materialize()
-
-    def sk_rename(side):
-        def fn(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {f"doc_{side}": t["doc_id"], f"sig8_{side}": t["sig8"]}
-            )
-
-        return fn
-
-    if estimate_margin is None:
-        # pure n-gram-Jaccard mode: every LSH candidate goes straight to
-        # the exact tier (candidate sets are near-dup-scale by the LSH
-        # bucket guard, so this stays driver-safe)
-        likely_df = cand.to_pandas()
-        return _exact_tier_groups(docs, likely_df, text_col, shingle_k, threshold)
-
-    est_a = hash_join(
-        cand, sk.map_batches(sk_rename("a"), batch_format="pyarrow"), on="doc_a"
-    ).materialize()  # pairs + one 128-byte sketch per row
-    est_ab = hash_join(est_a, sk.map_batches(sk_rename("b"), batch_format="pyarrow"),
-                       on="doc_b")
-    est_floor = threshold - estimate_margin
-
-    def estimate_filter(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                }
-            )
-        a = _sig8_matrix(t["sig8_a"].to_pylist(), num_perm)
-        b = _sig8_matrix(t["sig8_b"].to_pylist(), num_perm)
-        est = (a == b).mean(axis=1)
-        keep = est >= est_floor
-        return pa.table(
-            {
-                "doc_a": t["doc_a"].filter(pa.array(keep)),
-                "doc_b": t["doc_b"].filter(pa.array(keep)),
-            }
-        )
-
-    likely_df = (
-        est_ab.map_batches(estimate_filter, batch_format="pyarrow").to_pandas()
-    )  # estimate survivors: near-dup-scale
+        docs, num_perm, num_bands, text_col,
+        sketches=sketch_docs(docs, num_perm, text_col, shingle_k),
+        est_floor=est_floor,
+    )
+    # survivors are near-dup-scale; dedupe cross-band re-emissions here
+    likely_df = cand.to_pandas().drop_duplicates(["doc_a", "doc_b"])
     return _exact_tier_groups(docs, likely_df, text_col, shingle_k, threshold)
 
 
@@ -378,12 +395,15 @@ def _exact_tier_groups(docs, likely_df, text_col, shingle_k, threshold):
         if len(likely_df)
         else np.array([], dtype=np.int64)
     )
-    ids_ref = ray.put(set(int(i) for i in need_ids))
+    ids_ref = ray.put(np.sort(need_ids.astype(np.int64)))
 
     def keep_needed(t: pa.Table) -> pa.Table:
         wanted = ray.get(ids_ref)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        mask = np.fromiter((int(i) in wanted for i in ids), dtype=bool, count=len(ids))
+        # sorted-array membership: vectorized, no Python per-row loop
+        pos = np.searchsorted(wanted, ids)
+        pos = np.clip(pos, 0, len(wanted) - 1)
+        mask = wanted[pos] == ids if len(wanted) else np.zeros(len(ids), bool)
         return t.filter(pa.array(mask))
 
     pair_texts = (
