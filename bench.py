@@ -295,6 +295,10 @@ def main() -> None:
     ) / 4.0
 
     ray = _init_ray(num_cpus)
+    if not args.skip_queries:
+        # the first query otherwise absorbs N cold worker starts (~9 s at
+        # 32 CPUs) and reads as a regression of whatever query runs first
+        _warm_workers(num_cpus)
     queries = {} if args.skip_queries else run_queries(sf_dir)
     print(
         json.dumps(
