@@ -1034,6 +1034,148 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def p90_event_value_by_type(sf_dir: str) -> pd.DataFrame:
+    """Exact INTERPOLATED p90 per event type (SQL percentile_cont),
+    computed from the same partial-combined value histogram as the
+    discrete median — raw events never shuffle."""
+    from .relational import grouped_quantile_cont
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    out = grouped_quantile_cont(
+        ev, "event_type", "value", q=0.9, out_col="p90_value"
+    ).to_pandas()
+    out["p90_value"] = out["p90_value"].round(6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_P90_EVENT_SQL = """
+SELECT event_type, round(quantile_cont(value, 0.9), 6) AS p90_value
+FROM events GROUP BY event_type
+"""
+
+
+def lineitem_moments(sf_dir: str) -> pd.DataFrame:
+    """Second-moment aggregates (sample stddev/variance, correlation,
+    covariance) per returnflag — all algebraic: five cross-moment sums
+    per (key, batch) are the only thing that shuffles. Rounded to 6dp on
+    BOTH sides (partial-sum order differs from DuckDB's single pass)."""
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    out = pre_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "n_items": (None, "count"),
+            "std_qty": ("l_quantity", "std"),
+            "var_qty": ("l_quantity", "var"),
+            "corr_qty_price": (("l_quantity", "l_extendedprice"), "corr"),
+            "covar_qty_disc": (("l_quantity", "l_discount"), "covar"),
+        },
+    )
+    for c in ("std_qty", "var_qty", "corr_qty_price", "covar_qty_disc"):
+        out[c] = out[c].round(6)
+    return out
+
+
+_LINEITEM_MOMENTS_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       round(stddev_samp(l_quantity), 6) AS std_qty,
+       round(var_samp(l_quantity), 6) AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def event_type_pivot(sf_dir: str) -> pd.DataFrame:
+    """Pivot: per user, total value per event type as columns. The
+    category set is the generator's fixed enum (discoverable at runtime
+    with ``Dataset.unique`` — pinned here because the SQL oracle needs
+    static column names)."""
+    from .relational import pivot_sum
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type", "value"])
+    out = pivot_sum(ev, "user_id", "event_type", "value", _EVENT_TYPES).to_pandas()
+    for c in _EVENT_TYPES:
+        out[c] = out[c].round(4)
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+_EVENT_PIVOT_SQL = "SELECT user_id, " + ", ".join(
+    f"round(sum(CASE WHEN event_type = '{c}' THEN value ELSE 0 END), 4) AS {c}"
+    for c in _EVENT_TYPES
+) + " FROM events GROUP BY user_id"
+
+
+def order_count_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    counting only non-urgent orders, INCLUDING customers with none —
+    the left-outer bucketed hash join keeps unmatched customers, and
+    both aggregates (per-customer, then per-count) are partial-combined
+    Datasets; nothing corpus-sized reaches the driver before the final
+    distribution (count-cardinality rows)."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        lambda df: df.loc[
+            df["o_orderpriority"] != "1-URGENT", ["o_custkey", "o_orderkey"]
+        ].rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas",
+    )
+    joined = hash_join(
+        cust,
+        orders,
+        on="c_custkey",
+        how="left",
+        left_schema=pa.schema([("c_custkey", pa.int64())]),
+        right_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("o_orderkey", pa.int64())]
+        ),
+    )
+
+    def ind(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": df["c_custkey"],
+                "has": df["o_orderkey"].notna().astype("int64"),
+            }
+        )
+
+    per_cust = pre_aggregate_ds(
+        joined.map_batches(ind, batch_format="pandas"),
+        "c_custkey",
+        {"c_count": ("has", "sum")},
+    )
+    dist = pre_aggregate(per_cust, "c_count", {"custdist": (None, "count")})
+    dist["c_count"] = dist["c_count"].astype("int64")
+    dist["custdist"] = dist["custdist"].astype("int64")
+    return dist.sort_values(
+        ["custdist", "c_count"], ascending=False
+    ).reset_index(drop=True)
+
+
+_ORDER_COUNT_DIST_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c LEFT OUTER JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup + text analysis
 
@@ -1111,6 +1253,18 @@ def quality_docs_q(sf_dir: str):
 
 def fingerprint_docs_q(sf_dir: str):
     return textops.fingerprint_docs(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: every 29th document stands in for an
+    eval suite; every corpus doc sharing any 32-char shingle with it is
+    flagged. Rows-only driver check (set-overlap is not SQL-friendly);
+    the exact brute-force oracle lives in tests/test_textops.py."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda df: df[df["doc_id"] % 29 == 0], batch_format="pandas"
+    )
+    return textops.decontaminate(docs, bench)
 
 
 # ---------------------------------------------------------------------------
@@ -1452,6 +1606,11 @@ QUERIES = {
     "top_events_per_user": top_events_per_user,
     "search_docs": search_docs,
     "median_price_by_priority": median_price_by_priority,
+    "p90_event_value_by_type": p90_event_value_by_type,
+    "lineitem_moments": lineitem_moments,
+    "event_type_pivot": event_type_pivot,
+    "order_count_distribution": order_count_distribution,
+    "decontaminate_docs": decontaminate_docs,
     "dedup_exact_docs": dedup_exact_docs,
     "token_count_docs": token_count_docs,
     "doc_stats_by_lang": doc_stats_by_lang,
@@ -1503,6 +1662,10 @@ ORACLE_SQL = {
     "top_events_per_user": _TOP_PER_USER_SQL,
     "search_docs": _SEARCH_SQL,
     "median_price_by_priority": _MEDIAN_PRICE_SQL,
+    "p90_event_value_by_type": _P90_EVENT_SQL,
+    "lineitem_moments": _LINEITEM_MOMENTS_SQL,
+    "event_type_pivot": _EVENT_PIVOT_SQL,
+    "order_count_distribution": _ORDER_COUNT_DIST_SQL,
     "dedup_exact_docs": _DEDUP_EXACT_SQL,
     "token_count_docs": _TOKEN_COUNT_SQL,
     "doc_stats_by_lang": _DOC_STATS_SQL,

@@ -96,15 +96,22 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
     """Grouped aggregation with per-batch partial combine — Dataset out.
 
     ``aggs``: dict out_col -> (in_col, kind) with kind in
-    {sum, count, min, max, mean}. Mean is computed from sum + NON-NULL
-    count partials (SQL semantics: nulls are excluded from the divisor).
+    {sum, count, min, max, mean, var, std, corr, covar}. Mean is computed
+    from sum + NON-NULL count partials (SQL semantics: nulls are excluded
+    from the divisor). ``var``/``std`` are SAMPLE variance/stddev
+    (ddof=1, DuckDB ``var_samp``/``stddev_samp``) from (sum, sum-of-
+    squares, non-null count) partials; ``corr``/``covar`` take in_col as
+    a PAIR ``(x_col, y_col)`` and reduce the five cross-moment sums over
+    rows where BOTH are non-null (DuckDB ``corr``/``covar_samp``). All of
+    these are algebraic — one partial row per (key, batch) crosses the
+    shuffle no matter how many raw rows fed it.
     Raw rows never shuffle — only one partial row per (key, batch) does,
     which is what makes Zipf-skewed keys safe at 100 TB (SURVEY.md §4
     skew row) — and the merged result STAYS a Dataset, so
     corpus-cardinality keys (per-order, per-user) never collect to the
     driver; follow with :func:`top_k` / ``write_parquet`` / a join.
     """
-    sum_cols, min_cols, max_cols = [], [], []
+    sum_cols, min_cols, max_cols, var_cols, corr_cols = [], [], [], [], []
     for out, (col, kind) in aggs.items():
         if kind in ("sum", "mean"):
             sum_cols.append((out, col, kind))
@@ -114,6 +121,10 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
             min_cols.append((out, col))
         elif kind == "max":
             max_cols.append((out, col))
+        elif kind in ("var", "std"):
+            var_cols.append((out, col, kind))
+        elif kind in ("corr", "covar"):
+            corr_cols.append((out, col, kind))  # col = (x_col, y_col)
         else:
             raise ValueError(kind)
 
@@ -134,7 +145,30 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
                 cols[f"__min_{out}"] = pd.Series([], dtype="float64")
             for out, _ in max_cols:
                 cols[f"__max_{out}"] = pd.Series([], dtype="float64")
+            for out, _, _ in var_cols:
+                for p in ("s1", "s2"):
+                    cols[f"__{p}_{out}"] = pd.Series([], dtype="float64")
+                cols[f"__c_{out}"] = pd.Series([], dtype="int64")
+            for out, _, _ in corr_cols:
+                for p in ("sx", "sy", "sxx", "syy", "sxy"):
+                    cols[f"__{p}_{out}"] = pd.Series([], dtype="float64")
+                cols[f"__cn_{out}"] = pd.Series([], dtype="int64")
             return pd.DataFrame(cols)
+        derived = {}
+        for out, col, _ in var_cols:
+            v = df[col].astype("float64")
+            derived[f"__sq_{out}"] = v * v
+        for out, (xc, yc), _ in corr_cols:
+            x, y = df[xc].astype("float64"), df[yc].astype("float64")
+            m = x.notna() & y.notna()
+            xm, ym = x.where(m), y.where(m)
+            derived[f"__x_{out}"] = xm
+            derived[f"__y_{out}"] = ym
+            derived[f"__xx_{out}"] = xm * xm
+            derived[f"__yy_{out}"] = ym * ym
+            derived[f"__xy_{out}"] = xm * ym
+        if derived:
+            df = df.assign(**derived)
         g = df.groupby(keys, observed=True, sort=False)
         parts = {}
         parts["__n"] = g.size()
@@ -150,6 +184,17 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
             parts[f"__min_{out}"] = g[col].min()
         for out, col in max_cols:
             parts[f"__max_{out}"] = g[col].max()
+        for out, col, _ in var_cols:
+            parts[f"__s1_{out}"] = g[col].sum()
+            parts[f"__s2_{out}"] = g[f"__sq_{out}"].sum()
+            parts[f"__c_{out}"] = g[col].count()
+        for out, _, _ in corr_cols:
+            for p, c in (
+                ("sx", "__x_"), ("sy", "__y_"), ("sxx", "__xx_"),
+                ("syy", "__yy_"), ("sxy", "__xy_"),
+            ):
+                parts[f"__{p}_{out}"] = g[f"{c}{out}"].sum()
+            parts[f"__cn_{out}"] = g[f"__x_{out}"].count()
         return pd.DataFrame(parts).reset_index()
 
     partials = ds.map_batches(partial, batch_format="pandas")
@@ -164,6 +209,12 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
         agg_plan[f"__min_{out}"] = "min"
     for out, _ in max_cols:
         agg_plan[f"__max_{out}"] = "max"
+    for out, _, _ in var_cols:
+        for p in ("s1", "s2", "c"):
+            agg_plan[f"__{p}_{out}"] = "sum"
+    for out, _, _ in corr_cols:
+        for p in ("sx", "sy", "sxx", "syy", "sxy", "cn"):
+            agg_plan[f"__{p}_{out}"] = "sum"
 
     def merge_finalize(g: pd.DataFrame) -> pd.DataFrame:
         merged = g.groupby(key_list, as_index=False, observed=True, sort=False).agg(
@@ -181,6 +232,25 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
             out_df[out] = merged[f"__min_{out}"]
         for out, _ in max_cols:
             out_df[out] = merged[f"__max_{out}"]
+        for out, _, kind in var_cols:
+            c = merged[f"__c_{out}"]
+            var = (
+                merged[f"__s2_{out}"] - merged[f"__s1_{out}"] ** 2 / c
+            ) / (c - 1)
+            var = var.where(c > 1)  # SQL: NULL below 2 samples
+            out_df[out] = np.sqrt(var.clip(lower=0)) if kind == "std" else var
+        for out, _, kind in corr_cols:
+            n = merged[f"__cn_{out}"]
+            sx, sy = merged[f"__sx_{out}"], merged[f"__sy_{out}"]
+            sxx, syy = merged[f"__sxx_{out}"], merged[f"__syy_{out}"]
+            sxy = merged[f"__sxy_{out}"]
+            if kind == "covar":
+                val = ((sxy - sx * sy / n) / (n - 1)).where(n > 1)
+            else:
+                denom = np.sqrt((n * sxx - sx**2) * (n * syy - sy**2))
+                val = ((n * sxy - sx * sy) / denom).where(n > 1)
+                val = val.replace([np.inf, -np.inf], np.nan)
+            out_df[out] = val
         return out_df
 
     return bucketed_groupby_apply(
@@ -713,6 +783,78 @@ def grouped_quantile_disc(ds, keys, col, q: float = 0.5, out_col=None, num_bucke
         return hit[keys + [col]].rename(columns={col: out_col})
 
     return bucketed_groupby_apply(hist, keys, pick, num_buckets)
+
+
+def grouped_quantile_cont(ds, keys, col, q: float = 0.5, out_col=None, num_buckets: int = 64):
+    """Exact INTERPOLATED quantile per group (DuckDB ``quantile_cont`` /
+    SQL ``percentile_cont``: linear interpolation between the order
+    statistics at 0-based fractional rank ``h = (n-1)*q``).
+
+    Same scale shape as :func:`grouped_quantile_disc`: a partial-combined
+    (keys, value) COUNT histogram is the only thing that shuffles; the
+    per-group walk reads cumulative counts over distinct values and picks
+    the two adjacent order statistics to interpolate."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    out_col = out_col or f"{col}_q{q}"
+    hist = pre_aggregate_ds(ds, keys + [col], {"__n": (None, "count")}, num_buckets)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + [col], kind="mergesort")
+        grp = g.groupby(keys, sort=False)
+        cum = grp["__n"].cumsum()
+        total = grp["__n"].transform("sum")
+        h = (total - 1) * q  # 0-based fractional rank
+        lo_rank = np.floor(h) + 1  # 1-based ranks of the two order stats
+        hi_rank = np.ceil(h) + 1
+        lo = (
+            g[cum >= lo_rank]
+            .groupby(keys, sort=False, as_index=False)
+            .first()[keys + [col]]
+            .rename(columns={col: "__lo"})
+        )
+        hi = (
+            g[cum >= hi_rank]
+            .groupby(keys, sort=False, as_index=False)
+            .first()[keys + [col]]
+            .rename(columns={col: "__hi"})
+        )
+        fr = (
+            g.assign(__frac=h - np.floor(h))[keys + ["__frac"]]
+            .groupby(keys, sort=False, as_index=False)
+            .first()
+        )
+        m = lo.merge(hi, on=keys).merge(fr, on=keys)
+        m[out_col] = m["__lo"] + (m["__hi"] - m["__lo"]) * m["__frac"]
+        return m[keys + [out_col]]
+
+    return bucketed_groupby_apply(hist, keys, pick, num_buckets)
+
+
+def pivot_sum(ds, key, pivot_col, value_col, categories):
+    """Pivot: one output row per ``key``, one column per category holding
+    ``SUM(value_col) WHERE pivot_col == category`` (0.0 where absent —
+    SQL twin ``SUM(CASE WHEN pivot_col='c' THEN value ELSE 0 END)``).
+
+    Realization: a vectorized map projects one masked value column per
+    category, then the partial-combined grouped sum reduces them — the
+    shuffle moves one partial row per (key, batch) regardless of corpus
+    size, and the category set (bounded, user-declared or discovered via
+    a cheap ``Dataset.unique``) never shuffles at all. Category names
+    become output column names, so they must not collide with ``key``."""
+    cats = list(categories)
+    if key in cats:
+        raise ValueError(f"category name collides with key column: {key!r}")
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        out = {key: df[key]}
+        v = df[value_col].astype("float64")
+        pv = df[pivot_col]
+        for c in cats:
+            out[c] = v.where(pv == c, 0.0)
+        return pd.DataFrame(out)
+
+    wide = ds.map_batches(widen, batch_format="pandas")
+    return pre_aggregate_ds(wide, key, {c: (c, "sum") for c in cats})
 
 
 def stratified_sample(ds, stratum_col, id_col, rates: dict, default_rate: float = 0.0):

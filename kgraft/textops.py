@@ -705,6 +705,66 @@ def token_counts(docs):
     )
 
 
+def decontaminate(
+    corpus,
+    benchmark,
+    shingle_k: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Benchmark decontamination: per corpus document, count its
+    ``shingle_k``-char shingles that also occur in ANY benchmark document
+    -> ``(doc_id, n_hits, contaminated)`` for every corpus row.
+
+    A training-data pipeline runs this before every release: documents
+    overlapping an eval suite inflate benchmark scores and must be
+    dropped or audited. Scale shape: the BENCHMARK side is bounded by
+    definition (eval suites are thousands of documents, not corpora), so
+    its unique shingle-hash set is collected once, sorted, and broadcast
+    via ``ray.put``; the CORPUS side is a single shuffle-free vectorized
+    scan — per batch, all shingle hashes are tested against the sorted
+    benchmark array with one ``searchsorted`` (no Python set probing,
+    no join, nothing corpus-sized leaves the scan).
+    """
+    from .hashing import shingle_hashes
+
+    def bench_hashes(df: pd.DataFrame) -> pd.DataFrame:
+        hs = [shingle_hashes(t, shingle_k) for t in df[text_col]]
+        u = np.unique(np.concatenate(hs)) if hs else np.array([], dtype=np.uint64)
+        return pd.DataFrame({"h": u.astype(np.int64)})  # per-block unique
+
+    bench = (
+        benchmark.select_columns([text_col])
+        .map_batches(bench_hashes, batch_format="pandas")
+        .to_pandas()["h"]
+        .to_numpy()
+        .astype(np.uint64)
+    )
+    bench = np.unique(bench)  # sorted — the searchsorted probe needs this
+    ref = ray.put(bench)
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(ref)
+        hits = np.zeros(len(df), dtype=np.int64)
+        for i, t in enumerate(df[text_col]):
+            hs = shingle_hashes(t, shingle_k)
+            if len(b):
+                idx = np.searchsorted(b, hs)
+                idx[idx == len(b)] = 0
+                hits[i] = int((b[idx] == hs).sum())
+        return pd.DataFrame(
+            {
+                id_col: df[id_col],
+                "n_hits": hits,
+                "contaminated": hits > 0,
+            }
+        )
+
+    return corpus.select_columns([id_col, text_col]).map_batches(
+        scan, batch_format="pandas"
+    )
+
+
 def keyword_search(docs, terms, k: int = 20, text_col: str = "text", id_col: str = "doc_id"):
     """Corpus search: rank documents by total (non-overlapping) occurrence
     count of the query terms, return the top ``k`` as a pandas frame

@@ -270,3 +270,92 @@ def test_stratified_sample_deterministic_under_repartition():
     assert 0.4 < frac_a < 0.6
     frac_b = (got1["stratum"] == "b").sum() / (df["stratum"] == "b").sum()
     assert 0.05 < frac_b < 0.16
+
+
+def test_moments_match_duckdb(ray_session):
+    import ray
+
+    from kgraft.relational import pre_aggregate
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], 3000),
+            "x": rng.normal(10, 3, 3000),
+            "y": rng.normal(5, 2, 3000),
+        }
+    )
+    # plant nulls: var/corr must use non-null (pairwise) counts
+    df.loc[df.index % 7 == 0, "x"] = np.nan
+    df.loc[df.index % 11 == 0, "y"] = np.nan
+    got = (
+        pre_aggregate(
+            ray.data.from_pandas(df).repartition(9),
+            ["k"],
+            {
+                "sd": ("x", "std"),
+                "vr": ("x", "var"),
+                "cr": (("x", "y"), "corr"),
+                "cv": (("x", "y"), "covar"),
+            },
+        )
+        .sort_values("k", ignore_index=True)
+    )
+    want = duckdb.sql(
+        "SELECT k, stddev_samp(x) sd, var_samp(x) vr, corr(x, y) cr, "
+        "covar_samp(x, y) cv FROM df GROUP BY k ORDER BY k"
+    ).df()
+    for c in ("sd", "vr", "cr", "cv"):
+        np.testing.assert_allclose(got[c].to_numpy(), want[c].to_numpy(), rtol=1e-9)
+
+
+def test_grouped_quantile_cont_matches_duckdb(ray_session):
+    import ray
+
+    from kgraft.relational import grouped_quantile_cont
+
+    rng = np.random.RandomState(3)
+    for n, q in ((2, 0.5), (7, 0.25), (400, 0.9), (401, 0.5)):
+        df = pd.DataFrame(
+            {
+                "k": np.repeat(["a", "b"], n),
+                "v": np.concatenate([rng.uniform(0, 100, n), rng.uniform(-5, 5, n)]),
+            }
+        )
+        got = (
+            grouped_quantile_cont(ray.data.from_pandas(df), "k", "v", q=q, out_col="vq")
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        want = duckdb.sql(
+            f"SELECT k, quantile_cont(v, {q}) AS vq FROM df GROUP BY k ORDER BY k"
+        ).df()
+        np.testing.assert_allclose(got["vq"].to_numpy(), want["vq"].to_numpy())
+
+
+def test_pivot_sum_matches_duckdb(ray_session):
+    import ray
+
+    from kgraft.relational import pivot_sum
+
+    rng = np.random.RandomState(8)
+    df = pd.DataFrame(
+        {
+            "u": rng.randint(0, 40, 5000),
+            "t": rng.choice(["p", "q", "r"], 5000),
+            "v": rng.uniform(0, 10, 5000),
+        }
+    )
+    got = (
+        pivot_sum(ray.data.from_pandas(df).repartition(7), "u", "t", "v", ["p", "q", "r"])
+        .to_pandas()
+        .sort_values("u", ignore_index=True)
+    )
+    want = duckdb.sql(
+        "SELECT u, sum(CASE WHEN t='p' THEN v ELSE 0 END) p, "
+        "sum(CASE WHEN t='q' THEN v ELSE 0 END) q, "
+        "sum(CASE WHEN t='r' THEN v ELSE 0 END) r FROM df GROUP BY u ORDER BY u"
+    ).df()
+    got["u"] = got["u"].astype(want["u"].dtype)
+    for c in ("p", "q", "r"):
+        np.testing.assert_allclose(got[c].to_numpy(), want[c].to_numpy(), rtol=1e-9)

@@ -174,3 +174,33 @@ def test_simhash_near_dup_planted(ray_session):
     g = dict(zip(out["doc_id"], out["dup_group"]))
     assert g[0] == g[1] == g[2] == 0
     assert g[3] != 0 and g[4] != 0 and g[3] != g[4]
+
+
+def test_decontaminate_matches_bruteforce(ray_session):
+    import ray
+
+    from kgraft.hashing import shingle_hashes
+
+    k = 32
+    docs_df = _docs_df()
+    bench_df = docs_df[docs_df["doc_id"] % 29 == 0]
+    got = (
+        textops.decontaminate(
+            _docs(ray),
+            ray.data.from_pandas(bench_df.reset_index(drop=True)),
+            shingle_k=k,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # brute force: union of benchmark shingle hashes, per-doc intersection
+    bench_set = set()
+    for t in bench_df["text"]:
+        bench_set.update(shingle_hashes(t, k).tolist())
+    for _, row in docs_df.iterrows():
+        hits = len(bench_set.intersection(shingle_hashes(row["text"], k).tolist()))
+        assert got.loc[row["doc_id"], "n_hits"] == hits
+        assert bool(got.loc[row["doc_id"], "contaminated"]) == (hits > 0)
+    # every benchmark doc overlaps itself
+    assert got.loc[bench_df["doc_id"], "contaminated"].all()
