@@ -1176,6 +1176,74 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
+def mode_priority_by_status(sf_dir: str) -> pd.DataFrame:
+    """Most frequent order priority per status — histogram shuffle only,
+    deterministic tie-break (count DESC, value ASC) mirrored in the SQL
+    oracle's row_number idiom."""
+    from .relational import grouped_mode
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority"])
+    out = grouped_mode(
+        orders, "o_orderstatus", "o_orderpriority", out_col="mode_priority"
+    ).to_pandas()
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+_MODE_PRIORITY_SQL = """
+SELECT o_orderstatus, o_orderpriority AS mode_priority FROM (
+    SELECT o_orderstatus, o_orderpriority,
+           row_number() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY count(*) DESC, o_orderpriority
+           ) AS rn
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+) WHERE rn = 1
+"""
+
+
+def approx_users_per_type(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog distinct users per event type (p=12, ~1.6% s.e.) —
+    the sketch path for web-scale COUNT DISTINCT where the exact
+    operator's (key, value) pair shuffle IS the corpus. No SQL oracle
+    (approximate by design); the driver records rows-only and the
+    error-bound test vs exact lives in tests/test_relational.py."""
+    from .relational import grouped_approx_count_distinct
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    out = grouped_approx_count_distinct(
+        ev, "event_type", "user_id", out_col="approx_users"
+    ).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def top_tokens_docs(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide top-20 tokens (lowercased ``[a-z0-9_]+`` runs) by
+    frequency — the vocabulary-statistics pass of a training-data
+    pipeline. Raw tokens never shuffle: each batch emits its local
+    (token, count) value_counts partial, the grouped sum reduces them,
+    and only the vocab-scale aggregate is sorted for the cut."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(r"[a-z0-9_]+").explode()
+        vc = toks.value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str), "n": vc.to_numpy(dtype="int64")})
+
+    partials = docs.map_batches(counts, batch_format="pandas")
+    agg = pre_aggregate_ds(partials, "token", {"n": ("n", "sum")})
+    out = agg.sort(["n", "token"], descending=[True, False]).limit(20).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+_TOP_TOKENS_SQL = """
+SELECT t AS token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+      FROM documents)
+GROUP BY t ORDER BY n DESC, t LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup + text analysis
 
@@ -1610,6 +1678,9 @@ QUERIES = {
     "lineitem_moments": lineitem_moments,
     "event_type_pivot": event_type_pivot,
     "order_count_distribution": order_count_distribution,
+    "mode_priority_by_status": mode_priority_by_status,
+    "approx_users_per_type": approx_users_per_type,
+    "top_tokens_docs": top_tokens_docs,
     "decontaminate_docs": decontaminate_docs,
     "dedup_exact_docs": dedup_exact_docs,
     "token_count_docs": token_count_docs,
@@ -1666,6 +1737,8 @@ ORACLE_SQL = {
     "lineitem_moments": _LINEITEM_MOMENTS_SQL,
     "event_type_pivot": _EVENT_PIVOT_SQL,
     "order_count_distribution": _ORDER_COUNT_DIST_SQL,
+    "mode_priority_by_status": _MODE_PRIORITY_SQL,
+    "top_tokens_docs": _TOP_TOKENS_SQL,
     "dedup_exact_docs": _DEDUP_EXACT_SQL,
     "token_count_docs": _TOKEN_COUNT_SQL,
     "doc_stats_by_lang": _DOC_STATS_SQL,

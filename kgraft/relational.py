@@ -758,6 +758,99 @@ def grouped_count_distinct(ds, keys, col, out_col="n_distinct", num_buckets: int
     return pre_aggregate_ds(part, keys, {out_col: ("__pc", "sum")}, num_buckets)
 
 
+def grouped_approx_count_distinct(
+    ds, keys, col, out_col="approx_n_distinct", p: int = 12, num_buckets: int = 64
+):
+    """Approximate ``COUNT(DISTINCT col) GROUP BY keys`` via HyperLogLog
+    (Flajolet et al. 2007) with linear-counting small-range correction —
+    standard error ~1.04/sqrt(2^p) (~1.6% at the default p=12).
+
+    This is the scale path :func:`grouped_count_distinct` can't take: the
+    exact operator shuffles every distinct (key, value) pair, which for
+    e.g. distinct-visitors-per-URL at web scale is the corpus itself. The
+    HLL partial is AT MOST one row per (key, register, batch) — bounded
+    by 2^p per key per batch no matter how many raw values fed it — and
+    register merges are max(), so partials combine associatively across
+    batches, buckets, and (on a real cluster) nodes. Registers travel as
+    tabular (key, register, rho) rows, not opaque blobs, so the merge is
+    the same partial-combined groupby-max machinery as every other
+    aggregate here. Deterministic: fixed-seed value hash.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # bias constant for m >= 128
+
+    from .hashing import splitmix64
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    **{k: pd.Series([], dtype=object) for k in keys},
+                    "__reg": pd.Series([], dtype="int64"),
+                    "__rho": pd.Series([], dtype="int64"),
+                }
+            )
+        v = df[col]
+        if pd.api.types.is_integer_dtype(v) or pd.api.types.is_float_dtype(v):
+            h = splitmix64(v.to_numpy().astype(np.uint64))
+        else:
+            h = hash_strings(v.astype(str).tolist(), seed=7)
+        reg = (h >> np.uint64(64 - p)).astype(np.int64)
+        # sentinel bit keeps w nonzero and caps rho at 64-p+1
+        w = (h << np.uint64(p)) | (np.uint64(1) << np.uint64(p - 1))
+        rho = (63 - np.floor(np.log2(w.astype(np.float64)))).astype(np.int64) + 1
+        part = df[keys].copy()
+        part["__reg"] = reg
+        part["__rho"] = rho
+        return part.groupby(keys + ["__reg"], sort=False, as_index=False)[
+            "__rho"
+        ].max()
+
+    partials = ds.select_columns(keys + [col]).map_batches(
+        partial, batch_format="pandas"
+    )
+
+    def estimate(g: pd.DataFrame) -> pd.DataFrame:
+        regs = g.groupby(keys + ["__reg"], sort=False, as_index=False)["__rho"].max()
+        grp = regs.groupby(keys, sort=False)
+        inv_sum = grp["__rho"].agg(lambda r: np.sum(np.exp2(-r.to_numpy(dtype="float64"))))
+        n_present = grp.size()
+        out = inv_sum.reset_index()[keys].copy()
+        zeros = m - n_present.to_numpy()
+        total = inv_sum.to_numpy() + zeros  # absent registers contribute 2^0
+        est = alpha * m * m / total
+        # linear counting where HLL is biased (small cardinalities)
+        small = (est <= 2.5 * m) & (zeros > 0)
+        with np.errstate(divide="ignore"):
+            lc = m * np.log(m / np.maximum(zeros, 1).astype("float64"))
+        est = np.where(small, lc, est)
+        out[out_col] = np.rint(est).astype("int64")
+        return out
+
+    return bucketed_groupby_apply(partials, keys, estimate, num_buckets)
+
+
+def grouped_mode(ds, keys, col, out_col=None, num_buckets: int = 64):
+    """Most frequent value of ``col`` per group, ties broken by smallest
+    value (made deterministic on purpose — the SQL twin is the
+    ``row_number() OVER (ORDER BY cnt DESC, value)`` idiom, since bare
+    ``mode()`` tie-breaks arbitrarily). Same scale shape as the grouped
+    quantiles: only the (keys, value) COUNT histogram shuffles."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    out_col = out_col or f"{col}_mode"
+    hist = pre_aggregate_ds(ds, keys + [col], {"__n": (None, "count")}, num_buckets)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["__n", col], ascending=[False, True], kind="mergesort"
+        )
+        hit = g.groupby(keys, sort=False, as_index=False).first()
+        return hit[keys + [col]].rename(columns={col: out_col})
+
+    return bucketed_groupby_apply(hist, keys, pick, num_buckets)
+
+
 def grouped_quantile_disc(ds, keys, col, q: float = 0.5, out_col=None, num_buckets: int = 64):
     """Exact discrete quantile per group (DuckDB ``quantile_disc``:
     the smallest sorted value whose cumulative count reaches

@@ -359,3 +359,69 @@ def test_pivot_sum_matches_duckdb(ray_session):
     got["u"] = got["u"].astype(want["u"].dtype)
     for c in ("p", "q", "r"):
         np.testing.assert_allclose(got[c].to_numpy(), want[c].to_numpy(), rtol=1e-9)
+
+
+def test_hll_within_error_bound(ray_session):
+    import ray
+
+    from kgraft.relational import grouped_approx_count_distinct
+
+    rng = np.random.RandomState(17)
+    # two regimes: linear-counting (small n << m) and HLL (n >> m=4096)
+    df = pd.DataFrame(
+        {
+            "k": np.repeat(["small", "big"], 60000),
+            "v": np.concatenate(
+                [
+                    rng.randint(0, 300, 60000),  # ~300 distinct
+                    rng.randint(0, 10**9, 60000),  # ~60k distinct (dups rare)
+                ]
+            ),
+        }
+    )
+    got = (
+        grouped_approx_count_distinct(
+            ray.data.from_pandas(df).repartition(11), "k", "v", out_col="nd"
+        )
+        .to_pandas()
+        .set_index("k")["nd"]
+    )
+    exact = df.groupby("k")["v"].nunique()
+    for k in ("small", "big"):
+        rel = abs(got[k] - exact[k]) / exact[k]
+        assert rel < 0.05, (k, got[k], exact[k], rel)
+    # partial-merge associativity: block layout must not change the sketch
+    got2 = (
+        grouped_approx_count_distinct(
+            ray.data.from_pandas(df).repartition(3), "k", "v", out_col="nd"
+        )
+        .to_pandas()
+        .set_index("k")["nd"]
+    )
+    assert got.sort_index().tolist() == got2.sort_index().tolist()
+
+
+def test_grouped_mode_matches_idiom(ray_session):
+    import ray
+
+    from kgraft.relational import grouped_mode
+
+    rng = np.random.RandomState(23)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c", "d"], 8000),
+            "v": rng.choice(list("pqrstu"), 8000),
+        }
+    )
+    got = (
+        grouped_mode(ray.data.from_pandas(df).repartition(5), "k", "v", out_col="mv")
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    want = duckdb.sql(
+        """SELECT k, v AS mv FROM (
+             SELECT k, v, row_number() OVER (
+                 PARTITION BY k ORDER BY count(*) DESC, v) rn
+             FROM df GROUP BY k, v) WHERE rn = 1 ORDER BY k"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
