@@ -1176,6 +1176,83 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
+def intersect_orders(sf_dir: str):
+    """Set intersection (SQL INTERSECT): order keys that are BOTH
+    high-value AND urgent — one bucketed shuffle of map-side-distinct
+    tagged rows."""
+    from .relational import set_op
+
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderpriority"]
+    )
+    hi = ds.map_batches(
+        lambda df: df.loc[df["o_totalprice"] > 400000.0, ["o_orderkey"]],
+        batch_format="pandas",
+    )
+    urgent = ds.map_batches(
+        lambda df: df.loc[df["o_orderpriority"] == "1-URGENT", ["o_orderkey"]],
+        batch_format="pandas",
+    )
+    return set_op(hi, urgent, "o_orderkey", "intersect")
+
+
+_INTERSECT_SQL = """
+SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+INTERSECT
+SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def except_orders(sf_dir: str):
+    """Set difference (SQL EXCEPT): high-value order keys that are NOT
+    urgent."""
+    from .relational import set_op
+
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderpriority"]
+    )
+    hi = ds.map_batches(
+        lambda df: df.loc[df["o_totalprice"] > 400000.0, ["o_orderkey"]],
+        batch_format="pandas",
+    )
+    urgent = ds.map_batches(
+        lambda df: df.loc[df["o_orderpriority"] == "1-URGENT", ["o_orderkey"]],
+        batch_format="pandas",
+    )
+    return set_op(hi, urgent, "o_orderkey", "except")
+
+
+_EXCEPT_SQL = """
+SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+EXCEPT
+SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def sample_events_per_user(sf_dir: str):
+    """Deterministic 3-per-user event sample (per-class subsampling for
+    corpus shaping), exactly replayable by the SQL oracle's row_number-
+    over-Knuth-hash idiom."""
+    from .relational import sample_k_per_group
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+    return sample_k_per_group(ev, "user_id", "event_id", k=3).to_pandas().sort_values(
+        "event_id", ignore_index=True
+    )
+
+
+_SAMPLE_PER_USER_SQL = """
+SELECT event_id, user_id, event_type FROM (
+    SELECT event_id, user_id, event_type,
+           row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY (event_id * 2654435761) % 4294967296, event_id
+           ) AS rn
+    FROM events
+) WHERE rn <= 3 ORDER BY event_id
+"""
+
+
 def mode_priority_by_status(sf_dir: str) -> pd.DataFrame:
     """Most frequent order priority per status — histogram shuffle only,
     deterministic tie-break (count DESC, value ASC) mirrored in the SQL
@@ -1321,6 +1398,20 @@ def quality_docs_q(sf_dir: str):
 
 def fingerprint_docs_q(sf_dir: str):
     return textops.fingerprint_docs(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def normalize_docs(sf_dir: str):
+    """NFC + lowercase + whitespace-collapse text normalization (the
+    pre-tokenization cleanup pass), SQL-twinned via nfc_normalize/
+    regexp_replace."""
+    return textops.normalize_text(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+_NORMALIZE_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm_text
+FROM documents
+"""
 
 
 def decontaminate_docs(sf_dir: str):
@@ -1681,6 +1772,10 @@ QUERIES = {
     "mode_priority_by_status": mode_priority_by_status,
     "approx_users_per_type": approx_users_per_type,
     "top_tokens_docs": top_tokens_docs,
+    "intersect_orders": intersect_orders,
+    "except_orders": except_orders,
+    "sample_events_per_user": sample_events_per_user,
+    "normalize_docs": normalize_docs,
     "decontaminate_docs": decontaminate_docs,
     "dedup_exact_docs": dedup_exact_docs,
     "token_count_docs": token_count_docs,
@@ -1739,6 +1834,10 @@ ORACLE_SQL = {
     "order_count_distribution": _ORDER_COUNT_DIST_SQL,
     "mode_priority_by_status": _MODE_PRIORITY_SQL,
     "top_tokens_docs": _TOP_TOKENS_SQL,
+    "intersect_orders": _INTERSECT_SQL,
+    "except_orders": _EXCEPT_SQL,
+    "sample_events_per_user": _SAMPLE_PER_USER_SQL,
+    "normalize_docs": _NORMALIZE_SQL,
     "dedup_exact_docs": _DEDUP_EXACT_SQL,
     "token_count_docs": _TOKEN_COUNT_SQL,
     "doc_stats_by_lang": _DOC_STATS_SQL,

@@ -980,3 +980,66 @@ def stratified_sample(ds, stratum_col, id_col, rates: dict, default_rate: float 
         return t.filter(pa.array(h < cut))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sample_k_per_group(ds, group_col, id_col, k: int, num_buckets: int = 64):
+    """Deterministic "k examples per group": within each group, keep the
+    k rows whose stable per-id hash ranks smallest (ties by id) — the
+    per-class subsampling step of a training-data pipeline ("3 examples
+    per label", "N pages per domain"), reproducible under repartitioning
+    and resume, and exactly replayable in SQL via ``row_number() OVER
+    (PARTITION BY g ORDER BY (id*2654435761)%%4294967296, id)``.
+
+    One bucketed shuffle on the group key co-locates each group; the
+    in-bucket cut is a vectorized sort + cumcount. Group sizes must fit
+    a worker (same contract as the window functions)."""
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        df = df.copy()
+        df["__h"] = (ids * np.int64(2654435761)) % np.int64(2**32)
+        return df
+
+    hashed = ds.map_batches(add_hash, batch_format="pandas")
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, "__h", id_col], kind="mergesort")
+        rank = g.groupby(group_col, sort=False).cumcount()
+        return g[rank < k].drop(columns=["__h"])
+
+    return bucketed_groupby_apply(hashed, group_col, cut, num_buckets)
+
+
+def set_op(left, right, cols, op: str, num_buckets: int = 64):
+    """SQL ``INTERSECT`` / ``EXCEPT`` (set semantics — distinct rows).
+
+    Map-side distinct per batch (the combiner), then ONE bucketed
+    shuffle of tagged distinct rows; per group the presence of each
+    side reduces to min/max of the side tag — fully vectorized, no
+    per-group Python. Both inputs must share the ``cols`` schema."""
+    if op not in ("intersect", "except"):
+        raise ValueError(f"unsupported set op: {op!r}")
+    cols = [cols] if isinstance(cols, str) else list(cols)
+
+    def tag(side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            u = df[cols].drop_duplicates()
+            u = u.copy()
+            u["__side"] = np.int64(side)
+            return u
+
+        return fn
+
+    lt = left.select_columns(cols).map_batches(tag(0), batch_format="pandas")
+    rt = right.select_columns(cols).map_batches(tag(1), batch_format="pandas")
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(cols, sort=False, as_index=False)["__side"]
+        mn, mx = gb.min(), gb.max()
+        if op == "intersect":
+            keep = (mn["__side"] == 0) & (mx["__side"] == 1)
+        else:  # except: on the left, never on the right
+            keep = mx["__side"] == 0
+        return mn.loc[keep, cols]
+
+    return bucketed_groupby_apply(lt.union(rt), cols, reduce, num_buckets)

@@ -705,6 +705,28 @@ def token_counts(docs):
     )
 
 
+def normalize_text(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Canonical text normalization for training corpora: NFC unicode
+    normalization, lowercasing, whitespace collapse to single spaces,
+    strip — the pre-tokenization cleanup pass. Vectorized pandas ``str``
+    kernels per batch, shuffle-free; SQL twin
+    ``trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))``."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        norm = (
+            df[text_col]
+            .str.normalize("NFC")
+            .str.lower()
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+        )
+        return pd.DataFrame({id_col: df[id_col], "norm_text": norm})
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
 def decontaminate(
     corpus,
     benchmark,

@@ -425,3 +425,52 @@ def test_grouped_mode_matches_idiom(ray_session):
              FROM df GROUP BY k, v) WHERE rn = 1 ORDER BY k"""
     ).df()
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_set_ops_match_duckdb(ray_session):
+    import ray
+
+    from kgraft.relational import set_op
+
+    rng = np.random.RandomState(29)
+    l = pd.DataFrame({"a": rng.randint(0, 50, 900), "b": rng.choice(["x", "y"], 900)})
+    r = pd.DataFrame({"a": rng.randint(25, 75, 900), "b": rng.choice(["x", "y"], 900)})
+    for op, sql_kw in (("intersect", "INTERSECT"), ("except", "EXCEPT")):
+        got = (
+            set_op(
+                ray.data.from_pandas(l).repartition(5),
+                ray.data.from_pandas(r).repartition(3),
+                ["a", "b"],
+                op,
+            )
+            .to_pandas()
+            .sort_values(["a", "b"], ignore_index=True)
+        )
+        want = duckdb.sql(
+            f"SELECT a, b FROM l {sql_kw} SELECT a, b FROM r ORDER BY a, b"
+        ).df()
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_sample_k_per_group_deterministic(ray_session):
+    import ray
+
+    from kgraft.relational import sample_k_per_group
+
+    rng = np.random.RandomState(31)
+    df = pd.DataFrame(
+        {"id": np.arange(3000, dtype="int64"), "g": rng.randint(0, 100, 3000)}
+    )
+    got1 = (
+        sample_k_per_group(ray.data.from_pandas(df), "g", "id", k=5)
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    got2 = (
+        sample_k_per_group(ray.data.from_pandas(df).repartition(17), "g", "id", k=5)
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got1, got2)
+    sizes = got1.groupby("g").size()
+    assert (sizes <= 5).all() and sizes.max() == 5
