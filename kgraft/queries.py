@@ -1253,6 +1253,35 @@ SELECT event_id, user_id, event_type FROM (
 """
 
 
+def funnel_view_click_purchase(sf_dir: str) -> pd.DataFrame:
+    """Ordered conversion funnel over the event stream: users who
+    viewed, then clicked at-or-after their first view, then purchased
+    at-or-after that click."""
+    from .relational import funnel
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return funnel(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+    SELECT e.user_id, min(e.ts) AS t FROM events e
+    JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+), s3 AS (
+    SELECT e.user_id, min(e.ts) AS t FROM events e
+    JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_view,
+       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click,
+       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase
+"""
+
+
 def mode_priority_by_status(sf_dir: str) -> pd.DataFrame:
     """Most frequent order priority per status — histogram shuffle only,
     deterministic tie-break (count DESC, value ASC) mirrored in the SQL
@@ -1776,6 +1805,7 @@ QUERIES = {
     "except_orders": except_orders,
     "sample_events_per_user": sample_events_per_user,
     "normalize_docs": normalize_docs,
+    "funnel_view_click_purchase": funnel_view_click_purchase,
     "decontaminate_docs": decontaminate_docs,
     "dedup_exact_docs": dedup_exact_docs,
     "token_count_docs": token_count_docs,
@@ -1838,6 +1868,7 @@ ORACLE_SQL = {
     "except_orders": _EXCEPT_SQL,
     "sample_events_per_user": _SAMPLE_PER_USER_SQL,
     "normalize_docs": _NORMALIZE_SQL,
+    "funnel_view_click_purchase": _FUNNEL_SQL,
     "dedup_exact_docs": _DEDUP_EXACT_SQL,
     "token_count_docs": _TOKEN_COUNT_SQL,
     "doc_stats_by_lang": _DOC_STATS_SQL,

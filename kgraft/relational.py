@@ -1010,6 +1010,42 @@ def sample_k_per_group(ds, group_col, id_col, k: int, num_buckets: int = 64):
     return bucketed_groupby_apply(hashed, group_col, cut, num_buckets)
 
 
+def funnel(ds, user_col, ts_col, type_col, steps, num_buckets: int = 64):
+    """Ordered funnel analysis: how many users completed step 1, then
+    step 2 AT OR AFTER their step-1 time, then step 3 after that, ...
+    -> ONE row of per-step user counts (``n_<step>`` columns).
+
+    Realization: one bucketed shuffle co-locates each user's events;
+    inside a bucket the sequential dependency (step i's clock starts at
+    the user's step i-1 completion) is resolved with vectorized
+    merge + groupby-min per step — no per-user Python. Each bucket emits
+    a single partial-count row (users are hash-partitioned, so bucket
+    counts are disjoint) and the driver sums ``num_buckets`` rows."""
+    steps = list(steps)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cur = None  # per-user completion time of the previous step
+        out = {}
+        for s in steps:
+            rows = g.loc[g[type_col] == s].reset_index(drop=True)
+            if cur is not None:
+                rows = rows.merge(cur, on=user_col)
+                rows = rows[rows[ts_col] >= rows["__prev"]]
+            t = rows.groupby(user_col, sort=False, as_index=False)[ts_col].min()
+            out[f"n_{s}"] = np.int64(len(t))
+            cur = t.rename(columns={ts_col: "__prev"})
+        return pd.DataFrame([out])
+
+    parts = bucketed_groupby_apply(
+        ds.select_columns([user_col, ts_col, type_col]),
+        user_col,
+        per_bucket,
+        num_buckets,
+    )
+    total = parts.to_pandas().sum()  # num_buckets partial rows
+    return pd.DataFrame([total.astype("int64")])
+
+
 def set_op(left, right, cols, op: str, num_buckets: int = 64):
     """SQL ``INTERSECT`` / ``EXCEPT`` (set semantics — distinct rows).
 

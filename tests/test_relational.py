@@ -474,3 +474,35 @@ def test_sample_k_per_group_deterministic(ray_session):
     pd.testing.assert_frame_equal(got1, got2)
     sizes = got1.groupby("g").size()
     assert (sizes <= 5).all() and sizes.max() == 5
+
+
+def test_funnel_matches_bruteforce(ray_session):
+    import ray
+
+    from kgraft.relational import funnel
+
+    rng = np.random.RandomState(37)
+    n = 6000
+    df = pd.DataFrame(
+        {
+            "u": rng.randint(0, 200, n),
+            "ts": rng.randint(0, 10**6, n).astype("int64"),
+            "t": rng.choice(["a", "b", "c", "x"], n, p=[0.3, 0.25, 0.15, 0.3]),
+        }
+    )
+    got = funnel(ray.data.from_pandas(df).repartition(7), "u", "ts", "t", ["a", "b", "c"])
+    # brute force, per user sequentially
+    n1 = n2 = n3 = 0
+    for _, g in df.groupby("u"):
+        ta = g.loc[g["t"] == "a", "ts"].min()
+        if pd.isna(ta):
+            continue
+        n1 += 1
+        tb = g.loc[(g["t"] == "b") & (g["ts"] >= ta), "ts"].min()
+        if pd.isna(tb):
+            continue
+        n2 += 1
+        tc = g.loc[(g["t"] == "c") & (g["ts"] >= tb), "ts"].min()
+        if not pd.isna(tc):
+            n3 += 1
+    assert got.iloc[0].tolist() == [n1, n2, n3]
