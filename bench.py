@@ -257,10 +257,12 @@ def main() -> None:
                 break
     # best-of-N per level, INTERLEAVED across levels: this host is a
     # shared hypervisor whose external load comes in multi-minute windows
-    # (identical runs measured ±30-50% apart); running the levels of a
-    # ratio back-to-back in alternation gives each level a sample in each
-    # window, so one noisy window cannot corrupt the recorded efficiency
-    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+    # (identical runs measured ±30-50% apart; two full bench runs 20 min
+    # apart recorded 21.1k vs 13.6k docs/sec at 32 CPUs); running the
+    # levels of a ratio back-to-back in alternation gives each level a
+    # sample in each window, and 3 rounds (~11 min for the 800k pair)
+    # usually spans at least one quiet window per level
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
     levels: dict = {}
     for _ in range(repeats):
         for cpus in (8, num_cpus):

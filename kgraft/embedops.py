@@ -92,22 +92,13 @@ def kmeans_centroids(
     return cents
 
 
-def ivf_topk(
-    embeddings,
-    query: np.ndarray,
-    k: int = 10,
-    n_cells: int = 16,
-    nprobe: int = 4,
-    sample_limit: int = 4096,
-):
-    """IVF-style ANN: probe the ``nprobe`` nearest coarse cells only.
-
-    The k-means training sample is the ``sample_limit`` rows with the
-    SMALLEST splitmix64(vec_id) — a deterministic, permutation-invariant
-    uniform sample (each batch emits its local bottom-k, a tiny global
-    sort finishes), instead of ``limit(N)`` which took whatever blocks
-    arrived first and biased centroids by storage order (r1 verdict #8).
-    """
+def _hash_sample_matrix(embeddings, sample_limit: int) -> np.ndarray:
+    """Deterministic, permutation-invariant uniform sample of the
+    embedding matrix: the ``sample_limit`` rows with the SMALLEST
+    splitmix64(vec_id) — each batch emits its local bottom-k, a tiny
+    global sort finishes (instead of ``limit(N)``, which took whatever
+    blocks arrived first and biased centroids by storage order,
+    r1 verdict #8)."""
     from .hashing import splitmix64
 
     def local_sample(t: pa.Table) -> pa.Table:
@@ -138,7 +129,21 @@ def ivf_topk(
         .limit(sample_limit)
         .to_pandas()
     )
-    sample = np.stack(sample_df["embedding"].map(np.asarray).values).astype(np.float64)
+    return np.stack(sample_df["embedding"].map(np.asarray).values).astype(np.float64)
+
+
+def ivf_topk(
+    embeddings,
+    query: np.ndarray,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    sample_limit: int = 4096,
+):
+    """IVF-style ANN: probe the ``nprobe`` nearest coarse cells only.
+    Centroids train on the deterministic hash sample
+    (:func:`_hash_sample_matrix`)."""
+    sample = _hash_sample_matrix(embeddings, sample_limit)
     cents = kmeans_centroids(sample, n_cells)
     q = np.asarray(query, dtype=np.float64)
     probe = np.argsort(((cents - q) ** 2).sum(axis=1))[:nprobe]
@@ -172,6 +177,61 @@ def ivf_topk(
 
     partial = embeddings.map_batches(local, batch_format="pyarrow")
     return partial.sort(["score", "vec_id"], descending=[True, False]).limit(k)
+
+
+def kmeans_assign(
+    embeddings,
+    n_cells: int = 16,
+    n_iter: int = 10,
+    sample_limit: int = 4096,
+    seed: int = 7,
+):
+    """Corpus clustering — the IVF coarse quantizer as a first-class
+    operator: every vector gets its nearest k-means cell ->
+    ``(vec_id, cluster_id, dist)``. A training-data pipeline uses this
+    for diversity bucketing, domain discovery, and cluster-balanced
+    sampling over an embedded corpus.
+
+    Scale shape: centroids train driver-side on the deterministic
+    permutation-invariant hash sample (bounded ``sample_limit`` rows),
+    broadcast once via ``ray.put``; assignment is one shuffle-free
+    vectorized scan per batch using the ``|x|^2 - 2xC^T + |c|^2``
+    expansion (no B x K x D intermediate). Deterministic: fixed-seed
+    Lloyd on a storage-order-independent sample, so output is stable
+    under repartitioning and resume."""
+    sample = _hash_sample_matrix(embeddings, sample_limit)
+    cents = kmeans_centroids(sample, n_cells, n_iter=n_iter, seed=seed)
+    cref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.float64()),
+                }
+            )
+        mat = _batch_matrix(t)
+        c = ray.get(cref)
+        d2 = (
+            (mat**2).sum(axis=1)[:, None]
+            - 2.0 * (mat @ c.T)
+            + (c**2).sum(axis=1)[None, :]
+        )
+        a = d2.argmin(axis=1)
+        best = np.sqrt(np.maximum(d2[np.arange(len(a)), a], 0.0))
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cluster_id": pa.array(a.astype(np.int64), pa.int64()),
+                "dist": pa.array(np.round(best, 6), pa.float64()),
+            }
+        )
+
+    return embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
 
 
 def embed_near_dup(

@@ -1459,6 +1459,16 @@ def decontaminate_docs(sf_dir: str):
 # embeddings: similarity search
 
 
+def cluster_embeddings(sf_dir: str):
+    """K-means corpus clustering (diversity bucketing / domain
+    discovery): every vector -> nearest coarse cell. Rows-only driver
+    check (centroid training is iterative, not SQL); the nearest-
+    centroid brute-force oracle and repartition-invariance test live in
+    tests/test_embedops.py."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedops.kmeans_assign(emb, n_cells=16)
+
+
 def knn_cosine_topk(sf_dir: str) -> pd.DataFrame:
     emb = read_table(sf_dir, "embeddings")
     q = embedops.get_query_vector(emb, vec_id=0)
@@ -1820,6 +1830,7 @@ QUERIES = {
     "fingerprint_docs": fingerprint_docs_q,
     "knn_cosine_topk": knn_cosine_topk,
     "ivf_ann_topk": ivf_ann_topk,
+    "cluster_embeddings": cluster_embeddings,
     "label_norms": label_norms,
     "kg_triples": kg_triples,
     "kg_nodes": kg_nodes,

@@ -1,6 +1,7 @@
 """Similarity search: brute-force oracle + IVF recall."""
 
 import numpy as np
+import pandas as pd
 import pyarrow.parquet as pq
 
 from kgraft import embedops
@@ -101,3 +102,43 @@ def test_ivf_invariant_to_input_order(ray_session):
     ).to_pandas()
     assert a["vec_id"].tolist() == b["vec_id"].tolist()
     assert a["score"].tolist() == b["score"].tolist()
+
+
+def test_kmeans_assign_matches_bruteforce(ray_session):
+    import ray
+
+    from kgraft import embedops
+
+    rng = np.random.RandomState(41)
+    n, d = 1200, 16
+    mat = rng.normal(0, 1, (n, d))
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype="int64"), "embedding": list(mat)})
+    got = (
+        embedops.kmeans_assign(ray.data.from_pandas(df), n_cells=8, sample_limit=512)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    # oracle: same deterministic sample + Lloyd, brute-force assignment
+    from kgraft.hashing import splitmix64
+
+    h = splitmix64(np.arange(n, dtype=np.uint64) ^ np.uint64(0xA5A5)).astype(np.int64)
+    sample = mat[np.argsort(h)[:512]]
+    # sample rows must arrive in hash order, as the operator's sort does
+    cents = embedops.kmeans_centroids(sample, 8)
+    d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    want = d2.argmin(axis=1)
+    assert (got["cluster_id"].to_numpy() == want).all()
+    np.testing.assert_allclose(
+        got["dist"].to_numpy(),
+        np.round(np.sqrt(d2[np.arange(n), want]), 6),
+        atol=1e-6,
+    )
+    # invariant under block layout
+    got2 = (
+        embedops.kmeans_assign(
+            ray.data.from_pandas(df).repartition(9), n_cells=8, sample_limit=512
+        )
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, got2)
