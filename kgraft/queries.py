@@ -1563,6 +1563,27 @@ def kg_edges(sf_dir: str):
     return ray.data.read_parquet(m["edges_dir"])
 
 
+def kg_pagerank(sf_dir: str) -> pd.DataFrame:
+    """PageRank over the engine's own materialized KG edges (graph
+    analytics on the construction output): top-20 entities by rank.
+    Node vector is vocab-scale (broadcast); edges stream through
+    shuffle-free bincount passes. Rows-only driver check; the power-
+    iteration oracle lives in tests/test_graph.py."""
+    import pyarrow.parquet as pq
+
+    from .graph.pagerank import pagerank
+
+    m = _kg_outputs(sf_dir)
+    node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
+        "entity_id"
+    ].to_numpy()
+    edges = ray.data.read_parquet(m["edges_dir"], columns=["subj_id", "obj_id"])
+    pr = pagerank(edges, node_ids, n_iter=15)
+    pr["rank"] = pr["rank"].round(10)
+    top = pr.sort_values(["rank", "node_id"], ascending=[False, True]).head(20)
+    return top.reset_index(drop=True)
+
+
 def kg_mentions(sf_dir: str):
     """Stage 4 as a standalone query: gazetteer mention detection over the
     synthetic corpus segments (actor pool, broadcast alias dict)."""
@@ -1835,6 +1856,7 @@ QUERIES = {
     "kg_triples": kg_triples,
     "kg_nodes": kg_nodes,
     "kg_edges": kg_edges,
+    "kg_pagerank": kg_pagerank,
     "kg_mentions": kg_mentions,
     "kg_triples_llm": kg_triples_llm,
     "page_meta": page_meta,

@@ -72,3 +72,35 @@ def test_components_random_graph_both_methods(ray_session):
         uf.sort_values("entity_id").reset_index(drop=True),
         lp.sort_values("entity_id").reset_index(drop=True),
     )
+
+
+def test_pagerank_matches_power_iteration(ray_session):
+    import ray
+
+    from kgraft.graph.pagerank import pagerank
+
+    rng = np.random.RandomState(43)
+    n, m = 60, 500
+    # ids deliberately sparse/non-contiguous
+    ids = np.sort(rng.choice(np.arange(0, 10000), size=n, replace=False)).astype("int64")
+    src = ids[rng.randint(0, n, m)]
+    dst = ids[rng.randint(0, n, m)]
+    edges_df = pd.DataFrame({"subj_id": src, "obj_id": dst})
+    got = pagerank(
+        ray.data.from_pandas(edges_df).repartition(7), ids, damping=0.85, n_iter=25
+    ).set_index("node_id")["rank"]
+
+    # dense power-iteration oracle with identical semantics
+    idx = {v: i for i, v in enumerate(ids)}
+    A = np.zeros((n, n))
+    for s, d in zip(src, dst):
+        A[idx[s], idx[d]] += 1.0
+    outdeg = A.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(25):
+        w = np.where(outdeg > 0, r / np.where(outdeg > 0, outdeg, 1.0), 0.0)
+        contrib = A.T @ w
+        dangling = r[outdeg == 0].sum()
+        r = 0.15 / n + 0.85 * (contrib + dangling / n)
+    np.testing.assert_allclose(got.loc[ids].to_numpy(), r, rtol=1e-10, atol=1e-12)
+    assert abs(got.sum() - 1.0) < 1e-9  # rank mass conserved
