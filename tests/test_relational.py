@@ -506,3 +506,41 @@ def test_funnel_matches_bruteforce(ray_session):
         if not pd.isna(tc):
             n3 += 1
     assert got.iloc[0].tolist() == [n1, n2, n3]
+
+
+def test_hash_join_all_hows_match_duckdb(ray_session):
+    import ray
+
+    from kgraft.relational import hash_join
+
+    rng = np.random.RandomState(47)
+    l = pd.DataFrame(
+        {"k": rng.randint(0, 60, 400).astype("int64"), "lv": rng.uniform(0, 1, 400)}
+    )
+    r = pd.DataFrame(
+        {"k": rng.randint(30, 90, 400).astype("int64"), "rv": rng.uniform(0, 1, 400)}
+    )
+    for how, sql_kw in (
+        ("inner", "JOIN"),
+        ("left", "LEFT OUTER JOIN"),
+        ("right", "RIGHT OUTER JOIN"),
+        ("outer", "FULL OUTER JOIN"),
+    ):
+        got = (
+            hash_join(
+                ray.data.from_pandas(l).repartition(5),
+                ray.data.from_pandas(r).repartition(3),
+                on="k",
+                how=how,
+            )
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"], ignore_index=True)
+        )
+        want = (
+            duckdb.sql(f"SELECT COALESCE(l.k, r.k) AS k, lv, rv FROM l {sql_kw} r ON l.k = r.k")
+            .df()
+            .sort_values(["k", "lv", "rv"], ignore_index=True)
+        )
+        got["k"] = got["k"].astype("int64")
+        want["k"] = want["k"].astype("int64")
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
