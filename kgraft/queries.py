@@ -1253,6 +1253,33 @@ SELECT event_id, user_id, event_type FROM (
 """
 
 
+def rollup_order_totals(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP (status, priority): per-(status, priority),
+    per-status subtotals, and the grand total — one corpus scan at the
+    finest level, coarser levels re-aggregated from it."""
+    from .relational import rollup_aggregate
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+    out = rollup_aggregate(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        {"total_price": ("o_totalprice", "sum"), "n_orders": (None, "count")},
+    )
+    out["total_price"] = out["total_price"].round(4)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
+_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 4) AS total_price,
+       count(*) AS n_orders
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
 def funnel_view_click_purchase(sf_dir: str) -> pd.DataFrame:
     """Ordered conversion funnel over the event stream: users who
     viewed, then clicked at-or-after their first view, then purchased
@@ -1837,6 +1864,7 @@ QUERIES = {
     "sample_events_per_user": sample_events_per_user,
     "normalize_docs": normalize_docs,
     "funnel_view_click_purchase": funnel_view_click_purchase,
+    "rollup_order_totals": rollup_order_totals,
     "decontaminate_docs": decontaminate_docs,
     "dedup_exact_docs": dedup_exact_docs,
     "token_count_docs": token_count_docs,
@@ -1902,6 +1930,7 @@ ORACLE_SQL = {
     "sample_events_per_user": _SAMPLE_PER_USER_SQL,
     "normalize_docs": _NORMALIZE_SQL,
     "funnel_view_click_purchase": _FUNNEL_SQL,
+    "rollup_order_totals": _ROLLUP_SQL,
     "dedup_exact_docs": _DEDUP_EXACT_SQL,
     "token_count_docs": _TOKEN_COUNT_SQL,
     "doc_stats_by_lang": _DOC_STATS_SQL,

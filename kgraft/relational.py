@@ -1010,6 +1010,42 @@ def sample_k_per_group(ds, group_col, id_col, k: int, num_buckets: int = 64):
     return bucketed_groupby_apply(hashed, group_col, cut, num_buckets)
 
 
+def rollup_aggregate(ds, keys, aggs):
+    """SQL ``GROUP BY ROLLUP(k1, k2, ...)``: aggregates at every key
+    prefix level down to the grand total, rolled-up key columns NULL.
+
+    The corpus is scanned ONCE at the finest level (partial-combined,
+    skew-safe, via :func:`pre_aggregate`); every coarser level
+    re-aggregates the previous level's result — legitimate driver-side
+    work for the dimension-bounded key spaces rollups are used on
+    (status x priority, lang x source). Supported kinds: sum, count,
+    min, max (the algebraic ones that re-aggregate losslessly)."""
+    keys = list(keys)
+    plan = {}
+    for out_col, (_, kind) in aggs.items():
+        if kind == "count":
+            plan[out_col] = "sum"
+        elif kind in ("sum", "min", "max"):
+            plan[out_col] = kind
+        else:
+            raise ValueError(f"rollup does not support kind {kind!r}")
+    finest = pre_aggregate(ds, keys, aggs)
+    levels = [finest[keys + list(aggs)]]
+    cur = finest
+    for lvl in range(len(keys) - 1, -1, -1):
+        sub = keys[:lvl]
+        if sub:
+            nxt = cur.groupby(sub, as_index=False, observed=True).agg(plan)
+        else:
+            nxt = cur[list(plan)].agg(plan).to_frame().T
+        cur = nxt
+        lv = nxt.copy()
+        for k in keys[lvl:]:
+            lv[k] = None
+        levels.append(lv[keys + list(aggs)])
+    return pd.concat(levels, ignore_index=True)
+
+
 def funnel(ds, user_col, ts_col, type_col, steps, num_buckets: int = 64):
     """Ordered funnel analysis: how many users completed step 1, then
     step 2 AT OR AFTER their step-1 time, then step 3 after that, ...
