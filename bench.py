@@ -263,19 +263,6 @@ def main() -> None:
     # sample in each window, and 3 rounds (~11 min for the 800k pair)
     # usually spans at least one quiet window per level
     repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
-    levels: dict = {}
-    for _ in range(repeats):
-        for cpus in (8, num_cpus):
-            r = _pipeline_subprocess(cpus, pages, sf_dir)
-            if cpus not in levels or r["docs_per_sec"] > levels[cpus]["docs_per_sec"]:
-                levels[cpus] = r
-    headline = levels[num_cpus]
-    eff = (
-        (headline["docs_per_sec"] / levels[8]["docs_per_sec"]) / (num_cpus / 8)
-        if num_cpus != 8
-        else 1.0
-    )
-
     # Second N->4N pair BELOW the host's saturation knee (2->8 CPUs): on
     # this single shared 32-core socket, widths >=16 contend on the shared
     # L3/memory subsystem, inflating per-core CPU time (measured ladder in
@@ -285,13 +272,33 @@ def main() -> None:
     # so it isolates ENGINE scaling (fixed serial cost, barriers,
     # stragglers) from host physics. A smaller corpus keeps the 2-CPU
     # runs short enough to repeat.
+    #
+    # ALL FOUR levels are interleaved round-robin (not pair-phase by
+    # pair-phase): external load arrives in multi-minute windows, and a
+    # phase-ordered protocol lets one bad window swallow every sample of
+    # one level (observed: a 2->8 pair read 0.58 because all three
+    # 8-CPU@200k runs landed in one window). Round-robin spreads each
+    # level's best-of-N samples across the bench's full ~20 minutes.
     low_pages = _largest_cached(min(pages, 200000))
+    levels: dict = {}
     low_levels: dict = {}
+    schedule = [
+        (8, pages, levels),
+        (num_cpus, pages, levels),
+        (2, low_pages, low_levels),
+        (8, low_pages, low_levels),
+    ]
     for _ in range(repeats):
-        for cpus in (2, 8):
-            r = _pipeline_subprocess(cpus, low_pages, sf_dir)
-            if cpus not in low_levels or r["docs_per_sec"] > low_levels[cpus]["docs_per_sec"]:
-                low_levels[cpus] = r
+        for cpus, pgs, store in schedule:
+            r = _pipeline_subprocess(cpus, pgs, sf_dir)
+            if cpus not in store or r["docs_per_sec"] > store[cpus]["docs_per_sec"]:
+                store[cpus] = r
+    headline = levels[num_cpus]
+    eff = (
+        (headline["docs_per_sec"] / levels[8]["docs_per_sec"]) / (num_cpus / 8)
+        if num_cpus != 8
+        else 1.0
+    )
     eff_low = (
         low_levels[8]["docs_per_sec"] / low_levels[2]["docs_per_sec"]
     ) / 4.0
