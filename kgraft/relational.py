@@ -32,8 +32,33 @@ from .hashing import hash_strings
 
 
 def read_table(sf_dir: str, name: str, columns=None):
-    """Column-pruned parquet read of one testdata table."""
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    """Column-pruned parquet read of one testdata table.
+
+    Block sizing: Ray's parallelism floor (~2 x CPUs) shreds a small
+    file into ~64 tiny blocks, and every downstream exchange then pays
+    ~64 per-task fixed costs PER SIDE — which dominates wall time at
+    test scale (measured: orders x customer hash_join at sf0.1 is
+    2.7-3.8 s with default 64-way splits vs 0.45 s at 8 blocks). For
+    files under 512 MB we override to ~1 MB of compressed bytes per
+    block; ``documents``/``embeddings`` keep a 16-block floor because
+    their downstream kernels (shingling, signatures, matmuls) are
+    CPU-dense per row and need the actor pools fed. Files at or above
+    512 MB keep Ray's own size-based sizing, which already targets
+    ~128 MB in-memory blocks — so at corpus scale block count grows
+    with the data, exactly as the 100-TB layout needs.
+    """
+    import os as _os
+
+    path = f"{sf_dir}/{name}.parquet"
+    kwargs = {}
+    try:
+        size = _os.path.getsize(path)
+    except OSError:
+        size = None
+    if size is not None and size < 512 * (1 << 20):
+        floor = 16 if name in ("documents", "embeddings") else 1
+        kwargs["override_num_blocks"] = int(max(floor, size // (1 << 20)))
+    return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 
 # ---------------------------------------------------------------------------
