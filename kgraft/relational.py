@@ -164,7 +164,6 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
             for out, col, kind in sum_cols:
                 if kind != "count":
                     cols[f"__sum_{out}"] = pd.Series([], dtype="float64")
-                if kind == "mean":
                     cols[f"__cnt_{out}"] = pd.Series([], dtype="int64")
             for out, _ in min_cols:
                 cols[f"__min_{out}"] = pd.Series([], dtype="float64")
@@ -201,10 +200,10 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
             if kind == "count":
                 continue
             parts[f"__sum_{out}"] = g[col].sum()
-            if kind == "mean":
-                # non-null count: g[col].sum() skips nulls, so the mean
-                # divisor must too (ADVICE r1: AVG on null-bearing columns)
-                parts[f"__cnt_{out}"] = g[col].count()
+            # non-null count: g[col].sum() skips nulls, so the mean
+            # divisor must too (ADVICE r1), and SQL SUM over an all-null
+            # group is NULL, not 0 — the finalize nulls those out
+            parts[f"__cnt_{out}"] = g[col].count()
         for out, col in min_cols:
             parts[f"__min_{out}"] = g[col].min()
         for out, col in max_cols:
@@ -228,7 +227,6 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
     for out, col, kind in sum_cols:
         if kind != "count":
             agg_plan[f"__sum_{out}"] = "sum"
-        if kind == "mean":
             agg_plan[f"__cnt_{out}"] = "sum"
     for out, _ in min_cols:
         agg_plan[f"__min_{out}"] = "min"
@@ -250,7 +248,10 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
             if kind == "count":
                 out_df[out] = merged["__n"].astype("int64")
             elif kind == "sum":
-                out_df[out] = merged[f"__sum_{out}"]
+                # SQL: SUM over an all-null group is NULL, not 0
+                out_df[out] = merged[f"__sum_{out}"].where(
+                    merged[f"__cnt_{out}"] > 0
+                )
             else:  # mean
                 out_df[out] = merged[f"__sum_{out}"] / merged[f"__cnt_{out}"]
         for out, _ in min_cols:

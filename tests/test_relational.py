@@ -544,3 +544,50 @@ def test_hash_join_all_hows_match_duckdb(ray_session):
         got["k"] = got["k"].astype("int64")
         want["k"] = want["k"].astype("int64")
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pre_aggregate_property_random_frames(ray_session):
+    """Property test: pre_aggregate == DuckDB on randomized frames with
+    nulls, mixed dtypes, and varying block layouts (seeded sweep — a
+    full hypothesis engine would re-init Ray per example)."""
+    import ray
+
+    from kgraft.relational import pre_aggregate
+
+    for seed in (0, 1, 2, 3, 4):
+        rng = np.random.RandomState(seed)
+        n = int(rng.randint(1, 4000))
+        df = pd.DataFrame(
+            {
+                "k1": rng.choice(["a", "b", "c", "d", ""], n),
+                "k2": rng.randint(0, int(rng.randint(1, 6)), n).astype("int64"),
+                "x": rng.normal(0, 100, n),
+            }
+        )
+        df.loc[rng.rand(n) < 0.2, "x"] = np.nan
+        # plant an all-null group: SQL SUM/AVG/MIN/MAX there are NULL
+        df.loc[df["k1"] == "d", "x"] = np.nan
+        got = (
+            pre_aggregate(
+                ray.data.from_pandas(df).repartition(int(rng.randint(1, 9))),
+                ["k1", "k2"],
+                {
+                    "s": ("x", "sum"),
+                    "c": (None, "count"),
+                    "mn": ("x", "min"),
+                    "mx": ("x", "max"),
+                    "av": ("x", "mean"),
+                },
+            )
+            .sort_values(["k1", "k2"], ignore_index=True)
+        )
+        want = duckdb.sql(
+            "SELECT k1, k2, sum(x) s, count(*) c, min(x) mn, max(x) mx, "
+            "avg(x) av FROM df GROUP BY k1, k2 ORDER BY k1, k2"
+        ).df()
+        assert got.shape == want.shape, seed
+        for col in ("s", "mn", "mx", "av"):
+            np.testing.assert_allclose(
+                got[col].to_numpy(), want[col].to_numpy(), rtol=1e-9, err_msg=f"seed={seed} col={col}"
+            )
+        assert (got["c"].to_numpy() == want["c"].to_numpy()).all(), seed
