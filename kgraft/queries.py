@@ -1253,6 +1253,32 @@ SELECT event_id, user_id, event_type FROM (
 """
 
 
+def urgent_customers_bloom(sf_dir: str):
+    """Customers with at least one urgent order — EXACT semi join via
+    the Bloom-prefilter scale pattern (bitmap OR-reduce + shuffle-free
+    probe scan + exact tier on survivors only)."""
+    from .relational import bloom_semi_join
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    urgent = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda df: df.loc[
+            df["o_orderpriority"] == "1-URGENT", ["o_custkey"]
+        ].rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas",
+    )
+    return bloom_semi_join(cust, urgent, on="c_custkey")
+
+
+_URGENT_CUST_BLOOM_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+"""
+
+
 def rollup_order_totals(sf_dir: str) -> pd.DataFrame:
     """GROUP BY ROLLUP (status, priority): per-(status, priority),
     per-status subtotals, and the grand total — one corpus scan at the
@@ -1865,6 +1891,7 @@ QUERIES = {
     "normalize_docs": normalize_docs,
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "rollup_order_totals": rollup_order_totals,
+    "urgent_customers_bloom": urgent_customers_bloom,
     "decontaminate_docs": decontaminate_docs,
     "dedup_exact_docs": dedup_exact_docs,
     "token_count_docs": token_count_docs,
@@ -1931,6 +1958,7 @@ ORACLE_SQL = {
     "normalize_docs": _NORMALIZE_SQL,
     "funnel_view_click_purchase": _FUNNEL_SQL,
     "rollup_order_totals": _ROLLUP_SQL,
+    "urgent_customers_bloom": _URGENT_CUST_BLOOM_SQL,
     "dedup_exact_docs": _DEDUP_EXACT_SQL,
     "token_count_docs": _TOKEN_COUNT_SQL,
     "doc_stats_by_lang": _DOC_STATS_SQL,

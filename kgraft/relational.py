@@ -1036,6 +1036,74 @@ def sample_k_per_group(ds, group_col, id_col, k: int, num_buckets: int = 64):
     return bucketed_groupby_apply(hashed, group_col, cut, num_buckets)
 
 
+def bloom_semi_join(ds, keys_ds, on: str, num_bits: int = 1 << 23, num_hashes: int = 4):
+    """EXACT semi join against a large key set, Bloom-prefiltered.
+
+    :func:`semi_anti_join` broadcasts the exact key set — fine for
+    bounded dimensions, corpus-sized for e.g. "users who purchased" at
+    web scale. This is the scale pattern: the key side collapses
+    map-side into fixed-size bitmap partials (packed uint64 words, 1 MiB
+    at the default 2^23 bits) that OR together — associative, so on a
+    real cluster the OR is a tree reduce; here the driver folds the
+    per-block partials. ONE broadcast of the bitmap then prefilters the
+    probe side in a shuffle-free vectorized scan: Bloom filters have no
+    false negatives, so everything dropped is truly non-matching, and
+    the surviving ~selectivity·corpus + false positives (rate
+    ``(1-e^(-kn/m))^k``) are resolved EXACTLY by the bucketed hash join
+    against the distinct keys — the expensive exact machinery only ever
+    sees the survivors.
+    """
+    from .hashing import splitmix64
+
+    nb = np.uint64(num_bits)
+    words = num_bits // 64
+    seeds = [np.uint64(0x9E3779B97F4A7C15 * (i + 1) & (2**64 - 1)) for i in range(num_hashes)]
+
+    def key_hashes(vals) -> list:
+        arr = np.asarray(vals)
+        if arr.dtype.kind in "iuf":
+            base = arr.astype(np.uint64)
+            return [splitmix64(base ^ s) % nb for s in seeds]
+        h0 = hash_strings([str(v) for v in vals], seed=13)
+        return [splitmix64(h0 ^ s) % nb for s in seeds]
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        bm = np.zeros(words, dtype=np.uint64)
+        if len(df):
+            for pos in key_hashes(df[on].to_numpy()):
+                np.bitwise_or.at(
+                    bm, (pos >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (pos & np.uint64(63)),
+                )
+        return pd.DataFrame({"__bm": [bm.tobytes()]})
+
+    parts = keys_ds.select_columns([on]).map_batches(build, batch_format="pandas")
+    bitmap = np.zeros(words, dtype=np.uint64)
+    for blob in parts.to_pandas()["__bm"]:
+        bitmap |= np.frombuffer(blob, dtype=np.uint64)
+    bref = ray.put(bitmap)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        bm = ray.get(bref)
+        keep = np.ones(len(df), dtype=bool)
+        for pos in key_hashes(df[on].to_numpy()):
+            word = bm[(pos >> np.uint64(6)).astype(np.int64)]
+            keep &= (word >> (pos & np.uint64(63))) & np.uint64(1) > 0
+        return df[keep]
+
+    survivors = ds.map_batches(probe, batch_format="pandas")
+    keys_distinct = distinct(keys_ds, on)
+    return hash_join(
+        survivors,
+        keys_distinct,
+        on=on,
+        left_schema=ds.schema(),
+        right_schema=pa.schema([(on, dict(zip(ds.schema().names, ds.schema().types))[on])]),
+    )
+
+
 def rollup_aggregate(ds, keys, aggs):
     """SQL ``GROUP BY ROLLUP(k1, k2, ...)``: aggregates at every key
     prefix level down to the grand total, rolled-up key columns NULL.

@@ -591,3 +591,34 @@ def test_pre_aggregate_property_random_frames(ray_session):
                 got[col].to_numpy(), want[col].to_numpy(), rtol=1e-9, err_msg=f"seed={seed} col={col}"
             )
         assert (got["c"].to_numpy() == want["c"].to_numpy()).all(), seed
+
+
+def test_bloom_semi_join_exact_under_false_positives(ray_session):
+    import ray
+
+    from kgraft.relational import bloom_semi_join, semi_anti_join
+
+    rng = np.random.RandomState(53)
+    probe = pd.DataFrame(
+        {"k": rng.randint(0, 5000, 3000).astype("int64"), "v": rng.rand(3000)}
+    )
+    keys = pd.DataFrame({"k": rng.randint(0, 5000, 400).astype("int64")})
+    # 256-bit bitmap with 400 keys -> saturated, nearly every probe row is
+    # a bloom "maybe": the EXACT tier must still produce the true semi join
+    got = (
+        bloom_semi_join(
+            ray.data.from_pandas(probe).repartition(5),
+            ray.data.from_pandas(keys).repartition(3),
+            on="k",
+            num_bits=256,
+            num_hashes=2,
+        )
+        .to_pandas()
+        .sort_values(["k", "v"], ignore_index=True)
+    )
+    want = (
+        semi_anti_join(ray.data.from_pandas(probe), keys["k"].tolist(), on="k")
+        .to_pandas()
+        .sort_values(["k", "v"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "v"]], want[["k", "v"]])
