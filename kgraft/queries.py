@@ -1637,6 +1637,30 @@ def kg_pagerank(sf_dir: str) -> pd.DataFrame:
     return top.reset_index(drop=True)
 
 
+def kg_degree_stats(sf_dir: str) -> pd.DataFrame:
+    """Degree distribution of the constructed KG: per out-degree bucket
+    (log2), how many entities — the graph-quality monitoring pass run
+    after every build (hub explosion / disconnection shows up here
+    first). One partial-combined aggregate over the edge table, then a
+    tiny histogram."""
+    m = _kg_outputs(sf_dir)
+    edges = ray.data.read_parquet(m["edges_dir"], columns=["subj_id"])
+    per_node = pre_aggregate_ds(edges, "subj_id", {"deg": (None, "count")})
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.floor(np.log2(df["deg"].to_numpy(dtype="float64"))).astype("int64")
+        return pd.DataFrame({"log2_degree": b})
+
+    out = pre_aggregate(
+        per_node.map_batches(bucketize, batch_format="pandas"),
+        "log2_degree",
+        {"n_entities": (None, "count")},
+    )
+    out["log2_degree"] = out["log2_degree"].astype("int64")
+    out["n_entities"] = out["n_entities"].astype("int64")
+    return out.sort_values("log2_degree").reset_index(drop=True)
+
+
 def kg_mentions(sf_dir: str):
     """Stage 4 as a standalone query: gazetteer mention detection over the
     synthetic corpus segments (actor pool, broadcast alias dict)."""
@@ -1912,6 +1936,7 @@ QUERIES = {
     "kg_nodes": kg_nodes,
     "kg_edges": kg_edges,
     "kg_pagerank": kg_pagerank,
+    "kg_degree_stats": kg_degree_stats,
     "kg_mentions": kg_mentions,
     "kg_triples_llm": kg_triples_llm,
     "page_meta": page_meta,
