@@ -26,33 +26,54 @@ import pyarrow as pa
 import ray
 
 
-def _dense_partials(edges, ids_ref, rank_over_deg_ref, src_col, dst_col):
-    """One edge pass: per block, map endpoint ids to dense indices
-    (searchsorted on the broadcast sorted id vector) and emit the
-    block's sparse (dst_idx, contribution) sums."""
+def _to_index(ids: np.ndarray, vals: np.ndarray, col: str) -> np.ndarray:
+    """Map endpoint ids to dense indices via searchsorted on the sorted
+    vocabulary — VALIDATED: an id absent from the vocabulary would
+    otherwise be silently credited to its insertion neighbor (corrupt
+    ranks) or index out of bounds."""
+    idx = np.searchsorted(ids, vals)
+    bad = (idx >= len(ids)) | (ids[np.minimum(idx, len(ids) - 1)] != vals)
+    if bad.any():
+        raise ValueError(
+            f"pagerank: {int(bad.sum())} {col} id(s) not in node_ids "
+            f"(e.g. {vals[bad][:3].tolist()})"
+        )
+    return idx
+
+
+def _sparse_partials(edges, ids_ref, src_col, dst_col, weights_ref=None):
+    """One edge pass: per block, emit the block's sparse
+    (index, value) sums — weighted rank contributions keyed by DST when
+    ``weights_ref`` is set, plain out-degree counts keyed by SRC when
+    it is None."""
 
     def fn(t: pa.Table) -> pa.Table:
-        ids = ray.get(ids_ref)
-        w = ray.get(rank_over_deg_ref)
         if len(t) == 0:
             return pa.table(
-                {
-                    "__i": pa.array([], pa.int64()),
-                    "__c": pa.array([], pa.float64()),
-                }
+                {"__i": pa.array([], pa.int64()), "__c": pa.array([], pa.float64())}
             )
-        s = np.searchsorted(ids, t[src_col].to_numpy(zero_copy_only=False))
-        d = np.searchsorted(ids, t[dst_col].to_numpy(zero_copy_only=False))
-        contrib = np.bincount(d, weights=w[s], minlength=len(ids))
-        nz = np.nonzero(contrib)[0]
+        ids = ray.get(ids_ref)
+        s = _to_index(ids, t[src_col].to_numpy(zero_copy_only=False), src_col)
+        if weights_ref is None:
+            dense = np.bincount(s, minlength=len(ids)).astype(np.float64)
+        else:
+            d = _to_index(ids, t[dst_col].to_numpy(zero_copy_only=False), dst_col)
+            dense = np.bincount(d, weights=ray.get(weights_ref)[s], minlength=len(ids))
+        nz = np.nonzero(dense)[0]
         return pa.table(
             {
                 "__i": pa.array(nz.astype(np.int64), pa.int64()),
-                "__c": pa.array(contrib[nz], pa.float64()),
+                "__c": pa.array(dense[nz], pa.float64()),
             }
         )
 
     return edges.map_batches(fn, batch_format="pyarrow")
+
+
+def _fold(parts_df: pd.DataFrame, n: int) -> np.ndarray:
+    out = np.zeros(n, dtype=np.float64)
+    np.add.at(out, parts_df["__i"].to_numpy(), parts_df["__c"].to_numpy())
+    return out
 
 
 def pagerank(
@@ -66,41 +87,28 @@ def pagerank(
     """PageRank with uniform teleport and dangling-mass redistribution:
     ``r' = (1-d)/N + d * (A^T (r/outdeg) + dangling_mass/N)``.
 
-    ``node_ids``: the vocabulary (every id appearing in ``edges`` must be
-    present). Returns ``(node_id, rank)`` for all nodes. Deterministic.
+    ``node_ids``: the vocabulary (every id appearing in ``edges`` must
+    be present — validated per block, see :func:`_to_index`). Returns
+    ``(node_id, rank)`` for all nodes. Deterministic.
     """
     ids = np.unique(np.asarray(node_ids, dtype=np.int64))
     n = len(ids)
     ids_ref = ray.put(ids)
 
-    # out-degrees: one edge pass of sparse per-block counts
-    def deg_fn(t: pa.Table) -> pa.Table:
-        idvec = ray.get(ids_ref)
-        if len(t) == 0:
-            return pa.table(
-                {"__i": pa.array([], pa.int64()), "__c": pa.array([], pa.float64())}
-            )
-        s = np.searchsorted(idvec, t[src_col].to_numpy(zero_copy_only=False))
-        cnt = np.bincount(s, minlength=len(idvec))
-        nz = np.nonzero(cnt)[0]
-        return pa.table(
-            {
-                "__i": pa.array(nz.astype(np.int64), pa.int64()),
-                "__c": pa.array(cnt[nz].astype(np.float64), pa.float64()),
-            }
-        )
-
-    deg_parts = edges.map_batches(deg_fn, batch_format="pyarrow").to_pandas()
-    outdeg = np.zeros(n, dtype=np.float64)
-    np.add.at(outdeg, deg_parts["__i"].to_numpy(), deg_parts["__c"].to_numpy())
+    outdeg = _fold(
+        _sparse_partials(edges, ids_ref, src_col, dst_col).to_pandas(), n
+    )
 
     rank = np.full(n, 1.0 / n, dtype=np.float64)
     safe_deg = np.where(outdeg > 0, outdeg, 1.0)
     for _ in range(n_iter):
         w_ref = ray.put(rank / safe_deg)
-        parts = _dense_partials(edges, ids_ref, w_ref, src_col, dst_col).to_pandas()
-        agg = np.zeros(n, dtype=np.float64)
-        np.add.at(agg, parts["__i"].to_numpy(), parts["__c"].to_numpy())
+        agg = _fold(
+            _sparse_partials(
+                edges, ids_ref, src_col, dst_col, weights_ref=w_ref
+            ).to_pandas(),
+            n,
+        )
         dangling = rank[outdeg == 0].sum()
         rank = (1.0 - damping) / n + damping * (agg + dangling / n)
     return pd.DataFrame({"node_id": ids, "rank": rank})

@@ -1176,12 +1176,9 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
-def intersect_orders(sf_dir: str):
-    """Set intersection (SQL INTERSECT): order keys that are BOTH
-    high-value AND urgent — one bucketed shuffle of map-side-distinct
-    tagged rows."""
-    from .relational import set_op
-
+def _hi_and_urgent_orderkeys(sf_dir: str):
+    """Shared branches for the set-op queries: (high-value keys,
+    urgent keys) as single-column Datasets."""
     ds = read_table(
         sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderpriority"]
     )
@@ -1193,6 +1190,16 @@ def intersect_orders(sf_dir: str):
         lambda df: df.loc[df["o_orderpriority"] == "1-URGENT", ["o_orderkey"]],
         batch_format="pandas",
     )
+    return hi, urgent
+
+
+def intersect_orders(sf_dir: str):
+    """Set intersection (SQL INTERSECT): order keys that are BOTH
+    high-value AND urgent — one bucketed shuffle of map-side-distinct
+    tagged rows."""
+    from .relational import set_op
+
+    hi, urgent = _hi_and_urgent_orderkeys(sf_dir)
     return set_op(hi, urgent, "o_orderkey", "intersect")
 
 
@@ -1208,17 +1215,7 @@ def except_orders(sf_dir: str):
     urgent."""
     from .relational import set_op
 
-    ds = read_table(
-        sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderpriority"]
-    )
-    hi = ds.map_batches(
-        lambda df: df.loc[df["o_totalprice"] > 400000.0, ["o_orderkey"]],
-        batch_format="pandas",
-    )
-    urgent = ds.map_batches(
-        lambda df: df.loc[df["o_orderpriority"] == "1-URGENT", ["o_orderkey"]],
-        batch_format="pandas",
-    )
+    hi, urgent = _hi_and_urgent_orderkeys(sf_dir)
     return set_op(hi, urgent, "o_orderkey", "except")
 
 
@@ -1246,7 +1243,7 @@ SELECT event_id, user_id, event_type FROM (
     SELECT event_id, user_id, event_type,
            row_number() OVER (
                PARTITION BY user_id
-               ORDER BY (event_id * 2654435761) % 4294967296, event_id
+               ORDER BY (event_id::HUGEINT * 2654435761) % 4294967296, event_id
            ) AS rn
     FROM events
 ) WHERE rn <= 3 ORDER BY event_id
@@ -1822,7 +1819,7 @@ def stratified_sample_events(sf_dir: str):
 _STRATIFIED_SQL = """
 SELECT event_id, event_type, user_id, value
 FROM events
-WHERE (event_id * 2654435761) % 4294967296 % 10000 <
+WHERE (event_id::HUGEINT * 2654435761) % 4294967296 % 10000 <
       CASE event_type
           WHEN 'click' THEN 2000
           WHEN 'view' THEN 1000

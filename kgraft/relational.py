@@ -817,9 +817,17 @@ def grouped_approx_count_distinct(
                     "__rho": pd.Series([], dtype="int64"),
                 }
             )
-        v = df[col]
-        if pd.api.types.is_integer_dtype(v) or pd.api.types.is_float_dtype(v):
+        v = df[col].dropna()  # SQL COUNT(DISTINCT) excludes NULLs
+        if len(v) == 0:
+            return partial(df.iloc[0:0])
+        df = df.loc[v.index]
+        if pd.api.types.is_integer_dtype(v):
             h = splitmix64(v.to_numpy().astype(np.uint64))
+        elif pd.api.types.is_float_dtype(v):
+            # hash the float64 BIT PATTERN: an integer cast truncates
+            # (1.1, 1.2, 1.9 would all hash as 1) and is undefined for
+            # NaN/negatives
+            h = splitmix64(v.to_numpy(dtype=np.float64).view(np.uint64))
         else:
             h = hash_strings(v.astype(str).tolist(), seed=7)
         reg = (h >> np.uint64(64 - p)).astype(np.int64)
@@ -858,11 +866,14 @@ def grouped_approx_count_distinct(
 
 
 def grouped_mode(ds, keys, col, out_col=None, num_buckets: int = 64):
-    """Most frequent value of ``col`` per group, ties broken by smallest
-    value (made deterministic on purpose — the SQL twin is the
+    """Most frequent NON-NULL value of ``col`` per group, ties broken by
+    smallest value (made deterministic on purpose — the SQL twin is the
     ``row_number() OVER (ORDER BY cnt DESC, value)`` idiom, since bare
-    ``mode()`` tie-breaks arbitrarily). Same scale shape as the grouped
-    quantiles: only the (keys, value) COUNT histogram shuffles."""
+    ``mode()`` tie-breaks arbitrarily). NULLs are excluded as candidate
+    values (like SQL ``mode()``, unlike a bare ``GROUP BY k, v`` which
+    would count the NULL group); on a column that can be mostly-NULL,
+    filter or fill first if NULL should win. Same scale shape as the
+    grouped quantiles: only the (keys, value) COUNT histogram shuffles."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     out_col = out_col or f"{col}_mode"
     hist = pre_aggregate_ds(ds, keys + [col], {"__n": (None, "count")}, num_buckets)
@@ -1000,7 +1011,12 @@ def stratified_sample(ds, stratum_col, id_col, rates: dict, default_rate: float 
 
     def fn(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = (ids * np.int64(2654435761)) % np.int64(2**32) % np.int64(10000)
+        # uint64 math: int64 would overflow-wrap for ids above ~3.47e9
+        # (the SQL twin casts to HUGEINT for the same reason)
+        h = (
+            (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+        ) % np.uint64(10000)
+        h = h.astype(np.int64)
         strata = t[stratum_col].to_pandas()
         cut = strata.map(bps).fillna(dflt).to_numpy(dtype=np.int64)
         return t.filter(pa.array(h < cut))
@@ -1014,7 +1030,8 @@ def sample_k_per_group(ds, group_col, id_col, k: int, num_buckets: int = 64):
     per-class subsampling step of a training-data pipeline ("3 examples
     per label", "N pages per domain"), reproducible under repartitioning
     and resume, and exactly replayable in SQL via ``row_number() OVER
-    (PARTITION BY g ORDER BY (id*2654435761)%%4294967296, id)``.
+    (PARTITION BY g ORDER BY (id::HUGEINT * 2654435761) %% 4294967296, id)``
+    (HUGEINT: a 64-bit SQL multiply overflows for ids above ~3.47e9).
 
     One bucketed shuffle on the group key co-locates each group; the
     in-bucket cut is a vectorized sort + cumcount. Group sizes must fit
@@ -1023,7 +1040,11 @@ def sample_k_per_group(ds, group_col, id_col, k: int, num_buckets: int = 64):
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
         ids = df[id_col].to_numpy(dtype=np.int64)
         df = df.copy()
-        df["__h"] = (ids * np.int64(2654435761)) % np.int64(2**32)
+        # uint64 math: int64 overflow-wraps for ids above ~3.47e9 and
+        # the SQL replay (HUGEINT multiply) could never reproduce it
+        df["__h"] = (
+            (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+        ).astype(np.int64)
         return df
 
     hashed = ds.map_batches(add_hash, batch_format="pandas")
@@ -1119,7 +1140,12 @@ def rollup_aggregate(ds, keys, aggs):
     for out_col, (_, kind) in aggs.items():
         if kind == "count":
             plan[out_col] = "sum"
-        elif kind in ("sum", "min", "max"):
+        elif kind == "sum":
+            # min_count=1 keeps SQL NULL-SUM semantics at coarser
+            # levels: an all-NULL group's finest-level NaN must roll up
+            # to NULL, not be skipna'd back into 0.0
+            plan[out_col] = lambda s: s.sum(min_count=1)
+        elif kind in ("min", "max"):
             plan[out_col] = kind
         else:
             raise ValueError(f"rollup does not support kind {kind!r}")

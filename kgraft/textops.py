@@ -710,15 +710,21 @@ def normalize_text(docs, id_col: str = "doc_id", text_col: str = "text"):
     normalization, lowercasing, whitespace collapse to single spaces,
     strip — the pre-tokenization cleanup pass. Vectorized pandas ``str``
     kernels per batch, shuffle-free; SQL twin
-    ``trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))``."""
+    ``trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))``.
+
+    The whitespace class is pinned to RE2's ASCII ``\\s`` =
+    ``[\\t\\n\\f\\r ]`` (NOT Python's Unicode ``\\s``) and the strip to
+    plain spaces (DuckDB ``trim`` default) so the engine and the SQL
+    twin produce byte-identical output on non-ASCII corpora too —
+    U+00A0/U+2028 etc. pass through on both sides."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         norm = (
             df[text_col]
             .str.normalize("NFC")
             .str.lower()
-            .str.replace(r"\s+", " ", regex=True)
-            .str.strip()
+            .str.replace(r"[\t\n\f\r ]+", " ", regex=True)
+            .str.strip(" ")
         )
         return pd.DataFrame({id_col: df[id_col], "norm_text": norm})
 

@@ -622,3 +622,46 @@ def test_bloom_semi_join_exact_under_false_positives(ray_session):
         .sort_values(["k", "v"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(got[["k", "v"]], want[["k", "v"]])
+
+
+def test_hll_float_and_null_values(ray_session):
+    import ray
+
+    from kgraft.relational import grouped_approx_count_distinct
+
+    rng = np.random.RandomState(61)
+    # float values in a narrow range: an integer cast would collapse
+    # 50k distinct values onto ~10 buckets (review finding r2)
+    vals = rng.uniform(0, 10, 50000)
+    df = pd.DataFrame({"k": ["f"] * 50000, "v": vals})
+    df.loc[rng.rand(50000) < 0.1, "v"] = np.nan  # NULLs excluded like SQL
+    got = (
+        grouped_approx_count_distinct(ray.data.from_pandas(df), "k", "v", out_col="nd")
+        .to_pandas()
+        .set_index("k")["nd"]
+    )
+    exact = df["v"].dropna().nunique()
+    assert abs(got["f"] - exact) / exact < 0.05, (got["f"], exact)
+
+
+def test_rollup_all_null_group_sum_is_null(ray_session):
+    import ray
+
+    from kgraft.relational import rollup_aggregate
+
+    df = pd.DataFrame(
+        {
+            "k1": ["a", "a", "d", "d"],
+            "k2": ["x", "y", "x", "y"],
+            "v": [1.0, 2.0, np.nan, np.nan],
+        }
+    )
+    out = rollup_aggregate(
+        ray.data.from_pandas(df), ["k1", "k2"], {"s": ("v", "sum"), "n": (None, "count")}
+    )
+    # the (d, NULL) subtotal and the finest (d, x)/(d, y) rows: SUM of
+    # only NULLs is NULL at EVERY rollup level (review finding r2)
+    d_sub = out[(out["k1"] == "d") & (out["k2"].isna())]
+    assert len(d_sub) == 1 and np.isnan(d_sub["s"].iloc[0])
+    grand = out[out["k1"].isna()]
+    assert len(grand) == 1 and abs(grand["s"].iloc[0] - 3.0) < 1e-12
