@@ -1357,6 +1357,28 @@ SELECT o_orderstatus, o_orderpriority AS mode_priority FROM (
 """
 
 
+def priorities_per_status(sf_dir: str) -> pd.DataFrame:
+    """Grouped string aggregation: the sorted distinct priorities seen
+    per order status, comma-joined (deterministic ORDER BY form)."""
+    from .relational import distinct, grouped_string_agg
+
+    pairs = distinct(
+        read_table(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority"]),
+        ["o_orderstatus", "o_orderpriority"],
+    )
+    out = grouped_string_agg(
+        pairs, "o_orderstatus", "o_orderpriority", out_col="priorities"
+    ).to_pandas()
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+_PRIORITIES_PER_STATUS_SQL = """
+SELECT o_orderstatus, string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+GROUP BY o_orderstatus
+"""
+
+
 def approx_users_per_type(sf_dir: str) -> pd.DataFrame:
     """HyperLogLog distinct users per event type (p=12, ~1.6% s.e.) —
     the sketch path for web-scale COUNT DISTINCT where the exact
@@ -1904,6 +1926,7 @@ QUERIES = {
     "event_type_pivot": event_type_pivot,
     "order_count_distribution": order_count_distribution,
     "mode_priority_by_status": mode_priority_by_status,
+    "priorities_per_status": priorities_per_status,
     "approx_users_per_type": approx_users_per_type,
     "top_tokens_docs": top_tokens_docs,
     "intersect_orders": intersect_orders,
@@ -1973,6 +1996,7 @@ ORACLE_SQL = {
     "event_type_pivot": _EVENT_PIVOT_SQL,
     "order_count_distribution": _ORDER_COUNT_DIST_SQL,
     "mode_priority_by_status": _MODE_PRIORITY_SQL,
+    "priorities_per_status": _PRIORITIES_PER_STATUS_SQL,
     "top_tokens_docs": _TOP_TOKENS_SQL,
     "intersect_orders": _INTERSECT_SQL,
     "except_orders": _EXCEPT_SQL,

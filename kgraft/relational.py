@@ -865,6 +865,29 @@ def grouped_approx_count_distinct(
     return bucketed_groupby_apply(partials, keys, estimate, num_buckets)
 
 
+def grouped_string_agg(ds, keys, col, sep: str = ",", out_col=None, num_buckets: int = 64):
+    """SQL ``string_agg(col, sep ORDER BY col)``: per group, the sorted
+    non-null values joined with ``sep`` (ORDER BY makes it deterministic
+    — bare string_agg is partition-order-dependent). One bucketed
+    shuffle co-locates each group's values; the in-bucket join is a
+    single sort + vectorized groupby-agg. Group payloads must fit a
+    worker (same contract as the window functions) — aggregating
+    corpus-sized value lists into one string is a misuse at any scale."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    out_col = out_col or f"{col}_agg"
+    slim = ds.select_columns(keys + [col])
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.dropna(subset=[col]).sort_values(keys + [col], kind="mergesort")
+        out = (
+            g.groupby(keys, sort=False, as_index=False)[col]
+            .agg(lambda s: sep.join(s.astype(str)))
+        )
+        return out.rename(columns={col: out_col})
+
+    return bucketed_groupby_apply(slim, keys, join, num_buckets)
+
+
 def grouped_mode(ds, keys, col, out_col=None, num_buckets: int = 64):
     """Most frequent NON-NULL value of ``col`` per group, ties broken by
     smallest value (made deterministic on purpose — the SQL twin is the
