@@ -1895,6 +1895,8 @@ ORDER BY user_id, rn
 """
 
 
+from .queries_tpch import TPCH_ORACLE_SQL, TPCH_QUERIES  # noqa: E402
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1963,6 +1965,7 @@ QUERIES = {
     "page_tables": page_tables,
     "kg_extract_text": kg_extract_text,
     "image_features": image_features_q,
+    **TPCH_QUERIES,
 }
 
 ORACLE_SQL = {
@@ -2013,4 +2016,5 @@ ORACLE_SQL = {
     # near_dup_docs / simhash / langid / quality / fingerprint / ivf_ann /
     # kg_* / image_features: non-SQL-expressible -> rows-only driver check;
     # full oracles live in tests/.
+    **TPCH_ORACLE_SQL,
 }

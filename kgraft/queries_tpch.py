@@ -1,0 +1,959 @@
+"""TPC-H subquery-shape suite (round 2 coverage widening).
+
+Ten more TPC-H-flavored pipelines, adapted to the driver tables'
+columns (no partsupp / shipmode / commitdate / phone in the synthetic
+schema — predicates are remapped onto p_brand/p_size/p_name/
+o_orderpriority while keeping each query's OPERATOR SHAPE intact):
+
+- q7  nation-pair volume (multi-fact join chain, cross-filter)
+- q8  market share (CASE share-of-total over a 4-join star)
+- q9  profit by nation/year (LIKE-filtered part semi join)
+- q15 top supplier (scalar subquery: max over a derived aggregate)
+- q16 supplier counts (grouped COUNT DISTINCT over a join)
+- q17 small-quantity revenue (correlated per-group AVG subquery)
+- q19 disjunctive predicate revenue (OR-of-conjunctions pushdown)
+- q20 qualified suppliers (HAVING-filtered semi join chain)
+- q21 waiting suppliers (multi-supplier EXISTS / sole-max pattern)
+- q22 idle rich customers (scalar subquery + NOT EXISTS anti join)
+
+Scale notes follow the r1 verdict: nation/region broadcast (25 rows by
+spec); customer/supplier/orders/part/lineitem attach via bucketed
+``hash_join`` / ``bloom_semi_join``; corpus-cardinality aggregates stay
+Datasets (``pre_aggregate_ds``); only dimension-bounded finals collect.
+Reference seed: the reference implements NO joins/aggregates at all
+(SURVEY.md §2.1 "does NOT implement") — these exist for the engine
+contract, not reference parity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from .relational import (
+    bloom_semi_join,
+    distinct,
+    grouped_count_distinct,
+    hash_join,
+    pre_aggregate,
+    pre_aggregate_ds,
+    read_table,
+)
+
+
+def _ts(s: str) -> pa.Scalar:
+    return pa.scalar(np.datetime64(s, "us"))
+
+
+def _names_for(sf_dir: str, keys, table: str, key_col: str, name_col: str) -> pd.DataFrame:
+    """Names for a tiny winner set: broadcast the key set, scan the table.
+
+    The winner set is top-k-sized (driver-small by construction); the
+    table is corpus-scale and never collects — same pattern as q10.
+    """
+    keys_ref = ray.put({int(k) for k in keys})
+    return (
+        read_table(sf_dir, table, columns=[key_col, name_col])
+        .map_batches(
+            lambda df: df[df[key_col].isin(ray.get(keys_ref))],
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+
+
+# ---------------------------------------------------------------------------
+# q7: volume shipping between two nations
+
+
+def q7_volume_shipping(sf_dir: str) -> pd.DataFrame:
+    """Revenue shipped between NATION_7 and NATION_8 by year (TPC-H Q7
+    shape): supplier-nation x customer-nation cross filter over a
+    lineitem-orders-customer-supplier join chain."""
+    nation = read_table(sf_dir, "nation").to_pandas()
+    pair = nation[nation["n_name"].isin(["NATION_7", "NATION_8"])]
+    nkeys = frozenset(int(k) for k in pair["n_nationkey"])
+    nk_ref = ray.put(nkeys)
+    name_of = {int(k): v for k, v in zip(pair["n_nationkey"], pair["n_name"])}
+
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).map_batches(
+        lambda df: df[df["s_nationkey"].isin(ray.get(nk_ref))].rename(
+            columns={"s_suppkey": "l_suppkey", "s_nationkey": "supp_nkey"}
+        ),
+        batch_format="pandas",
+    )
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda df: df[df["c_nationkey"].isin(ray.get(nk_ref))].rename(
+            columns={"c_custkey": "o_custkey", "c_nationkey": "cust_nkey"}
+        ),
+        batch_format="pandas",
+    )
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas",
+    )
+    ords = hash_join(
+        orders,
+        cust,
+        on="o_custkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+        right_schema=pa.schema([("o_custkey", pa.int64()), ("cust_nkey", pa.int64())]),
+    ).map_batches(lambda df: df[["l_orderkey", "cust_nkey"]], batch_format="pandas")
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"],
+                "l_suppkey": df["l_suppkey"],
+                "l_year": df["l_shipdate"].dt.year.astype("int64"),
+                "volume": df["l_extendedprice"] * (1 - df["l_discount"]),
+            }
+        ),
+        batch_format="pandas",
+    )
+    j1 = hash_join(
+        li,
+        supp,
+        on="l_suppkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("l_year", pa.int64()),
+                ("volume", pa.float64()),
+            ]
+        ),
+        right_schema=pa.schema([("l_suppkey", pa.int64()), ("supp_nkey", pa.int64())]),
+    ).map_batches(
+        lambda df: df[["l_orderkey", "l_year", "volume", "supp_nkey"]],
+        batch_format="pandas",
+    )
+    j2 = hash_join(
+        j1,
+        ords,
+        on="l_orderkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_year", pa.int64()),
+                ("volume", pa.float64()),
+                ("supp_nkey", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("l_orderkey", pa.int64()), ("cust_nkey", pa.int64())]),
+    )
+    name_ref = ray.put(name_of)
+    flows = j2.map_batches(
+        lambda df: df[df["supp_nkey"] != df["cust_nkey"]].assign(
+            supp_nation=lambda d: d["supp_nkey"].map(ray.get(name_ref)),
+            cust_nation=lambda d: d["cust_nkey"].map(ray.get(name_ref)),
+        )[["supp_nation", "cust_nation", "l_year", "volume"]],
+        batch_format="pandas",
+    )
+    out = pre_aggregate(
+        flows, ["supp_nation", "cust_nation", "l_year"], {"revenue": ("volume", "sum")}
+    )
+    out["revenue"] = out["revenue"].round(4)
+    return out.sort_values(["supp_nation", "cust_nation", "l_year"]).reset_index(
+        drop=True
+    )
+
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_8')
+     OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_7')
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# q8: national market share
+
+
+def q8_market_share(sf_dir: str) -> pd.DataFrame:
+    """NATION_3's share of ECONOMY-part volume sold into EUROPE, by order
+    year (TPC-H Q8 shape: CASE share-of-total over a star join)."""
+    nation = read_table(sf_dir, "nation").to_pandas()
+    region = read_table(sf_dir, "region").to_pandas()
+    euro_rk = set(region.loc[region["r_name"] == "EUROPE", "r_regionkey"])
+    euro_nk = frozenset(
+        int(k) for k in nation.loc[nation["n_regionkey"].isin(euro_rk), "n_nationkey"]
+    )
+    target_nk = int(nation.loc[nation["n_name"] == "NATION_3", "n_nationkey"].iloc[0])
+    euro_ref = ray.put(euro_nk)
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda df: df[df["c_nationkey"].isin(ray.get(euro_ref))][["c_custkey"]].rename(
+            columns={"c_custkey": "o_custkey"}
+        ),
+        batch_format="pandas",
+    )
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "l_orderkey": df["o_orderkey"],
+                "o_custkey": df["o_custkey"],
+                "o_year": df["o_orderdate"].dt.year.astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    ords = hash_join(
+        orders,
+        cust,
+        on="o_custkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_year", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("o_custkey", pa.int64())]),
+    ).map_batches(lambda df: df[["l_orderkey", "o_year"]], batch_format="pandas")
+
+    part_keys = read_table(sf_dir, "part", columns=["p_partkey", "p_type"]).map_batches(
+        lambda df: df[df["p_type"] == "ECONOMY"][["p_partkey"]].rename(
+            columns={"p_partkey": "l_partkey"}
+        ),
+        batch_format="pandas",
+    )
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"],
+                "l_partkey": df["l_partkey"],
+                "l_suppkey": df["l_suppkey"],
+                "volume": df["l_extendedprice"] * (1 - df["l_discount"]),
+            }
+        ),
+        batch_format="pandas",
+    )
+    li_p = bloom_semi_join(li, part_keys, on="l_partkey").map_batches(
+        lambda df: df[["l_orderkey", "l_suppkey", "volume"]], batch_format="pandas"
+    )
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).map_batches(
+        lambda df: df.rename(
+            columns={"s_suppkey": "l_suppkey", "s_nationkey": "supp_nkey"}
+        ),
+        batch_format="pandas",
+    )
+    j1 = hash_join(
+        li_p,
+        supp,
+        on="l_suppkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("volume", pa.float64()),
+            ]
+        ),
+        right_schema=pa.schema([("l_suppkey", pa.int64()), ("supp_nkey", pa.int64())]),
+    ).map_batches(
+        lambda df: df[["l_orderkey", "volume", "supp_nkey"]], batch_format="pandas"
+    )
+    j2 = hash_join(
+        j1,
+        ords,
+        on="l_orderkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("volume", pa.float64()),
+                ("supp_nkey", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("l_orderkey", pa.int64()), ("o_year", pa.int64())]),
+    )
+    flows = j2.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "o_year": df["o_year"],
+                "volume": df["volume"],
+                "vol_target": df["volume"] * (df["supp_nkey"] == target_nk),
+            }
+        ),
+        batch_format="pandas",
+    )
+    out = pre_aggregate(
+        flows,
+        ["o_year"],
+        {"total": ("volume", "sum"), "target": ("vol_target", "sum")},
+    )
+    out["mkt_share"] = (out["target"] / out["total"]).round(6)
+    return (
+        out[["o_year", "mkt_share"]].sort_values("o_year").reset_index(drop=True)
+    )
+
+
+_Q8_SQL = """
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n1.n_name AS supp_nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  JOIN region r ON n2.n_regionkey = r.r_regionkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+)
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# q9: profit by nation and year
+
+
+def q9_profit_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Revenue on 'red' parts grouped by supplier nation and order year
+    (TPC-H Q9 shape, minus partsupp supplycost — the synthetic schema
+    has no partsupp table)."""
+    nation = read_table(sf_dir, "nation").to_pandas()
+    name_of = {int(k): v for k, v in zip(nation["n_nationkey"], nation["n_name"])}
+
+    part_keys = read_table(sf_dir, "part", columns=["p_partkey", "p_name"]).map_batches(
+        lambda df: df[df["p_name"].str.contains("red", regex=False)][
+            ["p_partkey"]
+        ].rename(columns={"p_partkey": "l_partkey"}),
+        batch_format="pandas",
+    )
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"],
+                "l_partkey": df["l_partkey"],
+                "l_suppkey": df["l_suppkey"],
+                "amount": df["l_extendedprice"] * (1 - df["l_discount"]),
+            }
+        ),
+        batch_format="pandas",
+    )
+    li_p = bloom_semi_join(li, part_keys, on="l_partkey").map_batches(
+        lambda df: df[["l_orderkey", "l_suppkey", "amount"]], batch_format="pandas"
+    )
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).map_batches(
+        lambda df: df.rename(
+            columns={"s_suppkey": "l_suppkey", "s_nationkey": "supp_nkey"}
+        ),
+        batch_format="pandas",
+    )
+    j1 = hash_join(
+        li_p,
+        supp,
+        on="l_suppkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("amount", pa.float64()),
+            ]
+        ),
+        right_schema=pa.schema([("l_suppkey", pa.int64()), ("supp_nkey", pa.int64())]),
+    ).map_batches(
+        lambda df: df[["l_orderkey", "amount", "supp_nkey"]], batch_format="pandas"
+    )
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "l_orderkey": df["o_orderkey"],
+                "o_year": df["o_orderdate"].dt.year.astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    j2 = hash_join(
+        j1,
+        orders,
+        on="l_orderkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("amount", pa.float64()),
+                ("supp_nkey", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("l_orderkey", pa.int64()), ("o_year", pa.int64())]),
+    )
+    out = pre_aggregate(j2, ["supp_nkey", "o_year"], {"sum_profit": ("amount", "sum")})
+    out["nation"] = out["supp_nkey"].map(name_of)
+    out["sum_profit"] = out["sum_profit"].round(4)
+    return (
+        out[["nation", "o_year", "sum_profit"]]
+        .sort_values(["nation", "o_year"])
+        .reset_index(drop=True)
+    )
+
+
+_Q9_SQL = """
+SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+         CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS amount
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%red%'
+)
+GROUP BY nation, o_year
+ORDER BY nation, o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# q15: top supplier (scalar subquery over a derived aggregate)
+
+
+def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """Supplier(s) with the maximum revenue in 1996Q1 (TPC-H Q15 shape:
+    a derived per-supplier aggregate compared against its own max — the
+    scalar is a driver-side O(1) reduce, the aggregate stays a Dataset)."""
+    lo, hi = _ts("1996-01-01"), _ts("1996-04-01")
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        f = t.filter(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi))
+        )
+        rev = pc.multiply(f["l_extendedprice"], pc.subtract(pa.scalar(1.0), f["l_discount"]))
+        return pa.table({"l_suppkey": f["l_suppkey"], "rev": rev})
+
+    revenue = pre_aggregate_ds(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["l_suppkey"],
+        {"total_revenue": ("rev", "sum")},
+    ).map_batches(
+        lambda df: df.assign(total_revenue=df["total_revenue"].round(4)),
+        batch_format="pandas",
+    )
+    # rounding BEFORE the max comparison pins the equality semantics on
+    # both sides (the oracle compares rounded values too)
+    max_rev = revenue.max("total_revenue")
+    winners = revenue.map_batches(
+        lambda df: df[df["total_revenue"] == max_rev], batch_format="pandas"
+    ).to_pandas()
+    names = _names_for(sf_dir, winners["l_suppkey"], "supplier", "s_suppkey", "s_name")
+    out = winners.rename(columns={"l_suppkey": "s_suppkey"}).merge(names, on="s_suppkey")
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return (
+        out[["s_suppkey", "s_name", "total_revenue"]]
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS s_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.s_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q16: supplier counts by part attributes (grouped COUNT DISTINCT over a join)
+
+
+def q16_supplier_counts(sf_dir: str) -> pd.DataFrame:
+    """Distinct suppliers per (brand, type) for selected part sizes,
+    excluding Brand#1 (TPC-H Q16 shape, partsupp replaced by the
+    lineitem supplier relation)."""
+    sizes = {1, 5, 9, 13, 17, 21, 25, 29}
+    part = read_table(
+        sf_dir, "part", columns=["p_partkey", "p_brand", "p_type", "p_size"]
+    ).map_batches(
+        lambda df: df[(df["p_brand"] != "Brand#1") & (df["p_size"].isin(sizes))][
+            ["p_partkey", "p_brand", "p_type"]
+        ].rename(columns={"p_partkey": "l_partkey"}),
+        batch_format="pandas",
+    )
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    joined = hash_join(
+        li,
+        part,
+        on="l_partkey",
+        left_schema=pa.schema([("l_partkey", pa.int64()), ("l_suppkey", pa.int64())]),
+        right_schema=pa.schema(
+            [
+                ("l_partkey", pa.int64()),
+                ("p_brand", pa.string()),
+                ("p_type", pa.string()),
+            ]
+        ),
+    )
+    counts = grouped_count_distinct(
+        joined, ["p_brand", "p_type"], "l_suppkey", out_col="supplier_cnt"
+    ).to_pandas()  # bounded key space: 24 brands x 6 types
+    counts["supplier_cnt"] = counts["supplier_cnt"].astype("int64")
+    return (
+        counts.sort_values(
+            ["supplier_cnt", "p_brand", "p_type"], ascending=[False, True, True]
+        ).reset_index(drop=True)
+    )
+
+
+_Q16_SQL = """
+SELECT p.p_brand, p.p_type, count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+GROUP BY p.p_brand, p.p_type
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q17: small-quantity revenue (correlated per-group AVG subquery)
+
+
+def q17_small_quantity(sf_dir: str) -> pd.DataFrame:
+    """Yearly-averaged revenue on Brand#3 lineitems whose quantity is
+    below 20% of that part's average quantity (TPC-H Q17 shape: the
+    correlated AVG subquery becomes a per-part aggregate joined back to
+    the detail rows — the aggregate stays a Dataset end to end).
+
+    The brand-filtered lineitem subset is consumed twice (once to build
+    the per-part averages, once as the join probe); each consumption
+    streams it independently — no mid-pipeline materialization."""
+    part_keys = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"]).map_batches(
+        lambda df: df[df["p_brand"] == "Brand#3"][["p_partkey"]].rename(
+            columns={"p_partkey": "l_partkey"}
+        ),
+        batch_format="pandas",
+    )
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+    li_b = bloom_semi_join(li, part_keys, on="l_partkey")
+    avg_ds = pre_aggregate_ds(li_b, ["l_partkey"], {"avg_qty": ("l_quantity", "mean")})
+    joined = hash_join(
+        li_b,
+        avg_ds,
+        on="l_partkey",
+        left_schema=pa.schema(
+            [
+                ("l_partkey", pa.int64()),
+                ("l_quantity", pa.float64()),
+                ("l_extendedprice", pa.float64()),
+            ]
+        ),
+        right_schema=pa.schema([("l_partkey", pa.int64()), ("avg_qty", pa.float64())]),
+    )
+    small = joined.map_batches(
+        lambda df: df[df["l_quantity"] < 0.2 * df["avg_qty"]][["l_extendedprice"]],
+        batch_format="pandas",
+    )
+    total = small.sum("l_extendedprice")
+    return pd.DataFrame({"avg_yearly": [round((total or 0.0) / 7.0, 4)]})
+
+
+_Q17_SQL = """
+SELECT round(COALESCE(sum(l.l_extendedprice), 0) / 7.0, 4) AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3'
+  AND l.l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# q19: disjunctive predicate revenue
+
+
+def q19_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
+    """Revenue under an OR-of-conjunctions over part and lineitem
+    attributes (TPC-H Q19 shape: the part side is pre-pruned to the
+    union of the disjuncts, the residual disjunction is one vectorized
+    mask after the join)."""
+    brands = {"Brand#1", "Brand#2", "Brand#3"}
+    part = read_table(
+        sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]
+    ).map_batches(
+        lambda df: df[(df["p_brand"].isin(brands)) & (df["p_size"] >= 1) & (df["p_size"] <= 35)][
+            ["p_partkey", "p_brand", "p_size"]
+        ].rename(columns={"p_partkey": "l_partkey"}),
+        batch_format="pandas",
+    )
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    joined = hash_join(
+        li,
+        part,
+        on="l_partkey",
+        left_schema=pa.schema(
+            [
+                ("l_partkey", pa.int64()),
+                ("l_quantity", pa.float64()),
+                ("l_extendedprice", pa.float64()),
+                ("l_discount", pa.float64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [
+                ("l_partkey", pa.int64()),
+                ("p_brand", pa.string()),
+                ("p_size", pa.int32()),
+            ]
+        ),
+    )
+
+    def residual(df: pd.DataFrame) -> pd.DataFrame:
+        q, b, s = df["l_quantity"], df["p_brand"], df["p_size"]
+        m = (
+            ((b == "Brand#1") & (s <= 15) & (q >= 1) & (q <= 11))
+            | ((b == "Brand#2") & (s <= 25) & (q >= 10) & (q <= 20))
+            | ((b == "Brand#3") & (s <= 35) & (q >= 20) & (q <= 30))
+        )
+        f = df[m]
+        return pd.DataFrame({"rev": f["l_extendedprice"] * (1 - f["l_discount"])})
+
+    rev = joined.map_batches(residual, batch_format="pandas").sum("rev")
+    return pd.DataFrame({"revenue": [round(rev or 0.0, 4)]})
+
+
+_Q19_SQL = """
+SELECT round(COALESCE(sum(l.l_extendedprice * (1 - l.l_discount)), 0), 4) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q20: qualified suppliers (HAVING-filtered semi join chain)
+
+
+def q20_qualified_suppliers(sf_dir: str) -> pd.DataFrame:
+    """NATION_5 suppliers who shipped more than 50 units of 'red ...'
+    parts during 1996 (TPC-H Q20 shape: IN-subquery with HAVING becomes
+    a thresholded per-supplier aggregate joined to the dimension)."""
+    part_keys = read_table(sf_dir, "part", columns=["p_partkey", "p_name"]).map_batches(
+        lambda df: df[df["p_name"].str.startswith("red ")][["p_partkey"]].rename(
+            columns={"p_partkey": "l_partkey"}
+        ),
+        batch_format="pandas",
+    )
+    lo, hi = _ts("1996-01-01"), _ts("1997-01-01")
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi))
+        ).select(["l_partkey", "l_suppkey", "l_quantity"]),
+        batch_format="pyarrow",
+    )
+    li_red = bloom_semi_join(li, part_keys, on="l_partkey")
+    qualified = pre_aggregate_ds(
+        li_red, ["l_suppkey"], {"qty": ("l_quantity", "sum")}
+    ).map_batches(
+        lambda df: df[df["qty"] > 50][["l_suppkey"]], batch_format="pandas"
+    )
+    supp = read_table(
+        sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey"]
+    ).map_batches(
+        lambda df: df[df["s_nationkey"] == 5][["s_suppkey", "s_name"]].rename(
+            columns={"s_suppkey": "l_suppkey"}
+        ),
+        batch_format="pandas",
+    )
+    out = hash_join(
+        supp,
+        qualified,
+        on="l_suppkey",
+        left_schema=pa.schema([("l_suppkey", pa.int64()), ("s_name", pa.string())]),
+        right_schema=pa.schema([("l_suppkey", pa.int64())]),
+    ).to_pandas()
+    if "l_suppkey" not in out.columns:  # empty qualified set at tiny scale
+        return pd.DataFrame(
+            {"s_suppkey": pd.Series([], dtype="int64"), "s_name": pd.Series([], dtype=object)}
+        )
+    out = out.rename(columns={"l_suppkey": "s_suppkey"})
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return out[["s_suppkey", "s_name"]].sort_values("s_suppkey").reset_index(drop=True)
+
+
+_Q20_SQL = """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_nationkey = 5
+  AND s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE 'red %'
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_suppkey
+    HAVING sum(l.l_quantity) > 50
+  )
+ORDER BY s.s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q21: waiting suppliers (sole-latest-shipper on multi-supplier orders)
+
+
+def q21_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
+    """Top 10 suppliers by the number of multi-supplier orders where they
+    were the SOLE latest shipper (TPC-H Q21 shape: the EXISTS /
+    NOT EXISTS pair over other suppliers' lineitems becomes per-order
+    max + uniqueness tests, all as partial-combined aggregates).
+
+    Ship timestamps ride as int64 epoch-us so min/max partials stay
+    numeric through the shuffle."""
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"],
+                "l_suppkey": df["l_suppkey"],
+                "ship_ts": df["l_shipdate"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    per = pre_aggregate_ds(
+        li, ["l_orderkey", "l_suppkey"], {"last_ship": ("ship_ts", "max")}
+    )
+    per_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()), ("last_ship", pa.int64())]
+    )
+    ordagg = pre_aggregate_ds(
+        per, ["l_orderkey"], {"mx": ("last_ship", "max"), "nsupp": (None, "count")}
+    )
+    j = hash_join(
+        per,
+        ordagg,
+        on="l_orderkey",
+        left_schema=per_schema,
+        right_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("mx", pa.int64()), ("nsupp", pa.int64())]
+        ),
+    )
+    hit = j.map_batches(
+        lambda df: df[(df["last_ship"] == df["mx"]) & (df["nsupp"] >= 2)][
+            ["l_orderkey", "l_suppkey"]
+        ],
+        batch_format="pandas",
+    )
+    hit_schema = pa.schema([("l_orderkey", pa.int64()), ("l_suppkey", pa.int64())])
+    sole = pre_aggregate_ds(hit, ["l_orderkey"], {"nhit": (None, "count")}).map_batches(
+        lambda df: df[df["nhit"] == 1][["l_orderkey"]], batch_format="pandas"
+    )
+    blocked = hash_join(
+        hit,
+        sole,
+        on="l_orderkey",
+        left_schema=hit_schema,
+        right_schema=pa.schema([("l_orderkey", pa.int64())]),
+    )
+    waits = (
+        pre_aggregate_ds(blocked, ["l_suppkey"], {"numwait": (None, "count")})
+        .sort(["numwait", "l_suppkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    names = _names_for(sf_dir, waits["l_suppkey"], "supplier", "s_suppkey", "s_name")
+    out = waits.rename(columns={"l_suppkey": "s_suppkey"}).merge(names, on="s_suppkey")
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    out["numwait"] = out["numwait"].astype("int64")
+    out = out.sort_values(["numwait", "s_suppkey"], ascending=[False, True])
+    return out[["s_suppkey", "s_name", "numwait"]].reset_index(drop=True)
+
+
+_Q21_SQL = """
+WITH per AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS last_ship
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+),
+ord AS (
+  SELECT l_orderkey, max(last_ship) AS mx, count(*) AS nsupp
+  FROM per GROUP BY l_orderkey
+),
+hit AS (
+  SELECT p.l_orderkey, p.l_suppkey
+  FROM per p JOIN ord o ON p.l_orderkey = o.l_orderkey
+  WHERE p.last_ship = o.mx AND o.nsupp >= 2
+),
+sole AS (
+  SELECT l_orderkey FROM hit GROUP BY l_orderkey HAVING count(*) = 1
+)
+SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+FROM hit h
+JOIN sole u ON h.l_orderkey = u.l_orderkey
+JOIN supplier s ON s.s_suppkey = h.l_suppkey
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY numwait DESC, s.s_suppkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q22: idle rich customers (scalar subquery + NOT EXISTS anti join)
+
+
+def q22_idle_rich_customers(sf_dir: str) -> pd.DataFrame:
+    """Per-nation count and balance of customers whose balance exceeds
+    the positive-balance average and who never placed an URGENT order
+    (TPC-H Q22 shape: scalar AVG subquery broadcast + NOT EXISTS as a
+    left-outer hash join filtered to unmatched rows — exact, no
+    key-set broadcast of the corpus-scale orders side)."""
+    cust = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+    avg_bal = cust.map_batches(
+        lambda df: df[df["c_acctbal"] > 0][["c_acctbal"]], batch_format="pandas"
+    ).mean("c_acctbal")
+    rich = cust.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "c_custkey": df.loc[df["c_acctbal"] > avg_bal, "c_custkey"],
+                "c_nationkey": df.loc[df["c_acctbal"] > avg_bal, "c_nationkey"].astype(
+                    "int64"
+                ),
+                "c_acctbal": df.loc[df["c_acctbal"] > avg_bal, "c_acctbal"],
+            }
+        ),
+        batch_format="pandas",
+    )
+    urgent = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]).map_batches(
+        lambda df: df[df["o_orderpriority"] == "1-URGENT"][["o_custkey"]].rename(
+            columns={"o_custkey": "c_custkey"}
+        ),
+        batch_format="pandas",
+    )
+    urgent_keys = distinct(urgent, "c_custkey").map_batches(
+        lambda df: df.assign(__has=np.int64(1)), batch_format="pandas"
+    )
+    j = hash_join(
+        rich,
+        urgent_keys,
+        on="c_custkey",
+        how="left",
+        left_schema=pa.schema(
+            [
+                ("c_custkey", pa.int64()),
+                ("c_nationkey", pa.int64()),
+                ("c_acctbal", pa.float64()),
+            ]
+        ),
+        right_schema=pa.schema([("c_custkey", pa.int64()), ("__has", pa.int64())]),
+    )
+    idle = j.map_batches(
+        lambda df: df[df["__has"].isna()][["c_nationkey", "c_acctbal"]],
+        batch_format="pandas",
+    )
+    out = pre_aggregate(
+        idle,
+        ["c_nationkey"],
+        {"numcust": (None, "count"), "totacctbal": ("c_acctbal", "sum")},
+    )
+    out["totacctbal"] = out["totacctbal"].round(4)
+    out["numcust"] = out["numcust"].astype("int64")
+    return (
+        out[["c_nationkey", "numcust", "totacctbal"]]
+        .sort_values("c_nationkey")
+        .reset_index(drop=True)
+    )
+
+
+_Q22_SQL = """
+SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+       count(*) AS numcust,
+       round(sum(c.c_acctbal), 4) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+  )
+GROUP BY c.c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+TPCH_QUERIES = {
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q9_profit_by_nation": q9_profit_by_nation,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_counts": q16_supplier_counts,
+    "q17_small_quantity": q17_small_quantity,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q20_qualified_suppliers": q20_qualified_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q22_idle_rich_customers": q22_idle_rich_customers,
+}
+
+TPCH_ORACLE_SQL = {
+    "q7_volume_shipping": _Q7_SQL,
+    "q8_market_share": _Q8_SQL,
+    "q9_profit_by_nation": _Q9_SQL,
+    "q15_top_supplier": _Q15_SQL,
+    "q16_supplier_counts": _Q16_SQL,
+    "q17_small_quantity": _Q17_SQL,
+    "q19_disjunctive_revenue": _Q19_SQL,
+    "q20_qualified_suppliers": _Q20_SQL,
+    "q21_waiting_suppliers": _Q21_SQL,
+    "q22_idle_rich_customers": _Q22_SQL,
+}
