@@ -1515,6 +1515,52 @@ FROM documents
 """
 
 
+def redact_pii_docs(sf_dir: str):
+    """PII scrubbing (emails/IPv4/phones -> typed placeholders); the
+    synthetic corpus is PII-free so this is a byte-identity pass here —
+    the planted-PII equivalence oracle lives in tests/test_textops.py."""
+    return textops.redact_pii(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ).select_columns(["doc_id", "text_clean"])
+
+
+_REDACT_PII_SQL = r"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+         '(\+\d{1,2}[-. ]?)?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g')
+       AS text_clean
+FROM documents
+"""
+
+
+def dedup_incremental_docs(sf_dir: str):
+    """Incremental-crawl dedup: docs from source 'src0' stand in for the
+    previous snapshot; every other doc whose exact text already exists
+    there is dropped (128-bit content-key anti join — the exchange moves
+    hashes, never documents)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    corpus = docs.map_batches(
+        lambda df: df[df["source"] != "src0"][["doc_id", "text"]],
+        batch_format="pandas",
+    )
+    ref = docs.map_batches(
+        lambda df: df[df["source"] == "src0"][["text"]], batch_format="pandas"
+    )
+    return textops.dedup_against(corpus, ref).select_columns(["doc_id"])
+
+
+_DEDUP_INCREMENTAL_SQL = """
+SELECT d.doc_id
+FROM documents d
+WHERE d.source <> 'src0'
+  AND NOT EXISTS (
+    SELECT 1 FROM documents r WHERE r.source = 'src0' AND r.text = d.text
+  )
+"""
+
+
 def decontaminate_docs(sf_dir: str):
     """Benchmark decontamination: every 29th document stands in for an
     eval suite; every corpus doc sharing any 32-char shingle with it is
@@ -1935,6 +1981,8 @@ QUERIES = {
     "except_orders": except_orders,
     "sample_events_per_user": sample_events_per_user,
     "normalize_docs": normalize_docs,
+    "redact_pii_docs": redact_pii_docs,
+    "dedup_incremental_docs": dedup_incremental_docs,
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "rollup_order_totals": rollup_order_totals,
     "urgent_customers_bloom": urgent_customers_bloom,
@@ -2005,6 +2053,8 @@ ORACLE_SQL = {
     "except_orders": _EXCEPT_SQL,
     "sample_events_per_user": _SAMPLE_PER_USER_SQL,
     "normalize_docs": _NORMALIZE_SQL,
+    "redact_pii_docs": _REDACT_PII_SQL,
+    "dedup_incremental_docs": _DEDUP_INCREMENTAL_SQL,
     "funnel_view_click_purchase": _FUNNEL_SQL,
     "rollup_order_totals": _ROLLUP_SQL,
     "urgent_customers_bloom": _URGENT_CUST_BLOOM_SQL,

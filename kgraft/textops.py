@@ -733,6 +733,106 @@ def normalize_text(docs, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+# PII patterns pinned to the RE2-compatible subset (no lookaround, no
+# backreferences) so the engine (Python re) and the SQL twin (DuckDB
+# RE2 regexp_replace) substitute byte-identically. Order matters:
+# emails first (their local part can contain digits), then IPs (dotted
+# digits a phone pattern could eat), then phones.
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    (r"(\+\d{1,2}[-. ]?)?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "[PHONE]"),
+]
+
+
+def redact_pii(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """PII scrubbing for web-text training corpora: emails, IPv4
+    addresses and phone numbers replaced by typed placeholder tokens ->
+    ``(id, text_clean, n_redacted)``.
+
+    Vectorized pandas ``str.replace`` with module-compiled regexes,
+    shuffle-free — one streaming pass, the shape every release pipeline
+    runs before tokenization. ``n_redacted`` counts substitutions (for
+    corpus-health metrics); the SQL twin covers the text transform."""
+    import re as _re
+
+    compiled = [(_re.compile(p), r) for p, r in PII_PATTERNS]
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        clean = df[text_col]
+        n = pd.Series(np.zeros(len(df), dtype="int64"), index=df.index)
+        for pat, repl in compiled:
+            n = n + clean.str.count(pat)
+            clean = clean.str.replace(pat, repl, regex=True)
+        return pd.DataFrame(
+            {id_col: df[id_col], "text_clean": clean, "n_redacted": n.astype("int64")}
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+def dedup_against(corpus, reference, id_col: str = "doc_id", text_col: str = "text"):
+    """Incremental-crawl exact dedup: drop corpus documents whose text
+    already exists in a reference corpus (the previous snapshot) ->
+    surviving ``(id, text_hash, text_hash2)`` rows.
+
+    The reference side never broadcasts: both sides collapse to a
+    128-bit content key (two independent 64-bit hashes, same collision
+    argument as :func:`exact_dedup`) and meet in ONE bucketed left
+    anti join — at 100 TB the exchange moves 24-byte key rows, not
+    documents. SQL twin: ``NOT EXISTS`` on text equality."""
+    from .relational import hash_join
+
+    def hash_side(keep_id: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            texts = t[text_col].to_pylist()
+            cols = {
+                "text_hash": pa.array(hash_strings(texts).astype(np.int64), pa.int64()),
+                "text_hash2": pa.array(
+                    hash_strings(texts, seed=1).astype(np.int64), pa.int64()
+                ),
+            }
+            if keep_id:
+                cols = {id_col: t[id_col], **cols}
+            return pa.table(cols)
+
+        return fn
+
+    left = corpus.select_columns([id_col, text_col]).map_batches(
+        hash_side(True), batch_format="pyarrow"
+    )
+    ref = reference.select_columns([text_col]).map_batches(
+        hash_side(False), batch_format="pyarrow"
+    )
+    # map-side distinct, then flag rows; the join stays one exchange
+    ref_keys = ref.map_batches(
+        lambda df: df.drop_duplicates().assign(__has=np.int64(1)),
+        batch_format="pandas",
+    )
+    j = hash_join(
+        left,
+        ref_keys,
+        on=["text_hash", "text_hash2"],
+        how="left",
+        left_schema=pa.schema(
+            [(id_col, pa.int64()), ("text_hash", pa.int64()), ("text_hash2", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [
+                ("text_hash", pa.int64()),
+                ("text_hash2", pa.int64()),
+                ("__has", pa.int64()),
+            ]
+        ),
+    )
+    return j.map_batches(
+        lambda df: df[df["__has"].isna()][[id_col, "text_hash", "text_hash2"]],
+        batch_format="pandas",
+    )
+
+
 def decontaminate(
     corpus,
     benchmark,

@@ -204,3 +204,56 @@ def test_decontaminate_matches_bruteforce(ray_session):
         assert bool(got.loc[row["doc_id"], "contaminated"]) == (hits > 0)
     # every benchmark doc overlaps itself
     assert got.loc[bench_df["doc_id"], "contaminated"].all()
+
+
+def test_redact_pii_matches_duckdb_on_planted_pii(ray_session):
+    import duckdb
+    import ray
+
+    from kgraft.queries import _REDACT_PII_SQL
+
+    texts = [
+        "contact me at alice.smith+spam@example.co.uk for details",
+        "server at 192.168.0.1 and 10.0.0.255 rebooted",
+        "call 555-123-4567 or +1 415-555-0199 now",
+        "mixed: bob@x.io from 8.8.8.8 dial 650.555.1212 end",
+        "no pii here at all",
+        "edge 1234.5.6.7 not-an-ip-boundary 999-99-9999 ssn-like",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = (
+        textops.redact_pii(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.sql(_REDACT_PII_SQL).df().sort_values("doc_id").reset_index(drop=True)
+    assert got["text_clean"].tolist() == want["text_clean"].tolist()
+    # counts: at least every planted item in rows 0-3 got hit
+    assert (got.loc[:3, "n_redacted"] >= 1).all()
+    assert got.loc[4, "n_redacted"] == 0
+
+
+def test_dedup_against_planted_overlap(ray_session):
+    import ray
+
+    ref_texts = [f"shared document {i}" for i in range(20)]
+    new_texts = [f"fresh document {i}" for i in range(40)]
+    corpus = pd.DataFrame(
+        {
+            "doc_id": range(50),
+            "text": ref_texts[:10] + new_texts[:40],  # 10 overlap the reference
+        }
+    )
+    reference = pd.DataFrame({"doc_id": range(1000, 1020), "text": ref_texts})
+    got = (
+        textops.dedup_against(
+            ray.data.from_pandas(corpus), ray.data.from_pandas(reference)
+        )
+        .to_pandas()["doc_id"]
+        .sort_values()
+        .tolist()
+    )
+    assert got == list(range(10, 50))
