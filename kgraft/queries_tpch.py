@@ -35,7 +35,6 @@ import ray
 
 from .relational import (
     bloom_semi_join,
-    distinct,
     grouped_count_distinct,
     hash_join,
     pre_aggregate,
@@ -882,8 +881,12 @@ def q22_idle_rich_customers(sf_dir: str) -> pd.DataFrame:
         ),
         batch_format="pandas",
     )
-    urgent_keys = distinct(urgent, "c_custkey").map_batches(
-        lambda df: df.assign(__has=np.int64(1)), batch_format="pandas"
+    # map-side dedup only: a NOT-EXISTS anti join is insensitive to
+    # duplicate right-side keys (matched rows are dropped either way),
+    # so the global-distinct shuffle would be pure cost
+    urgent_keys = urgent.map_batches(
+        lambda df: df.drop_duplicates().assign(__has=np.int64(1)),
+        batch_format="pandas",
     )
     j = hash_join(
         rich,

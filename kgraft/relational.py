@@ -406,8 +406,14 @@ def hash_join(
     how: str = "inner",
     left_schema=None,
     right_schema=None,
+    dedup_right: bool = False,
 ):
     """Large-large equi-join: explicit bucketed hash join.
+
+    ``dedup_right``: drop duplicate right-side rows inside each bucket
+    before joining (exact — a key's rows all share a bucket). This is
+    the semi-join building block: callers can skip the global distinct
+    shuffle and let the join dedup post-colocation for free.
 
     Both sides get ``bucket = stable_hash(key) % B``; a union tagged by
     side is grouped by bucket and merged with pandas inside
@@ -527,6 +533,11 @@ def hash_join(
             if rparts
             else r_side_schema.empty_table()
         )
+        if dedup_right and len(rf):
+            # post-shuffle, co-located dedup: unique (key, payload) rows
+            # per bucket — the semi-join path's replacement for a global
+            # distinct shuffle (cross-batch duplicates all land here)
+            rf = rf.group_by(rcols).aggregate([]).rename_columns(rcols)
         out = lf.join(rf, keys=on_cols, join_type=join_type)
         return out.select(out_cols)
 
@@ -1138,13 +1149,18 @@ def bloom_semi_join(ds, keys_ds, on: str, num_bits: int = 1 << 23, num_hashes: i
         return df[keep]
 
     survivors = ds.map_batches(probe, batch_format="pandas")
-    keys_distinct = distinct(keys_ds, on)
+    # map-side dedup only; the exact tier dedups per bucket inside the
+    # join (dedup_right) — no global distinct shuffle on the key set
+    keys_slim = keys_ds.select_columns([on]).map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas"
+    )
     return hash_join(
         survivors,
-        keys_distinct,
+        keys_slim,
         on=on,
         left_schema=ds.schema(),
         right_schema=pa.schema([(on, dict(zip(ds.schema().names, ds.schema().types))[on])]),
+        dedup_right=True,
     )
 
 
