@@ -985,6 +985,44 @@ ORDER BY event_id
 """
 
 
+def event_rank_ntile(sf_dir: str) -> pd.DataFrame:
+    """RANK / DENSE_RANK / NTILE window kinds: per user, events ranked
+    by event_type (heavy ties — rank leaves gaps, dense_rank doesn't)
+    and quartiled with event_id as the deterministic tiebreak."""
+    from .relational import windowed
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+    win = windowed(
+        ds,
+        part_keys="user_id",
+        order_keys=["event_type"],
+        specs={
+            "rnk": ("rank", None),
+            "drnk": ("dense_rank", None),
+            "tile": ("ntile", None, 4),
+        },
+        tiebreak=["event_id"],
+    )
+    return (
+        win.map_batches(
+            lambda df: df[["event_id", "user_id", "rnk", "drnk", "tile"]],
+            batch_format="pandas",
+        )
+        .sort("event_id")
+        .to_pandas()
+    )
+
+
+_RANK_NTILE_SQL = """
+SELECT event_id, user_id,
+       CAST(rank() OVER (PARTITION BY user_id ORDER BY event_type) AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS BIGINT) AS drnk,
+       CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY event_type, event_id) AS BIGINT) AS tile
+FROM events
+ORDER BY event_id
+"""
+
+
 def users_per_hour(sf_dir: str) -> pd.DataFrame:
     """Grouped COUNT DISTINCT: unique active users per hour. Two
     partial-combined shuffles (distinct pairs, then grouped count) —
@@ -1964,6 +2002,7 @@ QUERIES = {
     "hourly_event_stats": hourly_event_stats,
     "user_sessions": user_sessions,
     "user_event_windows": user_event_windows,
+    "event_rank_ntile": event_rank_ntile,
     "users_per_hour": users_per_hour,
     "stratified_sample_events": stratified_sample_events,
     "top_events_per_user": top_events_per_user,
@@ -2037,6 +2076,7 @@ ORACLE_SQL = {
     "hourly_event_stats": _HOURLY_SQL,
     "user_sessions": _SESSIONS_SQL,
     "user_event_windows": _WINDOWS_SQL,
+    "event_rank_ntile": _RANK_NTILE_SQL,
     "users_per_hour": _USERS_PER_HOUR_SQL,
     "stratified_sample_events": _STRATIFIED_SQL,
     "top_events_per_user": _TOP_PER_USER_SQL,

@@ -719,7 +719,7 @@ def distinct(ds, cols):
 # window functions / distinct-count / quantile
 
 
-def windowed(ds, part_keys, order_keys, specs, num_buckets: int = 64):
+def windowed(ds, part_keys, order_keys, specs, num_buckets: int = 64, tiebreak=None):
     """Partitioned window functions (SQL ``OVER (PARTITION BY .. ORDER BY ..)``).
 
     One bucketed shuffle co-locates each partition key's rows; inside a
@@ -737,18 +737,66 @@ def windowed(ds, part_keys, order_keys, specs, num_buckets: int = 64):
       rolling_mean (param = window size in rows, current row inclusive,
                     min_periods=1 — SQL ``ROWS BETWEEN p-1 PRECEDING
                     AND CURRENT ROW``)
+      rank / dense_rank (SQL semantics: ties share a rank; rank leaves
+                    gaps, dense_rank doesn't. Ties = equal order_keys)
+      ntile       (param = n; SQL allocation — the first count%n tiles
+                    get one extra row. Include a ``tiebreak`` unique
+                    column for a deterministic result under ties)
+
+    ``tiebreak``: optional columns appended to the in-bucket sort AFTER
+    ``order_keys`` — they pin intra-tie row order (for row_number /
+    ntile / lag determinism) WITHOUT entering rank/dense_rank tie
+    groups, matching SQL ``ORDER BY order_keys, tiebreak`` for the
+    positional kinds and ``ORDER BY order_keys`` for the rank kinds.
     """
     part_keys = [part_keys] if isinstance(part_keys, str) else list(part_keys)
     order_keys = [order_keys] if isinstance(order_keys, str) else list(order_keys)
+    tiebreak = (
+        [] if tiebreak is None
+        else [tiebreak] if isinstance(tiebreak, str) else list(tiebreak)
+    )
 
     def window_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(part_keys + order_keys, kind="mergesort")
+        g = g.sort_values(part_keys + order_keys + tiebreak, kind="mergesort")
         grp = g.groupby(part_keys, sort=False)
         out = g.copy()
+        rn_cache = (grp.cumcount() + 1).astype("int64")
         for out_col, (kind, col, *rest) in specs.items():
             param = rest[0] if rest else None
             if kind == "row_number":
-                out[out_col] = (grp.cumcount() + 1).astype("int64")
+                out[out_col] = rn_cache
+            elif kind in ("rank", "dense_rank"):
+                # ties = equal order_keys within the partition; rank is
+                # the min row_number of the tie group (gaps), dense is
+                # the running count of tie-group starts (no gaps)
+                tmp = pd.DataFrame({"rn": rn_cache.values}, index=g.index)
+                rank_min = tmp.groupby(
+                    [g[c] for c in part_keys + order_keys], sort=False
+                )["rn"].transform("min")
+                if kind == "rank":
+                    out[out_col] = rank_min.astype("int64")
+                else:
+                    starts = (rn_cache.values == rank_min.values).astype("int64")
+                    out[out_col] = (
+                        pd.Series(starts, index=g.index)
+                        .groupby([g[c] for c in part_keys], sort=False)
+                        .cumsum()
+                        .astype("int64")
+                    )
+            elif kind == "ntile":
+                n = int(param or 4)
+                cnt = grp[order_keys[0]].transform("size").to_numpy()
+                rn0 = rn_cache.to_numpy() - 1  # 0-based
+                size = cnt // n
+                rem = cnt % n
+                big = rem * (size + 1)  # rows covered by the larger tiles
+                in_big = rn0 < big
+                tile = np.where(
+                    in_big,
+                    rn0 // np.maximum(size + 1, 1) + 1,
+                    rem + (rn0 - big) // np.maximum(size, 1) + 1,
+                )
+                out[out_col] = tile.astype("int64")
             elif kind in ("lag", "lead"):
                 off = param or 1
                 shifted = grp[col].shift(off if kind == "lag" else -off)

@@ -665,3 +665,50 @@ def test_rollup_all_null_group_sum_is_null(ray_session):
     assert len(d_sub) == 1 and np.isnan(d_sub["s"].iloc[0])
     grand = out[out["k1"].isna()]
     assert len(grand) == 1 and abs(grand["s"].iloc[0] - 3.0) < 1e-12
+
+
+def test_rank_dense_ntile_match_duckdb(ray_session):
+    import duckdb
+    import ray
+
+    from kgraft.relational import windowed
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame(
+        {
+            "pid": rng.randint(0, 9, 300),
+            "cat": rng.choice(list("abcd"), 300),  # heavy ties per partition
+            "uid": rng.permutation(300),  # unique tiebreak
+        }
+    )
+    for n in (1, 3, 4, 7):
+        got = (
+            windowed(
+                ray.data.from_pandas(df.sample(frac=1, random_state=2)),
+                part_keys="pid",
+                order_keys=["cat"],
+                specs={
+                    "rnk": ("rank", None),
+                    "drnk": ("dense_rank", None),
+                    "tile": ("ntile", None, n),
+                },
+                tiebreak=["uid"],
+                num_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("uid")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.sql(
+            f"""
+            SELECT uid,
+                   CAST(rank() OVER (PARTITION BY pid ORDER BY cat) AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER (PARTITION BY pid ORDER BY cat) AS BIGINT) AS drnk,
+                   CAST(ntile({n}) OVER (PARTITION BY pid ORDER BY cat, uid) AS BIGINT) AS tile
+            FROM t ORDER BY uid
+            """
+        ).df()
+        for c in ("rnk", "drnk", "tile"):
+            assert got[c].tolist() == want[c].tolist(), (n, c)
