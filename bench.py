@@ -138,20 +138,34 @@ def _largest_cached(target: int) -> int:
 
 def _pipeline_subprocess(cpus: int, pages: int, sf_dir: str) -> dict:
     """One fresh-process headline run (the N-vs-4N levels must not share
-    a Ray session or page cache state)."""
-    p = subprocess.run(
-        [
-            sys.executable,
-            __file__,
-            "--pipeline-only",
-            f"--cpus={cpus}",
-            f"--pages={pages}",
-        ],
-        capture_output=True,
-        text=True,
-        env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+    a Ray session or page cache state). One transient child failure
+    (OOM-killed worker, stale Ray socket) retries rather than killing
+    the whole 20-minute bench."""
+    last_err = ""
+    for _ in range(2):
+        p = subprocess.run(
+            [
+                sys.executable,
+                __file__,
+                "--pipeline-only",
+                f"--cpus={cpus}",
+                f"--pages={pages}",
+            ],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+        )
+        lines = p.stdout.strip().splitlines()
+        if lines:
+            try:
+                return json.loads(lines[-1])
+            except json.JSONDecodeError:
+                pass
+        last_err = p.stderr[-2000:]
+    raise RuntimeError(
+        f"pipeline child (cpus={cpus}, pages={pages}) produced no result; "
+        f"stderr tail:\n{last_err}"
     )
-    return json.loads(p.stdout.strip().splitlines()[-1])
 
 
 def run_queries(sf_dir: str) -> dict:

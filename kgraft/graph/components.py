@@ -26,6 +26,8 @@ and equivalence-tested against each other and the golden components.
 from __future__ import annotations
 
 import numpy as np
+
+from ..errors import PlanError
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -137,7 +139,7 @@ def connected_components(
         )
     if method == "labelprop":
         return _label_propagation(edges, max_iter=max_iter, num_buckets=num_buckets)
-    raise ValueError(f"unknown method {method!r}")
+    raise PlanError(f"unknown method {method!r}")
 
 
 def _label_propagation(

@@ -46,6 +46,7 @@ from dataclasses import dataclass
 import pandas as pd
 import pyarrow as pa
 
+from ..errors import KgraftError
 from ..synth import PREDICATES
 
 # ---------------------------------------------------------------------------
@@ -114,8 +115,10 @@ def build_messages(reference: str, motivation: str = DEFAULT_MOTIVATION) -> list
 # clients
 
 
-class TransientLLMError(RuntimeError):
+class TransientLLMError(KgraftError, RuntimeError):
     """Retryable failure (the shape a real client's 429/503 would take)."""
+
+    kind = "transient_llm"
 
 
 class FakeLLMClient:

@@ -64,6 +64,23 @@ class PipelineConfig:
     # (settings/_DefaultConfig.py:22-24); per-request LLM retries live on
     # the extractor (models/llm.py max_retries)
 
+    def __post_init__(self):
+        # fail at construction, not mid-job (reference C1/C3 intent:
+        # validated config + typed errors, settings/_DefaultConfig.py:7-71,
+        # exception.py:48-55)
+        from .errors import ConfigError
+
+        if self.n_partitions < 1:
+            raise ConfigError(f"n_partitions must be >= 1, got {self.n_partitions}")
+        if self.extractor_kind not in ("task", "actor", "llm"):
+            raise ConfigError(f"unknown extractor_kind {self.extractor_kind!r}")
+        if self.components_method not in ("unionfind", "labelprop"):
+            raise ConfigError(f"unknown components_method {self.components_method!r}")
+        if not 0.0 <= self.link_threshold <= 1.0:
+            raise ConfigError(f"link_threshold outside [0,1]: {self.link_threshold}")
+        if self.max_errored_blocks < 0:
+            raise ConfigError("max_errored_blocks must be >= 0")
+
 
 class _GraphFeeder:
     """Incremental consumer of the extract job's summary stream.

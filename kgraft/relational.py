@@ -26,6 +26,7 @@ import pyarrow as pa
 import ray
 
 from .hashing import hash_strings
+from .errors import PlanError, SchemaError
 
 # ---------------------------------------------------------------------------
 # sources
@@ -151,7 +152,7 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
         elif kind in ("corr", "covar"):
             corr_cols.append((out, col, kind))  # col = (x_col, y_col)
         else:
-            raise ValueError(kind)
+            raise PlanError(f"unknown aggregate kind {kind!r}")
 
     key_list = [keys] if isinstance(keys, str) else list(keys)
     need_n = any(kind == "count" for _, _, kind in sum_cols)
@@ -445,7 +446,7 @@ def hash_join(
     lcols, rcols = list(lschema.names), list(rschema.names)
     shared = [c for c in rcols if c in lcols and c not in on_cols]
     if shared:
-        raise ValueError(f"ambiguous non-key columns on both sides: {shared}")
+        raise SchemaError(f"ambiguous non-key columns on both sides: {shared}")
     join_type = {
         "inner": "inner",
         "left": "left outer",
@@ -453,7 +454,7 @@ def hash_join(
         "outer": "full outer",
     }.get(how)
     if join_type is None:
-        raise ValueError(f"unsupported how={how!r}")
+        raise PlanError(f"unsupported how={how!r}")
     arrow_types = dict(zip(rcols, rschema.types))
     arrow_types.update(zip(lcols, lschema.types))
     import pyarrow.types as pt
@@ -571,7 +572,7 @@ def asof_join(
     lcols, rcols = list(lschema.names), list(rschema.names)
     shared = [c for c in rcols if c in lcols and c != by]
     if shared:
-        raise ValueError(f"ambiguous non-key columns on both sides: {shared}")
+        raise SchemaError(f"ambiguous non-key columns on both sides: {shared}")
     arrow_types = dict(zip(rcols, rschema.types))
     arrow_types.update(zip(lcols, lschema.types))
 
@@ -649,7 +650,7 @@ def range_join(
     lcols, rcols = list(lschema.names), list(rschema.names)
     shared = [c for c in rcols if c in lcols and c != by]
     if shared:
-        raise ValueError(f"ambiguous non-key columns on both sides: {shared}")
+        raise SchemaError(f"ambiguous non-key columns on both sides: {shared}")
     arrow_types = dict(zip(rcols, rschema.types))
     arrow_types.update(zip(lcols, lschema.types))
 
@@ -813,7 +814,7 @@ def windowed(ds, part_keys, order_keys, specs, num_buckets: int = 64, tiebreak=N
                     .to_numpy()
                 )
             else:  # pragma: no cover - spec validation
-                raise ValueError(f"unknown window kind {kind!r}")
+                raise PlanError(f"unknown window kind {kind!r}")
         return out
 
     return bucketed_groupby_apply(ds, part_keys, window_bucket, num_buckets)
@@ -1055,7 +1056,7 @@ def pivot_sum(ds, key, pivot_col, value_col, categories):
     become output column names, so they must not collide with ``key``."""
     cats = list(categories)
     if key in cats:
-        raise ValueError(f"category name collides with key column: {key!r}")
+        raise SchemaError(f"category name collides with key column: {key!r}")
 
     def widen(df: pd.DataFrame) -> pd.DataFrame:
         out = {key: df[key]}
@@ -1235,7 +1236,7 @@ def rollup_aggregate(ds, keys, aggs):
         elif kind in ("min", "max"):
             plan[out_col] = kind
         else:
-            raise ValueError(f"rollup does not support kind {kind!r}")
+            raise PlanError(f"rollup does not support kind {kind!r}")
     finest = pre_aggregate(ds, keys, aggs)
     levels = [finest[keys + list(aggs)]]
     cur = finest
@@ -1297,7 +1298,7 @@ def set_op(left, right, cols, op: str, num_buckets: int = 64):
     side reduces to min/max of the side tag — fully vectorized, no
     per-group Python. Both inputs must share the ``cols`` schema."""
     if op not in ("intersect", "except"):
-        raise ValueError(f"unsupported set op: {op!r}")
+        raise PlanError(f"unsupported set op: {op!r}")
     cols = [cols] if isinstance(cols, str) else list(cols)
 
     def tag(side):
