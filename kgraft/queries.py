@@ -1023,6 +1023,62 @@ ORDER BY event_id
 """
 
 
+def event_prop_k_stats(sf_dir: str) -> pd.DataFrame:
+    """Schema-on-read JSON: extract props->k (typed, malformed -> NULL),
+    then grouped stats per event_type. One shuffle-free extract pass +
+    partial-combined aggregate."""
+    from . import streamops
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+    ex = streamops.json_extract(ds, "props", "k", "k", "float64")
+    out = pre_aggregate(
+        ex,
+        ["event_type"],
+        {"n": (None, "count"), "avg_k": ("k", "mean"), "max_k": ("k", "max")},
+    )
+    out["avg_k"] = out["avg_k"].round(4)
+    out["max_k"] = out["max_k"].astype("float64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_PROP_K_SQL = r"""
+SELECT event_type, count(*) AS n,
+       round(avg(TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS DOUBLE)), 4) AS avg_k,
+       max(TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS DOUBLE)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def late_events_flagged(sf_dir: str) -> pd.DataFrame:
+    """Watermark / allowed-lateness semantics: per user, an event whose
+    event time is >10 minutes behind the running max at its arrival
+    (event_id order) is late — the dead-letter side of a streaming
+    tumbling window."""
+    from . import streamops
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = streamops.late_events(ds, 600 * 1_000_000)
+    return (
+        out.map_batches(
+            lambda df: df[["event_id", "user_id", "is_late"]], batch_format="pandas"
+        )
+        .sort("event_id")
+        .to_pandas()
+    )
+
+
+_LATE_EVENTS_SQL = """
+SELECT event_id, user_id,
+       CAST(max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS UNBOUNDED PRECEDING) - ts > INTERVAL '10 minutes'
+            AS BIGINT) AS is_late
+FROM events
+ORDER BY event_id
+"""
+
+
 def users_per_hour(sf_dir: str) -> pd.DataFrame:
     """Grouped COUNT DISTINCT: unique active users per hour. Two
     partial-combined shuffles (distinct pairs, then grouped count) —
@@ -2003,6 +2059,8 @@ QUERIES = {
     "user_sessions": user_sessions,
     "user_event_windows": user_event_windows,
     "event_rank_ntile": event_rank_ntile,
+    "event_prop_k_stats": event_prop_k_stats,
+    "late_events_flagged": late_events_flagged,
     "users_per_hour": users_per_hour,
     "stratified_sample_events": stratified_sample_events,
     "top_events_per_user": top_events_per_user,
@@ -2077,6 +2135,8 @@ ORACLE_SQL = {
     "user_sessions": _SESSIONS_SQL,
     "user_event_windows": _WINDOWS_SQL,
     "event_rank_ntile": _RANK_NTILE_SQL,
+    "event_prop_k_stats": _PROP_K_SQL,
+    "late_events_flagged": _LATE_EVENTS_SQL,
     "users_per_hour": _USERS_PER_HOUR_SQL,
     "stratified_sample_events": _STRATIFIED_SQL,
     "top_events_per_user": _TOP_PER_USER_SQL,

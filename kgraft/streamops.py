@@ -1,0 +1,112 @@
+"""Semi-structured and streaming-semantics operators.
+
+Two capabilities a web-scale event pipeline needs that the relational
+core doesn't cover:
+
+* :func:`json_extract` — typed field extraction from a JSON-string
+  column (the ``props`` pattern: event payloads land as opaque JSON).
+* :func:`late_events` — out-of-order/late-data detection with a
+  per-key watermark, the batch twin of a streaming engine's
+  allowed-lateness rule. The reference has no streaming surface at all
+  (SURVEY.md §2.1 "does NOT implement": windows/watermarks/late-data);
+  this supplies the semantics Ray Data lacks natively.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+
+
+def json_extract(ds, col: str, field: str, out_col: str, dtype: str = "int64"):
+    """Extract one top-level ``field`` from a JSON-string column ->
+    input columns + ``out_col`` (typed; missing/malformed -> NULL).
+
+    Shuffle-free single pass. The per-value ``json.loads`` is C-speed;
+    the surrounding loop is the honest cost of schema-on-read JSON —
+    at corpus scale prefer extracting ONCE into a typed column (this
+    op's output written back to parquet) over re-parsing per query.
+    A fast path handles the overwhelmingly common flat scalar case with
+    a vectorized regex and falls back to a real parse only for rows the
+    regex misses (nested/escaped), so typical telemetry payloads never
+    hit the Python loop.
+    """
+    import re
+
+    fast = re.compile(
+        r'"%s"\s*:\s*("(?:[^"\\]*)"|-?\d+(?:\.\d+)?|true|false|null)'
+        % re.escape(field)
+    )
+
+    def parse_one(s):
+        try:
+            v = json.loads(s).get(field)
+        except (TypeError, ValueError):
+            return None
+        return v
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        raw = df[col].str.extract(fast, expand=False)
+        # rows where the regex failed but the string might still be
+        # valid JSON (nested objects, escaped quotes): full parse
+        need_slow = raw.isna() & df[col].notna()
+        vals = raw.copy()
+        if need_slow.any():
+            vals.loc[need_slow] = df.loc[need_slow, col].map(parse_one)
+        # unquote fast-path string hits
+        is_q = vals.str.startswith('"').fillna(False)
+        vals.loc[is_q] = vals.loc[is_q].str.slice(1, -1)
+        out = df.copy()
+        if dtype in ("int64", "float64"):
+            out[out_col] = pd.to_numeric(vals, errors="coerce")
+            if dtype == "int64":
+                out[out_col] = out[out_col].astype("Int64")
+        else:
+            out[out_col] = vals.where(~vals.isin(["null"]), None)
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def late_events(
+    events,
+    lateness_us: int,
+    part_col: str = "user_id",
+    arrival_col: str = "event_id",
+    ts_col: str = "ts",
+    num_buckets: int = 64,
+):
+    """Per-key watermark / allowed-lateness flagging -> input columns +
+    ``is_late`` (int64 0/1).
+
+    Streaming semantics in batch form: rows arrive in ``arrival_col``
+    order; the key's watermark is the running max of event time seen so
+    far minus ``lateness_us``. A row whose event time is already below
+    the watermark at its own arrival is LATE — a streaming window would
+    have closed before it arrived (it belongs in the dead-letter/
+    correction path, not the aggregate).
+
+    One bucketed shuffle on ``part_col`` (same partitioning contract as
+    ``relational.windowed``); inside a bucket the running max is one
+    vectorized ``groupby().cummax()``. The inclusive running max is
+    safe: a row that advances the watermark can never flag itself
+    (max - ts == 0). SQL twin::
+
+        max(ts) OVER (PARTITION BY part ORDER BY arrival
+                      ROWS UNBOUNDED PRECEDING) - ts > lateness
+    """
+    from .relational import bucketed_groupby_apply
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([part_col, arrival_col], kind="mergesort")
+        # pin to MICROSECONDS: pandas blocks surface parquet timestamps
+        # as datetime64[ns], whose raw int64 view is 1000x off
+        epoch = g[ts_col].astype("datetime64[ns]").astype("int64") // 1000
+        runmax = epoch.groupby(g[part_col], sort=False).cummax()
+        out = g.copy()
+        out["is_late"] = ((runmax - epoch) > lateness_us).astype("int64")
+        return out
+
+    return bucketed_groupby_apply(events, part_col, flag, num_buckets)
