@@ -112,3 +112,88 @@ def pagerank(
         dangling = rank[outdeg == 0].sum()
         rank = (1.0 - damping) / n + damping * (agg + dangling / n)
     return pd.DataFrame({"node_id": ids, "rank": rank})
+
+
+# ---------------------------------------------------------------------------
+# Pregel-style iteration: edge shards pinned in actors
+
+
+@ray.remote
+class _EdgeShard:
+    """One edge partition held in memory across BSP iterations.
+
+    The streaming :func:`pagerank` pays a full Dataset job (launch +
+    parquet re-read + endpoint re-indexing) PER ITERATION — correct for
+    corpus-scale edges that cannot stay resident, pure overhead when
+    they can. This actor loads and index-maps its shard ONCE; each
+    iteration is then a single sub-second remote call returning a
+    sparse vocab-scale partial (the Pregel model: graph partitioned
+    and pinned, rank vector broadcast per superstep)."""
+
+    def __init__(self, paths: list, ids: np.ndarray, src_col: str, dst_col: str):
+        import pyarrow.parquet as pq
+
+        tables = [pq.read_table(p, columns=[src_col, dst_col]) for p in paths]
+        t = pa.concat_tables(tables) if tables else None
+        if t is None or len(t) == 0:
+            self.s = np.empty(0, dtype=np.int64)
+            self.d = np.empty(0, dtype=np.int64)
+        else:
+            self.s = _to_index(ids, t[src_col].to_numpy(zero_copy_only=False), src_col)
+            self.d = _to_index(ids, t[dst_col].to_numpy(zero_copy_only=False), dst_col)
+        self.n = len(ids)
+
+    def outdeg(self):
+        dense = np.bincount(self.s, minlength=self.n).astype(np.float64)
+        nz = np.nonzero(dense)[0]
+        return nz, dense[nz]
+
+    def contrib(self, w: np.ndarray):
+        if len(self.s) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        dense = np.bincount(self.d, weights=w[self.s], minlength=self.n)
+        nz = np.nonzero(dense)[0]
+        return nz, dense[nz]
+
+
+def pagerank_pregel(
+    edge_files: list,
+    node_ids: np.ndarray,
+    damping: float = 0.85,
+    n_iter: int = 20,
+    src_col: str = "subj_id",
+    dst_col: str = "obj_id",
+    num_shards: int | None = None,
+) -> pd.DataFrame:
+    """:func:`pagerank` semantics (identical output, equivalence-tested)
+    over edges pinned in a shard-actor pool — use when the edge table
+    fits cluster memory; fall back to the streaming pass otherwise.
+    Per-iteration cost drops from a Dataset job to one round of actor
+    calls + a vocab-scale fold."""
+    ids = np.unique(np.asarray(node_ids, dtype=np.int64))
+    n = len(ids)
+    if num_shards is None:
+        num_shards = max(1, min(len(edge_files), int(ray.cluster_resources().get("CPU", 8)) // 2))
+    chunks = [edge_files[i::num_shards] for i in range(num_shards)]
+    ids_ref = ray.put(ids)
+    shards = [
+        _EdgeShard.remote(c, ids_ref, src_col, dst_col) for c in chunks if c
+    ]
+
+    def fold(results) -> np.ndarray:
+        out = np.zeros(n, dtype=np.float64)
+        for nz, vals in results:
+            out[nz] += vals
+        return out
+
+    outdeg = fold(ray.get([s.outdeg.remote() for s in shards]))
+    rank = np.full(n, 1.0 / n, dtype=np.float64)
+    safe_deg = np.where(outdeg > 0, outdeg, 1.0)
+    for _ in range(n_iter):
+        w_ref = ray.put(rank / safe_deg)
+        agg = fold(ray.get([s.contrib.remote(w_ref) for s in shards]))
+        dangling = rank[outdeg == 0].sum()
+        rank = (1.0 - damping) / n + damping * (agg + dangling / n)
+    for s in shards:
+        ray.kill(s)
+    return pd.DataFrame({"node_id": ids, "rank": rank})

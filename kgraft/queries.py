@@ -1789,8 +1789,21 @@ def kg_pagerank(sf_dir: str) -> pd.DataFrame:
     node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
         "entity_id"
     ].to_numpy()
-    edges = ray.data.read_parquet(m["edges_dir"], columns=["subj_id", "obj_id"])
-    pr = pagerank(edges, node_ids, n_iter=15)
+    # edge table fits memory here -> Pregel path (shards pinned in
+    # actors, one remote round per superstep instead of a full Dataset
+    # job + parquet re-read); the streaming pass remains the path for
+    # corpus-scale edge tables
+    import glob as _glob
+
+    from .graph.pagerank import pagerank_pregel
+
+    files = sorted(_glob.glob(os.path.join(m["edges_dir"], "*.parquet")))
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    if files and total_bytes < 4 * (1 << 30):
+        pr = pagerank_pregel(files, node_ids, n_iter=15)
+    else:
+        edges = ray.data.read_parquet(m["edges_dir"], columns=["subj_id", "obj_id"])
+        pr = pagerank(edges, node_ids, n_iter=15)
     pr["rank"] = pr["rank"].round(10)
     top = pr.sort_values(["rank", "node_id"], ascending=[False, True]).head(20)
     return top.reset_index(drop=True)

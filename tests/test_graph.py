@@ -104,3 +104,33 @@ def test_pagerank_matches_power_iteration(ray_session):
         r = 0.15 / n + 0.85 * (contrib + dangling / n)
     np.testing.assert_allclose(got.loc[ids].to_numpy(), r, rtol=1e-10, atol=1e-12)
     assert abs(got.sum() - 1.0) < 1e-9  # rank mass conserved
+
+
+def test_pagerank_pregel_equals_streaming(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from kgraft.graph.pagerank import pagerank, pagerank_pregel
+
+    rng = np.random.RandomState(17)
+    n, m = 80, 900
+    ids = np.sort(rng.choice(np.arange(0, 50000), size=n, replace=False)).astype("int64")
+    src = ids[rng.randint(0, n, m)]
+    dst = ids[rng.randint(0, n, m)]
+    edges_df = pd.DataFrame({"subj_id": src, "obj_id": dst})
+    # shard the edges over several parquet files, as the checkpoint does
+    files = []
+    for i in range(5):
+        p = str(tmp_path / f"edges_{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(edges_df.iloc[i::5]), p)
+        files.append(p)
+    streaming = pagerank(
+        ray.data.from_pandas(edges_df).repartition(4), ids, n_iter=12
+    ).set_index("node_id")["rank"]
+    pregel = pagerank_pregel(files, ids, n_iter=12, num_shards=3).set_index(
+        "node_id"
+    )["rank"]
+    np.testing.assert_allclose(
+        pregel.loc[ids].to_numpy(), streaming.loc[ids].to_numpy(), rtol=1e-12
+    )
