@@ -426,7 +426,23 @@ def _exact_tier_groups(docs, likely_df, text_col, shingle_k, threshold):
             ),
         }
     )
-    good = _verify_pairs_jaccard(pairs_t, shingle_k, threshold).to_pandas()
+    if len(pairs_t) > 2048:
+        # distribute the exact verification: shingling + intersection is
+        # the CPU-dense part, and with the estimate tier disabled
+        # (pure-Jaccard mode) the survivor set can be large — one serial
+        # driver pass was the dominant cost of ngram_jaccard_dup
+        nparts = max(2, min(32, len(pairs_t) // 1024))
+        good = (
+            ray.data.from_arrow(pairs_t)
+            .repartition(nparts)
+            .map_batches(
+                lambda tt: _verify_pairs_jaccard(tt, shingle_k, threshold),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+        )
+    else:
+        good = _verify_pairs_jaccard(pairs_t, shingle_k, threshold).to_pandas()
 
     from .graph.components import _UnionFind
 
