@@ -1397,6 +1397,32 @@ FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 
 
+def cube_order_totals(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE (status, priority): all four aggregation levels
+    (both keys, each key alone, grand total) from one corpus scan."""
+    from .relational import cube_aggregate
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+    out = cube_aggregate(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        {"total_price": ("o_totalprice", "sum"), "n_orders": (None, "count")},
+    )
+    out["total_price"] = out["total_price"].round(4)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 4) AS total_price,
+       count(*) AS n_orders
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
 def funnel_view_click_purchase(sf_dir: str) -> pd.DataFrame:
     """Ordered conversion funnel over the event stream: users who
     viewed, then clicked at-or-after their first view, then purchased
@@ -2095,6 +2121,7 @@ QUERIES = {
     "dedup_incremental_docs": dedup_incremental_docs,
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "rollup_order_totals": rollup_order_totals,
+    "cube_order_totals": cube_order_totals,
     "urgent_customers_bloom": urgent_customers_bloom,
     "decontaminate_docs": decontaminate_docs,
     "dedup_exact_docs": dedup_exact_docs,
@@ -2170,6 +2197,7 @@ ORACLE_SQL = {
     "dedup_incremental_docs": _DEDUP_INCREMENTAL_SQL,
     "funnel_view_click_purchase": _FUNNEL_SQL,
     "rollup_order_totals": _ROLLUP_SQL,
+    "cube_order_totals": _CUBE_SQL,
     "urgent_customers_bloom": _URGENT_CUST_BLOOM_SQL,
     "dedup_exact_docs": _DEDUP_EXACT_SQL,
     "token_count_docs": _TOKEN_COUNT_SQL,

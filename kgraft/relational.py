@@ -1254,6 +1254,47 @@ def rollup_aggregate(ds, keys, aggs):
     return pd.concat(levels, ignore_index=True)
 
 
+def cube_aggregate(ds, keys, aggs):
+    """SQL ``GROUP BY CUBE(k1, k2, ...)``: aggregates at EVERY key
+    subset (2^k levels), absent key columns NULL.
+
+    Same scan discipline as :func:`rollup_aggregate`: the corpus is
+    scanned ONCE at the finest level; every subset re-aggregates the
+    finest result driver-side (legitimate for the dimension-bounded key
+    spaces cubes are used on). Kinds: sum, count, min, max — the
+    algebraic ones that re-aggregate losslessly."""
+    from itertools import combinations
+
+    keys = list(keys)
+    plan = {}
+    for out_col, (_, kind) in aggs.items():
+        if kind == "count":
+            plan[out_col] = "sum"
+        elif kind == "sum":
+            # min_count=1: SQL NULL-SUM semantics (see rollup_aggregate)
+            plan[out_col] = lambda s: s.sum(min_count=1)
+        elif kind in ("min", "max"):
+            plan[out_col] = kind
+        else:
+            raise PlanError(f"cube does not support kind {kind!r}")
+    finest = pre_aggregate(ds, keys, aggs)
+    levels = []
+    for r in range(len(keys), -1, -1):
+        for sub in combinations(keys, r):
+            sub = list(sub)
+            if len(sub) == len(keys):
+                lv = finest.copy()
+            elif sub:
+                lv = finest.groupby(sub, as_index=False, observed=True).agg(plan)
+            else:
+                lv = finest[list(plan)].agg(plan).to_frame().T
+            for k in keys:
+                if k not in sub:
+                    lv[k] = None
+            levels.append(lv[keys + list(aggs)])
+    return pd.concat(levels, ignore_index=True)
+
+
 def funnel(ds, user_col, ts_col, type_col, steps, num_buckets: int = 64):
     """Ordered funnel analysis: how many users completed step 1, then
     step 2 AT OR AFTER their step-1 time, then step 3 after that, ...

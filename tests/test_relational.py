@@ -712,3 +712,39 @@ def test_rank_dense_ntile_match_duckdb(ray_session):
         ).df()
         for c in ("rnk", "drnk", "tile"):
             assert got[c].tolist() == want[c].tolist(), (n, c)
+
+
+def test_cube_matches_duckdb_with_nulls(ray_session):
+    import duckdb
+    import ray
+
+    from kgraft.relational import cube_aggregate
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(list("xy"), 60),
+            "b": rng.choice(list("pq"), 60),
+            "v": np.where(rng.rand(60) < 0.3, np.nan, rng.rand(60) * 10),
+        }
+    )
+    # one all-NULL group pins the NULL-SUM re-aggregation semantics
+    df.loc[df["a"].eq("x") & df["b"].eq("q"), "v"] = np.nan
+    got = cube_aggregate(
+        ray.data.from_pandas(df), ["a", "b"], {"s": ("v", "sum"), "n": (None, "count")}
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        "SELECT a, b, sum(v) AS s, count(*) AS n FROM t GROUP BY CUBE(a, b)"
+    ).df()
+
+    def norm(d):
+        d = d.copy()
+        d["s"] = d["s"].round(9)
+        d["n"] = d["n"].astype("int64")
+        return d.sort_values(["a", "b"], na_position="first").reset_index(drop=True)[
+            ["a", "b", "s", "n"]
+        ]
+
+    pd.testing.assert_frame_equal(norm(got), norm(want), check_dtype=False)
