@@ -1023,6 +1023,45 @@ ORDER BY event_id
 """
 
 
+def quantity_percentiles(sf_dir: str) -> pd.DataFrame:
+    """PERCENT_RANK / CUME_DIST over lineitem quantity per returnflag
+    (heavy ties — integer-valued quantities — pin the tie-group
+    semantics of both)."""
+    from .relational import windowed
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"]
+    )
+    win = windowed(
+        li,
+        part_keys="l_returnflag",
+        order_keys=["l_quantity"],
+        specs={"pr": ("percent_rank", None), "cd": ("cume_dist", None)},
+        tiebreak=["l_orderkey", "l_linenumber"],
+        num_buckets=8,
+    )
+    return (
+        win.map_batches(
+            lambda df: df.assign(pr=df["pr"].round(6), cd=df["cd"].round(6))[
+                ["l_orderkey", "l_linenumber", "pr", "cd"]
+            ],
+            batch_format="pandas",
+        )
+        .sort(["l_orderkey", "l_linenumber"])
+        .to_pandas()
+    )
+
+
+_PCT_RANK_SQL = """
+SELECT l_orderkey, l_linenumber,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
 def event_prop_k_stats(sf_dir: str) -> pd.DataFrame:
     """Schema-on-read JSON: extract props->k (typed, malformed -> NULL),
     then grouped stats per event_type. One shuffle-free extract pass +
@@ -2099,6 +2138,7 @@ QUERIES = {
     "user_event_windows": user_event_windows,
     "event_rank_ntile": event_rank_ntile,
     "event_prop_k_stats": event_prop_k_stats,
+    "quantity_percentiles": quantity_percentiles,
     "late_events_flagged": late_events_flagged,
     "users_per_hour": users_per_hour,
     "stratified_sample_events": stratified_sample_events,
@@ -2176,6 +2216,7 @@ ORACLE_SQL = {
     "user_event_windows": _WINDOWS_SQL,
     "event_rank_ntile": _RANK_NTILE_SQL,
     "event_prop_k_stats": _PROP_K_SQL,
+    "quantity_percentiles": _PCT_RANK_SQL,
     "late_events_flagged": _LATE_EVENTS_SQL,
     "users_per_hour": _USERS_PER_HOUR_SQL,
     "stratified_sample_events": _STRATIFIED_SQL,

@@ -740,6 +740,9 @@ def windowed(ds, part_keys, order_keys, specs, num_buckets: int = 64, tiebreak=N
                     AND CURRENT ROW``)
       rank / dense_rank (SQL semantics: ties share a rank; rank leaves
                     gaps, dense_rank doesn't. Ties = equal order_keys)
+      percent_rank / cume_dist (SQL semantics: (rank-1)/(count-1) with
+                    0.0 for single-row partitions; tie-group max row
+                    number over partition count)
       ntile       (param = n; SQL allocation — the first count%n tiles
                     get one extra row. Include a ``tiebreak`` unique
                     column for a deterministic result under ties)
@@ -766,6 +769,19 @@ def windowed(ds, part_keys, order_keys, specs, num_buckets: int = 64, tiebreak=N
             param = rest[0] if rest else None
             if kind == "row_number":
                 out[out_col] = rn_cache
+            elif kind in ("percent_rank", "cume_dist"):
+                tmp = pd.DataFrame({"rn": rn_cache.values}, index=g.index)
+                tie = tmp.groupby([g[c] for c in part_keys + order_keys], sort=False)
+                cnt = grp[order_keys[0]].transform("size").to_numpy().astype("float64")
+                if kind == "percent_rank":
+                    # (rank - 1) / (count - 1); 0.0 for single-row partitions
+                    rank_min = tie["rn"].transform("min").to_numpy()
+                    denom = np.maximum(cnt - 1.0, 1.0)
+                    out[out_col] = (rank_min - 1.0) / denom
+                else:
+                    # rows with order key <= current = the tie group's MAX rn
+                    rank_max = tie["rn"].transform("max").to_numpy()
+                    out[out_col] = rank_max / cnt
             elif kind in ("rank", "dense_rank"):
                 # ties = equal order_keys within the partition; rank is
                 # the min row_number of the tie group (gaps), dense is

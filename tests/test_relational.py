@@ -691,6 +691,8 @@ def test_rank_dense_ntile_match_duckdb(ray_session):
                     "rnk": ("rank", None),
                     "drnk": ("dense_rank", None),
                     "tile": ("ntile", None, n),
+                    "pr": ("percent_rank", None),
+                    "cd": ("cume_dist", None),
                 },
                 tiebreak=["uid"],
                 num_buckets=4,
@@ -706,12 +708,18 @@ def test_rank_dense_ntile_match_duckdb(ray_session):
             SELECT uid,
                    CAST(rank() OVER (PARTITION BY pid ORDER BY cat) AS BIGINT) AS rnk,
                    CAST(dense_rank() OVER (PARTITION BY pid ORDER BY cat) AS BIGINT) AS drnk,
-                   CAST(ntile({n}) OVER (PARTITION BY pid ORDER BY cat, uid) AS BIGINT) AS tile
+                   CAST(ntile({n}) OVER (PARTITION BY pid ORDER BY cat, uid) AS BIGINT) AS tile,
+                   percent_rank() OVER (PARTITION BY pid ORDER BY cat) AS pr,
+                   cume_dist() OVER (PARTITION BY pid ORDER BY cat) AS cd
             FROM t ORDER BY uid
             """
         ).df()
         for c in ("rnk", "drnk", "tile"):
             assert got[c].tolist() == want[c].tolist(), (n, c)
+        for c in ("pr", "cd"):
+            np.testing.assert_allclose(
+                got[c].to_numpy(), want[c].to_numpy(), rtol=1e-12, err_msg=c
+            )
 
 
 def test_cube_matches_duckdb_with_nulls(ray_session):
