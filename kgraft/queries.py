@@ -2008,6 +2008,29 @@ def image_features_q(sf_dir: str):
     return extract_image_features(pages)
 
 
+def video_frames_q(sf_dir: str):
+    """Multimodal frame sampling: one exploded row per sampled frame
+    (actor pool; the explode happens inside the actor — a video is one
+    input row, many output rows). Fake deterministic sampler."""
+    from .multimodal import sample_video_frames
+    from .synth import corpus_dir, sharded_pages
+
+    d = corpus_dir(_pages_for(sf_dir))
+    pages = ray.data.read_parquet(sharded_pages(d), columns=["url", "html"])
+    return sample_video_frames(pages)
+
+
+def audio_features_q(sf_dir: str):
+    """Multimodal audio summary features (duration/channels/MFCC-ish
+    vector) over the binary column. Fake deterministic backend."""
+    from .multimodal import extract_audio_features
+    from .synth import corpus_dir, sharded_pages
+
+    d = corpus_dir(_pages_for(sf_dir))
+    pages = ray.data.read_parquet(sharded_pages(d), columns=["url", "html"])
+    return extract_audio_features(pages)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2190,6 +2213,8 @@ QUERIES = {
     "page_tables": page_tables,
     "kg_extract_text": kg_extract_text,
     "image_features": image_features_q,
+    "video_frames": video_frames_q,
+    "audio_features": audio_features_q,
     **TPCH_QUERIES,
 }
 
