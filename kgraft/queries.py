@@ -1538,6 +1538,21 @@ GROUP BY o_orderstatus
 """
 
 
+def approx_median_price(sf_dir: str) -> pd.DataFrame:
+    """DDSketch approximate grouped median (relative error <= 1%): the
+    sketch path where the exact quantile's per-distinct-value histogram
+    is corpus-sized. Rows-only driver check; the error-bound oracle
+    lives in tests/test_relational.py."""
+    from .relational import grouped_approx_quantile
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    out = grouped_approx_quantile(
+        orders, "o_orderpriority", "o_totalprice", 0.5, alpha=0.01, out_col="approx_median"
+    ).to_pandas()
+    out["approx_median"] = out["approx_median"].round(4)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def approx_users_per_type(sf_dir: str) -> pd.DataFrame:
     """HyperLogLog distinct users per event type (p=12, ~1.6% s.e.) —
     the sketch path for web-scale COUNT DISTINCT where the exact
@@ -2175,6 +2190,7 @@ QUERIES = {
     "mode_priority_by_status": mode_priority_by_status,
     "priorities_per_status": priorities_per_status,
     "approx_users_per_type": approx_users_per_type,
+    "approx_median_price": approx_median_price,
     "top_tokens_docs": top_tokens_docs,
     "intersect_orders": intersect_orders,
     "except_orders": except_orders,

@@ -1156,6 +1156,86 @@ def sample_k_per_group(ds, group_col, id_col, k: int, num_buckets: int = 64):
     return bucketed_groupby_apply(hashed, group_col, cut, num_buckets)
 
 
+
+def grouped_approx_quantile(
+    ds, keys, col, q: float, alpha: float = 0.01, out_col=None, num_buckets: int = 64
+):
+    """Approximate grouped quantile with RELATIVE-error guarantee alpha
+    (DDSketch log-histogram, VLDB 2019): the returned value v satisfies
+    |v - true_q| <= alpha * true_q for positive values.
+
+    This is the scale path grouped_quantile_disc/cont can't take: the
+    exact operators shuffle one histogram row per DISTINCT VALUE per
+    key, which for continuous corpus-scale columns is the corpus
+    itself. The DDSketch partial is AT MOST one row per (key, log
+    bucket, batch) — bucket count is bounded by the value RANGE, not
+    the row count (log_gamma(max/min) buckets; ~920 per key for
+    alpha=0.01 over 8 decades) — and bucket-count merges are plain
+    sums, so partials combine associatively across batches, buckets
+    and nodes. Zeros land in a dedicated bucket; negatives mirror into
+    a negative store (same guarantee on |v|).
+    """
+    import numpy as np
+    import pandas as pd
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    lg = np.log(gamma)
+    out_col = out_col or f"approx_q{int(q * 100)}"
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+
+    # log indices are BIASED so sub-1 values (negative log index) never
+    # collide with the zero bucket or flip the store parity; the bias
+    # covers the full float64 exponent range at alpha >= 0.005
+    OFF = np.int64(200_000)
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        # 0 -> bucket 0; v>0 -> even store; v<0 -> odd store (mirrored)
+        b = np.zeros(len(v), dtype=np.int64)
+        pos = v > 0
+        neg = v < 0
+        jp = np.ceil(np.log(v[pos]) / lg).astype(np.int64) + OFF
+        jn = np.ceil(np.log(-v[neg]) / lg).astype(np.int64) + OFF
+        b[pos] = jp * 2 + 2
+        b[neg] = jn * 2 + 3
+        return b
+
+    def value_of(b: np.ndarray) -> np.ndarray:
+        v = np.zeros(len(b), dtype=np.float64)
+        pos = (b >= 2) & (b % 2 == 0)
+        neg = (b >= 3) & (b % 2 == 1)
+        v[pos] = 2.0 * np.power(gamma, ((b[pos] - 2) // 2 - OFF).astype(np.float64)) / (1.0 + gamma)
+        v[neg] = -2.0 * np.power(gamma, ((b[neg] - 3) // 2 - OFF).astype(np.float64)) / (1.0 + gamma)
+        return v
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[key_list + [col]].dropna(subset=[col])
+        if not len(d):
+            return pd.DataFrame(
+                {**{k: pd.Series([], dtype=object) for k in key_list},
+                 "__b": pd.Series([], dtype="int64"),
+                 "__c": pd.Series([], dtype="int64")}
+            )
+        d = d.assign(__b=bucket_of(d[col].to_numpy(dtype=np.float64)))
+        g = d.groupby(key_list + ["__b"], sort=False, as_index=False).size()
+        return g.rename(columns={"size": "__c"})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    merged = pre_aggregate_ds(parts, key_list + ["__b"], {"__c": ("__c", "sum")}, num_buckets)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        # negative store descending |v| < zeros < positive ascending:
+        # order buckets by their representative value
+        g = g.assign(__v=value_of(g["__b"].to_numpy()))
+        g = g.sort_values(key_list + ["__v"], kind="mergesort")
+        grp = g.groupby(key_list, sort=False)
+        cum = grp["__c"].cumsum()
+        total = grp["__c"].transform("sum")
+        rank = np.maximum(np.ceil(q * total.to_numpy()), 1)
+        hit = g[cum.to_numpy() >= rank].groupby(key_list, sort=False, as_index=False).first()
+        return hit[key_list + ["__v"]].rename(columns={"__v": out_col})
+
+    return bucketed_groupby_apply(merged, key_list, finish, num_buckets)
+
 def bloom_semi_join(ds, keys_ds, on: str, num_bits: int = 1 << 23, num_hashes: int = 4):
     """EXACT semi join against a large key set, Bloom-prefiltered.
 

@@ -756,3 +756,45 @@ def test_cube_matches_duckdb_with_nulls(ray_session):
         ]
 
     pd.testing.assert_frame_equal(norm(got), norm(want), check_dtype=False)
+
+
+def test_grouped_approx_quantile_within_relative_error(ray_session):
+    import ray
+
+    from kgraft.relational import grouped_approx_quantile
+
+    rng = np.random.RandomState(21)
+    alpha = 0.02
+    for q in (0.5, 0.9):
+        df = pd.DataFrame(
+            {
+                "k": rng.randint(0, 7, 4000),
+                "v": np.exp(rng.randn(4000) * 2.0),  # lognormal, 6+ decades
+            }
+        )
+        got = (
+            grouped_approx_quantile(
+                ray.data.from_pandas(df), "k", "v", q, alpha=alpha, out_col="aq"
+            )
+            .to_pandas()
+            .set_index("k")["aq"]
+        )
+        for k, grp in df.groupby("k"):
+            vals = np.sort(grp["v"].to_numpy())
+            rank = max(int(np.ceil(q * len(vals))), 1) - 1
+            true = vals[rank]
+            assert abs(got[k] - true) <= alpha * true * 1.0001, (q, k, got[k], true)
+
+
+def test_grouped_approx_quantile_mixed_signs_and_zero(ray_session):
+    import ray
+
+    from kgraft.relational import grouped_approx_quantile
+
+    df = pd.DataFrame({"k": [0] * 7, "v": [-100.0, -1.0, 0.0, 0.0, 1.0, 10.0, 100.0]})
+    got = (
+        grouped_approx_quantile(ray.data.from_pandas(df), "k", "v", 0.5, alpha=0.01)
+        .to_pandas()
+        .iloc[0, 1]
+    )
+    assert got == 0.0  # the exact median is the zero bucket
