@@ -26,7 +26,7 @@ import pyarrow as pa
 import ray
 
 from .hashing import hash_strings
-from .errors import PlanError, SchemaError
+from .errors import ConfigError, PlanError, SchemaError
 
 # ---------------------------------------------------------------------------
 # sources
@@ -373,8 +373,23 @@ def _uniform_nullable(df: pd.DataFrame, cols) -> pd.DataFrame:
     return df
 
 
-def broadcast_join(ds, small_df: pd.DataFrame, on, how: str = "inner"):
-    """Broadcast the small side once (``ray.put``); pandas merge per batch."""
+BROADCAST_ROW_GUARD = 5_000_000  # a "small side" beyond this is a plan bug
+
+
+def broadcast_join(ds, small_df: pd.DataFrame, on, how: str = "inner",
+                   max_broadcast_rows: int = BROADCAST_ROW_GUARD):
+    """Broadcast the small side once (``ray.put``); pandas merge per batch.
+
+    Guarded: broadcasting is only correct for genuinely bounded tables
+    (nation/region/alias dicts). A corpus-scale side silently OOMs every
+    worker at 100x — fail fast with a typed error and point at
+    :func:`hash_join` instead."""
+    if len(small_df) > max_broadcast_rows:
+        raise ConfigError(
+            f"broadcast side has {len(small_df)} rows (> {max_broadcast_rows}); "
+            "this is corpus-scale — use hash_join, or raise max_broadcast_rows "
+            "explicitly if the table is genuinely bounded"
+        )
     ref = ray.put(small_df)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -390,7 +405,13 @@ def semi_anti_join(ds, keys, on: str, anti: bool = False):
     """
     if isinstance(keys, pd.DataFrame):
         keys = keys[on].tolist()
-    ref = ray.put(set(keys))
+    keys = set(keys)
+    if len(keys) > BROADCAST_ROW_GUARD:
+        raise ConfigError(
+            f"semi/anti key set has {len(keys)} entries (> {BROADCAST_ROW_GUARD}); "
+            "use bloom_semi_join (exact, bitmap-prefiltered) for corpus-scale keys"
+        )
+    ref = ray.put(keys)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         mask = df[on].isin(ray.get(ref))
@@ -408,6 +429,7 @@ def hash_join(
     left_schema=None,
     right_schema=None,
     dedup_right: bool = False,
+    num_salts: int = 1,
 ):
     """Large-large equi-join: explicit bucketed hash join.
 
@@ -415,6 +437,18 @@ def hash_join(
     before joining (exact — a key's rows all share a bucket). This is
     the semi-join building block: callers can skip the global distinct
     shuffle and let the join dedup post-colocation for free.
+
+    ``num_salts``: hot-key defusal (SURVEY.md §4 skew row). A plain
+    bucketed equi-join co-locates EVERY row of a key in one bucket, so
+    a Zipf-head key serializes on one reducer. With salts, each LEFT
+    row gets a deterministic salt in [0, k) and each RIGHT row is
+    replicated once per salt; ``__salt`` joins as an extra key column,
+    so every left row still meets exactly one copy of its matches while
+    the hot key's left rows spread over k buckets. Cost: right side
+    shuffles k times — use when the LEFT side is the skewed fact table
+    and the right side is the smaller relation. Exact for ``inner`` and
+    ``left`` joins; right/outer would emit unmatched right replicas k
+    times and raise PlanError.
 
     Both sides get ``bucket = stable_hash(key) % B``; a union tagged by
     side is grouped by bucket and merged with pandas inside
@@ -455,6 +489,12 @@ def hash_join(
     }.get(how)
     if join_type is None:
         raise PlanError(f"unsupported how={how!r}")
+    salted = int(num_salts) > 1
+    if salted and how not in ("inner", "left"):
+        raise PlanError(
+            f"num_salts requires how in ('inner','left'); got {how!r} "
+            "(unmatched right replicas would duplicate)"
+        )
     arrow_types = dict(zip(rcols, rschema.types))
     arrow_types.update(zip(lcols, lschema.types))
     import pyarrow.types as pt
@@ -466,7 +506,7 @@ def hash_join(
     all_cols = list(dict.fromkeys(lcols + rcols)) + ["__bucket", "__side"]
     out_cols = lcols + [c for c in rcols if c not in on_cols]
 
-    def keyhash(t: pa.Table) -> np.ndarray:
+    def rawhash(t: pa.Table) -> np.ndarray:
         from .hashing import splitmix64
 
         if int_keys:
@@ -474,23 +514,34 @@ def hash_join(
             for i, c in enumerate(on_cols):
                 v = t[c].to_numpy(zero_copy_only=False).astype(np.uint64)
                 h ^= splitmix64(v + np.uint64(0x9E3779B97F4A7C15 * (i + 1) & (2**64 - 1)))
-            return (h % np.uint64(num_buckets)).astype(np.int64)
+            return h
         key = pd.Series(t[on_cols[0]].to_pandas()).astype(str)
         for c in on_cols[1:]:
             key = key + "\x1f" + pd.Series(t[c].to_pandas()).astype(str)
-        return (hash_strings(key.tolist(), seed=3) % np.uint64(num_buckets)).astype(
-            "int64"
-        )
+        return hash_strings(key.tolist(), seed=3)
 
+    base_l, base_r = list(lcols), list(rcols)
+    if salted:
+        lcols = lcols + ["__salt"]
+        rcols = rcols + ["__salt"]
+        arrow_types["__salt"] = pa.int64()
     l_side_schema = pa.schema([(c, arrow_types[c]) for c in lcols])
     r_side_schema = pa.schema([(c, arrow_types[c]) for c in rcols])
+    join_cols = on_cols + ["__salt"] if salted else on_cols
 
     def pack(side, side_schema):
-        def fn(t: pa.Table) -> pa.Table:
-            buckets = keyhash(t)
-            out_b, out_p = [], []
+        from .hashing import splitmix64
+
+        base_names = [n for n in side_schema.names if n != "__salt"]
+
+        def emit(t, buckets, salt_vals, out_b, out_p):
             for b in np.unique(buckets):
-                sub = t.filter(pa.array(buckets == b)).select(side_schema.names)
+                mask = buckets == b
+                sub = t.filter(pa.array(mask)).select(base_names)
+                if salted:
+                    sub = sub.append_column(
+                        "__salt", pa.array(salt_vals[mask].astype(np.int64), pa.int64())
+                    )
                 # cast pins the payload to the declared side schema (empty
                 # pandas blocks arrive null-typed; timestamps vary ns/us)
                 sub = sub.cast(side_schema).combine_chunks()
@@ -499,6 +550,21 @@ def hash_join(
                     w.write_table(sub)
                 out_b.append(int(b))
                 out_p.append(sink.getvalue().to_pybytes())
+
+        def fn(t: pa.Table) -> pa.Table:
+            out_b, out_p = [], []
+            h_raw = rawhash(t)
+            if not salted:
+                emit(t, (h_raw % np.uint64(num_buckets)).astype(np.int64), None, out_b, out_p)
+            elif side == 0:
+                salt = (np.arange(len(t)) % num_salts).astype(np.uint64)
+                h = splitmix64(h_raw ^ (salt + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15))
+                emit(t, (h % np.uint64(num_buckets)).astype(np.int64), salt, out_b, out_p)
+            else:
+                for j in range(num_salts):  # right side replicates per salt
+                    salt = np.full(len(t), j, dtype=np.uint64)
+                    h = splitmix64(h_raw ^ (salt + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15))
+                    emit(t, (h % np.uint64(num_buckets)).astype(np.int64), salt, out_b, out_p)
             return pa.table(
                 {
                     "__bucket": pa.array(out_b, pa.int64()),
@@ -538,8 +604,9 @@ def hash_join(
             # post-shuffle, co-located dedup: unique (key, payload) rows
             # per bucket — the semi-join path's replacement for a global
             # distinct shuffle (cross-batch duplicates all land here)
-            rf = rf.group_by(rcols).aggregate([]).rename_columns(rcols)
-        out = lf.join(rf, keys=on_cols, join_type=join_type)
+            names = rf.column_names
+            rf = rf.group_by(names).aggregate([]).rename_columns(names)
+        out = lf.join(rf, keys=join_cols, join_type=join_type)
         return out.select(out_cols)
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")

@@ -798,3 +798,56 @@ def test_grouped_approx_quantile_mixed_signs_and_zero(ray_session):
         .iloc[0, 1]
     )
     assert got == 0.0  # the exact median is the zero bucket
+
+
+def test_salted_hash_join_matches_unsalted_and_duckdb(ray_session):
+    import duckdb
+    import ray
+
+    rng = np.random.RandomState(31)
+    n = 3000
+    # Zipf head: 60% of left rows share one key
+    keys = np.where(rng.rand(n) < 0.6, 7, rng.randint(0, 50, n)).astype("int64")
+    left = pd.DataFrame({"k": keys, "lv": np.arange(n, dtype="int64")})
+    right = pd.DataFrame(
+        {"k": np.arange(0, 40, dtype="int64"), "rv": np.arange(0, 40, dtype="int64") * 3}
+    )
+    for how in ("inner", "left"):
+        got = (
+            hash_join(
+                ray.data.from_pandas(left),
+                ray.data.from_pandas(right),
+                on="k",
+                how=how,
+                num_salts=8,
+                num_buckets=16,
+            )
+            .to_pandas()
+            .sort_values(["lv"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("r", right)
+        kw = "JOIN" if how == "inner" else "LEFT JOIN"
+        want = con.sql(
+            f"SELECT l.k, l.lv, r.rv FROM l {kw} r ON l.k = r.k ORDER BY l.lv"
+        ).df()
+        assert len(got) == len(want)
+        assert got["lv"].tolist() == want["lv"].tolist()
+        a = got["rv"].to_numpy(dtype="float64")
+        b = want["rv"].to_numpy(dtype="float64")
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
+    # right/outer must refuse salting
+    import pytest as _pytest
+
+    from kgraft.errors import PlanError
+
+    with _pytest.raises(PlanError):
+        hash_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            on="k",
+            how="outer",
+            num_salts=4,
+        )
