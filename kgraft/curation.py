@@ -1,0 +1,147 @@
+"""End-to-end training-corpus curation: the composite pipeline a user
+of this engine actually runs before tokenization.
+
+One streaming DAG chaining the training-data operators:
+
+1. **signals** — one fused, shuffle-free pass computes quality score and
+   token count while the text rides along (no per-signal re-scan);
+2. **filter** — drop low-quality / too-short documents map-side;
+3. **exact dedup** — keep the min-id row per identical text (128-bit
+   content key, one bucketed shuffle, payload carried so no
+   re-join against the corpus);
+4. **near-dup** — MinHash-LSH + exact-Jaccard verified groups
+   (:func:`kgraft.textops.near_dup_groups`); only each group's
+   representative (min doc id) survives;
+5. **decontaminate** — drop documents sharing any 32-char shingle with
+   the benchmark/eval corpus (:func:`kgraft.textops.decontaminate`);
+6. emit ``(doc_id, n_tokens, quality)`` for the surviving set.
+
+Every stage is the already-tested operator; this module owns only the
+composition (schema handoff between stages and the join keys). Scale
+notes: stages 1-2 are shuffle-free; stage 3 is one content-key
+exchange; stage 4's blocking is the LSH band shuffle; stage 5
+broadcasts only the BOUNDED benchmark shingle set; the two doc_id
+joins are bucketed hash joins, never broadcasts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .hashing import hash_strings
+from .relational import bucketed_groupby_apply, hash_join
+from .textops import _STOPWORDS, decontaminate, near_dup_groups
+
+
+def _signals(docs):
+    """(doc_id, text) -> + quality, n_tokens — same math as
+    textops.quality_scores, fused so the text column rides along."""
+    stop_pat = r"\b(?:" + "|".join(sorted(_STOPWORDS["en"])) + r")\b"
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"]
+        n_chars = text.str.len().astype("int64")
+        n_tokens = text.str.count(r"[A-Za-z0-9_]+").astype("int64")
+        n_punct = text.str.count(r"[.,;:!?]").astype("int64")
+        stop = text.str.lower().str.count(stop_pat)
+        score = (
+            (n_tokens.clip(0, 500) / 500.0) * 0.5
+            + (1.0 - (n_punct / n_chars.replace(0, 1)).clip(0, 1)) * 0.2
+            + (stop / n_tokens.replace(0, 1)).clip(0, 1) * 0.3
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "text": text,
+                "n_tokens": n_tokens,
+                "quality": score.round(6),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+def _exact_dedup_rows(ds):
+    """Keep the min-doc_id ROW per identical text (payload carried
+    through the shuffle — unlike textops.exact_dedup, which emits ids
+    only and would force a corpus re-join here)."""
+
+    def add_hashes(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        t = t.append_column(
+            "__h1", pa.array(hash_strings(texts).astype(np.int64), pa.int64())
+        )
+        return t.append_column(
+            "__h2", pa.array(hash_strings(texts, seed=1).astype(np.int64), pa.int64())
+        )
+
+    hashed = ds.map_batches(add_hashes, batch_format="pyarrow")
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        out = g.drop_duplicates(["__h1", "__h2"], keep="first")
+        return out.drop(columns=["__h1", "__h2"])
+
+    return bucketed_groupby_apply(hashed, ["__h1", "__h2"], keep_min)
+
+
+_CURATED_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("text", pa.large_string()),
+        ("n_tokens", pa.int64()),
+        ("quality", pa.float64()),
+    ]
+)
+
+
+def prepare_training_corpus(
+    docs,
+    benchmark,
+    min_quality: float = 0.2,
+    min_tokens: int = 10,
+    near_dup_threshold: float = 0.7,
+):
+    """documents + benchmark Datasets -> curated (doc_id, n_tokens,
+    quality) Dataset of surviving training documents."""
+    sig = _signals(docs)
+    kept = sig.map_batches(
+        lambda df: df[(df["quality"] >= min_quality) & (df["n_tokens"] >= min_tokens)],
+        batch_format="pandas",
+    )
+    deduped = _exact_dedup_rows(kept)
+
+    # near-dup groups over the deduped survivors; keep representatives
+    groups = near_dup_groups(
+        deduped, threshold=near_dup_threshold
+    )  # (doc_id, dup_group)
+    reps = groups.map_batches(
+        lambda df: df[df["doc_id"] == df["dup_group"]][["doc_id"]],
+        batch_format="pandas",
+    )
+    uniq = hash_join(
+        deduped,
+        reps,
+        on="doc_id",
+        left_schema=_CURATED_SCHEMA,
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+    )
+
+    decon = decontaminate(uniq, benchmark)  # (doc_id, n_hits, contaminated)
+    clean_ids = decon.map_batches(
+        lambda df: df.loc[~df["contaminated"], ["doc_id"]], batch_format="pandas"
+    )
+    final = hash_join(
+        uniq,
+        clean_ids,
+        on="doc_id",
+        left_schema=_CURATED_SCHEMA,
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+    )
+    return final.map_batches(
+        lambda df: df[["doc_id", "n_tokens", "quality"]], batch_format="pandas"
+    )

@@ -1735,6 +1735,24 @@ WHERE d.source <> 'src0'
 """
 
 
+def curate_documents(sf_dir: str):
+    """The composite training-corpus curation pipeline: quality/length
+    filter -> exact dedup -> near-dup representative selection ->
+    benchmark decontamination, in one streaming DAG
+    (kgraft/curation.py). Every 29th document stands in for the eval
+    suite. Rows-only driver check; the per-rule planted-fixture oracle
+    lives in tests/test_curation.py."""
+    from .curation import prepare_training_corpus
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda df: df[df["doc_id"] % 29 == 0], batch_format="pandas"
+    )
+    return prepare_training_corpus(
+        docs, bench, min_quality=0.2, min_tokens=10, near_dup_threshold=0.9
+    )
+
+
 def decontaminate_docs(sf_dir: str):
     """Benchmark decontamination: every 29th document stands in for an
     eval suite; every corpus doc sharing any 32-char shingle with it is
@@ -2203,6 +2221,7 @@ QUERIES = {
     "cube_order_totals": cube_order_totals,
     "urgent_customers_bloom": urgent_customers_bloom,
     "decontaminate_docs": decontaminate_docs,
+    "curate_documents": curate_documents,
     "dedup_exact_docs": dedup_exact_docs,
     "token_count_docs": token_count_docs,
     "doc_stats_by_lang": doc_stats_by_lang,
