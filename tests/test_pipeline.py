@@ -184,3 +184,33 @@ def test_permutation_invariance(ray_session, corpus, kg_run, tmp_path):
     )
     assert res["n_edges"] == kg_run["n_edges"]
     assert res["n_nodes"] == kg_run["n_nodes"]
+
+
+def test_transient_task_failure_is_retried(ray_session, tmp_path):
+    """Ray task retry is the engine's transient-fault story (SURVEY.md §4
+    retries row): a stage whose task dies ONCE (file-marker keyed, so
+    the retry takes a different path) must not kill the job, and the
+    retried output must be complete and correct."""
+    import ray
+
+    marker = str(tmp_path / "boom_once")
+
+    def flaky(df):
+        import os
+
+        if not os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write("x")
+            os._exit(1)  # hard worker death, not a Python exception
+        df = df.copy()
+        df["y"] = df["x"] * 2
+        return df
+
+    import pandas as pd
+
+    import numpy as np
+
+    ds = ray.data.from_pandas(pd.DataFrame({"x": range(1000)})).repartition(8)
+    out = ds.map_batches(flaky, batch_format="pandas").to_pandas()
+    assert len(out) == 1000
+    assert (out.sort_values("x")["y"].to_numpy() == np.arange(1000) * 2).all()
