@@ -1800,6 +1800,30 @@ def ivf_ann_topk(sf_dir: str) -> pd.DataFrame:
     return embedops.ivf_topk(emb, q, k=10).to_pandas()
 
 
+def unnest_embeddings(sf_dir: str) -> pd.DataFrame:
+    """UNNEST WITH ORDINALITY over the embedding list column: one row
+    per vector element (vectorized Arrow explode, shuffle-free)."""
+    from .relational import unnest
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = unnest(emb, "embedding", out_col="val", ord_col="ord")
+    return (
+        out.map_batches(
+            lambda df: df.assign(val=df["val"].round(6)), batch_format="pandas"
+        )
+        .sort(["vec_id", "ord"])
+        .to_pandas()
+    )
+
+
+_UNNEST_SQL = """
+SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
+       round(UNNEST(embedding), 6) AS val
+FROM embeddings
+ORDER BY vec_id, ord
+"""
+
+
 def label_norms(sf_dir: str) -> pd.DataFrame:
     emb = read_table(sf_dir, "embeddings")
     return embedops.label_norm_stats(emb)
@@ -2237,6 +2261,7 @@ QUERIES = {
     "ivf_ann_topk": ivf_ann_topk,
     "cluster_embeddings": cluster_embeddings,
     "label_norms": label_norms,
+    "unnest_embeddings": unnest_embeddings,
     "kg_triples": kg_triples,
     "kg_nodes": kg_nodes,
     "kg_edges": kg_edges,
@@ -2305,6 +2330,7 @@ ORACLE_SQL = {
     "doc_stats_by_lang": _DOC_STATS_SQL,
     "knn_cosine_topk": _KNN_SQL,
     "label_norms": _LABEL_NORMS_SQL,
+    "unnest_embeddings": _UNNEST_SQL,
     # near_dup_docs / simhash / langid / quality / fingerprint / ivf_ann /
     # kg_* / image_features: non-SQL-expressible -> rows-only driver check;
     # full oracles live in tests/.

@@ -373,6 +373,39 @@ def _uniform_nullable(df: pd.DataFrame, cols) -> pd.DataFrame:
     return df
 
 
+def unnest(ds, list_col: str, out_col: str = "val", ord_col: str = "ord"):
+    """SQL ``UNNEST(list_col) WITH ORDINALITY``: one output row per list
+    element, other columns repeated, 1-based ``ord_col`` position.
+
+    Vectorized Arrow explode — list offsets give element counts, parent
+    rows replicate via one ``take``, values come out zero-copy via
+    ``flatten()``; no Python loop over rows or elements. Shuffle-free:
+    each block explodes independently (output blocks grow by the mean
+    list length — size ``batch_size`` upstream for wide lists).
+    NULL lists are unsupported (offset/flatten alignment assumes a
+    dense validity map; the driver tables carry none)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[list_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        # ListArray offsets may start past 0 after slicing
+        lengths = np.diff(offsets)
+        parent = np.repeat(np.arange(len(t), dtype=np.int64), lengths)
+        total = int(lengths.sum())
+        ords = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1] - offsets[0], lengths) + 1
+        cols = {}
+        for c in t.column_names:
+            if c != list_col:
+                cols[c] = t[c].take(pa.array(parent))
+        cols[ord_col] = pa.array(ords, pa.int64())
+        cols[out_col] = col.flatten()
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 BROADCAST_ROW_GUARD = 5_000_000  # a "small side" beyond this is a plan bug
 
 

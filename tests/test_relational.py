@@ -851,3 +851,28 @@ def test_salted_hash_join_matches_unsalted_and_duckdb(ray_session):
             how="outer",
             num_salts=4,
         )
+
+
+def test_unnest_ragged_lists_matches_duckdb(ray_session):
+    import duckdb
+    import ray
+
+    rng = np.random.RandomState(13)
+    lists = [list(rng.randint(0, 100, rng.randint(0, 6)).astype(float)) for _ in range(60)]
+    df = pd.DataFrame({"rid": np.arange(60, dtype="int64"), "xs": lists})
+    got = (
+        __import__("kgraft.relational", fromlist=["unnest"])
+        .unnest(ray.data.from_pandas(df).repartition(4), "xs")
+        .to_pandas()
+        .sort_values(["rid", "ord"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        "SELECT rid, generate_subscripts(xs, 1) AS ord, UNNEST(xs) AS val "
+        "FROM t ORDER BY rid, ord"
+    ).df()
+    assert got["rid"].tolist() == want["rid"].tolist()
+    assert got["ord"].tolist() == want["ord"].tolist()
+    np.testing.assert_allclose(got["val"].to_numpy(), want["val"].to_numpy())
