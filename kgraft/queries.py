@@ -1436,6 +1436,36 @@ FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 
 
+def top_order_per_customer(sf_dir: str):
+    """arg_max per group: each customer's highest-value order (one
+    candidate row per key per batch crosses the shuffle — never the
+    raw orders). Dataset out; corpus-cardinality keys stay in-cluster."""
+    from .relational import grouped_argmax
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+    out = grouped_argmax(orders, "o_custkey", "o_totalprice", "o_orderkey")
+    return out.map_batches(
+        lambda df: df.assign(o_totalprice=df["o_totalprice"].round(4))[
+            ["o_custkey", "o_orderkey", "o_totalprice"]
+        ],
+        batch_format="pandas",
+    )
+
+
+_ARGMAX_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+ORDER BY o_custkey
+"""
+
+
 def cube_order_totals(sf_dir: str) -> pd.DataFrame:
     """GROUP BY CUBE (status, priority): all four aggregation levels
     (both keys, each key alone, grand total) from one corpus scan."""
@@ -2243,6 +2273,7 @@ QUERIES = {
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "rollup_order_totals": rollup_order_totals,
     "cube_order_totals": cube_order_totals,
+    "top_order_per_customer": top_order_per_customer,
     "urgent_customers_bloom": urgent_customers_bloom,
     "decontaminate_docs": decontaminate_docs,
     "curate_documents": curate_documents,
@@ -2324,6 +2355,7 @@ ORACLE_SQL = {
     "funnel_view_click_purchase": _FUNNEL_SQL,
     "rollup_order_totals": _ROLLUP_SQL,
     "cube_order_totals": _CUBE_SQL,
+    "top_order_per_customer": _ARGMAX_SQL,
     "urgent_customers_bloom": _URGENT_CUST_BLOOM_SQL,
     "dedup_exact_docs": _DEDUP_EXACT_SQL,
     "token_count_docs": _TOKEN_COUNT_SQL,

@@ -373,6 +373,36 @@ def _uniform_nullable(df: pd.DataFrame, cols) -> pd.DataFrame:
     return df
 
 
+def grouped_argmax(ds, keys, val_col: str, arg_col: str, minimize: bool = False):
+    """``arg_max(arg_col, val_col) GROUP BY keys`` (SQL max_by): the row
+    whose value is extreme per key, ties broken deterministically by the
+    larger (resp. smaller) ``arg_col``.
+
+    Algebraic: each batch emits ONE candidate row per key (its local
+    best), candidates meet in one bucketed exchange, and the same
+    lexicographic reduction picks the global best — raw rows never
+    shuffle, so a Zipf-hot key costs one candidate per batch, not its
+    row count."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    # tail(1) of an ASCENDING sort is the max (and, among val ties, the
+    # max arg); descending + tail gives the min with min-arg ties
+    asc = not minimize
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        d = df.sort_values(
+            key_list + [val_col, arg_col], ascending=[True] * len(key_list) + [asc, asc],
+            kind="mergesort",
+        )
+        return d.groupby(key_list, sort=False, as_index=False).tail(1)
+
+    partials = ds.select_columns(key_list + [arg_col, val_col]).map_batches(
+        best, batch_format="pandas"
+    )
+    return bucketed_groupby_apply(partials, key_list, best)
+
+
 def unnest(ds, list_col: str, out_col: str = "val", ord_col: str = "ord"):
     """SQL ``UNNEST(list_col) WITH ORDINALITY``: one output row per list
     element, other columns repeated, 1-based ``ord_col`` position.

@@ -876,3 +876,43 @@ def test_unnest_ragged_lists_matches_duckdb(ray_session):
     assert got["rid"].tolist() == want["rid"].tolist()
     assert got["ord"].tolist() == want["ord"].tolist()
     np.testing.assert_allclose(got["val"].to_numpy(), want["val"].to_numpy())
+
+
+def test_grouped_argmax_with_planted_ties(ray_session):
+    import duckdb
+    import ray
+
+    from kgraft.relational import grouped_argmax
+
+    rng = np.random.RandomState(23)
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 9, 400),
+            "arg": np.arange(400, dtype="int64"),
+            # coarse values -> many exact ties, exercising the arg tiebreak
+            "v": rng.randint(0, 5, 400).astype("float64"),
+        }
+    )
+    for minimize, order in ((False, "DESC"), (True, "ASC")):
+        got = (
+            grouped_argmax(
+                ray.data.from_pandas(df.sample(frac=1, random_state=2)).repartition(6),
+                "k",
+                "v",
+                "arg",
+                minimize=minimize,
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.sql(
+            f"""SELECT k, arg, v FROM (
+                  SELECT k, arg, v, row_number() OVER (
+                    PARTITION BY k ORDER BY v {order}, arg {order}) AS rn
+                  FROM t) WHERE rn = 1 ORDER BY k"""
+        ).df()
+        assert got["arg"].tolist() == want["arg"].tolist(), minimize
+        np.testing.assert_allclose(got["v"], want["v"])
