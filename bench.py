@@ -309,7 +309,15 @@ def main() -> None:
     # three 32-CPU samples of one bench landing in loaded windows while
     # every other level sampled a quiet one)
     extra_high = int(os.environ.get("GRAFT_BENCH_EXTRA_HIGH", "2"))
+    # time budget: the pipeline phase degrades gracefully — the first
+    # round always completes (every level sampled once), later rounds
+    # are skipped once the budget is spent, so a driver-side timeout
+    # never truncates the bench mid-phase with missing levels
+    budget = float(os.environ.get("GRAFT_BENCH_BUDGET_SEC", "1500"))
+    t_start = time.time()
     for r_i in range(repeats + extra_high):
+        if r_i > 0 and time.time() - t_start > budget:
+            break
         for cpus, pgs, store in schedule:
             if r_i >= repeats and not (cpus == num_cpus and store is levels):
                 continue
