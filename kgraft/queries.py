@@ -1118,6 +1118,79 @@ ORDER BY event_id
 """
 
 
+def hourly_ohlc(sf_dir: str) -> pd.DataFrame:
+    """OHLC resampling of the event stream per (type, hour): open/close
+    via grouped arg_min/arg_max on event time (one candidate per key per
+    batch), high/low via partial-combined aggregates, assembled with two
+    bucketed joins — the telemetry downsampling pass, composed entirely
+    from algebraic operators."""
+    from .relational import grouped_argmax, hash_join, pre_aggregate_ds
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        # pin to µs explicitly (parquet blocks arrive datetime64[us])
+        epoch_s = df["ts"].astype("datetime64[us]").astype("int64") // 1_000_000
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "hour_epoch": (epoch_s // 3600) * 3600,
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+                "value": df["value"],
+            }
+        )
+
+    h = ds.map_batches(prep, batch_format="pandas")
+    keys = ["event_type", "hour_epoch"]
+    hl = pre_aggregate_ds(h, keys, {"high": ("value", "max"), "low": ("value", "min")})
+    opens = grouped_argmax(h, keys, "ts_us", "value", minimize=True).map_batches(
+        lambda df: df.rename(columns={"value": "open"})[keys + ["open"]],
+        batch_format="pandas",
+    )
+    closes = grouped_argmax(h, keys, "ts_us", "value").map_batches(
+        lambda df: df.rename(columns={"value": "close"})[keys + ["close"]],
+        batch_format="pandas",
+    )
+    key_schema = [("event_type", pa.string()), ("hour_epoch", pa.int64())]
+    j1 = hash_join(
+        hl,
+        opens,
+        on=keys,
+        left_schema=pa.schema(key_schema + [("high", pa.float64()), ("low", pa.float64())]),
+        right_schema=pa.schema(key_schema + [("open", pa.float64())]),
+    )
+    j2 = hash_join(
+        j1,
+        closes,
+        on=keys,
+        left_schema=pa.schema(
+            key_schema
+            + [("high", pa.float64()), ("low", pa.float64()), ("open", pa.float64())]
+        ),
+        right_schema=pa.schema(key_schema + [("close", pa.float64())]),
+    )
+    out = j2.to_pandas()
+    for c in ("open", "high", "low", "close"):
+        out[c] = out[c].round(4)
+    return (
+        out[["event_type", "hour_epoch", "open", "high", "low", "close"]]
+        .sort_values(keys)
+        .reset_index(drop=True)
+    )
+
+
+_OHLC_SQL = """
+SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       round(arg_min(value, ts), 4) AS open,
+       round(max(value), 4) AS high,
+       round(min(value), 4) AS low,
+       round(arg_max(value, ts), 4) AS close
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def users_per_hour(sf_dir: str) -> pd.DataFrame:
     """Grouped COUNT DISTINCT: unique active users per hour. Two
     partial-combined shuffles (distinct pairs, then grouped count) —
@@ -2251,6 +2324,7 @@ QUERIES = {
     "quantity_percentiles": quantity_percentiles,
     "late_events_flagged": late_events_flagged,
     "users_per_hour": users_per_hour,
+    "hourly_ohlc": hourly_ohlc,
     "stratified_sample_events": stratified_sample_events,
     "top_events_per_user": top_events_per_user,
     "search_docs": search_docs,
@@ -2335,6 +2409,7 @@ ORACLE_SQL = {
     "quantity_percentiles": _PCT_RANK_SQL,
     "late_events_flagged": _LATE_EVENTS_SQL,
     "users_per_hour": _USERS_PER_HOUR_SQL,
+    "hourly_ohlc": _OHLC_SQL,
     "stratified_sample_events": _STRATIFIED_SQL,
     "top_events_per_user": _TOP_PER_USER_SQL,
     "search_docs": _SEARCH_SQL,
