@@ -935,7 +935,108 @@ ORDER BY c_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# q12: priority split by line class (fact-fact join + conditional CASE agg)
+
+
+def q12_priority_class(sf_dir: str) -> pd.DataFrame:
+    """Line counts per return-flag class split on order priority (TPC-H
+    Q12 shape). The synthetic schema has no ``l_shipmode`` /
+    ``l_commitdate`` / ``l_receiptdate``, so ``l_returnflag`` stands in
+    for the shipmode class filter and "shipped more than 60 days after
+    the order was placed" stands in for the commit/receipt lateness
+    chain — the OPERATOR SHAPE (selective fact filter -> fact-fact
+    equi-join -> join-dependent predicate -> CASE split aggregation
+    over a bounded key) is intact.
+
+    Scale: both fact tables stream through one bucketed exchange on
+    the order key; the CASE split happens as vectorized int partials
+    inside ``map_batches`` and only per-(flag, batch) partial rows
+    cross the final (2-key) reduce.
+    """
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_shipdate"]
+    ).map_batches(
+        lambda df: df[
+            df["l_returnflag"].isin(("R", "N"))
+            & (df["l_shipdate"] >= lo)
+            & (df["l_shipdate"] < hi)
+        ],
+        batch_format="pandas",
+    )
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas",
+    )
+    joined = hash_join(
+        li,
+        orders,
+        on="l_orderkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_returnflag", pa.string()),
+                ("l_shipdate", pa.timestamp("us")),
+            ]
+        ),
+        right_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_orderpriority", pa.string()),
+            ]
+        ),
+    )
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        ship = df["l_shipdate"].astype("datetime64[us]")
+        placed = df["o_orderdate"].astype("datetime64[us]")
+        late = (ship - placed).dt.days > 60
+        f = df[late]
+        high = f["o_orderpriority"].isin(("1-URGENT", "2-HIGH"))
+        return pd.DataFrame(
+            {
+                "l_returnflag": f["l_returnflag"],
+                "high": high.astype("int64"),
+                "low": (~high).astype("int64"),
+            }
+        )
+
+    out = pre_aggregate(
+        joined.map_batches(classify, batch_format="pandas"),
+        keys="l_returnflag",
+        aggs={
+            "high_line_count": ("high", "sum"),
+            "low_line_count": ("low", "sum"),
+        },
+    )
+    out["high_line_count"] = out["high_line_count"].astype("int64")
+    out["low_line_count"] = out["low_line_count"].astype("int64")
+    return out.sort_values("l_returnflag", ignore_index=True)
+
+
+_Q12_SQL = """
+SELECT l.l_returnflag,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_returnflag IN ('R', 'N')
+  AND l.l_shipdate >= DATE '1996-01-01'
+  AND l.l_shipdate < DATE '1997-01-01'
+  AND date_diff('day', o.o_orderdate, l.l_shipdate) > 60
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
 TPCH_QUERIES = {
+    "q12_priority_class": q12_priority_class,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q9_profit_by_nation": q9_profit_by_nation,
@@ -949,6 +1050,7 @@ TPCH_QUERIES = {
 }
 
 TPCH_ORACLE_SQL = {
+    "q12_priority_class": _Q12_SQL,
     "q7_volume_shipping": _Q7_SQL,
     "q8_market_share": _Q8_SQL,
     "q9_profit_by_nation": _Q9_SQL,

@@ -18,6 +18,7 @@ from kgraft.queries_tpch import TPCH_ORACLE_SQL, TPCH_QUERIES
 SF_DIR = "/root/testdata/sf0.001"
 
 CASES = [
+    "q12_priority_class",
     "q15_top_supplier",
     "q17_small_quantity",
     "q21_waiting_suppliers",
