@@ -902,6 +902,40 @@ FROM events GROUP BY 1, 2
 """
 
 
+def hopping_event_stats(sf_dir: str) -> pd.DataFrame:
+    """1-hour windows hopping every 30 min over the event stream
+    (overlapping twin of ``hourly_event_stats``): each event counts in
+    exactly two windows. See :func:`kgraft.streamops.hopping_window`
+    for the scale shape."""
+    from .streamops import hopping_window
+
+    ds = read_table(sf_dir, "events", columns=["ts", "value"])
+    out = hopping_window(
+        ds,
+        "ts",
+        width_s=3600,
+        hop_s=1800,
+        aggs={"n_events": (None, "count"), "total_value": ("value", "sum")},
+    ).to_pandas()
+    out["total_value"] = out["total_value"].round(4)
+    return out.sort_values("window_start", ignore_index=True)
+
+
+_HOPPING_SQL = """
+SELECT window_start, count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM (
+  SELECT unnest([
+           (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800,
+           (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 - 1800
+         ]) AS window_start,
+         value
+  FROM events
+)
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
 def user_sessions(sf_dir: str) -> pd.DataFrame:
     """Sessionization: 30-min-gap sessions per user. One bucketed shuffle
     co-locates each user's events; inside a bucket the whole gap
@@ -2317,6 +2351,7 @@ QUERIES = {
     "customers_per_nation": customers_per_nation,
     "customers_without_big_orders": customers_without_big_orders,
     "hourly_event_stats": hourly_event_stats,
+    "hopping_event_stats": hopping_event_stats,
     "user_sessions": user_sessions,
     "user_event_windows": user_event_windows,
     "event_rank_ntile": event_rank_ntile,
@@ -2402,6 +2437,7 @@ ORACLE_SQL = {
     "customers_per_nation": _CUST_PER_NATION_SQL,
     "customers_without_big_orders": _NO_BIG_ORDERS_SQL,
     "hourly_event_stats": _HOURLY_SQL,
+    "hopping_event_stats": _HOPPING_SQL,
     "user_sessions": _SESSIONS_SQL,
     "user_event_windows": _WINDOWS_SQL,
     "event_rank_ntile": _RANK_NTILE_SQL,

@@ -10,6 +10,9 @@ core doesn't cover:
   allowed-lateness rule. The reference has no streaming surface at all
   (SURVEY.md §2.1 "does NOT implement": windows/watermarks/late-data);
   this supplies the semantics Ray Data lacks natively.
+* :func:`hopping_window` — overlapping (sliding) time-window
+  aggregation, the hop/width generalization of the tumbling
+  ``hourly_event_stats`` bucket.
 """
 
 from __future__ import annotations
@@ -110,3 +113,49 @@ def late_events(
         return out
 
     return bucketed_groupby_apply(events, part_col, flag, num_buckets)
+
+
+def hopping_window(ds, ts_col, width_s: int, hop_s: int, aggs, keys=()):
+    """Overlapping (hopping / sliding) time-window aggregation.
+
+    Every row lands in the ``width_s / hop_s`` windows whose
+    ``[start, start + width)`` interval covers its timestamp; windows
+    start on ``hop_s`` boundaries (epoch-aligned, the Flink/Beam
+    HoppingWindow rule). Output: one row per (window_start, *keys)
+    with the requested aggregates; ``window_start`` is int64 epoch
+    seconds.
+
+    Scale shape: the explode is a vectorized k-way concat inside
+    ``map_batches`` (k = width/hop, a SMALL constant — 2-4 in
+    practice), and the aggregation is :func:`pre_aggregate_ds`, so
+    only per-(window, key, batch) partial rows cross the shuffle; raw
+    event rows are amplified k-fold only transiently inside the map
+    task, never through the exchange. Stays a Dataset — window count
+    grows with the time span, which is corpus-scale.
+    """
+    from .errors import PlanError
+    from .relational import pre_aggregate_ds
+
+    if width_s <= 0 or hop_s <= 0 or width_s % hop_s:
+        raise PlanError(
+            f"hopping_window needs width_s divisible by hop_s, got {width_s}/{hop_s}"
+        )
+    k = width_s // hop_s
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    val_cols = sorted(
+        {col for col, _ in aggs.values() if isinstance(col, str)}
+        | {c for pair, _ in aggs.values() if isinstance(pair, tuple) for c in pair}
+    )
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        epoch = df[ts_col].astype("datetime64[us]").astype("int64") // 1_000_000
+        last_start = (epoch // hop_s) * hop_s
+        frames = []
+        for i in range(k):
+            f = df[keys + val_cols].copy()
+            f.insert(0, "window_start", last_start - i * hop_s)
+            frames.append(f)
+        return pd.concat(frames, ignore_index=True)
+
+    exploded = ds.map_batches(explode, batch_format="pandas")
+    return pre_aggregate_ds(exploded, ["window_start", *keys], aggs)

@@ -74,3 +74,43 @@ def test_late_events_matches_duckdb_window(ray_session):
     ).df()["is_late"].tolist()
     assert got == want
     assert sum(got) > 0  # the random stream actually contains late rows
+
+
+def test_hopping_window_covers_each_row_k_times(ray_session):
+    import ray
+    import pytest
+    from kgraft.errors import PlanError
+
+    rng = np.random.default_rng(7)
+    n = 400
+    ts = pd.to_datetime(
+        rng.integers(1_700_000_000, 1_700_050_000, n) * 1_000_000
+        + rng.integers(0, 1_000_000, n),  # sub-second fractions exercised
+        unit="us",
+    )
+    df = pd.DataFrame({"ts": ts, "value": rng.normal(size=n)})
+    win = streamops.hopping_window(
+        ray.data.from_pandas(df),
+        "ts",
+        width_s=3600,
+        hop_s=900,
+        aggs={"n_events": (None, "count"), "total": ("value", "sum")},
+    ).to_pandas()
+
+    # every row lands in exactly width/hop = 4 windows
+    assert win["n_events"].sum() == 4 * n
+    assert np.isclose(win["total"].sum(), 4 * df["value"].sum())
+    # brute-force oracle: membership test per (row, window)
+    epoch = df["ts"].astype("datetime64[us]").astype("int64") / 1e6
+    for ws in win["window_start"].sample(10, random_state=0):
+        mask = (epoch >= ws) & (epoch < ws + 3600)
+        row = win[win["window_start"] == ws].iloc[0]
+        assert row["n_events"] == int(mask.sum())
+        assert np.isclose(row["total"], df.loc[mask, "value"].sum())
+    # window starts are hop-aligned
+    assert (win["window_start"] % 900 == 0).all()
+
+    with pytest.raises(PlanError):
+        streamops.hopping_window(
+            ray.data.from_pandas(df), "ts", width_s=3600, hop_s=1000, aggs={}
+        )
