@@ -1733,6 +1733,15 @@ GROUP BY t ORDER BY n DESC, t LIMIT 20
 """
 
 
+def approx_top_tokens_docs(sf_dir: str) -> pd.DataFrame:
+    """Misra-Gries sketch + exact-rescore top-20 tokens. Same answer as
+    ``top_tokens_docs`` (hence the shared oracle) via the sketch path
+    whose exchange is O(m) rows per batch instead of batch-vocab-sized —
+    see :func:`kgraft.textops.approx_top_tokens`."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    return textops.approx_top_tokens(docs, k=20)
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup + text analysis
 
@@ -2373,6 +2382,7 @@ QUERIES = {
     "approx_users_per_type": approx_users_per_type,
     "approx_median_price": approx_median_price,
     "top_tokens_docs": top_tokens_docs,
+    "approx_top_tokens_docs": approx_top_tokens_docs,
     "intersect_orders": intersect_orders,
     "except_orders": except_orders,
     "sample_events_per_user": sample_events_per_user,
@@ -2457,6 +2467,7 @@ ORACLE_SQL = {
     "mode_priority_by_status": _MODE_PRIORITY_SQL,
     "priorities_per_status": _PRIORITIES_PER_STATUS_SQL,
     "top_tokens_docs": _TOP_TOKENS_SQL,
+    "approx_top_tokens_docs": _TOP_TOKENS_SQL,
     "intersect_orders": _INTERSECT_SQL,
     "except_orders": _EXCEPT_SQL,
     "sample_events_per_user": _SAMPLE_PER_USER_SQL,

@@ -941,3 +941,104 @@ def keyword_search(docs, terms, k: int = 20, text_col: str = "text", id_col: str
     return survivors.sort_values(
         ["score", id_col], ascending=[False, True], ignore_index=True
     ).head(k)
+
+
+# ---------------------------------------------------------------------------
+# approximate heavy hitters — Misra-Gries sketch + exact rescore
+
+
+_MG_ERR_KEY = "\x00__mg_err__"
+
+
+def _mg_compress(vc: pd.Series, m: int) -> tuple[pd.Series, int]:
+    """Misra-Gries decrement step over exact counts: keep at most ``m``
+    counters by subtracting the (m+1)-th largest count from everything.
+    Returns (survivors, decrement) — every surviving counter is a LOWER
+    bound whose true count exceeds it by at most the summed decrements."""
+    if len(vc) <= m:
+        return vc, 0
+    vc = vc.sort_values(ascending=False, kind="mergesort")
+    d = int(vc.iloc[m])
+    vc = (vc - d).iloc[:m]
+    return vc[vc > 0], d
+
+
+def approx_top_tokens(
+    ds,
+    k: int = 20,
+    m: int = 4096,
+    candidates: int = 256,
+    text_col: str = "text",
+    token_re: str = r"[a-z0-9_]+",
+):
+    """Corpus top-k tokens via a mergeable Misra-Gries sketch + an exact
+    rescore pass — the 100-TB path where the exact ``top_tokens`` pass's
+    vocab-sized shuffle is itself the bottleneck.
+
+    Pass A (sketch): each batch compresses its local token counts to at
+    most ``m`` counters (the MG decrement), so what crosses the exchange
+    is O(m) rows per batch REGARDLESS of batch vocabulary; the summed
+    counters are compressed once more and the top ``candidates`` by
+    lower bound survive. Mergeability and the summed-error bound are the
+    Agarwal et al. "Mergeable Summaries" (PODS 2012) result: any token
+    whose true count exceeds the total decrement sum is guaranteed to
+    survive, and total decrement <= n_tokens/(m+1) per compression.
+
+    Pass B (rescore): the candidate set (driver-small by construction)
+    broadcasts via ``ray.put``; one shuffle-light partial-count pass
+    computes EXACT counts for candidates only. Result: exact top-k
+    whenever the k-th true count clears the sketch's retention bound —
+    which is why this query can carry the same DuckDB oracle as the
+    exact operator.
+    """
+    from .relational import pre_aggregate_ds
+
+    pat = re.compile(token_re)
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.lower().str.findall(pat).explode()
+        vc = toks.value_counts()
+        vc, d = _mg_compress(vc, m)
+        out = pd.DataFrame(
+            {"token": vc.index.astype(str), "n": vc.to_numpy(dtype="int64")}
+        )
+        if d:
+            # ride the summary's decrement through the same exchange so
+            # the final error bound is one grouped sum, not a side channel
+            out = pd.concat(
+                [out, pd.DataFrame({"token": [_MG_ERR_KEY], "n": [d]})],
+                ignore_index=True,
+            )
+        return out
+
+    docs = ds.map_batches(sketch, batch_format="pandas")
+    merged = pre_aggregate_ds(docs, "token", {"n": ("n", "sum")}).to_pandas()
+    err_rows = merged["token"] == _MG_ERR_KEY
+    total_err = int(merged.loc[err_rows, "n"].sum())
+    merged = merged[~err_rows]
+    vc = pd.Series(merged["n"].to_numpy(), index=merged["token"])
+    vc, d_final = _mg_compress(vc, m)
+    total_err += d_final
+    cand = vc.sort_values(ascending=False, kind="mergesort").iloc[:candidates]
+    cand_ref = ray.put(set(cand.index))
+
+    def exact_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.lower().str.findall(pat).explode()
+        toks = toks[toks.isin(ray.get(cand_ref))]
+        vc2 = toks.value_counts()
+        return pd.DataFrame(
+            {"token": vc2.index.astype(str), "n": vc2.to_numpy(dtype="int64")}
+        )
+
+    exact = pre_aggregate_ds(
+        ds.map_batches(exact_counts, batch_format="pandas"),
+        "token",
+        {"n": ("n", "sum")},
+    ).to_pandas()
+    exact["n"] = exact["n"].astype("int64")
+    out = exact.sort_values(
+        ["n", "token"], ascending=[False, True], ignore_index=True
+    ).head(k)
+    # retention guarantee holds iff the k-th exact count clears the bound
+    out.attrs["mg_total_err"] = total_err
+    return out

@@ -257,3 +257,43 @@ def test_dedup_against_planted_overlap(ray_session):
         .tolist()
     )
     assert got == list(range(10, 50))
+
+
+def test_misra_gries_top_tokens_recovers_head_under_compression(ray_session):
+    import ray
+    from kgraft.textops import approx_top_tokens, _mg_compress
+
+    # planted head: 5 hot tokens, long uniform tail of unique junk so a
+    # tiny m forces real decrements in every batch
+    rng = np.random.default_rng(11)
+    hot = [f"hot{i}" for i in range(5)]
+    docs = []
+    for d in range(60):
+        toks = []
+        for i, h in enumerate(hot):
+            toks += [h] * (40 - 5 * i)
+        toks += [f"junk{d}_{j}" for j in range(300)]
+        rng.shuffle(toks)
+        docs.append(" ".join(toks))
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+
+    out = approx_top_tokens(
+        ray.data.from_pandas(df), k=5, m=64, candidates=32
+    )
+    # exact oracle
+    exact = (
+        df["text"].str.lower().str.findall(r"[a-z0-9_]+").explode().value_counts()
+    )
+    want = exact.iloc[:5]
+    assert list(out["token"]) == list(want.index)
+    assert list(out["n"]) == [int(x) for x in want.to_numpy()]
+    # sketch error was genuinely nonzero (compression exercised) and the
+    # k-th head count clears the retention bound, as the guarantee needs
+    assert out.attrs["mg_total_err"] > 0
+    assert int(want.iloc[-1]) > 0
+
+    # _mg_compress invariants: lower bounds, at most m survivors
+    vc = pd.Series([10, 8, 5, 3, 1], index=list("abcde"))
+    kept, d = _mg_compress(vc, 2)
+    assert d == 5 and len(kept) <= 2
+    assert kept["a"] == 5 and kept["b"] == 3
