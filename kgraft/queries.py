@@ -1733,6 +1733,32 @@ GROUP BY t ORDER BY n DESC, t LIMIT 20
 """
 
 
+def doc_unigram_nll(sf_dir: str):
+    """Per-doc avg negative log-likelihood under the corpus unigram LM
+    (CCNet-style perplexity quality signal) — see
+    :func:`kgraft.textops.unigram_nll`."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textops.unigram_nll(docs, vocab_size=1000)
+
+
+_UNIGRAM_NLL_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+  FROM documents
+),
+tot AS (SELECT count(*) AS n FROM toks),
+vocab AS (
+  SELECT t, count(*) AS c FROM toks GROUP BY t
+  ORDER BY c DESC, t LIMIT 1000
+)
+SELECT toks.doc_id,
+       round(avg(-ln((coalesce(vocab.c, 0) + 1.0) / (tot.n + 1001.0))), 6)
+           AS avg_nll
+FROM toks CROSS JOIN tot LEFT JOIN vocab ON toks.t = vocab.t
+GROUP BY toks.doc_id
+"""
+
+
 def approx_top_tokens_docs(sf_dir: str) -> pd.DataFrame:
     """Misra-Gries sketch + exact-rescore top-20 tokens. Same answer as
     ``top_tokens_docs`` (hence the shared oracle) via the sketch path
@@ -2383,6 +2409,7 @@ QUERIES = {
     "approx_median_price": approx_median_price,
     "top_tokens_docs": top_tokens_docs,
     "approx_top_tokens_docs": approx_top_tokens_docs,
+    "doc_unigram_nll": doc_unigram_nll,
     "intersect_orders": intersect_orders,
     "except_orders": except_orders,
     "sample_events_per_user": sample_events_per_user,
@@ -2468,6 +2495,7 @@ ORACLE_SQL = {
     "priorities_per_status": _PRIORITIES_PER_STATUS_SQL,
     "top_tokens_docs": _TOP_TOKENS_SQL,
     "approx_top_tokens_docs": _TOP_TOKENS_SQL,
+    "doc_unigram_nll": _UNIGRAM_NLL_SQL,
     "intersect_orders": _INTERSECT_SQL,
     "except_orders": _EXCEPT_SQL,
     "sample_events_per_user": _SAMPLE_PER_USER_SQL,

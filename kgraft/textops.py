@@ -1042,3 +1042,79 @@ def approx_top_tokens(
     # retention guarantee holds iff the k-th exact count clears the bound
     out.attrs["mg_total_err"] = total_err
     return out
+
+
+# ---------------------------------------------------------------------------
+# unigram LM quality scoring (the CCNet-style perplexity filter signal)
+
+
+def unigram_nll(
+    ds,
+    vocab_size: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_re: str = r"[a-z0-9_]+",
+):
+    """Per-document average negative log-likelihood under an add-one-
+    smoothed corpus unigram LM — the quality signal a CCNet-style
+    curation pipeline thresholds on (junk/boilerplate scores high, clean
+    prose low). Deterministic: no trained weights, the corpus itself is
+    the model.
+
+    Two passes, both streaming:
+
+    * Pass 1 (train): per-batch token-count partials reduce to the
+      corpus vocabulary; the top ``vocab_size`` tokens (count desc, then
+      token asc — a DETERMINISTIC tie-break, since the SQL twin must cut
+      the identical vocab) and the total token count N broadcast via
+      ``ray.put`` — a bounded table, never the vocab-scale tail.
+    * Pass 2 (score): each batch maps tokens to
+      ``-ln((c + 1) / (N + V + 1))`` (OOV => c = 0) and averages per
+      doc. Shuffle-free: per-doc rows come straight off the map.
+
+    Documents with zero tokens emit no row (SQL AVG-over-empty-group
+    semantics: the group does not exist).
+    """
+    from .relational import pre_aggregate_ds
+
+    pat = re.compile(token_re)
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.lower().str.findall(pat).explode().dropna()
+        vc = toks.value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.astype(str), "n": vc.to_numpy(dtype="int64")}
+        )
+
+    agg = pre_aggregate_ds(
+        ds.map_batches(counts, batch_format="pandas"), "token", {"n": ("n", "sum")}
+    )
+    # vocab-scale counts NEVER collect to the driver: N is a Dataset
+    # aggregate and the cut is a distributed sort-limit; only the bounded
+    # head broadcasts. materialize() pins the VOCAB-scale table (not the
+    # corpus) so the two consumers below don't re-run the count pass.
+    agg = agg.materialize()
+    total_n = int(agg.sum("n"))
+    vocab = (
+        agg.sort(["n", "token"], descending=[True, False])
+        .limit(vocab_size)
+        .to_pandas()
+    )
+    logp = np.log(
+        (vocab["n"].to_numpy(dtype="float64") + 1.0) / (total_n + vocab_size + 1.0)
+    )
+    table_ref = ray.put(dict(zip(vocab["token"], logp)))
+    oov_logp = float(np.log(1.0 / (total_n + vocab_size + 1.0)))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        tbl = ray.get(table_ref)
+        toks = df[[id_col, text_col]].copy()
+        toks["t"] = toks[text_col].str.lower().str.findall(pat)
+        ex = toks[[id_col, "t"]].explode("t").dropna(subset=["t"])
+        lp = ex["t"].map(tbl).fillna(oov_logp)
+        out = (-lp).groupby(ex[id_col], sort=False).mean().rename("avg_nll")
+        out = out.reset_index()
+        out["avg_nll"] = out["avg_nll"].round(6)
+        return out
+
+    return ds.map_batches(score, batch_format="pandas")

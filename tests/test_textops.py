@@ -297,3 +297,31 @@ def test_misra_gries_top_tokens_recovers_head_under_compression(ray_session):
     kept, d = _mg_compress(vc, 2)
     assert d == 5 and len(kept) <= 2
     assert kept["a"] == 5 and kept["b"] == 3
+
+
+def test_unigram_nll_matches_bruteforce(ray_session):
+    import ray
+    from collections import Counter
+    from kgraft.textops import unigram_nll
+
+    docs = ["the cat sat", "the the zz qq", "cat cat cat unique", ""]
+    df = pd.DataFrame({"doc_id": range(4), "text": docs})
+    V = 3  # forces OOV hits
+    got = (
+        unigram_nll(ray.data.from_pandas(df), vocab_size=V)
+        .to_pandas()
+        .set_index("doc_id")["avg_nll"]
+    )
+
+    toks = [t for d in docs for t in d.lower().split()]
+    n = len(toks)
+    cnt = Counter(toks)
+    vocab = dict(sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:V])
+    def lp(t):
+        return -np.log((vocab.get(t, 0) + 1.0) / (n + V + 1.0))
+    for i, d in enumerate(docs):
+        ts = d.lower().split()
+        if not ts:
+            assert i not in got.index  # empty doc emits no row
+        else:
+            assert abs(got[i] - round(np.mean([lp(t) for t in ts]), 6)) < 1e-9
