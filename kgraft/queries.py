@@ -1733,6 +1733,23 @@ GROUP BY t ORDER BY n DESC, t LIMIT 20
 """
 
 
+def hot_users_events(sf_dir: str) -> pd.DataFrame:
+    """Skew diagnostics: the 10 hottest user_ids in the event stream
+    with their share of all rows — the pre-pass that decides
+    ``num_salts`` for a user-keyed join/groupby. See
+    :func:`kgraft.relational.hot_keys`."""
+    from .relational import hot_keys
+
+    return hot_keys(read_table(sf_dir, "events", columns=["user_id"]), "user_id", k=10)
+
+
+_HOT_USERS_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       round(count(*) / (SELECT count(*)::DOUBLE FROM events), 6) AS share
+FROM events GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
+"""
+
+
 def doc_unigram_nll(sf_dir: str):
     """Per-doc avg negative log-likelihood under the corpus unigram LM
     (CCNet-style perplexity quality signal) — see
@@ -2127,6 +2144,19 @@ def kg_degree_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("log2_degree").reset_index(drop=True)
 
 
+def kg_triangles(sf_dir: str) -> pd.DataFrame:
+    """Triangle count + global clustering coefficient of the constructed
+    KG — the second graph-quality signal next to ``kg_degree_stats``
+    (hub-explosion artifacts show up as clustering collapse). See
+    :func:`kgraft.graph.triangles.count_triangles` for the
+    degree-ordered distributed algorithm."""
+    from .graph.triangles import count_triangles
+
+    m = _kg_outputs(sf_dir)
+    edges = ray.data.read_parquet(m["edges_dir"], columns=["subj_id", "obj_id"])
+    return count_triangles(edges, src="subj_id", dst="obj_id")
+
+
 def kg_mentions(sf_dir: str):
     """Stage 4 as a standalone query: gazetteer mention detection over the
     synthetic corpus segments (actor pool, broadcast alias dict)."""
@@ -2410,6 +2440,7 @@ QUERIES = {
     "top_tokens_docs": top_tokens_docs,
     "approx_top_tokens_docs": approx_top_tokens_docs,
     "doc_unigram_nll": doc_unigram_nll,
+    "hot_users_events": hot_users_events,
     "intersect_orders": intersect_orders,
     "except_orders": except_orders,
     "sample_events_per_user": sample_events_per_user,
@@ -2444,6 +2475,7 @@ QUERIES = {
     "kg_edges": kg_edges,
     "kg_pagerank": kg_pagerank,
     "kg_degree_stats": kg_degree_stats,
+    "kg_triangles": kg_triangles,
     "kg_mentions": kg_mentions,
     "kg_triples_llm": kg_triples_llm,
     "page_meta": page_meta,
@@ -2496,6 +2528,7 @@ ORACLE_SQL = {
     "top_tokens_docs": _TOP_TOKENS_SQL,
     "approx_top_tokens_docs": _TOP_TOKENS_SQL,
     "doc_unigram_nll": _UNIGRAM_NLL_SQL,
+    "hot_users_events": _HOT_USERS_SQL,
     "intersect_orders": _INTERSECT_SQL,
     "except_orders": _EXCEPT_SQL,
     "sample_events_per_user": _SAMPLE_PER_USER_SQL,

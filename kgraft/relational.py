@@ -1590,3 +1590,38 @@ def set_op(left, right, cols, op: str, num_buckets: int = 64):
         return mn.loc[keep, cols]
 
     return bucketed_groupby_apply(lt.union(rt), cols, reduce, num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# skew diagnostics: hot-key detection (the pre-pass that sizes num_salts)
+
+
+def hot_keys(ds, keys, k: int = 10):
+    """Top-k hottest key values by row count, with each key's share of
+    total rows — the diagnostic a pipeline runs BEFORE a wide join or
+    groupby to decide whether (and how hard) to salt. Deterministic
+    tie-break: count desc, then key asc.
+
+    Scale shape: per-batch value_counts partials (one row per (key,
+    batch)), a grouped sum, then a distributed sort-limit for the cut —
+    the total row count rides as one more partial column, so no second
+    pass over the input. Only the k winners collect.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df.groupby(key_list, sort=False, dropna=False).size().rename("n")
+        return vc.reset_index()
+
+    agg = pre_aggregate_ds(
+        ds.map_batches(counts, batch_format="pandas"), key_list, {"n": ("n", "sum")}
+    ).materialize()  # key-cardinality-scale, pinned for the two consumers
+    total = int(agg.sum("n"))
+    out = (
+        agg.sort(["n", *key_list], descending=[True] + [False] * len(key_list))
+        .limit(k)
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["share"] = (out["n"] / total).round(6)
+    return out

@@ -134,3 +134,43 @@ def test_pagerank_pregel_equals_streaming(ray_session, tmp_path):
     np.testing.assert_allclose(
         pregel.loc[ids].to_numpy(), streaming.loc[ids].to_numpy(), rtol=1e-12
     )
+
+
+def test_triangle_count_matches_bruteforce(ray_session):
+    import itertools
+    import ray
+    from kgraft.graph.triangles import count_triangles
+
+    rng = np.random.default_rng(5)
+    for trial, (n, p) in enumerate([(12, 0.5), (30, 0.2), (25, 0.08)]):
+        pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+        mask = rng.random(len(pairs)) < p
+        und = [e for e, m in zip(pairs, mask) if m]
+        # feed as DIRECTED edges with dups + self loops to exercise canon
+        rows = []
+        for (u, v) in und:
+            rows.append((u, v))
+            if rng.random() < 0.3:
+                rows.append((v, u))  # reverse duplicate
+        rows += [(i, i) for i in range(0, n, 7)]  # self loops
+        df = pd.DataFrame(rows, columns=["src", "dst"])
+
+        got = count_triangles(
+            ray.data.from_pandas(df), num_buckets=4
+        ).iloc[0]
+
+        adj = {i: set() for i in range(n)}
+        for u, v in und:
+            adj[u].add(v)
+            adj[v].add(u)
+        tri = sum(
+            1
+            for a, b, c in itertools.combinations(range(n), 3)
+            if b in adj[a] and c in adj[a] and c in adj[b]
+        )
+        wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+        assert got["n_triangles"] == tri, (trial, got["n_triangles"], tri)
+        assert got["n_edges"] == len(und)
+        assert got["n_wedges"] == wedges
+        if wedges:
+            assert abs(got["global_clustering"] - round(3 * tri / wedges, 6)) < 1e-9
