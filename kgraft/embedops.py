@@ -368,3 +368,55 @@ def label_norm_stats(embeddings):
             "avg_norm": (merged["norm_sum"] / merged["n"]).round(6),
         }
     )
+
+
+def label_centroids(embeddings, round_dp: int = 6):
+    """Per-label centroid (mean vector), emitted EXPLODED as
+    (label, pos, centroid) rows — one row per vector dimension.
+
+    The centroid of a group is an algebraic aggregate: each batch
+    contributes one (label, sum-vector, count) partial — dim floats per
+    (label, batch) cross the exchange, never raw vectors. The exploded
+    output shape is deliberate: it is what a SQL twin can produce
+    (UNNEST WITH ORDINALITY + AVG), so the driver can hash-compare it,
+    and downstream kernels can pivot it back to a matrix in one
+    reshape. Labels are dimension-bounded (a class/domain id), so the
+    final merge is small.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        mat = _batch_matrix(t)
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"label": labels})
+        sums = pd.DataFrame(mat).groupby(df["label"], sort=False).agg(["sum", "count"])
+        # sums: columns (dim, sum|count); flatten to per-label rows
+        labs = sums.index.to_numpy()
+        dim = mat.shape[1]
+        sum_mat = sums.xs("sum", axis=1, level=1).to_numpy(dtype="float64")
+        cnt = sums.xs("count", axis=1, level=1).iloc[:, 0].to_numpy(dtype="int64")
+        n_lab = len(labs)
+        return pa.table(
+            {
+                "label": pa.array(
+                    np.repeat(labs.astype(np.int64), dim), pa.int64()
+                ),
+                "pos": pa.array(np.tile(np.arange(1, dim + 1), n_lab), pa.int64()),
+                "s": pa.array(sum_mat.reshape(-1), pa.float64()),
+                "n": pa.array(np.repeat(cnt, dim), pa.int64()),
+            }
+        )
+
+    from .relational import pre_aggregate
+
+    parts = embeddings.map_batches(partial, batch_format="pyarrow")
+    merged = pre_aggregate(
+        parts, ["label", "pos"], {"s": ("s", "sum"), "n": ("n", "sum")}
+    )
+    out = pd.DataFrame(
+        {
+            "label": merged["label"].astype("int64"),
+            "pos": merged["pos"].astype("int64"),
+            "centroid": (merged["s"] / merged["n"]).round(round_dp),
+        }
+    )
+    return out.sort_values(["label", "pos"], ignore_index=True)

@@ -1733,6 +1733,24 @@ GROUP BY t ORDER BY n DESC, t LIMIT 20
 """
 
 
+def zscore_event_values(sf_dir: str):
+    """Global z-score of event values (two-pass standardization) —
+    see :func:`kgraft.relational.standardize`."""
+    from .relational import standardize
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+    return standardize(ds, "value", out_col="z").map_batches(
+        lambda df: df[["event_id", "z"]], batch_format="pandas"
+    )
+
+
+_ZSCORE_SQL = """
+SELECT event_id,
+       round((value - avg(value) OVER ()) / stddev_samp(value) OVER (), 6) AS z
+FROM events
+"""
+
+
 def hot_users_events(sf_dir: str) -> pd.DataFrame:
     """Skew diagnostics: the 10 hottest user_ids in the event stream
     with their share of all rows — the pre-pass that decides
@@ -2027,6 +2045,27 @@ _LABEL_NORMS_SQL = """
 SELECT label, count(*) AS n_vecs,
        round(avg(sqrt(list_inner_product(embedding, embedding))), 4) AS avg_norm
 FROM embeddings GROUP BY label
+"""
+
+
+def label_centroids_q(sf_dir: str) -> pd.DataFrame:
+    """Per-label mean embedding, exploded to (label, pos, centroid) —
+    the class-centroid table a diversity/balance pass scores against.
+    See :func:`kgraft.embedops.label_centroids`."""
+    emb = read_table(sf_dir, "embeddings")
+    return embedops.label_centroids(emb)
+
+
+_LABEL_CENTROIDS_SQL = """
+SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+       round(avg(x), 6) AS centroid
+FROM (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         UNNEST(embedding) AS x
+  FROM embeddings
+)
+GROUP BY 1, 2
+ORDER BY 1, 2
 """
 
 
@@ -2441,6 +2480,7 @@ QUERIES = {
     "approx_top_tokens_docs": approx_top_tokens_docs,
     "doc_unigram_nll": doc_unigram_nll,
     "hot_users_events": hot_users_events,
+    "zscore_event_values": zscore_event_values,
     "intersect_orders": intersect_orders,
     "except_orders": except_orders,
     "sample_events_per_user": sample_events_per_user,
@@ -2469,6 +2509,7 @@ QUERIES = {
     "ivf_ann_topk": ivf_ann_topk,
     "cluster_embeddings": cluster_embeddings,
     "label_norms": label_norms,
+    "label_centroids": label_centroids_q,
     "unnest_embeddings": unnest_embeddings,
     "kg_triples": kg_triples,
     "kg_nodes": kg_nodes,
@@ -2529,6 +2570,7 @@ ORACLE_SQL = {
     "approx_top_tokens_docs": _TOP_TOKENS_SQL,
     "doc_unigram_nll": _UNIGRAM_NLL_SQL,
     "hot_users_events": _HOT_USERS_SQL,
+    "zscore_event_values": _ZSCORE_SQL,
     "intersect_orders": _INTERSECT_SQL,
     "except_orders": _EXCEPT_SQL,
     "sample_events_per_user": _SAMPLE_PER_USER_SQL,
@@ -2545,6 +2587,7 @@ ORACLE_SQL = {
     "doc_stats_by_lang": _DOC_STATS_SQL,
     "knn_cosine_topk": _KNN_SQL,
     "label_norms": _LABEL_NORMS_SQL,
+    "label_centroids": _LABEL_CENTROIDS_SQL,
     "unnest_embeddings": _UNNEST_SQL,
     # near_dup_docs / simhash / langid / quality / fingerprint / ivf_ann /
     # kg_* / image_features: non-SQL-expressible -> rows-only driver check;

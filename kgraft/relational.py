@@ -1625,3 +1625,44 @@ def hot_keys(ds, keys, k: int = 10):
     out["n"] = out["n"].astype("int64")
     out["share"] = (out["n"] / total).round(6)
     return out
+
+
+def standardize(ds, col: str, out_col: str = "z", round_dp: int = 6, ddof: int = 1):
+    """Two-pass global z-score standardization of one numeric column —
+    the feature-scaling pass before clustering / anomaly cuts.
+
+    Pass 1 reduces (sum, sum-of-squares, non-null count) — three floats
+    per batch cross the exchange; the two scalars (mean, std) then ride
+    into pass 2 as plain closure constants, so the transform itself is
+    shuffle-free and streams. SQL twin:
+    ``(x - AVG(x) OVER ()) / STDDEV_SAMP(x) OVER ()``.
+    """
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(dtype="float64")
+        m = ~np.isnan(v)
+        return pd.DataFrame(
+            {
+                "s": [float(v[m].sum())],
+                "ss": [float((v[m] * v[m]).sum())],
+                "n": [int(m.sum())],
+            }
+        )
+
+    parts = ds.map_batches(moments, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    if n <= ddof:
+        raise PlanError(f"standardize needs more than {ddof} non-null rows, got {n}")
+    s, ss = float(parts["s"].sum()), float(parts["ss"].sum())
+    mean = s / n
+    var = (ss - n * mean * mean) / (n - ddof)
+    std = float(np.sqrt(max(var, 0.0)))
+    if std == 0.0:
+        raise PlanError(f"standardize: column {col!r} is constant")
+
+    def transform(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out[out_col] = ((df[col] - mean) / std).round(round_dp)
+        return out
+
+    return ds.map_batches(transform, batch_format="pandas")

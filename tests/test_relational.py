@@ -916,3 +916,30 @@ def test_grouped_argmax_with_planted_ties(ray_session):
         ).df()
         assert got["arg"].tolist() == want["arg"].tolist(), minimize
         np.testing.assert_allclose(got["v"], want["v"])
+
+
+def test_standardize_matches_duckdb_and_guards(ray_session):
+    import ray
+    import pytest
+    from kgraft.relational import standardize
+    from kgraft.errors import PlanError
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"id": range(50), "x": rng.normal(10, 4, 50)})
+    df.loc[7, "x"] = np.nan  # null excluded from moments, null z out
+    got = (
+        standardize(ray.data.from_pandas(df), "x")
+        .to_pandas()
+        .sort_values("id")["z"]
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        "SELECT round((x - avg(x) OVER ()) / stddev_samp(x) OVER (), 6) AS z "
+        "FROM df ORDER BY id"
+    ).df()["z"]
+    pd.testing.assert_series_equal(got, want, check_names=False)
+
+    with pytest.raises(PlanError):
+        standardize(ray.data.from_pandas(pd.DataFrame({"x": [1.0, 1.0, 1.0]})), "x").to_pandas()
+    with pytest.raises(PlanError):
+        standardize(ray.data.from_pandas(pd.DataFrame({"x": [2.0]})), "x").to_pandas()
