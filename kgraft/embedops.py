@@ -420,3 +420,94 @@ def label_centroids(embeddings, round_dp: int = 6):
         }
     )
     return out.sort_values(["label", "pos"], ignore_index=True)
+
+
+def pq_topk(
+    embeddings,
+    query: np.ndarray,
+    k: int = 10,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    rerank: int = 4,
+    sample_limit: int = 4096,
+):
+    """Product-quantization ANN (Jégou, Douze & Schmid, TPAMI 2011):
+    the memory-compression tier of the similarity stack — at 100 TB the
+    raw fp64 matrix doesn't fit, but M uint8 codes per vector do.
+
+    Train: per-subspace codebooks (Lloyd on the deterministic
+    permutation-invariant hash sample, same sampler as IVF). Search:
+    asymmetric distance computation — the query builds one
+    (M x n_codes) inner-product lookup table, each batch scores its
+    vectors as a SUM OF TABLE LOOKUPS over their codes (no
+    full-dimension math per vector), keeps the ``rerank * k`` best
+    candidates, reranks those few with exact cosine (their raw vectors
+    are in-batch), and emits a local top-k; a tiny global sort
+    finishes. Broadcast state: codebooks + query table, O(M * n_codes *
+    dsub) floats — independent of corpus size.
+
+    Exactness contract: scores in the output are EXACT cosine (the PQ
+    approximation only shortlists), so recall against brute force is
+    the quality metric — tested, not assumed.
+    """
+    sample = _hash_sample_matrix(embeddings, sample_limit)
+    dim = sample.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    dsub = dim // n_subspaces
+    books = np.stack(
+        [
+            kmeans_centroids(
+                sample[:, m * dsub : (m + 1) * dsub], n_codes, seed=7 + m
+            )
+            for m in range(n_subspaces)
+        ]
+    )  # (M, n_codes, dsub)
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    # ADC table: per subspace, inner product of the query slice with
+    # every codeword (cosine numerator decomposes over subspaces)
+    table = np.einsum(
+        "mcd,md->mc", books, qn.reshape(n_subspaces, dsub)
+    )  # (M, n_codes)
+    # per-codeword squared norms: approximate |x|^2 as sum of codeword norms
+    norm_table = (books**2).sum(axis=2)  # (M, n_codes)
+    books_ref = ray.put(books)
+    table_ref = ray.put(table)
+    norm_ref = ray.put(norm_table)
+    qref = ray.put(q)
+    shortlist = max(k * rerank, k)
+
+    def local(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        mat = _batch_matrix(t)
+        bks = ray.get(books_ref)
+        tbl = ray.get(table_ref)
+        nrm = ray.get(norm_ref)
+        n = len(mat)
+        approx_dot = np.zeros(n)
+        approx_sq = np.zeros(n)
+        for m in range(n_subspaces):
+            sub = mat[:, m * dsub : (m + 1) * dsub]
+            # encode: nearest codeword per subspace
+            d = ((sub[:, None, :] - bks[m][None, :, :]) ** 2).sum(axis=2)
+            codes = d.argmin(axis=1)
+            approx_dot += tbl[m][codes]
+            approx_sq += nrm[m][codes]
+        approx_score = approx_dot / np.sqrt(np.maximum(approx_sq, 1e-12))
+        cand = np.argsort(-approx_score)[:shortlist]
+        exact = _cosine(mat[cand], ray.get(qref))
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)[cand]
+        order = np.argsort(-exact)[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "score": pa.array(np.round(exact[order], 6), pa.float64()),
+            }
+        )
+
+    partial = embeddings.map_batches(local, batch_format="pyarrow")
+    return partial.sort(["score", "vec_id"], descending=[True, False]).limit(k)

@@ -2007,6 +2007,15 @@ def ivf_ann_topk(sf_dir: str) -> pd.DataFrame:
     return embedops.ivf_topk(emb, q, k=10).to_pandas()
 
 
+def pq_ann_topk(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization ANN (ADC shortlist + exact rerank) — the
+    memory-compression similarity tier. See
+    :func:`kgraft.embedops.pq_topk`."""
+    emb = read_table(sf_dir, "embeddings")
+    q = embedops.get_query_vector(emb, vec_id=0)
+    return embedops.pq_topk(emb, q, k=10).to_pandas()
+
+
 def unnest_embeddings(sf_dir: str) -> pd.DataFrame:
     """UNNEST WITH ORDINALITY over the embedding list column: one row
     per vector element (vectorized Arrow explode, shuffle-free)."""
@@ -2507,6 +2516,7 @@ QUERIES = {
     "fingerprint_docs": fingerprint_docs_q,
     "knn_cosine_topk": knn_cosine_topk,
     "ivf_ann_topk": ivf_ann_topk,
+    "pq_ann_topk": pq_ann_topk,
     "cluster_embeddings": cluster_embeddings,
     "label_norms": label_norms,
     "label_centroids": label_centroids_q,

@@ -142,3 +142,21 @@ def test_kmeans_assign_matches_bruteforce(ray_session):
         .sort_values("vec_id", ignore_index=True)
     )
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_pq_recall_vs_bruteforce(ray_session):
+    import ray
+
+    emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    ids, mat = _all_vectors()
+    q = mat[ids.tolist().index(0)]
+    exact = set(embedops.knn_topk(emb, q, k=10).to_pandas()["vec_id"])
+    approx = embedops.pq_topk(
+        emb, q, k=10, n_subspaces=4, n_codes=16, rerank=8
+    ).to_pandas()
+    # shortlist-then-exact-rerank: emitted scores must BE exact cosine
+    sims = (mat @ (q / np.linalg.norm(q))) / np.linalg.norm(mat, axis=1)
+    by_id = dict(zip(ids, np.round(sims, 6)))
+    for _, row in approx.iterrows():
+        assert abs(row["score"] - by_id[row["vec_id"]]) < 1e-9
+    assert len(exact & set(approx["vec_id"])) / 10 >= 0.7
