@@ -32,11 +32,18 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 
 from ..relational import bucketed_groupby_apply, hash_join, pre_aggregate_ds
 
 
-def count_triangles(edges, src: str = "src", dst: str = "dst", num_buckets: int = 64):
+def count_triangles(
+    edges,
+    src: str = "src",
+    dst: str = "dst",
+    num_buckets: int = 64,
+    broadcast_max_nodes: int = 50_000_000,
+):
     """Exact triangle count and global clustering coefficient.
 
     ``edges``: Dataset with two int64 endpoint columns (directed or
@@ -67,6 +74,14 @@ def count_triangles(edges, src: str = "src", dst: str = "dst", num_buckets: int 
         num_buckets,
     ).materialize()
 
+    # adapt downstream exchange width to the MEASURED distinct-edge count
+    # (free: und is pinned): a vocab-scale graph at 64 buckets pays
+    # 64 fixed task costs per side per shuffle — 5 shuffles of overhead
+    # for milliseconds of compute. ~50k edges per bucket, floor 4;
+    # corpus-scale graphs still fan out to the caller's num_buckets.
+    n_edges = int(und.count())
+    nb = int(np.clip(n_edges // 50_000 + 1, 4, num_buckets))
+
     def endpoints(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {"node": np.concatenate([df["u"].to_numpy(), df["v"].to_numpy()])}
@@ -88,39 +103,7 @@ def count_triangles(edges, src: str = "src", dst: str = "dst", num_buckets: int 
     )
     n_wedges = int(wedge_parts.sum("w") or 0)
 
-    edge_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
-    deg_u_schema = pa.schema([("u", pa.int64()), ("du", pa.int64())])
-    deg_v_schema = pa.schema([("v", pa.int64()), ("dv", pa.int64())])
-    with_du = hash_join(
-        und,
-        deg.map_batches(
-            lambda df: df.rename(columns={"node": "u", "deg": "du"}),
-            batch_format="pandas",
-        ),
-        on="u",
-        num_buckets=num_buckets,
-        left_schema=edge_schema,
-        right_schema=deg_u_schema,
-    )
-    with_both = hash_join(
-        with_du,
-        deg.map_batches(
-            lambda df: df.rename(columns={"node": "v", "deg": "dv"}),
-            batch_format="pandas",
-        ),
-        on="v",
-        num_buckets=num_buckets,
-        left_schema=pa.schema(
-            [("u", pa.int64()), ("v", pa.int64()), ("du", pa.int64())]
-        ),
-        right_schema=deg_v_schema,
-    )
-
-    def orient(df: pd.DataFrame) -> pd.DataFrame:
-        u = df["u"].to_numpy(dtype="int64")
-        v = df["v"].to_numpy(dtype="int64")
-        du = df["du"].to_numpy(dtype="int64")
-        dv = df["dv"].to_numpy(dtype="int64")
+    def _orient_frame(u, v, du, dv) -> pd.DataFrame:
         # lexicographic (degree, id): ties on degree break by node id
         u_first = (du < dv) | ((du == dv) & (u < v))
         return pd.DataFrame(
@@ -131,8 +114,63 @@ def count_triangles(edges, src: str = "src", dst: str = "dst", num_buckets: int 
             }
         )
 
+    if n_nodes <= broadcast_max_nodes:
+        # degree table is node-scale: broadcast it once (the same
+        # vocab-bounded assumption graph/pagerank.py documents) and
+        # orient shuffle-free — two bucketed joins disappear
+        deg_df = deg.to_pandas()
+        ids = np.sort(deg_df["node"].to_numpy(dtype="int64"))
+        dmap = deg_df.set_index("node")["deg"]
+        degs = dmap.loc[ids].to_numpy(dtype="int64")
+        deg_ref = ray.put((ids, degs))
+
+        def orient_bcast(df: pd.DataFrame) -> pd.DataFrame:
+            ids_s, degs_s = ray.get(deg_ref)
+            u = df["u"].to_numpy(dtype="int64")
+            v = df["v"].to_numpy(dtype="int64")
+            du = degs_s[np.searchsorted(ids_s, u)]
+            dv = degs_s[np.searchsorted(ids_s, v)]
+            return _orient_frame(u, v, du, dv)
+
+        oriented = und.map_batches(orient_bcast, batch_format="pandas")
+    else:
+        # beyond-broadcast node counts: attach degrees by bucketed join
+        with_du = hash_join(
+            und,
+            deg.map_batches(
+                lambda df: df.rename(columns={"node": "u", "deg": "du"}),
+                batch_format="pandas",
+            ),
+            on="u",
+            num_buckets=num_buckets,
+            left_schema=pa.schema([("u", pa.int64()), ("v", pa.int64())]),
+            right_schema=pa.schema([("u", pa.int64()), ("du", pa.int64())]),
+        )
+        with_both = hash_join(
+            with_du,
+            deg.map_batches(
+                lambda df: df.rename(columns={"node": "v", "deg": "dv"}),
+                batch_format="pandas",
+            ),
+            on="v",
+            num_buckets=num_buckets,
+            left_schema=pa.schema(
+                [("u", pa.int64()), ("v", pa.int64()), ("du", pa.int64())]
+            ),
+            right_schema=pa.schema([("v", pa.int64()), ("dv", pa.int64())]),
+        )
+        oriented = with_both.map_batches(
+            lambda df: _orient_frame(
+                df["u"].to_numpy(dtype="int64"),
+                df["v"].to_numpy(dtype="int64"),
+                df["du"].to_numpy(dtype="int64"),
+                df["dv"].to_numpy(dtype="int64"),
+            ),
+            batch_format="pandas",
+        )
+
     # pinned: wedge generation and the closing-edge side both read it
-    fwd = with_both.map_batches(orient, batch_format="pandas").materialize()
+    fwd = oriented.materialize()
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         outs = []
@@ -152,7 +190,7 @@ def count_triangles(edges, src: str = "src", dst: str = "dst", num_buckets: int 
             )
         return pd.concat(outs, ignore_index=True)
 
-    wedge_ds = bucketed_groupby_apply(fwd, "a", wedges, num_buckets)
+    wedge_ds = bucketed_groupby_apply(fwd, "a", wedges, nb)
 
     closing = fwd.map_batches(
         lambda df: df[["a", "b"]].rename(columns={"a": "b", "b": "c"}),
@@ -162,12 +200,11 @@ def count_triangles(edges, src: str = "src", dst: str = "dst", num_buckets: int 
         wedge_ds,
         closing,
         on=["b", "c"],
-        num_buckets=num_buckets,
+        num_buckets=nb,
         left_schema=pa.schema([("b", pa.int64()), ("c", pa.int64())]),
         right_schema=pa.schema([("b", pa.int64()), ("c", pa.int64())]),
     )
     n_triangles = int(tri.count())
-    n_edges = int(und.count())
     clustering = round(3.0 * n_triangles / n_wedges, 6) if n_wedges else 0.0
     return pd.DataFrame(
         {

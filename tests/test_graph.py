@@ -155,8 +155,11 @@ def test_triangle_count_matches_bruteforce(ray_session):
         rows += [(i, i) for i in range(0, n, 7)]  # self loops
         df = pd.DataFrame(rows, columns=["src", "dst"])
 
+        # trial 2 forces the beyond-broadcast bucketed-join path
         got = count_triangles(
-            ray.data.from_pandas(df), num_buckets=4
+            ray.data.from_pandas(df),
+            num_buckets=4,
+            broadcast_max_nodes=0 if trial == 2 else 50_000_000,
         ).iloc[0]
 
         adj = {i: set() for i in range(n)}
