@@ -1012,15 +1012,27 @@ def approx_top_tokens(
         return out
 
     docs = ds.map_batches(sketch, batch_format="pandas")
-    merged = pre_aggregate_ds(docs, "token", {"n": ("n", "sum")}).to_pandas()
-    err_rows = merged["token"] == _MG_ERR_KEY
-    total_err = int(merged.loc[err_rows, "n"].sum())
-    merged = merged[~err_rows]
-    vc = pd.Series(merged["n"].to_numpy(), index=merged["token"])
-    vc, d_final = _mg_compress(vc, m)
-    total_err += d_final
-    cand = vc.sort_values(ascending=False, kind="mergesort").iloc[:candidates]
-    cand_ref = ray.put(set(cand.index))
+    # the merged counter union is (m x n_batches)-bounded — NOT driver-
+    # small at corpus scale, so it never collects: the error total is a
+    # Dataset sum and the candidate cut is a distributed sort-limit
+    # (retention guarantee: any token with true count > total_err
+    # survived every partial compression, so the top-`candidates` lower
+    # bounds contain the true top-k whenever the k-th count clears it)
+    merged = pre_aggregate_ds(docs, "token", {"n": ("n", "sum")}).materialize()
+    err_ds = merged.map_batches(
+        lambda df: pd.DataFrame({"e": df.loc[df["token"] == _MG_ERR_KEY, "n"]}),
+        batch_format="pandas",
+    )
+    total_err = int(err_ds.sum("e") or 0)
+    cand = (
+        merged.map_batches(
+            lambda df: df[df["token"] != _MG_ERR_KEY], batch_format="pandas"
+        )
+        .sort(["n", "token"], descending=[True, False])
+        .limit(candidates)
+        .to_pandas()
+    )
+    cand_ref = ray.put(set(cand["token"]))
 
     def exact_counts(df: pd.DataFrame) -> pd.DataFrame:
         toks = df[text_col].str.lower().str.findall(pat).explode()
