@@ -1115,17 +1115,30 @@ def unigram_nll(
     logp = np.log(
         (vocab["n"].to_numpy(dtype="float64") + 1.0) / (total_n + vocab_size + 1.0)
     )
-    table_ref = ray.put(dict(zip(vocab["token"], logp)))
+    # sorted-array lookup table: scoring is one searchsorted per batch
+    # (vectorized C), not a per-token Python dict probe
+    vtok = vocab["token"].to_numpy(dtype=object)
+    order = np.argsort(vtok)
+    table_ref = ray.put((vtok[order], logp[order]))
     oov_logp = float(np.log(1.0 / (total_n + vocab_size + 1.0)))
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
-        tbl = ray.get(table_ref)
+        keys, vals = ray.get(table_ref)
         toks = df[[id_col, text_col]].copy()
         toks["t"] = toks[text_col].str.lower().str.findall(pat)
         ex = toks[[id_col, "t"]].explode("t").dropna(subset=["t"])
-        lp = ex["t"].map(tbl).fillna(oov_logp)
-        out = (-lp).groupby(ex[id_col], sort=False).mean().rename("avg_nll")
-        out = out.reset_index()
+        t_arr = ex["t"].to_numpy(dtype=object)
+        pos = np.searchsorted(keys, t_arr)
+        pos_c = np.clip(pos, 0, len(keys) - 1)
+        hit = keys[pos_c] == t_arr
+        lp = np.where(hit, vals[pos_c], oov_logp)
+        out = (
+            pd.Series(-lp, index=ex.index)
+            .groupby(ex[id_col], sort=False)
+            .mean()
+            .rename("avg_nll")
+            .reset_index()
+        )
         out["avg_nll"] = out["avg_nll"].round(6)
         return out
 
