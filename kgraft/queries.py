@@ -1733,6 +1733,30 @@ GROUP BY t ORDER BY n DESC, t LIMIT 20
 """
 
 
+def wavg_price_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Quantity-weighted average extended price per return flag —
+    the `wavg` algebraic aggregate kind of ``pre_aggregate``."""
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice", "l_quantity"]
+    )
+    out = pre_aggregate(
+        li,
+        ["l_returnflag"],
+        {"wavg_price": (("l_extendedprice", "l_quantity"), "wavg")},
+    )
+    out["wavg_price"] = out["wavg_price"].round(4)
+    return out.sort_values("l_returnflag", ignore_index=True)
+
+
+_WAVG_SQL = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) /
+             sum(CASE WHEN l_extendedprice IS NOT NULL THEN l_quantity END), 4)
+           AS wavg_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def zscore_event_values(sf_dir: str):
     """Global z-score of event values (two-pass standardization) —
     see :func:`kgraft.relational.standardize`."""
@@ -2490,6 +2514,7 @@ QUERIES = {
     "doc_unigram_nll": doc_unigram_nll,
     "hot_users_events": hot_users_events,
     "zscore_event_values": zscore_event_values,
+    "wavg_price_by_flag": wavg_price_by_flag,
     "intersect_orders": intersect_orders,
     "except_orders": except_orders,
     "sample_events_per_user": sample_events_per_user,
@@ -2581,6 +2606,7 @@ ORACLE_SQL = {
     "doc_unigram_nll": _UNIGRAM_NLL_SQL,
     "hot_users_events": _HOT_USERS_SQL,
     "zscore_event_values": _ZSCORE_SQL,
+    "wavg_price_by_flag": _WAVG_SQL,
     "intersect_orders": _INTERSECT_SQL,
     "except_orders": _EXCEPT_SQL,
     "sample_events_per_user": _SAMPLE_PER_USER_SQL,

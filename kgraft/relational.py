@@ -122,13 +122,15 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
     """Grouped aggregation with per-batch partial combine — Dataset out.
 
     ``aggs``: dict out_col -> (in_col, kind) with kind in
-    {sum, count, min, max, mean, var, std, corr, covar}. Mean is computed
+    {sum, count, min, max, mean, var, std, corr, covar, wavg}. Mean is computed
     from sum + NON-NULL count partials (SQL semantics: nulls are excluded
     from the divisor). ``var``/``std`` are SAMPLE variance/stddev
     (ddof=1, DuckDB ``var_samp``/``stddev_samp``) from (sum, sum-of-
     squares, non-null count) partials; ``corr``/``covar`` take in_col as
     a PAIR ``(x_col, y_col)`` and reduce the five cross-moment sums over
-    rows where BOTH are non-null (DuckDB ``corr``/``covar_samp``). All of
+    rows where BOTH are non-null (DuckDB ``corr``/``covar_samp``); ``wavg``
+    takes in_col as ``(x_col, weight_col)`` and reduces (sum(w*x), sum(w))
+    over pairwise-non-null rows — SQL ``SUM(x*w) / SUM(w)``. All of
     these are algebraic — one partial row per (key, batch) crosses the
     shuffle no matter how many raw rows fed it.
     Raw rows never shuffle — only one partial row per (key, batch) does,
@@ -138,9 +140,12 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
     driver; follow with :func:`top_k` / ``write_parquet`` / a join.
     """
     sum_cols, min_cols, max_cols, var_cols, corr_cols = [], [], [], [], []
+    wavg_cols = []
     for out, (col, kind) in aggs.items():
         if kind in ("sum", "mean"):
             sum_cols.append((out, col, kind))
+        elif kind == "wavg":
+            wavg_cols.append((out, col))  # col = (x_col, weight_col)
         elif kind == "count":
             sum_cols.append((out, None, "count"))
         elif kind == "min":
@@ -178,6 +183,9 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
                 for p in ("sx", "sy", "sxx", "syy", "sxy"):
                     cols[f"__{p}_{out}"] = pd.Series([], dtype="float64")
                 cols[f"__cn_{out}"] = pd.Series([], dtype="int64")
+            for out, _ in wavg_cols:
+                cols[f"__swx_{out}"] = pd.Series([], dtype="float64")
+                cols[f"__sw_{out}"] = pd.Series([], dtype="float64")
             return pd.DataFrame(cols)
         derived = {}
         for out, col, _ in var_cols:
@@ -192,6 +200,11 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
             derived[f"__xx_{out}"] = xm * xm
             derived[f"__yy_{out}"] = ym * ym
             derived[f"__xy_{out}"] = xm * ym
+        for out, (xc, wc) in wavg_cols:
+            x, w = df[xc].astype("float64"), df[wc].astype("float64")
+            m = x.notna() & w.notna()  # pairwise nulls, like corr/covar
+            derived[f"__wx_{out}"] = (x * w).where(m)
+            derived[f"__wo_{out}"] = w.where(m)
         if derived:
             df = df.assign(**derived)
         g = df.groupby(keys, observed=True, sort=False)
@@ -220,6 +233,9 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
             ):
                 parts[f"__{p}_{out}"] = g[f"{c}{out}"].sum()
             parts[f"__cn_{out}"] = g[f"__x_{out}"].count()
+        for out, _ in wavg_cols:
+            parts[f"__swx_{out}"] = g[f"__wx_{out}"].sum()
+            parts[f"__sw_{out}"] = g[f"__wo_{out}"].sum()
         return pd.DataFrame(parts).reset_index()
 
     partials = ds.map_batches(partial, batch_format="pandas")
@@ -239,6 +255,9 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
     for out, _, _ in corr_cols:
         for p in ("sx", "sy", "sxx", "syy", "sxy", "cn"):
             agg_plan[f"__{p}_{out}"] = "sum"
+    for out, _ in wavg_cols:
+        agg_plan[f"__swx_{out}"] = "sum"
+        agg_plan[f"__sw_{out}"] = "sum"
 
     def merge_finalize(g: pd.DataFrame) -> pd.DataFrame:
         merged = g.groupby(key_list, as_index=False, observed=True, sort=False).agg(
@@ -278,6 +297,9 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
                 val = ((n * sxy - sx * sy) / denom).where(n > 1)
                 val = val.replace([np.inf, -np.inf], np.nan)
             out_df[out] = val
+        for out, _ in wavg_cols:
+            sw = merged[f"__sw_{out}"]
+            out_df[out] = (merged[f"__swx_{out}"] / sw).where(sw != 0)
         return out_df
 
     return bucketed_groupby_apply(

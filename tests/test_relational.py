@@ -943,3 +943,30 @@ def test_standardize_matches_duckdb_and_guards(ray_session):
         standardize(ray.data.from_pandas(pd.DataFrame({"x": [1.0, 1.0, 1.0]})), "x").to_pandas()
     with pytest.raises(PlanError):
         standardize(ray.data.from_pandas(pd.DataFrame({"x": [2.0]})), "x").to_pandas()
+
+
+def test_wavg_nulls_match_duckdb(ray_session):
+    import ray
+    from kgraft.relational import pre_aggregate
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 80),
+            "x": rng.normal(50, 10, 80),
+            "w": rng.uniform(0.1, 5.0, 80),
+        }
+    )
+    df.loc[::7, "x"] = np.nan
+    df.loc[::11, "w"] = np.nan
+    got = pre_aggregate(
+        ray.data.from_pandas(df), ["k"], {"wx": (("x", "w"), "wavg")}
+    ).sort_values("k", ignore_index=True)
+    got["wx"] = got["wx"].round(6)
+    want = duckdb.sql(
+        "SELECT k, round(sum(x * w) / "
+        "sum(CASE WHEN x IS NOT NULL THEN w END), 6) AS wx "
+        "FROM df GROUP BY k ORDER BY k"
+    ).df()
+    want["k"] = want["k"].astype(got["k"].dtype)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
