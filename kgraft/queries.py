@@ -1733,6 +1733,42 @@ GROUP BY t ORDER BY n DESC, t LIMIT 20
 """
 
 
+def orders_by_dow(sf_dir: str) -> pd.DataFrame:
+    """Order volume by ISO day-of-week (date scalar-function coverage:
+    dow extraction is one vectorized ``dt`` accessor per batch; the
+    7-key aggregate is partial-combined)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def add_dow(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                # ISO: Monday=1..Sunday=7 (pandas dayofweek is Monday=0)
+                "isodow": (
+                    df["o_orderdate"].dt.dayofweek.astype("int64") + 1
+                ),
+                "o_totalprice": df["o_totalprice"],
+            }
+        )
+        return out
+
+    out = pre_aggregate(
+        ds.map_batches(add_dow, batch_format="pandas"),
+        ["isodow"],
+        {"n_orders": (None, "count"), "total": ("o_totalprice", "sum")},
+    )
+    out["isodow"] = out["isodow"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["total"] = out["total"].round(4)
+    return out.sort_values("isodow", ignore_index=True)
+
+
+_ORDERS_DOW_SQL = """
+SELECT CAST(isodow(o_orderdate) AS BIGINT) AS isodow,
+       count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
 def wavg_price_by_flag(sf_dir: str) -> pd.DataFrame:
     """Quantity-weighted average extended price per return flag —
     the `wavg` algebraic aggregate kind of ``pre_aggregate``."""
@@ -2515,6 +2551,7 @@ QUERIES = {
     "hot_users_events": hot_users_events,
     "zscore_event_values": zscore_event_values,
     "wavg_price_by_flag": wavg_price_by_flag,
+    "orders_by_dow": orders_by_dow,
     "intersect_orders": intersect_orders,
     "except_orders": except_orders,
     "sample_events_per_user": sample_events_per_user,
@@ -2607,6 +2644,7 @@ ORACLE_SQL = {
     "hot_users_events": _HOT_USERS_SQL,
     "zscore_event_values": _ZSCORE_SQL,
     "wavg_price_by_flag": _WAVG_SQL,
+    "orders_by_dow": _ORDERS_DOW_SQL,
     "intersect_orders": _INTERSECT_SQL,
     "except_orders": _EXCEPT_SQL,
     "sample_events_per_user": _SAMPLE_PER_USER_SQL,
