@@ -1733,6 +1733,27 @@ GROUP BY t ORDER BY n DESC, t LIMIT 20
 """
 
 
+def event_value_histogram(sf_dir: str) -> pd.DataFrame:
+    """20-bin equi-width histogram of event values over [0, 500) —
+    see :func:`kgraft.relational.histogram`."""
+    from .relational import histogram
+
+    ds = read_table(sf_dir, "events", columns=["value"])
+    out = histogram(ds, "value", lo=0.0, hi=500.0, n_bins=20).to_pandas()
+    out["bin"] = out["bin"].astype("int64")
+    return out.sort_values("bin", ignore_index=True)
+
+
+_EVENT_HIST_SQL = """
+SELECT bin, round(bin * 25.0, 6) AS bin_lo, count(*) AS n
+FROM (
+  SELECT least(CAST(floor((value - 0.0) / 25.0) AS BIGINT), 19) AS bin
+  FROM events WHERE value >= 0.0 AND value < 500.0
+)
+GROUP BY bin ORDER BY bin
+"""
+
+
 def orders_by_dow(sf_dir: str) -> pd.DataFrame:
     """Order volume by ISO day-of-week (date scalar-function coverage:
     dow extraction is one vectorized ``dt`` accessor per batch; the
@@ -2552,6 +2573,7 @@ QUERIES = {
     "zscore_event_values": zscore_event_values,
     "wavg_price_by_flag": wavg_price_by_flag,
     "orders_by_dow": orders_by_dow,
+    "event_value_histogram": event_value_histogram,
     "intersect_orders": intersect_orders,
     "except_orders": except_orders,
     "sample_events_per_user": sample_events_per_user,
@@ -2645,6 +2667,7 @@ ORACLE_SQL = {
     "zscore_event_values": _ZSCORE_SQL,
     "wavg_price_by_flag": _WAVG_SQL,
     "orders_by_dow": _ORDERS_DOW_SQL,
+    "event_value_histogram": _EVENT_HIST_SQL,
     "intersect_orders": _INTERSECT_SQL,
     "except_orders": _EXCEPT_SQL,
     "sample_events_per_user": _SAMPLE_PER_USER_SQL,

@@ -1688,3 +1688,38 @@ def standardize(ds, col: str, out_col: str = "z", round_dp: int = 6, ddof: int =
         return out
 
     return ds.map_batches(transform, batch_format="pandas")
+
+
+def histogram(ds, col: str, lo: float, hi: float, n_bins: int):
+    """Equi-width histogram of one numeric column over [lo, hi) — the
+    distribution-profiling pass (bin = floor((x - lo) / width); rows
+    outside the range and nulls are dropped). Returns a Dataset of
+    (bin, bin_lo, n) — bin-count-bounded, one partial row per
+    (bin, batch) crosses the exchange.
+    """
+    if not (hi > lo) or n_bins <= 0:
+        raise PlanError(f"histogram needs hi > lo and n_bins > 0, got [{lo}, {hi}) x {n_bins}")
+    width = (hi - lo) / n_bins
+
+    def binify(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(dtype="float64")
+        m = ~np.isnan(v) & (v >= lo) & (v < hi)
+        b = np.floor((v[m] - lo) / width).astype("int64")
+        # float edge: x just under hi can round into bin n_bins
+        b = np.minimum(b, n_bins - 1)
+        vc = pd.Series(b).value_counts()
+        return pd.DataFrame(
+            {"bin": vc.index.to_numpy(dtype="int64"), "n": vc.to_numpy(dtype="int64")}
+        )
+
+    agg = pre_aggregate_ds(
+        ds.map_batches(binify, batch_format="pandas"), "bin", {"n": ("n", "sum")}
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["bin_lo"] = (lo + out["bin"] * width).round(6)
+        out["n"] = out["n"].astype("int64")
+        return out[["bin", "bin_lo", "n"]]
+
+    return agg.map_batches(finalize, batch_format="pandas")
