@@ -1970,6 +1970,68 @@ def normalize_docs(sf_dir: str):
     return textops.normalize_text(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def repetition_docs(sf_dir: str):
+    """Gopher-style repetition quality signals (dup-line fraction,
+    dup-line char fraction, top-2-gram char fraction, dup-3-gram char
+    fraction) — shuffle-free per-document curation pass."""
+    return textops.repetition_signals(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
+_REPETITION_SQL = r"""
+WITH lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+), per_line AS (
+  SELECT doc_id, line, count(*) AS c, length(line) AS l FROM lines GROUP BY doc_id, line
+), line_agg AS (
+  SELECT doc_id,
+         sum(c) AS n_lines,
+         sum(c) - count(*) AS dup_lines,
+         sum(c * l) AS line_chars,
+         sum((c - 1) * l) AS dup_line_chars
+  FROM per_line GROUP BY doc_id
+), toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents
+), tok_chars AS (
+  SELECT doc_id,
+         coalesce(list_sum(list_transform(ts, t -> length(t))), 0) AS tchars
+  FROM toks
+), bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS g
+  FROM toks
+), bi_cnt AS (
+  SELECT doc_id, g, length(g) - 1 AS gl, count(*) AS c FROM bi GROUP BY doc_id, g
+), bi_top AS (
+  SELECT doc_id, max(c * gl) AS top2_chars FROM bi_cnt GROUP BY doc_id
+), tri AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts) - 1),
+                               i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS g
+  FROM toks
+), tri_cnt AS (
+  SELECT doc_id, g, length(g) - 2 AS gl, count(*) AS c FROM tri GROUP BY doc_id, g
+), tri_dup AS (
+  SELECT doc_id, sum(CASE WHEN c > 1 THEN c * gl ELSE 0 END) AS dup3_chars
+  FROM tri_cnt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       round(la.dup_lines / la.n_lines, 6) AS dup_line_frac,
+       round(coalesce(la.dup_line_chars / nullif(la.line_chars, 0), 0), 6)
+           AS dup_line_char_frac,
+       round(coalesce(bt.top2_chars / nullif(tc.tchars, 0), 0), 6)
+           AS top_2gram_char_frac,
+       round(coalesce(td.dup3_chars / nullif(tc.tchars, 0), 0), 6)
+           AS dup_3gram_char_frac
+FROM documents d
+JOIN line_agg la USING (doc_id)
+JOIN tok_chars tc USING (doc_id)
+LEFT JOIN bi_top bt USING (doc_id)
+LEFT JOIN tri_dup td USING (doc_id)
+"""
+
+
 _NORMALIZE_SQL = r"""
 SELECT doc_id,
        trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm_text
@@ -2578,6 +2640,7 @@ QUERIES = {
     "except_orders": except_orders,
     "sample_events_per_user": sample_events_per_user,
     "normalize_docs": normalize_docs,
+    "repetition_docs": repetition_docs,
     "redact_pii_docs": redact_pii_docs,
     "dedup_incremental_docs": dedup_incremental_docs,
     "funnel_view_click_purchase": funnel_view_click_purchase,
@@ -2672,6 +2735,7 @@ ORACLE_SQL = {
     "except_orders": _EXCEPT_SQL,
     "sample_events_per_user": _SAMPLE_PER_USER_SQL,
     "normalize_docs": _NORMALIZE_SQL,
+    "repetition_docs": _REPETITION_SQL,
     "redact_pii_docs": _REDACT_PII_SQL,
     "dedup_incremental_docs": _DEDUP_INCREMENTAL_SQL,
     "funnel_view_click_purchase": _FUNNEL_SQL,

@@ -1143,3 +1143,131 @@ def unigram_nll(
         return out
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+# Models" appendix A1.1 quality heuristics — public). Shuffle-free: every
+# signal is a pure per-document computation inside one map task.
+
+
+def repetition_signals(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document repetition/quality signals for web-text curation:
+
+    - ``dup_line_frac``        fraction of lines that repeat an earlier
+                               identical line (occurrences beyond first / total)
+    - ``dup_line_char_frac``   fraction of line characters in those repeats
+    - ``top_2gram_char_frac``  fraction of word characters covered by the
+                               most frequent word 2-gram (count x 2-gram chars
+                               / total word chars)
+    - ``dup_3gram_char_frac``  occurrence-weighted fraction of word characters
+                               in word 3-grams that appear more than once
+                               (sum over dup 3-grams of count x chars / total;
+                               overlapping occurrences each count, so the
+                               value can exceed 1 on degenerate text — kept
+                               raw, not clipped, to stay SQL-twin-exact)
+
+    Tokens are lowercased ``[a-z0-9_]+`` runs (the engine's token regex,
+    see ``token_counts``). Everything is exploded-frame vectorized pandas —
+    no Python loop over rows; the reference has no quality model at all
+    (SURVEY.md §2.1). The DuckDB twin builds n-grams with
+    ``list_transform(range(...))`` and hash-matches at 1e-6 rounding.
+    """
+    tok_pat = r"[a-z0-9_]+"
+
+    def _ngram_stats(ex: pd.DataFrame, n: int) -> pd.DataFrame:
+        # ex: exploded (idx=row label per doc) frame with columns [id, t]
+        g = ex["t"].copy()
+        ok = pd.Series(True, index=ex.index)
+        for k in range(1, n):
+            nxt = ex["t"].shift(-k)
+            same = ex["__doc"].shift(-k) == ex["__doc"]
+            g = g + " " + nxt.fillna("")
+            ok &= same.fillna(False)
+        sub = pd.DataFrame({"__doc": ex["__doc"][ok], "g": g[ok]})
+        if len(sub) == 0:
+            return pd.DataFrame({"__doc": [], "g": [], "c": []})
+        c = (
+            sub.groupby(["__doc", "g"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+        c["gl"] = c["g"].str.len() - (n - 1)
+        return c
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].reset_index(drop=True)
+        text = df[text_col].reset_index(drop=True)
+
+        # --- line-level ---
+        lines = text.str.split("\n")
+        lex = pd.DataFrame({"__doc": ids.index.repeat(lines.str.len())})
+        lex["line"] = np.concatenate(lines.to_numpy()) if len(df) else []
+        lc = (
+            lex.groupby(["__doc", "line"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+        lc["l"] = lc["line"].str.len()
+        lc["cl"] = lc["c"] * lc["l"]
+        lc["dl"] = (lc["c"] - 1) * lc["l"]
+        la = lc.groupby("__doc", sort=False).agg(
+            n_lines=("c", "sum"),
+            uniq=("c", "size"),
+            line_chars=("cl", "sum"),
+            dup_line_chars=("dl", "sum"),
+        )
+        dup_line_frac = (la["n_lines"] - la["uniq"]) / la["n_lines"]
+        dup_line_char_frac = (
+            la["dup_line_chars"] / la["line_chars"].replace(0, np.nan)
+        ).fillna(0.0)
+
+        # --- word n-grams ---
+        toks = text.str.lower().str.findall(tok_pat)
+        ex = pd.DataFrame({"__doc": ids.index.repeat(toks.str.len())})
+        ex["t"] = np.concatenate(toks.to_numpy()) if len(df) else []
+        tchars = (
+            ex["t"].str.len().groupby(ex["__doc"], sort=False).sum()
+            if len(ex)
+            else pd.Series(dtype="int64")
+        )
+        tchars = tchars.reindex(ids.index, fill_value=0)
+
+        bi = _ngram_stats(ex, 2)
+        top2 = (
+            (bi["c"] * bi["gl"]).groupby(bi["__doc"], sort=False).max()
+            if len(bi)
+            else pd.Series(dtype="int64")
+        ).reindex(ids.index, fill_value=0)
+        tri = _ngram_stats(ex, 3)
+        if len(tri):
+            dupm = tri["c"] > 1
+            dup3 = (
+                (tri["c"] * tri["gl"]).where(dupm, 0)
+                .groupby(tri["__doc"], sort=False)
+                .sum()
+            )
+        else:
+            dup3 = pd.Series(dtype="int64")
+        dup3 = dup3.reindex(ids.index, fill_value=0)
+
+        denom = tchars.replace(0, np.nan)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "dup_line_frac": dup_line_frac.reindex(ids.index, fill_value=0.0)
+                .fillna(0.0)
+                .round(6),
+                "dup_line_char_frac": dup_line_char_frac.reindex(
+                    ids.index, fill_value=0.0
+                ).round(6),
+                "top_2gram_char_frac": (top2 / denom).fillna(0.0).round(6),
+                "dup_3gram_char_frac": (dup3 / denom).fillna(0.0).round(6),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pandas"
+    )

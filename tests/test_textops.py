@@ -325,3 +325,57 @@ def test_unigram_nll_matches_bruteforce(ray_session):
             assert i not in got.index  # empty doc emits no row
         else:
             assert abs(got[i] - round(np.mean([lp(t) for t in ts]), 6)) < 1e-9
+
+
+def test_repetition_signals_planted(ray_session):
+    """Planted repetitive docs: hand-computed Gopher signals, plus the
+    DuckDB twin on the same frame (multi-line docs exercise the line
+    paths the synthetic corpus — single-line texts — never hits)."""
+    import ray
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "aa bb\naa bb\ncc",          # 1 dup line of 3; 5/12 dup chars
+                "x y x y x y",                # top 2-gram "x y" dominates
+                "one two three four",         # no repetition at all
+                "",                           # degenerate empty doc
+            ],
+        }
+    )
+    out = (
+        textops.repetition_signals(ray.data.from_pandas(docs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 1: lines [aa bb, aa bb, cc] -> dup_line_frac 1/3, chars 5/12
+    assert out.loc[0, "dup_line_frac"] == round(1 / 3, 6)
+    assert out.loc[0, "dup_line_char_frac"] == round(5 / 12, 6)
+    # doc 2: tokens x y x y x y; top 2-gram "x y" (3 occurrences, 2 chars)
+    # over 6 token chars -> 1.0; 3-grams "x y x"(2), "y x y"(2) all dup ->
+    # occurrence-weighted (2*3 + 2*3)/6 = 2.0 (documented can exceed 1)
+    assert out.loc[1, "top_2gram_char_frac"] == 1.0
+    assert out.loc[1, "dup_3gram_char_frac"] == 2.0
+    # doc 3: no repeats
+    assert out.loc[2, "dup_line_frac"] == 0.0
+    assert out.loc[2, "dup_3gram_char_frac"] == 0.0
+    # doc 4: empty -> all zeros, no NaN/inf
+    assert (out.loc[3, out.columns[1:]] == 0.0).all()
+
+    import duckdb
+
+    from kgraft.queries import ORACLE_SQL
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = (
+        con.execute(ORACLE_SQL["repetition_docs"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out[sorted(out.columns)], want[sorted(want.columns)], check_dtype=False
+    )
