@@ -1019,6 +1019,47 @@ ORDER BY event_id
 """
 
 
+def user_value_extrema(sf_dir: str) -> pd.DataFrame:
+    """FIRST_VALUE / LAST_VALUE / rolling-frame MIN-MAX window kinds:
+    per user ordered by (ts, event_id) — session-start value, final
+    value, and the 3-row running extremes of the click stream."""
+    from .relational import windowed
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    win = windowed(
+        ds,
+        part_keys="user_id",
+        order_keys=["ts", "event_id"],
+        specs={
+            "first_val": ("first_value", "value"),
+            "last_val": ("last_value", "value"),
+            "min3": ("rolling_min", "value", 3),
+            "max3": ("rolling_max", "value", 3),
+        },
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("first_val", "last_val", "min3", "max3"):
+            df[c] = df[c].round(4)
+        return df[["event_id", "user_id", "first_val", "last_val", "min3", "max3"]]
+
+    return win.map_batches(fin, batch_format="pandas").sort("event_id").to_pandas()
+
+
+_VALUE_EXTREMA_SQL = """
+SELECT event_id, user_id,
+       round(first_value(value) OVER w, 4) AS first_val,
+       round(last_value(value) OVER
+             (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+             4) AS last_val,
+       round(min(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS min3,
+       round(max(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS max3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""
+
+
 def event_rank_ntile(sf_dir: str) -> pd.DataFrame:
     """RANK / DENSE_RANK / NTILE window kinds: per user, events ranked
     by event_type (heavy ties — rank leaves gaps, dense_rank doesn't)
@@ -2610,6 +2651,7 @@ QUERIES = {
     "hopping_event_stats": hopping_event_stats,
     "user_sessions": user_sessions,
     "user_event_windows": user_event_windows,
+    "user_value_extrema": user_value_extrema,
     "event_rank_ntile": event_rank_ntile,
     "event_prop_k_stats": event_prop_k_stats,
     "quantity_percentiles": quantity_percentiles,
@@ -2707,6 +2749,7 @@ ORACLE_SQL = {
     "hopping_event_stats": _HOPPING_SQL,
     "user_sessions": _SESSIONS_SQL,
     "user_event_windows": _WINDOWS_SQL,
+    "user_value_extrema": _VALUE_EXTREMA_SQL,
     "event_rank_ntile": _RANK_NTILE_SQL,
     "event_prop_k_stats": _PROP_K_SQL,
     "quantity_percentiles": _PCT_RANK_SQL,

@@ -887,9 +887,15 @@ def windowed(ds, part_keys, order_keys, specs, num_buckets: int = 64, tiebreak=N
       row_number (col/param ignored; 1-based int64)
       lag / lead  (param = offset, default 1; NULL -> fill value 0)
       cumsum      (running sum, current row inclusive)
-      rolling_mean (param = window size in rows, current row inclusive,
-                    min_periods=1 — SQL ``ROWS BETWEEN p-1 PRECEDING
-                    AND CURRENT ROW``)
+      rolling_mean / rolling_min / rolling_max (param = window size in
+                    rows, current row inclusive, min_periods=1 — SQL
+                    ``ROWS BETWEEN p-1 PRECEDING AND CURRENT ROW``)
+      first_value (partition-wide first under the sort — SQL
+                    FIRST_VALUE with the default frame)
+      last_value  (partition-wide last — SQL LAST_VALUE with ``ROWS
+                    BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+                    FOLLOWING``; pass ``tiebreak`` for determinism
+                    under order-key ties)
       rank / dense_rank (SQL semantics: ties share a rank; rank leaves
                     gaps, dense_rank doesn't. Ties = equal order_keys)
       percent_rank / cume_dist (SQL semantics: (rank-1)/(count-1) with
@@ -972,12 +978,22 @@ def windowed(ds, part_keys, order_keys, specs, num_buckets: int = 64, tiebreak=N
                 out[out_col] = shifted.fillna(0.0)
             elif kind == "cumsum":
                 out[out_col] = grp[col].cumsum()
-            elif kind == "rolling_mean":
+            elif kind in ("first_value", "last_value"):
+                # SQL FIRST_VALUE with the default frame / LAST_VALUE with
+                # ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                # — both are partition-wide under the (order_keys +
+                # tiebreak) sort, so a tiebreak column makes them
+                # deterministic under order-key ties
+                out[out_col] = grp[col].transform(
+                    "first" if kind == "first_value" else "last"
+                )
+            elif kind in ("rolling_mean", "rolling_min", "rolling_max"):
                 w = param or 3
+                agg = kind.split("_")[1]
                 out[out_col] = (
                     grp[col]
                     .rolling(w, min_periods=1)
-                    .mean()
+                    .agg(agg)
                     .reset_index(drop=True)
                     .to_numpy()
                 )

@@ -970,3 +970,55 @@ def test_wavg_nulls_match_duckdb(ray_session):
     ).df()
     want["k"] = want["k"].astype(got["k"].dtype)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_first_last_rolling_extrema_match_duckdb(ray_session):
+    """first_value / last_value / rolling min-max vs DuckDB under heavy
+    order-key ties (tiebreak column pins intra-tie order on both sides)."""
+    import duckdb
+    import ray
+
+    from kgraft.relational import windowed
+
+    rng = np.random.RandomState(17)
+    df = pd.DataFrame(
+        {
+            "pid": rng.randint(0, 7, 250),
+            "ord": rng.randint(0, 5, 250),  # heavy ties
+            "uid": rng.permutation(250),  # unique tiebreak
+            "v": rng.randn(250).round(3),
+        }
+    )
+    got = (
+        windowed(
+            ray.data.from_pandas(df.sample(frac=1, random_state=5)),
+            part_keys="pid",
+            order_keys=["ord"],
+            specs={
+                "fv": ("first_value", "v"),
+                "lv": ("last_value", "v"),
+                "mn3": ("rolling_min", "v", 3),
+                "mx3": ("rolling_max", "v", 3),
+            },
+            tiebreak=["uid"],
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("uid")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        """
+        SELECT uid,
+               first_value(v) OVER w AS fv,
+               last_value(v) OVER
+                   (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv,
+               min(v) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mn3,
+               max(v) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mx3
+        FROM t WINDOW w AS (PARTITION BY pid ORDER BY ord, uid) ORDER BY uid
+        """
+    ).df()
+    for c in ("fv", "lv", "mn3", "mx3"):
+        np.testing.assert_allclose(got[c].to_numpy(), want[c].to_numpy(), atol=1e-12)
