@@ -1584,6 +1584,35 @@ FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 
 
+def grouping_sets_orders(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY GROUPING SETS ((status, priority), (status), (priority)):
+    the general form ROLLUP/CUBE are sugar for — exactly the requested
+    levels, one corpus scan at the finest level."""
+    from .relational import grouping_sets_aggregate
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+    out = grouping_sets_aggregate(
+        orders,
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], ["o_orderpriority"]],
+        {"total_price": ("o_totalprice", "sum"), "n_orders": (None, "count")},
+    )
+    out["total_price"] = out["total_price"].round(4)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 4) AS total_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), (o_orderpriority))
+"""
+
+
 def top_order_per_customer(sf_dir: str):
     """arg_max per group: each customer's highest-value order (one
     candidate row per key per batch crosses the shuffle — never the
@@ -2687,6 +2716,7 @@ QUERIES = {
     "dedup_incremental_docs": dedup_incremental_docs,
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "rollup_order_totals": rollup_order_totals,
+    "grouping_sets_orders": grouping_sets_orders,
     "cube_order_totals": cube_order_totals,
     "top_order_per_customer": top_order_per_customer,
     "urgent_customers_bloom": urgent_customers_bloom,
@@ -2783,6 +2813,7 @@ ORACLE_SQL = {
     "dedup_incremental_docs": _DEDUP_INCREMENTAL_SQL,
     "funnel_view_click_purchase": _FUNNEL_SQL,
     "rollup_order_totals": _ROLLUP_SQL,
+    "grouping_sets_orders": _GROUPING_SETS_SQL,
     "cube_order_totals": _CUBE_SQL,
     "top_order_per_customer": _ARGMAX_SQL,
     "urgent_customers_bloom": _URGENT_CUST_BLOOM_SQL,

@@ -1559,6 +1559,48 @@ def cube_aggregate(ds, keys, aggs):
     return pd.concat(levels, ignore_index=True)
 
 
+def grouping_sets_aggregate(ds, sets, aggs):
+    """SQL ``GROUP BY GROUPING SETS ((..), (..), ...)`` — the general
+    form ROLLUP and CUBE are sugar for: aggregate at exactly the
+    requested key subsets, absent key columns NULL.
+
+    Same scan discipline as :func:`rollup_aggregate`: ONE
+    partial-combined corpus scan at the finest level (the union of all
+    requested keys), then each requested set re-aggregates that
+    dimension-bounded result driver-side. Kinds: sum, count, min, max
+    (algebraic — they re-aggregate losslessly; AVG would need its
+    sum/count partials carried instead)."""
+    sets = [list(s) for s in sets]
+    keys = list(dict.fromkeys(k for s in sets for k in s))
+    if not keys:
+        raise PlanError("grouping_sets needs at least one non-empty set")
+    plan = {}
+    for out_col, (_, kind) in aggs.items():
+        if kind == "count":
+            plan[out_col] = "sum"
+        elif kind == "sum":
+            # min_count=1: SQL NULL-SUM semantics (see rollup_aggregate)
+            plan[out_col] = lambda s: s.sum(min_count=1)
+        elif kind in ("min", "max"):
+            plan[out_col] = kind
+        else:
+            raise PlanError(f"grouping_sets does not support kind {kind!r}")
+    finest = pre_aggregate(ds, keys, aggs)
+    levels = []
+    for sub in sets:
+        if set(sub) == set(keys):
+            lv = finest.copy()
+        elif sub:
+            lv = finest.groupby(sub, as_index=False, observed=True).agg(plan)
+        else:
+            lv = finest[list(plan)].agg(plan).to_frame().T
+        for k in keys:
+            if k not in sub:
+                lv[k] = None
+        levels.append(lv[keys + list(aggs)])
+    return pd.concat(levels, ignore_index=True)
+
+
 def funnel(ds, user_col, ts_col, type_col, steps, num_buckets: int = 64):
     """Ordered funnel analysis: how many users completed step 1, then
     step 2 AT OR AFTER their step-1 time, then step 3 after that, ...
