@@ -145,3 +145,98 @@ def prepare_training_corpus(
     return final.map_batches(
         lambda df: df[["doc_id", "n_tokens", "quality"]], batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing — the step between curation and tokenization
+
+
+def pack_sequences(
+    docs,
+    budget: int = 256,
+    range_width: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+):
+    """Greedy next-fit sequence packing: assign each document to a
+    training pack so every pack's token total stays ≤ ``budget``
+    (tokens = ``[A-Za-z0-9_]+`` runs, the engine's token regex).
+
+    Determinism under parallelism (the engine invariant): docs pack in
+    id order within FIXED id ranges (``id // range_width``), so the
+    output never depends on block boundaries or worker count — range r
+    always packs the same docs in the same order. One bucketed shuffle
+    co-locates each range; packing inside a bucket is a cumsum +
+    ``searchsorted`` gallop whose Python loop is per PACK (not per
+    row), with forced breaks at range boundaries. A doc longer than
+    the budget gets a single-doc pack flagged ``oversize`` (a real
+    pipeline would chunk it; flagging keeps this op total and
+    auditable). ``pack_id`` = first doc id in the pack — globally
+    unique because ranges partition the id space.
+
+    Output: (id_col, pack_id, seq_pos, n_tokens, pack_tokens, oversize).
+    """
+    from .relational import bucketed_groupby_apply
+
+    def tokens(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: df[id_col],
+                "n_tokens": df[text_col].str.count(r"[A-Za-z0-9_]+").astype("int64"),
+                "__rng": (df[id_col] // range_width).astype("int64"),
+            }
+        )
+
+    slim = docs.select_columns([id_col, text_col]).map_batches(
+        tokens, batch_format="pandas"
+    )
+
+    def pack_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__rng", id_col], kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "pack_id": pd.Series([], dtype="int64"),
+                    "seq_pos": pd.Series([], dtype="int64"),
+                    "n_tokens": pd.Series([], dtype="int64"),
+                    "pack_tokens": pd.Series([], dtype="int64"),
+                    "oversize": pd.Series([], dtype="bool"),
+                }
+            )
+        tok = g["n_tokens"].to_numpy()
+        rng = g["__rng"].to_numpy()
+        csum = np.cumsum(tok)
+        # exclusive end index of each row's range (forced pack break)
+        bounds = np.flatnonzero(np.diff(rng)) + 1
+        seg_ends = np.append(bounds, n)
+        seg_lens = np.diff(np.append(0, seg_ends))
+        row_end = np.repeat(seg_ends, seg_lens)
+        starts = []
+        s = 0
+        while s < n:  # one iteration per PACK
+            starts.append(s)
+            base = csum[s - 1] if s else 0
+            e = int(np.searchsorted(csum, base + budget, side="right"))
+            e = min(e, int(row_end[s]))
+            if e == s:  # single doc over budget
+                e = s + 1
+            s = e
+        starts = np.asarray(starts, dtype=np.int64)
+        pack_idx = np.searchsorted(starts, np.arange(n), side="right") - 1
+        first = g[id_col].to_numpy()[starts]
+        pack_tok = np.add.reduceat(tok, starts)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col],
+                "pack_id": first[pack_idx],
+                "seq_pos": (np.arange(n) - starts[pack_idx]).astype("int64"),
+                "n_tokens": g["n_tokens"],
+                "pack_tokens": pack_tok[pack_idx],
+                "oversize": tok > budget,
+            }
+        )
+
+    return bucketed_groupby_apply(slim, ["__rng"], pack_bucket, num_buckets)

@@ -2155,6 +2155,18 @@ WHERE d.source <> 'src0'
 """
 
 
+def pack_docs(sf_dir: str):
+    """Sequence packing for training: greedy next-fit of documents into
+    256-token packs, deterministic in doc-id order within fixed id
+    ranges (kgraft/curation.py pack_sequences). Inherently stateful
+    sequential semantics -> rows-only driver check; the straight-line
+    oracle + parallelism-invariance tests live in tests/test_curation.py."""
+    from .curation import pack_sequences
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return pack_sequences(docs, budget=256)
+
+
 def curate_documents(sf_dir: str):
     """The composite training-corpus curation pipeline: quality/length
     filter -> exact dedup -> near-dup representative selection ->
@@ -2722,6 +2734,7 @@ QUERIES = {
     "urgent_customers_bloom": urgent_customers_bloom,
     "decontaminate_docs": decontaminate_docs,
     "curate_documents": curate_documents,
+    "pack_docs": pack_docs,
     "dedup_exact_docs": dedup_exact_docs,
     "token_count_docs": token_count_docs,
     "doc_stats_by_lang": doc_stats_by_lang,

@@ -52,3 +52,74 @@ def test_curation_drops_each_class(ray_session):
     assert out["doc_id"].tolist() == list(range(10))
     assert (out["n_tokens"] > 10).all()
     assert (out["quality"] >= 0.2).all()
+
+
+def test_pack_sequences_matches_straightline_oracle(ray_session):
+    """Next-fit packing vs a straight-line single-process oracle, plus
+    the engine invariants: every doc exactly once, pack totals within
+    budget unless a single oversize doc, and the output is invariant to
+    input order and bucket count (determinism under parallelism)."""
+    import ray
+
+    from kgraft.curation import pack_sequences
+
+    rng = np.random.RandomState(23)
+    words = np.array(["alpha", "beta", "gamma", "delta", "epsilon"])
+    texts = [
+        " ".join(rng.choice(words, rng.randint(1, 40)))
+        for _ in range(300)
+    ]
+    texts[7] = " ".join(rng.choice(words, 500))  # oversize doc
+    ids = rng.permutation(10_000)[:300]  # sparse, shuffled ids
+    docs = pd.DataFrame({"doc_id": ids, "text": texts})
+
+    budget, width = 64, 128
+
+    def oracle(df):
+        rows = []
+        df = df.sort_values("doc_id")
+        ntok = df["text"].str.count(r"[A-Za-z0-9_]+").astype("int64")
+        for rng_id, g in df.assign(nt=ntok, r=df["doc_id"] // width).groupby("r"):
+            cur, cur_tok = [], 0
+            for did, nt in zip(g["doc_id"], g["nt"]):
+                if cur and cur_tok + nt > budget:
+                    rows.extend((d, cur[0], i, cur_tok) for i, d in enumerate(cur))
+                    cur, cur_tok = [], 0
+                cur.append(did)
+                cur_tok += nt
+            if cur:
+                rows.extend((d, cur[0], i, cur_tok) for i, d in enumerate(cur))
+        return pd.DataFrame(rows, columns=["doc_id", "pack_id", "seq_pos", "pack_tokens"])
+
+    want = oracle(docs).sort_values("doc_id").reset_index(drop=True)
+
+    outs = []
+    for nb, frac_seed in ((4, 1), (17, 2)):
+        got = (
+            pack_sequences(
+                ray.data.from_pandas(docs.sample(frac=1, random_state=frac_seed)),
+                budget=budget,
+                range_width=width,
+                num_buckets=nb,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs.append(got)
+    # invariant to bucket count and input order
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0]
+    # matches the straight-line oracle
+    for c in ("pack_id", "seq_pos", "pack_tokens"):
+        assert got[c].tolist() == want[c].tolist(), c
+    # every doc exactly once
+    assert sorted(got["doc_id"]) == sorted(docs["doc_id"])
+    # pack totals: <= budget unless a single oversize doc
+    per_pack = got.groupby("pack_id").agg(
+        total=("n_tokens", "sum"), n=("doc_id", "size"), over=("oversize", "any")
+    )
+    bad = per_pack[per_pack["total"] > budget]
+    assert ((bad["n"] == 1) & bad["over"]).all()
+    # packs never cross the fixed id ranges
+    assert (got["pack_id"] // width == got["doc_id"] // width).all()
