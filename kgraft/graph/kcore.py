@@ -1,0 +1,125 @@
+"""k-core decomposition over the materialized edge table.
+
+Third graph-quality signal next to ``kg_degree_stats`` and
+``kg_triangles``: coreness separates genuinely dense regions from
+star-shaped hub artifacts (a hub explosion inflates degrees but not
+coreness — a star's periphery is 1-core no matter how big the hub).
+
+Scale shape (same contract as ``pagerank``): the per-node state
+(alive flags, coreness) is vocabulary-scale — bounded, broadcast per
+superstep via ``ray.put`` — while edges are corpus-scale and stream
+through shuffle-free bincount passes. The algorithm is standard BSP
+peeling: for k = 1, 2, ... repeatedly drop alive nodes with alive
+degree < k until fixpoint; nodes removed while peeling k+1 have
+coreness k. Each peel round is ONE edge pass; the (k+1)-core starts
+from the k-core's survivor set so the rounds shrink as k grows.
+
+The graph is simplified first (undirected, self-loops dropped,
+parallel edges collapsed) with one bucketed exchange; the deduped pair
+set is materialized when it fits the object store (size guard) so peel
+passes scan blocks instead of re-executing the dedup shuffle — the
+corpus-scale fallback re-reads the lineage per pass, exactly like the
+streaming PageRank path.
+
+The reference has no graph analytics at all (SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from .pagerank import _to_index
+
+
+def simple_pairs(edges, src_col: str = "subj_id", dst_col: str = "obj_id"):
+    """Canonical undirected unique pairs (lo < hi): map-side canonicalize
+    + local drop-dup (the combiner), one bucketed exchange keyed on the
+    pair hash, exact drop-dup post-colocation."""
+    from ..relational import bucketed_groupby_apply
+
+    def canon(t: pa.Table) -> pd.DataFrame:
+        s = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = s != d  # self-loops contribute nothing to coreness
+        lo = np.minimum(s[m], d[m])
+        hi = np.maximum(s[m], d[m])
+        return pd.DataFrame({"lo": lo, "hi": hi}).drop_duplicates()
+
+    local = edges.map_batches(canon, batch_format="pyarrow")
+    return bucketed_groupby_apply(
+        local, ["lo", "hi"], lambda g: g.drop_duplicates(), num_buckets=32
+    )
+
+
+def _alive_degree(pairs, ids_ref, alive_ref, n: int) -> np.ndarray:
+    """One edge pass: per-node degree counting only pairs whose BOTH
+    endpoints are alive — sparse vocab-scale partials per block."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"__i": pa.array([], pa.int64()), "__c": pa.array([], pa.int64())}
+            )
+        ids = ray.get(ids_ref)
+        alive = ray.get(alive_ref)
+        lo = _to_index(ids, t["lo"].to_numpy(zero_copy_only=False), "lo")
+        hi = _to_index(ids, t["hi"].to_numpy(zero_copy_only=False), "hi")
+        m = alive[lo] & alive[hi]
+        dense = np.bincount(lo[m], minlength=n) + np.bincount(hi[m], minlength=n)
+        nz = np.nonzero(dense)[0]
+        return pa.table(
+            {
+                "__i": pa.array(nz.astype(np.int64), pa.int64()),
+                "__c": pa.array(dense[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = pairs.map_batches(fn, batch_format="pyarrow").to_pandas()
+    out = np.zeros(n, dtype=np.int64)
+    if len(parts):  # all-empty partials arrive column-less
+        np.add.at(out, parts["__i"].to_numpy(), parts["__c"].to_numpy())
+    return out
+
+
+def core_numbers(
+    edges,
+    node_ids: np.ndarray,
+    src_col: str = "subj_id",
+    dst_col: str = "obj_id",
+    max_core: int = 64,
+    materialize_limit_bytes: int = 4 << 30,
+) -> pd.DataFrame:
+    """Coreness per node: ``(node_id, coreness)`` for every id in
+    ``node_ids`` (isolated / absent nodes get 0). Deterministic; every
+    edge id must appear in ``node_ids`` (validated per block)."""
+    ids = np.unique(np.asarray(node_ids, dtype=np.int64))
+    n = len(ids)
+    ids_ref = ray.put(ids)
+
+    pairs = simple_pairs(edges, src_col, dst_col)
+    # size guard: pin the deduped pair blocks when they fit, so each
+    # peel round is a block scan, not a re-run of the dedup exchange
+    est = pairs.count() * 16  # two int64 per pair
+    if est <= materialize_limit_bytes:
+        pairs = pairs.materialize()
+
+    alive = np.ones(n, dtype=bool)
+    core = np.zeros(n, dtype=np.int64)
+    for k in range(1, max_core + 1):
+        # peel to the k-core from the (k-1)-core survivor set
+        while alive.any():
+            deg = _alive_degree(pairs, ids_ref, ray.put(alive), n)
+            drop = alive & (deg < k)
+            if not drop.any():
+                break
+            core[drop] = k - 1
+            alive &= ~drop
+        if not alive.any():
+            break
+    else:  # pragma: no cover - max_core is a backstop, not a semantic cap
+        core[alive] = max_core
+        return pd.DataFrame({"node_id": ids, "coreness": core})
+    return pd.DataFrame({"node_id": ids, "coreness": core})

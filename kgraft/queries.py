@@ -2430,6 +2430,34 @@ def kg_triangles(sf_dir: str) -> pd.DataFrame:
     return count_triangles(edges, src="subj_id", dst="obj_id")
 
 
+def kg_kcore(sf_dir: str) -> pd.DataFrame:
+    """k-core decomposition of the constructed KG: how many entities at
+    each coreness level — the third graph-quality signal (a hub
+    explosion inflates degrees but not coreness; density collapse shows
+    up as the high-core tail vanishing). BSP peeling with the
+    vocab-scale alive vector broadcast per round; edges stream through
+    bincount passes (kgraft/graph/kcore.py)."""
+    import pyarrow.parquet as pq
+
+    from .graph.kcore import core_numbers
+
+    m = _kg_outputs(sf_dir)
+    node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
+        "entity_id"
+    ].to_numpy()
+    edges = ray.data.read_parquet(m["edges_dir"], columns=["subj_id", "obj_id"])
+    cn = core_numbers(edges, node_ids)
+    out = (
+        cn.groupby("coreness", as_index=False)
+        .agg(n_entities=("node_id", "size"))
+        .sort_values("coreness")
+        .reset_index(drop=True)
+    )
+    out["coreness"] = out["coreness"].astype("int64")
+    out["n_entities"] = out["n_entities"].astype("int64")
+    return out
+
+
 def kg_mentions(sf_dir: str):
     """Stage 4 as a standalone query: gazetteer mention detection over the
     synthetic corpus segments (actor pool, broadcast alias dict)."""
@@ -2759,6 +2787,7 @@ QUERIES = {
     "kg_pagerank": kg_pagerank,
     "kg_degree_stats": kg_degree_stats,
     "kg_triangles": kg_triangles,
+    "kg_kcore": kg_kcore,
     "kg_mentions": kg_mentions,
     "kg_triples_llm": kg_triples_llm,
     "page_meta": page_meta,

@@ -177,3 +177,52 @@ def test_triangle_count_matches_bruteforce(ray_session):
         assert got["n_wedges"] == wedges
         if wedges:
             assert abs(got["global_clustering"] - round(3 * tri / wedges, 6)) < 1e-9
+
+
+def test_core_numbers_match_bruteforce_peeling(ray_session):
+    """BSP k-core vs a straight-line peeling oracle on random multigraphs
+    with a planted 6-clique (which must surface as the 5-core)."""
+    import ray
+
+    from kgraft.graph.kcore import core_numbers
+
+    def brute_core(pairs, nodes):
+        adj = {u: set() for u in nodes}
+        for a, b in pairs:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        core = {u: 0 for u in nodes}
+        alive = set(nodes)
+        k = 1
+        while alive:
+            changed = True
+            while changed:
+                changed = False
+                for u in list(alive):
+                    if u in alive and len(adj[u] & alive) < k:
+                        core[u] = k - 1
+                        alive.discard(u)
+                        changed = True
+            k += 1
+        return core
+
+    rng = np.random.RandomState(31)
+    for trial in range(3):
+        n = 40
+        m = 120
+        s = rng.randint(0, n, m)
+        d = rng.randint(0, n, m)
+        # planted 6-clique on nodes 100..105 (disjoint id range)
+        cl = [(100 + i, 100 + j) for i in range(6) for j in range(i + 1, 6)]
+        s = np.concatenate([s, [a for a, _ in cl], s[:10]])  # dup edges too
+        d = np.concatenate([d, [b for _, b in cl], d[:10]])
+        nodes = np.unique(np.concatenate([s, d]))
+        edges = ray.data.from_pandas(
+            pd.DataFrame({"subj_id": s.astype("int64"), "obj_id": d.astype("int64")})
+        )
+        got = core_numbers(edges, nodes)
+        want = brute_core(list(zip(s.tolist(), d.tolist())), nodes.tolist())
+        gmap = dict(zip(got["node_id"], got["coreness"]))
+        assert gmap == want, trial
+        assert all(gmap[100 + i] >= 5 for i in range(6))  # clique is 5-core
