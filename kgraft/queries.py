@@ -2155,6 +2155,16 @@ WHERE d.source <> 'src0'
 """
 
 
+def tokenize_docs_q(sf_dir: str):
+    """Vocab-broadcast tokenization to id sequences (list<int32> per
+    doc, id 0 = UNK) — the encode step before sequence packing.
+    Nested-list output -> rows-only driver check; the brute-force
+    equivalence oracle lives in tests/test_textops.py."""
+    return textops.tokenize_docs(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]), vocab_size=512
+    )
+
+
 def pack_docs(sf_dir: str):
     """Sequence packing for training: greedy next-fit of documents into
     256-token packs, deterministic in doc-id order within fixed id
@@ -2762,6 +2772,7 @@ QUERIES = {
     "urgent_customers_bloom": urgent_customers_bloom,
     "decontaminate_docs": decontaminate_docs,
     "curate_documents": curate_documents,
+    "tokenize_docs": tokenize_docs_q,
     "pack_docs": pack_docs,
     "dedup_exact_docs": dedup_exact_docs,
     "token_count_docs": token_count_docs,

@@ -1271,3 +1271,83 @@ def repetition_signals(docs, id_col: str = "doc_id", text_col: str = "text"):
     return docs.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pandas"
     )
+
+
+def tokenize_docs(
+    ds,
+    vocab_size: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_re: str = r"[a-z0-9_]+",
+):
+    """Vocabulary-broadcast tokenization to id sequences — the step
+    between curation and :func:`kgraft.curation.pack_sequences` in a
+    training-data pipeline. Deterministic: the corpus itself defines
+    the vocabulary.
+
+    * Pass 1 (train): the same streaming top-``vocab_size`` cut as
+      :func:`unigram_nll` (count desc, token asc tie-break); token id =
+      1 + rank in that order, id 0 reserved for OOV/UNK. Only the
+      bounded head broadcasts.
+    * Pass 2 (encode): per batch, one ``findall`` + ``searchsorted``
+      lookup maps every token to its id; sequences come back as an
+      Arrow ``list<int32>`` column built from offsets — no per-row
+      Python. Shuffle-free.
+
+    Output: (id_col, n_tokens, input_ids: list<int32>).
+    """
+    from .relational import pre_aggregate_ds
+
+    pat = re.compile(token_re)
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.lower().str.findall(pat).explode().dropna()
+        vc = toks.value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.astype(str), "n": vc.to_numpy(dtype="int64")}
+        )
+
+    agg = pre_aggregate_ds(
+        ds.map_batches(counts, batch_format="pandas"), "token", {"n": ("n", "sum")}
+    )
+    vocab = (
+        agg.sort(["n", "token"], descending=[True, False])
+        .limit(vocab_size)
+        .to_pandas()
+    )
+    vtok = vocab["token"].to_numpy(dtype=object)
+    vids = np.arange(1, len(vtok) + 1, dtype=np.int32)  # 0 = UNK
+    order = np.argsort(vtok)
+    table_ref = ray.put((vtok[order], vids[order]))
+
+    def encode(df: pd.DataFrame) -> pa.Table:
+        keys, ids = ray.get(table_ref)
+        toks = df[text_col].str.lower().str.findall(pat)
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        flat = (
+            np.concatenate(toks.to_numpy())
+            if lens.sum()
+            else np.empty(0, dtype=object)
+        )
+        if len(flat):
+            pos = np.searchsorted(keys, flat)
+            pos_c = np.clip(pos, 0, len(keys) - 1)
+            hit = keys[pos_c] == flat
+            tok_ids = np.where(hit, ids[pos_c], np.int32(0)).astype(np.int32)
+        else:
+            tok_ids = np.empty(0, dtype=np.int32)
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        seqs = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(tok_ids, pa.int32())
+        )
+        return pa.table(
+            {
+                id_col: pa.array(df[id_col].to_numpy(), pa.int64()),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "input_ids": seqs,
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        encode, batch_format="pandas"
+    )

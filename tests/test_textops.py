@@ -379,3 +379,45 @@ def test_repetition_signals_planted(ray_session):
     pd.testing.assert_frame_equal(
         out[sorted(out.columns)], want[sorted(want.columns)], check_dtype=False
     )
+
+
+def test_tokenize_docs_matches_bruteforce(ray_session):
+    """Vocab cut + id encoding vs a straight-line oracle: top-V by
+    (count desc, token asc), ids 1..V in that order, OOV -> 0."""
+    import ray
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the cat sat on the mat",
+                "the dog ate the cat food",
+                "zebra quagga zebra",
+                "",
+            ],
+        }
+    )
+    V = 5
+    got = (
+        textops.tokenize_docs(ray.data.from_pandas(docs), vocab_size=V)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # straight-line oracle
+    import collections
+    import re as _re
+
+    cnt = collections.Counter()
+    for t in docs["text"]:
+        cnt.update(_re.findall(r"[a-z0-9_]+", t.lower()))
+    vocab = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:V]
+    ids = {tok: i + 1 for i, (tok, _) in enumerate(vocab)}
+    for row, text in zip(got.itertuples(), docs["text"]):
+        toks = _re.findall(r"[a-z0-9_]+", text.lower())
+        assert row.n_tokens == len(toks)
+        assert list(row.input_ids) == [ids.get(t, 0) for t in toks]
+    # "the" is the most frequent -> id 1; OOVs present (V < vocab)
+    assert ids["the"] == 1
+    assert any(0 in list(r) for r in got["input_ids"])
