@@ -1584,6 +1584,101 @@ FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 
 
+def upsert_orders(sf_dir: str):
+    """Lakehouse MERGE / latest-wins upsert: a derived update set
+    (price bumps on o_orderkey%7, inserts at o_orderkey+6e6 from %97)
+    merged into the orders snapshot — one tagged union + one bucketed
+    key exchange, payload carried (relational.upsert)."""
+    from .relational import upsert
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def mk_base(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["v"] = np.int64(1)
+        return out
+
+    def mk_updates(df: pd.DataFrame) -> pd.DataFrame:
+        mod = df[df["o_orderkey"] % 7 == 0].copy()
+        mod["o_totalprice"] = (mod["o_totalprice"] + 100).round(2)
+        ins = df[df["o_orderkey"] % 97 == 0].copy()
+        ins["o_orderkey"] = ins["o_orderkey"] + 6_000_000
+        out = pd.concat([mod, ins], ignore_index=True)
+        out["v"] = np.int64(2)
+        return out
+
+    import pyarrow as _pa
+
+    schema = _pa.schema(
+        [("o_orderkey", _pa.int64()), ("o_totalprice", _pa.float64()), ("v", _pa.int64())]
+    )
+    base = orders.map_batches(mk_base, batch_format="pandas")
+    updates = orders.map_batches(mk_updates, batch_format="pandas")
+    merged = upsert(base, updates, "o_orderkey", "v", base_schema=schema)
+    return merged.map_batches(
+        lambda df: df.assign(o_totalprice=df["o_totalprice"].round(2)),
+        batch_format="pandas",
+    )
+
+
+_UPSERT_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, 1 AS v FROM orders
+), updates AS (
+  SELECT o_orderkey, round(o_totalprice + 100, 2) AS o_totalprice, 2 AS v
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 6000000, o_totalprice, 2
+  FROM orders WHERE o_orderkey % 97 = 0
+), u AS (
+  SELECT * FROM base UNION ALL SELECT * FROM updates
+)
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, v FROM u
+QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC) = 1
+"""
+
+
+def diff_order_snapshots(sf_dir: str):
+    """Change-data-capture between two order snapshots (drops on %11,
+    price changes on %7, inserts at +6e6 from %97): per key added /
+    removed / changed, NULL-safe compare, one bucketed key exchange
+    (relational.snapshot_diff)."""
+    from .relational import snapshot_diff
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def mk_b(df: pd.DataFrame) -> pd.DataFrame:
+        kept = df[df["o_orderkey"] % 11 != 0].copy()
+        bump = kept["o_orderkey"] % 7 == 0
+        kept.loc[bump, "o_totalprice"] = (kept.loc[bump, "o_totalprice"] + 100).round(2)
+        ins = df[df["o_orderkey"] % 97 == 0].copy()
+        ins["o_orderkey"] = ins["o_orderkey"] + 6_000_000
+        return pd.concat([kept, ins], ignore_index=True)
+
+    b = orders.map_batches(mk_b, batch_format="pandas")
+    return snapshot_diff(orders, b, "o_orderkey", ["o_totalprice"])
+
+
+_DIFF_SQL = """
+WITH a AS (SELECT o_orderkey, o_totalprice FROM orders),
+b AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice + 100, 2)
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 11 <> 0
+  UNION ALL
+  SELECT o_orderkey + 6000000, o_totalprice FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN a.o_orderkey IS NULL THEN 'added'
+            WHEN b.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+   OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+"""
+
+
 def grouping_sets_orders(sf_dir: str) -> pd.DataFrame:
     """GROUP BY GROUPING SETS ((status, priority), (status), (priority)):
     the general form ROLLUP/CUBE are sugar for — exactly the requested
@@ -2767,6 +2862,8 @@ QUERIES = {
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "rollup_order_totals": rollup_order_totals,
     "grouping_sets_orders": grouping_sets_orders,
+    "upsert_orders": upsert_orders,
+    "diff_order_snapshots": diff_order_snapshots,
     "cube_order_totals": cube_order_totals,
     "top_order_per_customer": top_order_per_customer,
     "urgent_customers_bloom": urgent_customers_bloom,
@@ -2867,6 +2964,8 @@ ORACLE_SQL = {
     "funnel_view_click_purchase": _FUNNEL_SQL,
     "rollup_order_totals": _ROLLUP_SQL,
     "grouping_sets_orders": _GROUPING_SETS_SQL,
+    "upsert_orders": _UPSERT_SQL,
+    "diff_order_snapshots": _DIFF_SQL,
     "cube_order_totals": _CUBE_SQL,
     "top_order_per_customer": _ARGMAX_SQL,
     "urgent_customers_bloom": _URGENT_CUST_BLOOM_SQL,

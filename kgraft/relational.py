@@ -1781,3 +1781,92 @@ def histogram(ds, col: str, lo: float, hi: float, n_bins: int):
         return out[["bin", "bin_lo", "n"]]
 
     return agg.map_batches(finalize, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# snapshot maintenance: upsert (MERGE) and diff (CDC)
+
+
+def upsert(base, updates, key, version_col, num_buckets: int = 64,
+           base_schema=None, updates_schema=None):
+    """Latest-wins merge (SQL ``MERGE INTO`` / lakehouse upsert): for
+    each key, keep the row with the highest ``version_col``; on version
+    ties the UPDATES side wins (deterministic — the side tag extends the
+    ordering). Both sides must share one schema.
+
+    One tagged union + ONE bucketed exchange on the key; per bucket a
+    single vectorized sort + ``drop_duplicates(keep='last')`` — no
+    per-key Python. Payload columns ride the shuffle once (never a
+    second join against either snapshot); at corpus scale this is the
+    standard incremental-snapshot maintenance pass.
+    """
+    key_list = [key] if isinstance(key, str) else list(key)
+    schema = base_schema if base_schema is not None else base.schema()
+    cols = list(schema.names)
+
+    def tag(side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[cols].copy()
+            df["__side"] = np.int8(side)
+            return df
+
+        return fn
+
+    both = base.map_batches(tag(0), batch_format="pandas").union(
+        updates.map_batches(tag(1), batch_format="pandas")
+    )
+
+    def keep_last(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key_list + [version_col, "__side"], kind="mergesort")
+        return g.drop_duplicates(key_list, keep="last").drop(columns="__side")
+
+    return bucketed_groupby_apply(both, key_list, keep_last, num_buckets)
+
+
+def snapshot_diff(a, b, key, cmp_cols, num_buckets: int = 64):
+    """Change-data-capture between two snapshots: per key, classify as
+    ``added`` (only in b), ``removed`` (only in a), or ``changed`` (in
+    both with any ``cmp_cols`` difference); unchanged keys emit nothing.
+
+    Both sides project to (key + cmp_cols), tag, and co-locate with ONE
+    bucketed key exchange; per bucket a vectorized outer merge +
+    ``np.select`` classifies every key. Assumes key-unique snapshots
+    (the upsert invariant). NULL-safe: NULL vs NULL compares equal,
+    NULL vs value is a change (SQL ``IS DISTINCT FROM``).
+    """
+    key_list = [key] if isinstance(key, str) else list(key)
+    cmp_list = [cmp_cols] if isinstance(cmp_cols, str) else list(cmp_cols)
+    cols = key_list + cmp_list
+
+    def tag(side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[cols].copy()
+            df["__side"] = np.int8(side)
+            return df
+
+        return fn
+
+    both = a.select_columns(cols).map_batches(tag(0), batch_format="pandas").union(
+        b.select_columns(cols).map_batches(tag(1), batch_format="pandas")
+    )
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        ga = g[g["__side"] == 0][cols]
+        gb = g[g["__side"] == 1][cols]
+        m = ga.merge(gb, on=key_list, how="outer", suffixes=("_a", "_b"),
+                     indicator=True)
+        diff = np.zeros(len(m), dtype=bool)
+        for c in cmp_list:
+            xa, xb = m[f"{c}_a"], m[f"{c}_b"]
+            # IS DISTINCT FROM: NULLs equal each other, differ from values
+            diff |= (xa != xb) & ~(xa.isna() & xb.isna())
+        change = np.select(
+            [m["_merge"] == "right_only", m["_merge"] == "left_only", diff],
+            ["added", "removed", "changed"],
+            default="same",
+        )
+        out = m[key_list].copy()
+        out["change"] = change
+        return out[out["change"] != "same"]
+
+    return bucketed_groupby_apply(both, key_list, classify, num_buckets)

@@ -1022,3 +1022,32 @@ def test_first_last_rolling_extrema_match_duckdb(ray_session):
     ).df()
     for c in ("fv", "lv", "mn3", "mx3"):
         np.testing.assert_allclose(got[c].to_numpy(), want[c].to_numpy(), atol=1e-12)
+
+
+def test_upsert_version_tie_updates_win(ray_session):
+    """On equal versions the UPDATES side must win deterministically
+    (the side tag extends the sort); distinct keys merge like a union."""
+    import ray
+
+    import pyarrow as pa
+
+    from kgraft.relational import upsert
+
+    base = pd.DataFrame({"k": [1, 2, 3], "val": ["a", "b", "c"], "v": [1, 5, 1]})
+    upd = pd.DataFrame({"k": [2, 3, 4], "val": ["B", "C", "D"], "v": [5, 0, 9]})
+    schema = pa.schema([("k", pa.int64()), ("val", pa.string()), ("v", pa.int64())])
+    got = (
+        upsert(
+            ray.data.from_pandas(base),
+            ray.data.from_pandas(upd),
+            "k",
+            "v",
+            num_buckets=3,
+            base_schema=schema,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # k=2: tie at v=5 -> updates win; k=3: base v=1 beats update v=0
+    assert got["val"].tolist() == ["a", "B", "c", "D"]
