@@ -1584,6 +1584,31 @@ FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 
 
+def quantity_buckets(sf_dir: str):
+    """Global quantile binning of lineitem quantities into quartiles —
+    exact quantile_disc cuts from a distinct-value-scale histogram,
+    broadcast, shuffle-free searchsorted assignment
+    (relational.quantile_bucketize)."""
+    from .relational import quantile_bucketize
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+    return quantile_bucketize(
+        li, "l_quantity", 4, ["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+
+
+_QUANTITY_BUCKETS_SQL = """
+WITH cuts AS (
+  SELECT quantile_disc(l_quantity, [0.25, 0.5, 0.75]) AS q FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, l_quantity,
+       CAST(1 + len(list_filter(q, c -> l_quantity > c)) AS BIGINT) AS bucket
+FROM lineitem, cuts
+"""
+
+
 def upsert_orders(sf_dir: str):
     """Lakehouse MERGE / latest-wins upsert: a derived update set
     (price bumps on o_orderkey%7, inserts at o_orderkey+6e6 from %97)
@@ -2863,6 +2888,7 @@ QUERIES = {
     "rollup_order_totals": rollup_order_totals,
     "grouping_sets_orders": grouping_sets_orders,
     "upsert_orders": upsert_orders,
+    "quantity_buckets": quantity_buckets,
     "diff_order_snapshots": diff_order_snapshots,
     "cube_order_totals": cube_order_totals,
     "top_order_per_customer": top_order_per_customer,
@@ -2965,6 +2991,7 @@ ORACLE_SQL = {
     "rollup_order_totals": _ROLLUP_SQL,
     "grouping_sets_orders": _GROUPING_SETS_SQL,
     "upsert_orders": _UPSERT_SQL,
+    "quantity_buckets": _QUANTITY_BUCKETS_SQL,
     "diff_order_snapshots": _DIFF_SQL,
     "cube_order_totals": _CUBE_SQL,
     "top_order_per_customer": _ARGMAX_SQL,

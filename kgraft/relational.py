@@ -1870,3 +1870,44 @@ def snapshot_diff(a, b, key, cmp_cols, num_buckets: int = 64):
         return out[out["change"] != "same"]
 
     return bucketed_groupby_apply(both, key_list, classify, num_buckets)
+
+
+def quantile_bucketize(ds, col, n_tiles: int, keep_cols, num_buckets: int = 64):
+    """Global quantile binning (feature-engineering NTILE-by-value): cut
+    points are the exact ``quantile_disc`` values at i/n_tiles, and each
+    row's bucket is ``1 + #(cuts < value)`` — so equal values ALWAYS
+    share a bucket (unlike SQL NTILE, which splits ties by row order).
+
+    Scale shape: the only exchange is the partial-combined (value ->
+    count) histogram — distinct-VALUE-scale, the same contract as
+    :func:`grouped_quantile_disc`; it must be driver-bounded (use a
+    bounded-cardinality column, or the DDSketch path
+    :func:`grouped_approx_quantile` to derive approximate cuts for
+    continuous columns). The n-1 cuts broadcast via ``ray.put`` and
+    assignment is a shuffle-free ``searchsorted`` scan."""
+    import math
+
+    hist = (
+        pre_aggregate_ds(ds, [col], {"__n": (None, "count")}, num_buckets)
+        .to_pandas()
+        .sort_values(col)
+        .reset_index(drop=True)
+    )
+    cum = hist["__n"].cumsum()
+    total = int(cum.iloc[-1])
+    cuts = [
+        float(hist[col][cum >= math.ceil(total * i / n_tiles)].iloc[0])
+        for i in range(1, n_tiles)
+    ]
+    cuts_ref = ray.put(np.asarray(cuts, dtype=np.float64))  # kept sorted, dups kept
+    cols = list(keep_cols)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cuts_ref)
+        x = df[col].to_numpy(dtype=np.float64)
+        out = df[cols].copy()
+        # side='left': equal-to-cut values do NOT pass the cut (x > c)
+        out["bucket"] = (1 + np.searchsorted(c, x, side="left")).astype("int64")
+        return out
+
+    return ds.map_batches(assign, batch_format="pandas")
