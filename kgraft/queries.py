@@ -1584,6 +1584,25 @@ FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 
 
+def mad_quantity_by_flag(sf_dir: str):
+    """Robust spread per group: median absolute deviation of lineitem
+    quantity per return flag (DuckDB ``mad`` semantics — continuous
+    median of |x - median|), from ONE distinct-value histogram exchange
+    (relational.grouped_mad)."""
+    from .relational import grouped_mad
+
+    li = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    out = grouped_mad(li, "l_returnflag", "l_quantity").to_pandas()
+    out["mad"] = out["mad"].round(6)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+_MAD_SQL = """
+SELECT l_returnflag, round(mad(l_quantity), 6) AS mad
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def quantity_buckets(sf_dir: str):
     """Global quantile binning of lineitem quantities into quartiles —
     exact quantile_disc cuts from a distinct-value-scale histogram,
@@ -2889,6 +2908,7 @@ QUERIES = {
     "grouping_sets_orders": grouping_sets_orders,
     "upsert_orders": upsert_orders,
     "quantity_buckets": quantity_buckets,
+    "mad_quantity_by_flag": mad_quantity_by_flag,
     "diff_order_snapshots": diff_order_snapshots,
     "cube_order_totals": cube_order_totals,
     "top_order_per_customer": top_order_per_customer,
@@ -2992,6 +3012,7 @@ ORACLE_SQL = {
     "grouping_sets_orders": _GROUPING_SETS_SQL,
     "upsert_orders": _UPSERT_SQL,
     "quantity_buckets": _QUANTITY_BUCKETS_SQL,
+    "mad_quantity_by_flag": _MAD_SQL,
     "diff_order_snapshots": _DIFF_SQL,
     "cube_order_totals": _CUBE_SQL,
     "top_order_per_customer": _ARGMAX_SQL,

@@ -1911,3 +1911,62 @@ def quantile_bucketize(ds, col, n_tiles: int, keep_cols, num_buckets: int = 64):
         return out
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+def _hist_cont_median(g: pd.DataFrame, keys: list, col: str, cnt: str) -> pd.DataFrame:
+    """Continuous (interpolated) median per key group from a sorted-able
+    (keys, value, count) histogram — the grouped_quantile_cont walk,
+    factored so :func:`grouped_mad` can run it twice in one bucket."""
+    g = g.sort_values(keys + [col], kind="mergesort")
+    grp = g.groupby(keys, sort=False)
+    cum = grp[cnt].cumsum()
+    total = grp[cnt].transform("sum")
+    h = (total - 1) * 0.5
+    lo_rank = np.floor(h) + 1
+    hi_rank = np.ceil(h) + 1
+    lo = (
+        g[cum >= lo_rank]
+        .groupby(keys, sort=False, as_index=False)
+        .first()[keys + [col]]
+        .rename(columns={col: "__lo"})
+    )
+    hi = (
+        g[cum >= hi_rank]
+        .groupby(keys, sort=False, as_index=False)
+        .first()[keys + [col]]
+        .rename(columns={col: "__hi"})
+    )
+    fr = (
+        g.assign(__frac=h - np.floor(h))[keys + ["__frac"]]
+        .groupby(keys, sort=False, as_index=False)
+        .first()
+    )
+    m = lo.merge(hi, on=keys).merge(fr, on=keys)
+    m["__med"] = m["__lo"] + (m["__hi"] - m["__lo"]) * m["__frac"]
+    return m[keys + ["__med"]]
+
+
+def grouped_mad(ds, keys, col, out_col="mad", num_buckets: int = 64):
+    """Median absolute deviation per group (robust spread — DuckDB
+    ``mad``: the CONTINUOUS median of ``|x - median_cont(x)|``).
+
+    One exchange total: the partial-combined (keys, value) COUNT
+    histogram co-locates each key's distinct values; inside the bucket
+    the interpolated median is computed from cumulative counts, the
+    deviation histogram ``|value - med|`` derives from the SAME rows
+    (counts carry over — no second corpus pass), and the median walk
+    runs again over it. Distinct-value-scale, never row-scale, same
+    contract as :func:`grouped_quantile_disc`."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    hist = pre_aggregate_ds(ds, keys + [col], {"__n": (None, "count")}, num_buckets)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        med = _hist_cont_median(g, keys, col, "__n")
+        d = g.merge(med, on=keys)
+        d["__dev"] = (d[col] - d["__med"]).abs()
+        # distinct values can map to the same deviation -> re-sum
+        d = d.groupby(keys + ["__dev"], as_index=False, sort=False)["__n"].sum()
+        out = _hist_cont_median(d, keys, "__dev", "__n")
+        return out.rename(columns={"__med": out_col})
+
+    return bucketed_groupby_apply(hist, keys, pick, num_buckets)

@@ -1051,3 +1051,31 @@ def test_upsert_version_tie_updates_win(ray_session):
     )
     # k=2: tie at v=5 -> updates win; k=3: base v=1 beats update v=0
     assert got["val"].tolist() == ["a", "B", "c", "D"]
+
+
+def test_grouped_mad_matches_duckdb_random(ray_session):
+    """grouped_mad vs DuckDB mad() over random bounded-cardinality
+    values, including even/odd group sizes (interpolation on both
+    median stages)."""
+    import duckdb
+    import ray
+
+    from kgraft.relational import grouped_mad
+
+    rng = np.random.RandomState(41)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(list("abc"), 500),
+            "v": rng.randint(0, 25, 500).astype("float64"),
+        }
+    )
+    got = (
+        grouped_mad(ray.data.from_pandas(df), "k", "v", num_buckets=4)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql("SELECT k, mad(v) AS mad FROM t GROUP BY k ORDER BY k").df()
+    np.testing.assert_allclose(got["mad"].to_numpy(), want["mad"].to_numpy(), atol=1e-12)
