@@ -1942,6 +1942,49 @@ GROUP BY t ORDER BY n DESC, t LIMIT 20
 """
 
 
+def top_bigrams_docs(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide top-20 word BIGRAMS — the co-occurrence statistics
+    pass (collocation mining / LM diagnostics). Same scale shape as
+    top_tokens_docs: each batch emits (bigram, count) partials built
+    from a shifted exploded frame (raw text never shuffles), the
+    grouped sum reduces, the vocab-scale aggregate takes the cut."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(r"[a-z0-9_]+")
+        idx = pd.RangeIndex(len(df)).repeat(toks.str.len())
+        ex = pd.Series(
+            np.concatenate(toks.to_numpy()) if len(df) else [], index=idx
+        )
+        nxt = ex.shift(-1)
+        same = pd.Series(idx, index=idx).shift(-1) == idx
+        g = (ex + " " + nxt.fillna(""))[same.fillna(False)]
+        vc = g.value_counts()
+        return pd.DataFrame(
+            {"bigram": vc.index.astype(str), "n": vc.to_numpy(dtype="int64")}
+        )
+
+    partials = docs.map_batches(counts, batch_format="pandas")
+    agg = pre_aggregate_ds(partials, "bigram", {"n": ("n", "sum")})
+    out = agg.sort(["n", "bigram"], descending=[True, False]).limit(20).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+_TOP_BIGRAMS_SQL = """
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]))
+         AS bigram
+  FROM toks
+)
+GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+"""
+
+
 def event_value_histogram(sf_dir: str) -> pd.DataFrame:
     """20-bin equi-width histogram of event values over [0, 500) —
     see :func:`kgraft.relational.histogram`."""
@@ -2607,6 +2650,43 @@ def kg_kcore(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def page_domain_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-domain rollup over the pages corpus (the Common-Crawl
+    curation view: which hosts dominate the crawl and how much text
+    they carry): host parsed with one vectorized str.extract, stats via
+    the partial-combined aggregate — html column never read. Rows-only
+    driver check; the straight-line oracle lives in tests/test_queries
+    (pytest)."""
+    from .synth import corpus_dir, sharded_pages
+
+    d = corpus_dir(_pages_for(sf_dir))
+    pages = ray.data.read_parquet(sharded_pages(d), columns=["url", "text", "lang"])
+
+    def host_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "host": df["url"].str.extract(r"^https?://([^/]+)/", expand=False),
+                "n_chars": df["text"].str.len().astype("int64"),
+                "is_en": (df["lang"] == "en").astype("int64"),
+            }
+        )
+
+    slim = pages.map_batches(host_rows, batch_format="pandas")
+    out = pre_aggregate(
+        slim,
+        "host",
+        {
+            "n_pages": (None, "count"),
+            "total_chars": ("n_chars", "sum"),
+            "en_share": ("is_en", "mean"),
+        },
+    )
+    out["n_pages"] = out["n_pages"].astype("int64")
+    out["total_chars"] = out["total_chars"].astype("int64")
+    out["en_share"] = out["en_share"].round(6)
+    return out.sort_values("host").reset_index(drop=True)
+
+
 def kg_mentions(sf_dir: str):
     """Stage 4 as a standalone query: gazetteer mention detection over the
     synthetic corpus segments (actor pool, broadcast alias dict)."""
@@ -2889,6 +2969,7 @@ QUERIES = {
     "approx_users_per_type": approx_users_per_type,
     "approx_median_price": approx_median_price,
     "top_tokens_docs": top_tokens_docs,
+    "top_bigrams_docs": top_bigrams_docs,
     "approx_top_tokens_docs": approx_top_tokens_docs,
     "doc_unigram_nll": doc_unigram_nll,
     "hot_users_events": hot_users_events,
@@ -2942,6 +3023,7 @@ QUERIES = {
     "kg_degree_stats": kg_degree_stats,
     "kg_triangles": kg_triangles,
     "kg_kcore": kg_kcore,
+    "page_domain_stats": page_domain_stats,
     "kg_mentions": kg_mentions,
     "kg_triples_llm": kg_triples_llm,
     "page_meta": page_meta,
@@ -2993,6 +3075,7 @@ ORACLE_SQL = {
     "mode_priority_by_status": _MODE_PRIORITY_SQL,
     "priorities_per_status": _PRIORITIES_PER_STATUS_SQL,
     "top_tokens_docs": _TOP_TOKENS_SQL,
+    "top_bigrams_docs": _TOP_BIGRAMS_SQL,
     "approx_top_tokens_docs": _TOP_TOKENS_SQL,
     "doc_unigram_nll": _UNIGRAM_NLL_SQL,
     "hot_users_events": _HOT_USERS_SQL,

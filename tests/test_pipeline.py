@@ -214,3 +214,47 @@ def test_transient_task_failure_is_retried(ray_session, tmp_path):
     out = ds.map_batches(flaky, batch_format="pandas").to_pandas()
     assert len(out) == 1000
     assert (out.sort_values("x")["y"].to_numpy() == np.arange(1000) * 2).all()
+
+
+def test_page_domain_stats_matches_pandas(ray_session):
+    """page_domain_stats vs a straight-line pandas rollup over the same
+    pages parquet (host extraction + count/sum/mean semantics)."""
+    import glob
+    import re
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from kgraft.queries import _pages_for, page_domain_stats
+    from kgraft.synth import corpus_dir, sharded_pages
+
+    sf = "/root/testdata/sf0.001"
+    got = page_domain_stats(sf)
+
+    d = corpus_dir(_pages_for(sf))
+    files = sharded_pages(d)
+    if isinstance(files, str):
+        files = sorted(glob.glob(f"{files}/*.parquet")) or [files]
+    df = pd.concat(
+        [pq.read_table(f, columns=["url", "text", "lang"]).to_pandas() for f in files]
+    )
+    df["host"] = df["url"].str.extract(r"^https?://([^/]+)/", expand=False)
+    want = (
+        df.groupby("host")
+        .agg(
+            n_pages=("url", "size"),
+            total_chars=("text", lambda s: s.str.len().sum()),
+            en_share=("lang", lambda s: (s == "en").mean()),
+        )
+        .reset_index()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    assert got["host"].tolist() == want["host"].tolist()
+    assert got["n_pages"].tolist() == want["n_pages"].tolist()
+    assert got["total_chars"].tolist() == want["total_chars"].tolist()
+    import numpy as np
+
+    np.testing.assert_allclose(
+        got["en_share"].to_numpy(), want["en_share"].round(6).to_numpy(), atol=1e-9
+    )
