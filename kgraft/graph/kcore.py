@@ -116,16 +116,22 @@ class _PairShard:
         return nz, dense[nz].astype(np.int64)
 
 
-def _peel(degree_fn, ids: np.ndarray, n: int, max_core: int) -> pd.DataFrame:
+def _peel(degree_fn, ids: np.ndarray, n: int) -> pd.DataFrame:
     """Shared peel loop: ``degree_fn(alive) -> alive-degree vector``.
 
     The degree vector is recomputed only after an actual drop — at each
     k's fixpoint it is still valid for the k+1 check, so total passes =
-    drop rounds + 1, not (drop rounds + number of k levels)."""
+    drop rounds + 1, not (drop rounds + number of k levels). Unbounded
+    in k on purpose: once k exceeds the max alive degree every node
+    drops, so the loop always terminates with alive empty (a fixed cap
+    would silently truncate the coreness of denser-than-expected
+    graphs)."""
     alive = np.ones(n, dtype=bool)
     core = np.zeros(n, dtype=np.int64)
     deg = degree_fn(alive)
-    for k in range(1, max_core + 1):
+    k = 0
+    while alive.any():
+        k += 1
         # peel to the k-core from the (k-1)-core survivor set
         while True:
             drop = alive & (deg < k)
@@ -134,9 +140,8 @@ def _peel(degree_fn, ids: np.ndarray, n: int, max_core: int) -> pd.DataFrame:
             core[drop] = k - 1
             alive &= ~drop
             if not alive.any():
-                return pd.DataFrame({"node_id": ids, "coreness": core})
+                break
             deg = degree_fn(alive)
-    core[alive] = max_core  # backstop, not a semantic cap
     return pd.DataFrame({"node_id": ids, "coreness": core})
 
 
@@ -145,7 +150,6 @@ def core_numbers(
     node_ids: np.ndarray,
     src_col: str = "subj_id",
     dst_col: str = "obj_id",
-    max_core: int = 64,
     pin_limit_bytes: int = 4 << 30,
 ) -> pd.DataFrame:
     """Coreness per node: ``(node_id, coreness)`` for every id in
@@ -181,7 +185,7 @@ def core_numbers(
             return out
 
         try:
-            return _peel(degree_fn, ids, n, max_core)
+            return _peel(degree_fn, ids, n)
         finally:
             for s in shards:
                 ray.kill(s)
@@ -189,8 +193,5 @@ def core_numbers(
     # streaming fallback: every pass scans the materialized blocks
     ids_ref = ray.put(ids)
     return _peel(
-        lambda alive: _alive_degree(pairs, ids_ref, ray.put(alive), n),
-        ids,
-        n,
-        max_core,
+        lambda alive: _alive_degree(pairs, ids_ref, ray.put(alive), n), ids, n
     )

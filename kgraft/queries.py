@@ -1953,8 +1953,14 @@ def top_bigrams_docs(sf_dir: str) -> pd.DataFrame:
     def counts(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].str.lower().str.findall(r"[a-z0-9_]+")
         idx = pd.RangeIndex(len(df)).repeat(toks.str.len())
+        # object-dtype pin: all-empty token lists concatenate to float64,
+        # which breaks the string concat below (same guard as
+        # textops.repetition_signals / tokenize_docs)
         ex = pd.Series(
-            np.concatenate(toks.to_numpy()) if len(df) else [], index=idx
+            np.concatenate(toks.to_numpy())
+            if len(df) and int(toks.str.len().sum())
+            else np.empty(0, dtype=object),
+            index=idx,
         )
         nxt = ex.shift(-1)
         same = pd.Series(idx, index=idx).shift(-1) == idx
@@ -2665,7 +2671,9 @@ def page_domain_stats(sf_dir: str) -> pd.DataFrame:
     def host_rows(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "host": df["url"].str.extract(r"^https?://([^/]+)/", expand=False),
+                # no trailing-slash requirement: bare-host URLs (no path)
+                # must not fall out of the rollup as NaN
+                "host": df["url"].str.extract(r"^https?://([^/]+)", expand=False),
                 "n_chars": df["text"].str.len().astype("int64"),
                 "is_en": (df["lang"] == "en").astype("int64"),
             }

@@ -983,10 +983,19 @@ def windowed(ds, part_keys, order_keys, specs, num_buckets: int = 64, tiebreak=N
                 # ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
                 # — both are partition-wide under the (order_keys +
                 # tiebreak) sort, so a tiebreak column makes them
-                # deterministic under order-key ties
-                out[out_col] = grp[col].transform(
-                    "first" if kind == "first_value" else "last"
+                # deterministic under order-key ties. SQL returns the
+                # frame-edge ROW's value INCLUDING NULL, so pandas
+                # transform('first'/'last') (which skip NaN) is wrong;
+                # mask everything but the edge row and spread it (one
+                # candidate per partition, so 'max' is the identity)
+                cnt = grp[order_keys[0]].transform("size").to_numpy()
+                edge = rn_cache.to_numpy() == (
+                    1 if kind == "first_value" else cnt
                 )
+                masked = g[col].where(pd.Series(edge, index=g.index))
+                out[out_col] = masked.groupby(
+                    [g[c] for c in part_keys], sort=False
+                ).transform("max")
             elif kind in ("rolling_mean", "rolling_min", "rolling_max"):
                 w = param or 3
                 agg = kind.split("_")[1]
@@ -1481,82 +1490,31 @@ def rollup_aggregate(ds, keys, aggs):
     """SQL ``GROUP BY ROLLUP(k1, k2, ...)``: aggregates at every key
     prefix level down to the grand total, rolled-up key columns NULL.
 
-    The corpus is scanned ONCE at the finest level (partial-combined,
-    skew-safe, via :func:`pre_aggregate`); every coarser level
-    re-aggregates the previous level's result — legitimate driver-side
-    work for the dimension-bounded key spaces rollups are used on
-    (status x priority, lang x source). Supported kinds: sum, count,
-    min, max (the algebraic ones that re-aggregate losslessly)."""
+    Sugar for :func:`grouping_sets_aggregate` over the key prefixes
+    (finest level first, grand total last) — ONE corpus scan, coarser
+    levels re-aggregated from the finest. Kinds: sum, count, min, max
+    (the algebraic ones that re-aggregate losslessly; SQL NULL-SUM
+    semantics preserved via min_count=1 there)."""
     keys = list(keys)
-    plan = {}
-    for out_col, (_, kind) in aggs.items():
-        if kind == "count":
-            plan[out_col] = "sum"
-        elif kind == "sum":
-            # min_count=1 keeps SQL NULL-SUM semantics at coarser
-            # levels: an all-NULL group's finest-level NaN must roll up
-            # to NULL, not be skipna'd back into 0.0
-            plan[out_col] = lambda s: s.sum(min_count=1)
-        elif kind in ("min", "max"):
-            plan[out_col] = kind
-        else:
-            raise PlanError(f"rollup does not support kind {kind!r}")
-    finest = pre_aggregate(ds, keys, aggs)
-    levels = [finest[keys + list(aggs)]]
-    cur = finest
-    for lvl in range(len(keys) - 1, -1, -1):
-        sub = keys[:lvl]
-        if sub:
-            nxt = cur.groupby(sub, as_index=False, observed=True).agg(plan)
-        else:
-            nxt = cur[list(plan)].agg(plan).to_frame().T
-        cur = nxt
-        lv = nxt.copy()
-        for k in keys[lvl:]:
-            lv[k] = None
-        levels.append(lv[keys + list(aggs)])
-    return pd.concat(levels, ignore_index=True)
+    return grouping_sets_aggregate(
+        ds, [keys[:i] for i in range(len(keys), -1, -1)], aggs
+    )
 
 
 def cube_aggregate(ds, keys, aggs):
     """SQL ``GROUP BY CUBE(k1, k2, ...)``: aggregates at EVERY key
     subset (2^k levels), absent key columns NULL.
 
-    Same scan discipline as :func:`rollup_aggregate`: the corpus is
-    scanned ONCE at the finest level; every subset re-aggregates the
-    finest result driver-side (legitimate for the dimension-bounded key
-    spaces cubes are used on). Kinds: sum, count, min, max — the
-    algebraic ones that re-aggregate losslessly."""
+    Sugar for :func:`grouping_sets_aggregate` over ALL key subsets —
+    same scan discipline (ONE corpus scan at the finest level, each
+    subset re-aggregated from it). Kinds: sum, count, min, max."""
     from itertools import combinations
 
     keys = list(keys)
-    plan = {}
-    for out_col, (_, kind) in aggs.items():
-        if kind == "count":
-            plan[out_col] = "sum"
-        elif kind == "sum":
-            # min_count=1: SQL NULL-SUM semantics (see rollup_aggregate)
-            plan[out_col] = lambda s: s.sum(min_count=1)
-        elif kind in ("min", "max"):
-            plan[out_col] = kind
-        else:
-            raise PlanError(f"cube does not support kind {kind!r}")
-    finest = pre_aggregate(ds, keys, aggs)
-    levels = []
-    for r in range(len(keys), -1, -1):
-        for sub in combinations(keys, r):
-            sub = list(sub)
-            if len(sub) == len(keys):
-                lv = finest.copy()
-            elif sub:
-                lv = finest.groupby(sub, as_index=False, observed=True).agg(plan)
-            else:
-                lv = finest[list(plan)].agg(plan).to_frame().T
-            for k in keys:
-                if k not in sub:
-                    lv[k] = None
-            levels.append(lv[keys + list(aggs)])
-    return pd.concat(levels, ignore_index=True)
+    sets = [
+        list(sub) for r in range(len(keys), -1, -1) for sub in combinations(keys, r)
+    ]
+    return grouping_sets_aggregate(ds, sets, aggs)
 
 
 def grouping_sets_aggregate(ds, sets, aggs):
@@ -1788,7 +1746,7 @@ def histogram(ds, col: str, lo: float, hi: float, n_bins: int):
 
 
 def upsert(base, updates, key, version_col, num_buckets: int = 64,
-           base_schema=None, updates_schema=None):
+           base_schema=None):
     """Latest-wins merge (SQL ``MERGE INTO`` / lakehouse upsert): for
     each key, keep the row with the highest ``version_col``; on version
     ties the UPDATES side wins (deterministic — the side tag extends the
@@ -1893,12 +1851,15 @@ def quantile_bucketize(ds, col, n_tiles: int, keep_cols, num_buckets: int = 64):
         .sort_values(col)
         .reset_index(drop=True)
     )
-    cum = hist["__n"].cumsum()
-    total = int(cum.iloc[-1])
-    cuts = [
-        float(hist[col][cum >= math.ceil(total * i / n_tiles)].iloc[0])
-        for i in range(1, n_tiles)
-    ]
+    if len(hist):
+        cum = hist["__n"].cumsum()
+        total = int(cum.iloc[-1])
+        cuts = [
+            float(hist[col][cum >= math.ceil(total * i / n_tiles)].iloc[0])
+            for i in range(1, n_tiles)
+        ]
+    else:  # empty input -> no cuts; assignment passes empty blocks through
+        cuts = []
     cuts_ref = ray.put(np.asarray(cuts, dtype=np.float64))  # kept sorted, dups kept
     cols = list(keep_cols)
 

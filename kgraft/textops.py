@@ -1227,7 +1227,13 @@ def repetition_signals(docs, id_col: str = "doc_id", text_col: str = "text"):
         # --- word n-grams ---
         toks = text.str.lower().str.findall(tok_pat)
         ex = pd.DataFrame({"__doc": ids.index.repeat(toks.str.len())})
-        ex["t"] = np.concatenate(toks.to_numpy()) if len(df) else []
+        # np.concatenate of all-empty lists yields FLOAT64, which then
+        # blows up string concat in _ngram_stats — pin object dtype
+        ex["t"] = (
+            np.concatenate(toks.to_numpy())
+            if len(df) and int(toks.str.len().sum())
+            else np.empty(0, dtype=object)
+        )
         tchars = (
             ex["t"].str.len().groupby(ex["__doc"], sort=False).sum()
             if len(ex)

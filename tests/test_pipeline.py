@@ -238,7 +238,7 @@ def test_page_domain_stats_matches_pandas(ray_session):
     df = pd.concat(
         [pq.read_table(f, columns=["url", "text", "lang"]).to_pandas() for f in files]
     )
-    df["host"] = df["url"].str.extract(r"^https?://([^/]+)/", expand=False)
+    df["host"] = df["url"].str.extract(r"^https?://([^/]+)", expand=False)
     want = (
         df.groupby("host")
         .agg(

@@ -981,12 +981,14 @@ def test_first_last_rolling_extrema_match_duckdb(ray_session):
     from kgraft.relational import windowed
 
     rng = np.random.RandomState(17)
-    df = pd.DataFrame(
+    v = rng.randn(250).round(3)
+    v[rng.rand(250) < 0.15] = np.nan  # NULLs: SQL FIRST/LAST_VALUE return
+    df = pd.DataFrame(                # the edge ROW's value, null included
         {
             "pid": rng.randint(0, 7, 250),
             "ord": rng.randint(0, 5, 250),  # heavy ties
             "uid": rng.permutation(250),  # unique tiebreak
-            "v": rng.randn(250).round(3),
+            "v": v,
         }
     )
     got = (

@@ -380,6 +380,12 @@ def test_repetition_signals_planted(ray_session):
         out[sorted(out.columns)], want[sorted(want.columns)], check_dtype=False
     )
 
+    # a block where EVERY doc is token-less (all-empty findall lists
+    # concatenate to float64 without the object-dtype pin) must not crash
+    no_tok = pd.DataFrame({"doc_id": [9, 10], "text": ["!!!", "..."]})
+    out2 = textops.repetition_signals(ray.data.from_pandas(no_tok)).to_pandas()
+    assert (out2[out2.columns[1:]] == 0.0).all().all()
+
 
 def test_tokenize_docs_matches_bruteforce(ray_session):
     """Vocab cut + id encoding vs a straight-line oracle: top-V by
