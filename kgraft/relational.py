@@ -977,7 +977,15 @@ def windowed(ds, part_keys, order_keys, specs, num_buckets: int = 64, tiebreak=N
                 shifted = grp[col].shift(off if kind == "lag" else -off)
                 out[out_col] = shifted.fillna(0.0)
             elif kind == "cumsum":
-                out[out_col] = grp[col].cumsum()
+                # SQL running SUM: NULL inputs are skipped (they don't
+                # poison the sum) and the result is NULL only until the
+                # first non-null value — pandas cumsum instead emits NaN
+                # AT every null row, so build from the filled series and
+                # mask the leading all-null prefix
+                by = [g[c] for c in part_keys]
+                cs = g[col].fillna(0).groupby(by, sort=False).cumsum()
+                nn = g[col].notna().groupby(by, sort=False).cumsum()
+                out[out_col] = cs.where(nn > 0)
             elif kind in ("first_value", "last_value"):
                 # SQL FIRST_VALUE with the default frame / LAST_VALUE with
                 # ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING

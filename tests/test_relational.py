@@ -1081,3 +1081,89 @@ def test_grouped_mad_matches_duckdb_random(ray_session):
     con.register("t", df)
     want = con.sql("SELECT k, mad(v) AS mad FROM t GROUP BY k ORDER BY k").df()
     np.testing.assert_allclose(got["mad"].to_numpy(), want["mad"].to_numpy(), atol=1e-12)
+
+
+def test_windowed_property_random_frames(ray_session):
+    """Property sweep: EVERY window kind vs DuckDB on randomized frames
+    with nulls, heavy order-key ties, and varying block layouts."""
+    import duckdb
+    import ray
+
+    from kgraft.relational import windowed
+
+    for seed in (0, 1, 2):
+        rng = np.random.RandomState(seed)
+        n = int(rng.randint(50, 600))
+        v = rng.normal(0, 10, n).round(3)
+        v[rng.rand(n) < 0.2] = np.nan
+        df = pd.DataFrame(
+            {
+                "pid": rng.randint(0, 6, n),
+                "ord": rng.randint(0, 4, n),  # heavy ties
+                "uid": rng.permutation(n),
+                "v": v,
+            }
+        )
+        got = (
+            windowed(
+                ray.data.from_pandas(df.sample(frac=1, random_state=seed)).repartition(
+                    int(rng.randint(1, 7))
+                ),
+                part_keys="pid",
+                order_keys=["ord"],
+                specs={
+                    "rn": ("row_number", None),
+                    "lg": ("lag", "v", 1),
+                    "ld": ("lead", "v", 2),
+                    "cs": ("cumsum", "v"),
+                    "rm": ("rolling_mean", "v", 3),
+                    "rmn": ("rolling_min", "v", 2),
+                    "rmx": ("rolling_max", "v", 4),
+                    "rk": ("rank", None),
+                    "dr": ("dense_rank", None),
+                    "nt": ("ntile", None, 3),
+                    "pr": ("percent_rank", None),
+                    "cd": ("cume_dist", None),
+                    "fv": ("first_value", "v"),
+                    "lv": ("last_value", "v"),
+                },
+                tiebreak=["uid"],
+                num_buckets=int(rng.randint(1, 6)),
+            )
+            .to_pandas()
+            .sort_values("uid")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.sql(
+            """
+            SELECT uid,
+                   CAST(row_number() OVER wt AS BIGINT) AS rn,
+                   coalesce(lag(v) OVER wt, 0.0) AS lg,
+                   coalesce(lead(v, 2) OVER wt, 0.0) AS ld,
+                   sum(v) OVER (wt ROWS UNBOUNDED PRECEDING) AS cs,
+                   avg(v) OVER (wt ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rm,
+                   min(v) OVER (wt ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS rmn,
+                   max(v) OVER (wt ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS rmx,
+                   CAST(rank() OVER w AS BIGINT) AS rk,
+                   CAST(dense_rank() OVER w AS BIGINT) AS dr,
+                   CAST(ntile(3) OVER wt AS BIGINT) AS nt,
+                   percent_rank() OVER w AS pr,
+                   cume_dist() OVER w AS cd,
+                   first_value(v) OVER wt AS fv,
+                   last_value(v) OVER
+                       (wt ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+            FROM t
+            WINDOW w AS (PARTITION BY pid ORDER BY ord),
+                   wt AS (PARTITION BY pid ORDER BY ord, uid)
+            ORDER BY uid
+            """
+        ).df()
+        for c in ("rn", "rk", "dr", "nt"):
+            assert got[c].tolist() == want[c].tolist(), (seed, c)
+        for c in ("lg", "ld", "cs", "rm", "rmn", "rmx", "pr", "cd", "fv", "lv"):
+            np.testing.assert_allclose(
+                got[c].to_numpy(), want[c].to_numpy(), atol=1e-9,
+                err_msg=f"seed={seed} col={c}",
+            )
