@@ -761,10 +761,17 @@ def asof_join(
         # whose keys exist on only one side — emits one typed schema
         lf = g[g["__side"] == 0][lcols].sort_values(left_on)
         rf = g[g["__side"] == 1][rcols].sort_values(right_on)
-        # normalize both time keys to ns — mixed us/ns (parquet vs pandas
-        # blocks) is a MergeError in merge_asof
-        lf = lf.assign(**{left_on: pd.to_datetime(lf[left_on]).astype("datetime64[ns]")})
-        rf = rf.assign(**{right_on: pd.to_datetime(rf[right_on]).astype("datetime64[ns]")})
+        # datetime keys: normalize both to ns — mixed us/ns (parquet vs
+        # pandas blocks) is a MergeError in merge_asof. Numeric ordering
+        # keys pass through untouched (coercing ints to datetime would
+        # silently retype the output schema)
+        if not pd.api.types.is_numeric_dtype(lf[left_on]):
+            lf = lf.assign(
+                **{left_on: pd.to_datetime(lf[left_on]).astype("datetime64[ns]")}
+            )
+            rf = rf.assign(
+                **{right_on: pd.to_datetime(rf[right_on]).astype("datetime64[ns]")}
+            )
         out = pd.merge_asof(
             lf, rf, left_on=left_on, right_on=right_on, by=by, direction="backward"
         )
@@ -839,10 +846,13 @@ def range_join(
         m = lf.merge(rf, on=by)
         if m.empty:
             return m.head(0)
-        lo = pd.to_datetime(m[left_on]) + lower
-        hi = pd.to_datetime(m[left_on]) + upper
-        t = pd.to_datetime(m[right_on])
-        return m[(t >= lo) & (t < hi)]
+        # numeric ordering columns take numeric bounds; anything else is
+        # coerced to datetime with timedelta bounds
+        if pd.api.types.is_numeric_dtype(m[left_on]):
+            lv, t = m[left_on], m[right_on]
+        else:
+            lv, t = pd.to_datetime(m[left_on]), pd.to_datetime(m[right_on])
+        return m[(t >= lv + lower) & (t < lv + upper)]
 
     both = lt.union(rt)
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")

@@ -1167,3 +1167,82 @@ def test_windowed_property_random_frames(ray_session):
                 got[c].to_numpy(), want[c].to_numpy(), atol=1e-9,
                 err_msg=f"seed={seed} col={c}",
             )
+
+
+def test_asof_and_range_join_property_one_sided_keys(ray_session):
+    """Seeded sweep for the two interval operators with keys present on
+    ONLY one side (the bucket paths that once emitted inconsistent
+    schemas — ADVICE r1), across bucket counts and block layouts."""
+    import ray
+
+    from kgraft.relational import asof_join, range_join
+
+    for seed in (0, 1, 2):
+        rng = np.random.RandomState(seed)
+        nl, nr = int(rng.randint(10, 300)), int(rng.randint(10, 200))
+        # disjoint-ish key spaces: ~half the keys exist on one side only
+        left = pd.DataFrame(
+            {
+                "k": rng.randint(0, 12, nl),
+                "t": rng.randint(0, 1000, nl).astype("int64"),
+                "lv": np.arange(nl),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "k": rng.randint(6, 18, nr),
+                "t2": rng.randint(0, 1000, nr).astype("int64"),
+                "rv": np.arange(nr) * 10,
+            }
+        ).drop_duplicates(["k", "t2"])
+        nb = int(rng.randint(2, 9))
+
+        got = (
+            asof_join(
+                ray.data.from_pandas(left).repartition(int(rng.randint(1, 5))),
+                ray.data.from_pandas(right),
+                by="k",
+                left_on="t",
+                right_on="t2",
+                num_buckets=nb,
+            )
+            .to_pandas()
+            .sort_values("lv")
+            .reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            left.sort_values("t"),
+            right.sort_values("t2"),
+            left_on="t",
+            right_on="t2",
+            by="k",
+            direction="backward",
+        ).sort_values("lv").reset_index(drop=True)
+        assert len(got) == len(want), seed
+        np.testing.assert_allclose(
+            got["rv"].to_numpy(dtype="float64"),
+            want["rv"].to_numpy(dtype="float64"),
+            err_msg=f"seed={seed}",
+        )
+
+        # integer ordering keys must keep their dtype through the join
+        assert got["t"].dtype == np.dtype("int64"), seed
+
+        lo, hi = 0, int(rng.randint(1, 60))
+        got_r = range_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            by="k",
+            left_on="t",
+            right_on="t2",
+            lower=lo,
+            upper=hi,
+            num_buckets=nb,
+        ).to_pandas()
+        m = left.merge(right, on="k")
+        m = m[(m["t2"] >= m["t"] + lo) & (m["t2"] < m["t"] + hi)]
+        want_r = m.sort_values(["lv", "rv"]).reset_index(drop=True)
+        assert len(got_r) == len(want_r), seed
+        if len(want_r):  # an all-empty result arrives column-less from Ray
+            got_r = got_r.sort_values(["lv", "rv"]).reset_index(drop=True)
+            assert got_r["rv"].tolist() == want_r["rv"].tolist(), seed
