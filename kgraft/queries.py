@@ -1584,6 +1584,30 @@ FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 
 
+def price_means_by_priority(sf_dir: str):
+    """Geometric + harmonic mean order price per priority — the two
+    non-arithmetic Pythagorean means, both riding the same algebraic
+    mean partials behind a shuffle-free transform
+    (relational.grouped_gmean / grouped_hmean)."""
+    from .relational import grouped_gmean, grouped_hmean
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    g = grouped_gmean(orders, "o_orderpriority", "o_totalprice")
+    h = grouped_hmean(orders, "o_orderpriority", "o_totalprice")
+    out = g.merge(h, on="o_orderpriority")
+    out["gmean"] = out["gmean"].round(4)
+    out["hmean"] = out["hmean"].round(4)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+_PRICE_MEANS_SQL = """
+SELECT o_orderpriority,
+       round(exp(avg(ln(o_totalprice))), 4) AS gmean,
+       round(1.0 / avg(1.0 / o_totalprice), 4) AS hmean
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def mad_quantity_by_flag(sf_dir: str):
     """Robust spread per group: median absolute deviation of lineitem
     quantity per return flag (DuckDB ``mad`` semantics — continuous
@@ -2998,6 +3022,7 @@ QUERIES = {
     "upsert_orders": upsert_orders,
     "quantity_buckets": quantity_buckets,
     "mad_quantity_by_flag": mad_quantity_by_flag,
+    "price_means_by_priority": price_means_by_priority,
     "diff_order_snapshots": diff_order_snapshots,
     "cube_order_totals": cube_order_totals,
     "top_order_per_customer": top_order_per_customer,
@@ -3104,6 +3129,7 @@ ORACLE_SQL = {
     "upsert_orders": _UPSERT_SQL,
     "quantity_buckets": _QUANTITY_BUCKETS_SQL,
     "mad_quantity_by_flag": _MAD_SQL,
+    "price_means_by_priority": _PRICE_MEANS_SQL,
     "diff_order_snapshots": _DIFF_SQL,
     "cube_order_totals": _CUBE_SQL,
     "top_order_per_customer": _ARGMAX_SQL,

@@ -1949,3 +1949,44 @@ def grouped_mad(ds, keys, col, out_col="mad", num_buckets: int = 64):
         return out.rename(columns={"__med": out_col})
 
     return bucketed_groupby_apply(hist, keys, pick, num_buckets)
+
+
+def grouped_gmean(ds, keys, col, out_col="gmean", num_buckets: int = 64):
+    """Geometric mean per group: ``exp(AVG(ln x))`` — one shuffle-free
+    log transform feeding the algebraic mean partials (nothing new
+    crosses the exchange). Requires positive values; NULLs are skipped
+    like SQL AVG. SQL twin: ``exp(avg(ln(col)))``."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def ln(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[keys + [col]].copy()
+        out[col] = np.log(out[col].to_numpy(dtype="float64"))
+        return out
+
+    out = pre_aggregate(
+        ds.select_columns(keys + [col]).map_batches(ln, batch_format="pandas"),
+        keys,
+        {out_col: (col, "mean")},
+    )
+    out[out_col] = np.exp(out[out_col].to_numpy(dtype="float64"))
+    return out
+
+
+def grouped_hmean(ds, keys, col, out_col="hmean", num_buckets: int = 64):
+    """Harmonic mean per group: ``n / SUM(1/x)`` = ``1 / AVG(1/x)`` —
+    same shape as :func:`grouped_gmean` with a reciprocal transform.
+    SQL twin: ``1.0 / avg(1.0 / col)``."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def inv(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[keys + [col]].copy()
+        out[col] = 1.0 / out[col].to_numpy(dtype="float64")
+        return out
+
+    out = pre_aggregate(
+        ds.select_columns(keys + [col]).map_batches(inv, batch_format="pandas"),
+        keys,
+        {out_col: (col, "mean")},
+    )
+    out[out_col] = 1.0 / out[out_col].to_numpy(dtype="float64")
+    return out
