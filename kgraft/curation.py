@@ -240,3 +240,45 @@ def pack_sequences(
         )
 
     return bucketed_groupby_apply(slim, ["__rng"], pack_bucket, num_buckets)
+
+
+def assign_splits(
+    docs,
+    fractions=(("train", 0.98), ("val", 0.01), ("test", 0.01)),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 11,
+):
+    """Leakage-free train/val/test split assignment: the split is a
+    deterministic hash of the document's CONTENT (128-bit key, same as
+    exact dedup), so byte-identical duplicates — however many and
+    wherever they sit — always land in the same split, and the
+    assignment is reproducible across runs, repartitions, and corpus
+    versions (a doc keeps its split when the corpus grows).
+
+    Shuffle-free: one map pass hashes and buckets into 1e6 slots, split
+    boundaries are cumulative-fraction cuts over the slot space. For
+    NEAR-duplicate awareness, dedup first (``near_dup_groups``) and keep
+    representatives — this op guarantees the exact-dup invariant.
+
+    Output: (id_col, split).
+    """
+    from .hashing import hash_strings
+
+    names = [n for n, _ in fractions]
+    fracs = np.array([f for _, f in fractions], dtype=np.float64)
+    if not np.isclose(fracs.sum(), 1.0):
+        raise ValueError(f"split fractions must sum to 1, got {fracs.sum()}")
+    cuts = np.cumsum(fracs)[:-1] * 1_000_000.0
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        h = hash_strings(df[text_col].tolist(), seed=seed)
+        slot = (h % np.uint64(1_000_000)).astype(np.float64)
+        idx = np.searchsorted(cuts, slot, side="right")
+        return pd.DataFrame(
+            {id_col: df[id_col], "split": np.array(names, dtype=object)[idx]}
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pandas"
+    )

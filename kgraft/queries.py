@@ -2389,6 +2389,16 @@ def pack_docs(sf_dir: str):
     return pack_sequences(docs, budget=256)
 
 
+def split_docs(sf_dir: str):
+    """Leakage-free train/val/test assignment: split = content hash, so
+    exact duplicates always share a split (curation.assign_splits).
+    Rows-only driver check; the duplicate-invariant + fraction tests
+    live in tests/test_curation.py."""
+    from .curation import assign_splits
+
+    return assign_splits(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def curate_documents(sf_dir: str):
     """The composite training-corpus curation pipeline: quality/length
     filter -> exact dedup -> near-dup representative selection ->
@@ -3031,6 +3041,7 @@ QUERIES = {
     "curate_documents": curate_documents,
     "tokenize_docs": tokenize_docs_q,
     "pack_docs": pack_docs,
+    "split_docs": split_docs,
     "dedup_exact_docs": dedup_exact_docs,
     "token_count_docs": token_count_docs,
     "doc_stats_by_lang": doc_stats_by_lang,

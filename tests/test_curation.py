@@ -123,3 +123,39 @@ def test_pack_sequences_matches_straightline_oracle(ray_session):
     assert ((bad["n"] == 1) & bad["over"]).all()
     # packs never cross the fixed id ranges
     assert (got["pack_id"] // width == got["doc_id"] // width).all()
+
+
+def test_assign_splits_duplicate_invariant_and_fractions(ray_session):
+    """Identical texts must share a split under ANY ids/order; fractions
+    approximately honored; assignment stable across repartitioning."""
+    import ray
+
+    from kgraft.curation import assign_splits
+
+    rng = np.random.RandomState(3)
+    uniq = [f"document body number {i} with distinct content" for i in range(3000)]
+    texts = uniq + uniq[:400]  # 400 planted exact dups with different ids
+    docs = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+
+    got = (
+        assign_splits(ray.data.from_pandas(docs).repartition(5))
+        .to_pandas()
+        .set_index("doc_id")["split"]
+    )
+    # duplicate invariant
+    for i in range(400):
+        assert got[i] == got[3000 + i], i
+    # fractions (98/1/1 within loose tolerance at n=3000 uniques)
+    share = got.iloc[:3000].value_counts(normalize=True)
+    assert share["train"] > 0.95
+    assert 0.001 < share.get("val", 0) < 0.05
+    assert 0.001 < share.get("test", 0) < 0.05
+    # repartition/order invariance
+    got2 = (
+        assign_splits(
+            ray.data.from_pandas(docs.sample(frac=1, random_state=9)).repartition(2)
+        )
+        .to_pandas()
+        .set_index("doc_id")["split"]
+    )
+    assert got.sort_index().tolist() == got2.sort_index().tolist()
