@@ -54,6 +54,18 @@ def _cached_lut(alias_ref) -> pd.Series:
     return pd.Series(ray.get(alias_ref), dtype="int64")
 
 
+def load_alias_lut(alias_path: str):
+    """Read the alias dictionary parquet and broadcast the alias ->
+    entity_id dict: ``(alias_df, object_ref)``. The ONE place this
+    read-zip-put logic lives (it used to be duplicated at three call
+    sites, which would drift on any alias-normalization change)."""
+    import pyarrow.parquet as pq
+
+    adf = pq.read_table(alias_path).to_pandas()
+    ref = ray.put(dict(zip(adf["alias"], adf["entity_id"].astype(int))))
+    return adf, ref
+
+
 @ray.remote(num_cpus=0)
 class _SetCollector:
     """Shared mutable set actor (SURVEY.md §2.2's 'shared mutable index'
@@ -121,31 +133,6 @@ class _RecoveryPatcher:
                     df.loc[miss, norm_col].map(rec).fillna(-1).astype("int64")
                 )
         return pa.Table.from_pandas(df, preserve_index=False)
-
-
-def recover_and_patch(
-    linked: "ray.data.Dataset",
-    alias_ds: "ray.data.Dataset",
-    unknowns: list,
-    threshold: float = JACCARD_THRESHOLD,
-    alias_df: pd.DataFrame | None = None,
-):
-    """Stage-7 tail for PRE-RESOLVED triples (ids + norms already present,
-    e.g. written by the checkpoint writer): LSH-recover the given unknown
-    surfaces and patch only the -1 rows. Returns (patched_ds, recovered).
-    """
-    if unknowns:
-        recovered = lsh_recover(unknowns, alias_ds, threshold, alias_df=alias_df)
-    else:
-        recovered = pd.DataFrame({"mention": [], "entity_id": [], "score": []})
-    if len(recovered):
-        rec_ref = ray.put(
-            dict(zip(recovered["mention"], recovered["entity_id"].astype(int)))
-        )
-        linked = linked.map_batches(
-            _RecoveryPatcher(rec_ref), batch_format="pyarrow", batch_size=8192
-        )
-    return linked, recovered
 
 
 def link_triples(
@@ -222,46 +209,11 @@ def _blocknorm(s: str) -> str:
     return " ".join(_BLOCKNORM_RE.findall(s.lower()))
 
 
-def _band_explode(batch: pa.Table, text_col: str, hasher: MinHasher) -> pa.Table:
-    """texts -> (band_id, band_hash, <carried cols>) rows, one per band."""
-    texts = [_blocknorm(t) for t in batch[text_col].to_pylist()]
-    if not texts:
-        return pa.table(
-            {
-                "band_id": pa.array([], pa.int32()),
-                "band_hash": pa.array([], pa.uint64()),
-                **{c: batch[c] for c in batch.column_names},
-            }
-        )
-    sigs = hasher.signatures(texts)
-    bands = hasher.band_hashes(sigs, NUM_BANDS)  # (n, NUM_BANDS)
-    n = len(texts)
-    idx = np.repeat(np.arange(n), NUM_BANDS)
-    out = {
-        "band_id": pa.array(np.tile(np.arange(NUM_BANDS, dtype=np.int32), n), pa.int32()),
-        "band_hash": pa.array(bands.reshape(-1), pa.uint64()),
-    }
-    taken = batch.take(pa.array(idx))
-    for c in batch.column_names:
-        out[c] = taken[c]
-    return pa.table(out)
-
-
-from functools import lru_cache
-
-
 @lru_cache(maxsize=1)
 def _shared_hasher() -> MinHasher:
     """One fixed-seed MinHasher per worker process (init is a seeded
     parameter draw — cheap, but no reason to repeat it per task)."""
     return MinHasher(num_perm=NUM_PERM, seed=1001)
-
-
-def _make_band_fn(text_col: str):
-    def fn(batch: pa.Table) -> pa.Table:
-        return _band_explode(batch, text_col, _shared_hasher())
-
-    return fn
 
 
 @lru_cache(maxsize=8)

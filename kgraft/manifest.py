@@ -104,16 +104,47 @@ class ManifestStore:
         os.makedirs(self.manifest_dir, exist_ok=True)
         os.makedirs(self.triples_dir, exist_ok=True)
         os.makedirs(self.derived_dir, exist_ok=True)
+        self._manifest_cache: list | None = None
+
+    def check_run_config(self, config: dict) -> None:
+        """Record the partitioning-relevant config on the first run and
+        REFUSE a resume under a different one: completed-partition
+        filtering keys on ``hash(url) % n_partitions`` (and the page
+        filter), so resuming with a changed ``n_partitions`` or
+        ``lang_filter`` would silently drop some pages and re-extract
+        (duplicate) others against the old manifests (review r2)."""
+        path = os.path.join(self.manifest_dir, "run_config.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                prev = json.load(f)
+            if prev != config:
+                from .errors import ConfigError
+
+                raise ConfigError(
+                    f"resume under a different partitioning: checkpoint at "
+                    f"{self.out_dir} was written with {prev}, this run uses "
+                    f"{config}; restore those settings or use a fresh out_dir"
+                )
+            return
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(config, f)
+        os.replace(tmp, path)
 
     # ------------------------------------------------------------- reads
 
     def _manifests(self) -> list:
-        out = []
-        for f in sorted(os.listdir(self.manifest_dir)):
-            if f.startswith("part-") and f.endswith(".json"):
-                with open(os.path.join(self.manifest_dir, f)) as fh:
-                    out.append(json.load(fh))
-        return out
+        # read-through cache: one run's read helpers hit this ~8 times,
+        # each otherwise an O(partitions) serial listdir + JSON parse on
+        # the driver; commit_manifests invalidates (review r2)
+        if self._manifest_cache is None:
+            out = []
+            for f in sorted(os.listdir(self.manifest_dir)):
+                if f.startswith("part-") and f.endswith(".json"):
+                    with open(os.path.join(self.manifest_dir, f)) as fh:
+                        out.append(json.load(fh))
+            self._manifest_cache = out
+        return self._manifest_cache
 
     def completed_partitions(self) -> set:
         done = set()
@@ -137,31 +168,6 @@ class ManifestStore:
                     os.path.join(self.triples_dir, f"part-{pid:05d}.parquet")
                 )
         return sorted(paths)
-
-    def derived_paths(self, kind: str, parts: set | None = None) -> list:
-        """Per-fragment derived side files (``comps``/``canon``/``pending``)
-        for every committed partition — vocabulary-scale reductions the
-        graph stage consumes instead of rescanning the triple corpus.
-        ``parts`` restricts to those partition ids (a resumed run reads
-        only the partitions its own summary blobs don't cover)."""
-        paths = []
-        for m in self._manifests():
-            pid = int(m["partition_id"])
-            if parts is not None and pid not in parts:
-                continue
-            if m.get("layout") == 2:
-                ddir = os.path.join(self.derived_dir, kind)
-                paths.extend(os.path.join(ddir, fr) for fr in m["fragments"])
-            elif "fragments" in m:
-                ddir = os.path.join(self.derived_dir, f"{kind}-part-{pid:05d}")
-                paths.extend(os.path.join(ddir, fr) for fr in m["fragments"])
-            else:
-                p = os.path.join(
-                    self.derived_dir, f"{kind}-part-{pid:05d}.parquet"
-                )
-                if os.path.exists(p):
-                    paths.append(p)
-        return sorted(set(paths))
 
     def derived_disk_table(self, kind: str, parts: set) -> "pa.Table | None":
         """One Arrow table of a derived kind restricted to ``parts``
@@ -227,18 +233,6 @@ class ManifestStore:
                     ):
                         return False
         return True
-
-    def edges_paths(self) -> list:
-        """Manifest-listed edge fragments for every committed partition
-        (never a directory glob, so strays from crashed runs are
-        invisible)."""
-        paths = []
-        for m in self._manifests():
-            pid = int(m["partition_id"])
-            edir = os.path.join(self.edges_dir, f"part-{pid:05d}")
-            for fr in m.get("fragments", []):
-                paths.append(os.path.join(edir, fr))
-        return sorted(paths)
 
     def has_edges(self) -> bool:
         """True when every committed partition's edge fragments exist —
@@ -349,7 +343,16 @@ class ManifestStore:
                 # ONE derived file per kind per task (layout v2), carrying
                 # part_id so a resumed run can filter to its disk
                 # partitions; blobs below are what a fresh run consumes
-                pending_t = pa.Table.from_pandas(pending, preserve_index=False)
+                # explicit schema from the (non-empty) parent block: an
+                # all-resolved task's EMPTY pending slice would otherwise
+                # infer null-typed string columns, and the mixed schemas
+                # break both the graph-stage concat and the resumed
+                # derived-disk scan (review r2)
+                pending_t = pa.Table.from_pandas(
+                    pending,
+                    schema=pa.Schema.from_pandas(g, preserve_index=False),
+                    preserve_index=False,
+                )
                 for kind, df, schema in (
                     ("comps", comps, COMPS_SCHEMA_V2),
                     ("canon", canon[["entity_id", "surface", "partial_count", "part_id"]], CANON_SCHEMA_V2),
@@ -529,6 +532,7 @@ class ManifestStore:
         # v2 derived dirs are shared across partitions — prune against the
         # union of EVERY committed manifest's fragment list (this run's
         # plus prior runs'), never a single partition's
+        self._manifest_cache = None  # manifests just changed on disk
         all_listed = set(summary["fragment"])
         for m in self._manifests():
             all_listed.update(m.get("fragments", []))

@@ -194,7 +194,13 @@ class _GraphFeeder:
         disk_parts = store.completed_partitions() - covered_parts
         comps_extra = store.derived_disk_table("comps", disk_parts)
         canon_extra = store.derived_disk_table("canon", disk_parts)
-        pend_extra = store.derived_disk_table("pending", disk_parts)
+        # pending disk extras are corpus-fraction-scale: read them in a
+        # Ray task and chain the ref (Ray resolves it for _merge_tables)
+        pend_extra = (
+            _read_derived_task.remote(store.out_dir, "pending", tuple(disk_parts))
+            if disk_parts
+            else None
+        )
         self.base_ref = ray.remote(num_cpus=1)(_base_reduce).remote(
             self.shard_refs, comps_extra, canon_extra
         )
@@ -233,6 +239,9 @@ def extract_triples_checkpointed(
     dictionary lookup rides the checkpoint write it shares a barrier
     with). Returns {'partitions_written': n, ...}.
     """
+    store.check_run_config(
+        {"n_partitions": cfg.n_partitions, "lang_filter": cfg.lang_filter}
+    )
     done = store.completed_partitions()
 
     blocks = cfg.read_blocks or int(ray.cluster_resources().get("CPU", 4)) * 2
@@ -326,10 +335,9 @@ def extract_triples_checkpointed(
         # overlapped with read planning — this is normally a no-wait
         alias_ref = alias_lut_future.result()
     elif alias_path is not None:
-        import pyarrow.parquet as pq
+        from .link.candidates import load_alias_lut
 
-        adf = pq.read_table(alias_path).to_pandas()
-        alias_ref = ray.put(dict(zip(adf["alias"], adf["entity_id"].astype(int))))
+        _, alias_ref = load_alias_lut(alias_path)
     ext_t["alias_put_sec"] = time.time() - _t
     # shuffle-free checkpoint: each task splits its block by partition
     # and writes fragments; the driver folds the summary rows into
@@ -353,19 +361,23 @@ def extract_triples_checkpointed(
     # the extract job instead of waiting behind a to_pandas barrier
     parts_acc: list[pd.DataFrame] = []
     meta_cols = [
-        c
-        for c in (
-            "part_id", "fragment", "n_triples", "n_edges", "n_urls",
-            "n_predicates", "content_hash", "url_sample", "unresolved",
-            "bytes_written",
-        )
+        "part_id", "fragment", "n_triples", "n_edges", "n_urls",
+        "n_predicates", "content_hash", "url_sample", "unresolved",
+        "bytes_written",
     ]
     for batch in summary.iter_batches(batch_size=None, batch_format="pandas"):
         if not len(batch):
             continue
         if feeder is not None and "comps_blob" in batch.columns:
             feeder.feed(batch)
-        parts_acc.append(batch[[c for c in meta_cols if c in batch.columns]])
+        sel = batch[[c for c in meta_cols if c in batch.columns]]
+        if "content_hash" in sel.columns:
+            # pin uint64 BEFORE concat: blocks whose hashes all sit below
+            # 2^63 infer int64, and a mixed int64/uint64 concat silently
+            # promotes to float64 — rounding the lineage hashes past 2^53
+            # so manifests record corrupted content hashes (review r2)
+            sel = sel.assign(content_hash=sel["content_hash"].astype("uint64"))
+        parts_acc.append(sel)
     rows = (
         pd.concat(parts_acc, ignore_index=True) if parts_acc else pd.DataFrame()
     )
@@ -468,17 +480,27 @@ def build_graph_from_triples(
         from .link.candidates import _RecoveryPatcher, lsh_recover
 
         unknowns = store.unresolved_from_manifests()
+        # consume the feeder's in-flight probes (launched while extraction
+        # ran) instead of leaking those tasks and re-probing the same
+        # surfaces from scratch (review r2)
+        pre_parts: list = []
+        if feeder is not None and feeder.probe_refs:
+            pre_parts = [r for r in ray.get(feeder.probe_refs) if len(r)]
+            unknowns = sorted(set(unknowns) - feeder.probed)
         if unknowns:
             import pyarrow.parquet as pq
 
             # vocab-scale pandas twin: lets lsh_recover build pre-chunked
             # probe blocks without a read + repartition round-trip
             adf = pq.read_table(alias_path).to_pandas()
-            recovered = lsh_recover(
-                unknowns, alias_ds, cfg.link_threshold, alias_df=adf
+            pre_parts.append(
+                lsh_recover(unknowns, alias_ds, cfg.link_threshold, alias_df=adf)
             )
-        else:
-            recovered = pd.DataFrame({"mention": [], "entity_id": [], "score": []})
+        recovered = (
+            pd.concat(pre_parts, ignore_index=True)
+            if pre_parts
+            else pd.DataFrame({"mention": [], "entity_id": [], "score": []})
+        )
         rec_ref = (
             ray.put(dict(zip(recovered["mention"], recovered["entity_id"].astype(int))))
             if len(recovered)
@@ -749,7 +771,12 @@ def _build_graph_fused(
             base_ref = feeder.base_ref
         else:
             pend_refs = feeder.pending_refs if feeder is not None else []
-            pend_disk = _disk_table("pending")
+            # corpus-fraction-scale: disk read happens in a Ray task
+            pend_disk = (
+                _read_derived_task.remote(store.out_dir, "pending", tuple(disk_parts))
+                if disk_parts
+                else None
+            )
             pending_ref = (
                 ray.remote(num_cpus=1)(_merge_tables).remote(pend_refs, pend_disk)
                 if (pend_refs or pend_disk is not None)
@@ -948,6 +975,18 @@ def _merge_tables(refs, extra):
     if extra is not None and extra.num_rows:
         tabs.append(extra)
     return pa.concat_tables(tabs) if tabs else None
+
+
+@ray.remote(num_cpus=1)
+def _read_derived_task(out_dir: str, kind: str, parts: tuple):
+    """Disk read of a resumed run's derived partials INSIDE a Ray task —
+    pending is corpus-fraction-scale, so pulling it through the driver
+    (and re-shipping it by value into the merge task) would hold the
+    whole unresolved set in driver memory at exactly the scale the
+    checkpoint design targets (review r2)."""
+    from .manifest import ManifestStore
+
+    return ManifestStore(out_dir).derived_disk_table(kind, set(parts))
 
 
 def _partial_reduce(comps_blobs, canon_blobs):
@@ -1188,11 +1227,9 @@ def run_kg_pipeline(
     from concurrent.futures import ThreadPoolExecutor as _TPE
 
     def _build_lut():
-        import pyarrow.parquet as _pq
+        from .link.candidates import load_alias_lut
 
-        adf = _pq.read_table(alias_path).to_pandas()
-        ref = ray.put(dict(zip(adf["alias"], adf["entity_id"].astype(int))))
-        return adf, ref
+        return load_alias_lut(alias_path)
 
     def _build_index(lut_future):
         from .link.candidates import AliasLSHIndex
@@ -1211,6 +1248,9 @@ def run_kg_pipeline(
     feeder = _GraphFeeder(alias_index_future, cfg.link_threshold)
     os.makedirs(out_dir, exist_ok=True)
     store = ManifestStore(out_dir)
+    store.check_run_config(
+        {"n_partitions": cfg.n_partitions, "lang_filter": cfg.lang_filter}
+    )
     t0 = time.time()
     stage_a = extract_triples_checkpointed(
         pages_path, store, cfg, run_id, alias_path=alias_path,

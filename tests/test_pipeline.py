@@ -258,3 +258,56 @@ def test_page_domain_stats_matches_pandas(ray_session):
     np.testing.assert_allclose(
         got["en_share"].to_numpy(), want["en_share"].round(6).to_numpy(), atol=1e-9
     )
+
+
+def test_fragment_writer_empty_pending_keeps_schema(ray_session, tmp_path):
+    """A task whose block fully resolves writes an EMPTY pending slice;
+    its fragment must carry the same typed schema as pending-bearing
+    fragments (null-typed columns broke the graph concat and the resumed
+    derived scan — review r2). Also: the resume-config guard refuses a
+    changed partitioning."""
+    import numpy as np
+    import pyarrow.dataset as pads
+    import pytest
+    import ray
+
+    from kgraft.errors import ConfigError
+    from kgraft.manifest import ManifestStore
+
+    store = ManifestStore(str(tmp_path))
+    lut = ray.put({"alpha corp": 1, "beta inc": 2})
+    writer = store.make_fragment_writer("run1", alias_ref=lut)
+
+    def block(subj, obj, pid):
+        return pd.DataFrame(
+            {
+                "url": ["https://a/1"],
+                "warc_ts": pd.to_datetime(["2020-01-01"]),
+                "seg_idx": np.array([0], dtype="int32"),
+                "subj": [subj],
+                "pred": ["owns"],
+                "obj": [obj],
+                "conf": np.array([0.9], dtype="float32"),
+                "part_id": [pid],
+            }
+        )
+
+    writer(block("Alpha Corp", "Beta Inc", 0))      # fully resolved -> empty pending
+    writer(block("Alpha Corp", "Gamma LLC", 1))     # one unresolved endpoint
+
+    pend_dir = os.path.join(store.derived_dir, "pending")
+    frags = sorted(glob.glob(os.path.join(pend_dir, "*.parquet")))
+    assert len(frags) == 2
+    # unified multi-file scan must not raise schema mismatch, and string
+    # columns must be typed string even in the empty fragment
+    t = pads.dataset(frags).to_table()
+    assert t.num_rows == 1
+    for f in frags:
+        s = pq.read_schema(f)
+        assert str(s.field("subj").type) in ("string", "large_string"), f
+
+    # resume-config guard
+    store.check_run_config({"n_partitions": 16, "lang_filter": None})
+    store.check_run_config({"n_partitions": 16, "lang_filter": None})  # same: ok
+    with pytest.raises(ConfigError):
+        store.check_run_config({"n_partitions": 32, "lang_filter": None})
