@@ -298,18 +298,41 @@ def embed_near_dup(
     max_bucket = 256
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        u = g.drop_duplicates("vec_id")
-        ids = u["vec_id"].to_numpy()
-        if len(ids) < 2 or len(ids) > max_bucket:
-            return pd.DataFrame(
-                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
-            )
-        unit_m = np.stack(u["unit"].map(np.asarray).values)
-        sims = unit_m @ unit_m.T
-        ai, bi = np.where(np.triu(sims >= threshold, k=1))
-        return pd.DataFrame(
-            {"a": ids[ai].astype("int64"), "b": ids[bi].astype("int64")}
+        empty = pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
         )
+        u = g.drop_duplicates("vec_id")
+        # star-reduce byte-identical vectors first (the MinHash/simhash
+        # move): identical vectors collide in EVERY band, so a >256
+        # duplicate cluster used to overflow every bucket and emit no
+        # pairs at all (review r2). Band 0 emits the (rep, member) star;
+        # the pairwise tier sees only cluster representatives.
+        key = u["unit"].map(lambda v: np.asarray(v, dtype=np.float64).tobytes())
+        rep = u.groupby(key, sort=False)["vec_id"].transform("min")
+        parts = []
+        if int(u["band"].iat[0]) == 0:
+            m = (rep != u["vec_id"]).to_numpy()
+            if m.any():
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "a": rep.to_numpy()[m].astype("int64"),
+                            "b": u["vec_id"].to_numpy()[m].astype("int64"),
+                        }
+                    )
+                )
+        du = u[(rep == u["vec_id"]).to_numpy()]
+        ids = du["vec_id"].to_numpy()
+        if 2 <= len(ids) <= max_bucket:
+            unit_m = np.stack(du["unit"].map(np.asarray).values)
+            sims = unit_m @ unit_m.T
+            ai, bi = np.where(np.triu(sims >= threshold, k=1))
+            parts.append(
+                pd.DataFrame(
+                    {"a": ids[ai].astype("int64"), "b": ids[bi].astype("int64")}
+                )
+            )
+        return pd.concat(parts, ignore_index=True) if parts else empty
 
     pairs = (
         bands.groupby(["band", "band_bits"])

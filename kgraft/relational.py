@@ -164,17 +164,23 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0 or any(k not in df.columns for k in key_list):
-            # empty upstream groups can yield schema-less blocks
-            cols = {k: pd.Series([], dtype=object) for k in key_list}
+            # empty upstream groups can yield schema-less blocks. When the
+            # empty block still carries typed columns, mirror THEIR dtypes
+            # — a float64 placeholder next to int64/datetime partials from
+            # non-empty blocks is an Arrow schema conflict (review r2)
+            def _dt(c, fallback):
+                return df[c].dtype if c in df.columns else fallback
+
+            cols = {k: pd.Series([], dtype=_dt(k, object)) for k in key_list}
             cols["__n"] = pd.Series([], dtype="int64")
             for out, col, kind in sum_cols:
                 if kind != "count":
-                    cols[f"__sum_{out}"] = pd.Series([], dtype="float64")
+                    cols[f"__sum_{out}"] = pd.Series([], dtype=_dt(col, "float64"))
                     cols[f"__cnt_{out}"] = pd.Series([], dtype="int64")
-            for out, _ in min_cols:
-                cols[f"__min_{out}"] = pd.Series([], dtype="float64")
-            for out, _ in max_cols:
-                cols[f"__max_{out}"] = pd.Series([], dtype="float64")
+            for out, col in min_cols:
+                cols[f"__min_{out}"] = pd.Series([], dtype=_dt(col, "float64"))
+            for out, col in max_cols:
+                cols[f"__max_{out}"] = pd.Series([], dtype=_dt(col, "float64"))
             for out, _, _ in var_cols:
                 for p in ("s1", "s2"):
                     cols[f"__{p}_{out}"] = pd.Series([], dtype="float64")
@@ -207,7 +213,8 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
             derived[f"__wo_{out}"] = w.where(m)
         if derived:
             df = df.assign(**derived)
-        g = df.groupby(keys, observed=True, sort=False)
+        # dropna=False: SQL GROUP BY keeps the NULL-key group (review r2)
+        g = df.groupby(keys, observed=True, sort=False, dropna=False)
         parts = {}
         parts["__n"] = g.size()
         for out, col, kind in sum_cols:
@@ -260,7 +267,9 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
         agg_plan[f"__sw_{out}"] = "sum"
 
     def merge_finalize(g: pd.DataFrame) -> pd.DataFrame:
-        merged = g.groupby(key_list, as_index=False, observed=True, sort=False).agg(
+        merged = g.groupby(
+            key_list, as_index=False, observed=True, sort=False, dropna=False
+        ).agg(
             agg_plan
         )
         out_df = merged[key_list].copy()
@@ -411,6 +420,13 @@ def grouped_argmax(ds, keys, val_col: str, arg_col: str, minimize: bool = False)
     asc = not minimize
 
     def best(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        # SQL max_by/min_by ignore NULL values — without this drop the
+        # ascending sort puts NaN LAST and tail(1) would crown a
+        # NULL-value row over any real extremum (review r2). Keys whose
+        # every value is NULL emit no row, matching DuckDB arg_max.
+        df = df[df[val_col].notna()]
         if not len(df):
             return df
         d = df.sort_values(
@@ -753,7 +769,11 @@ def asof_join(
     )
     # right value columns gain NaN on unmatched left rows — cast uniformly
     # so a fully-matched bucket emits the same schema as a sparse one
-    null_right = [c for c in rcols if c != by and c != right_on]
+    # right_on INCLUDED: an unmatched left row NaN-promotes an integer
+    # right_on to float64 in its bucket only — casting it uniformly keeps
+    # every bucket's schema identical (datetime keys are immune: NaT
+    # doesn't retype, and _uniform_nullable only touches int/bool)
+    null_right = [c for c in rcols if c != by]
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # empty sides flow through the SAME merge_asof (typed placeholders
@@ -939,7 +959,13 @@ def windowed(ds, part_keys, order_keys, specs, num_buckets: int = 64, tiebreak=N
                 out[out_col] = rn_cache
             elif kind in ("percent_rank", "cume_dist"):
                 tmp = pd.DataFrame({"rn": rn_cache.values}, index=g.index)
-                tie = tmp.groupby([g[c] for c in part_keys + order_keys], sort=False)
+                # dropna=False: NULL order keys form their own tie group
+                # (sorted NULLS LAST, matching DuckDB ASC) instead of
+                # vanishing from the groupby and leaving NaN ranks that
+                # crash the int64 cast (review r2)
+                tie = tmp.groupby(
+                    [g[c] for c in part_keys + order_keys], sort=False, dropna=False
+                )
                 cnt = grp[order_keys[0]].transform("size").to_numpy().astype("float64")
                 if kind == "percent_rank":
                     # (rank - 1) / (count - 1); 0.0 for single-row partitions
@@ -956,7 +982,9 @@ def windowed(ds, part_keys, order_keys, specs, num_buckets: int = 64, tiebreak=N
                 # the running count of tie-group starts (no gaps)
                 tmp = pd.DataFrame({"rn": rn_cache.values}, index=g.index)
                 rank_min = tmp.groupby(
-                    [g[c] for c in part_keys + order_keys], sort=False
+                    [g[c] for c in part_keys + order_keys],
+                    sort=False,
+                    dropna=False,  # NULL order keys rank as a tie group
                 )["rn"].transform("min")
                 if kind == "rank":
                     out[out_col] = rank_min.astype("int64")
@@ -1567,7 +1595,7 @@ def grouping_sets_aggregate(ds, sets, aggs):
         if set(sub) == set(keys):
             lv = finest.copy()
         elif sub:
-            lv = finest.groupby(sub, as_index=False, observed=True).agg(plan)
+            lv = finest.groupby(sub, as_index=False, observed=True, dropna=False).agg(plan)
         else:
             lv = finest[list(plan)].agg(plan).to_frame().T
         for k in keys:
@@ -1637,7 +1665,9 @@ def set_op(left, right, cols, op: str, num_buckets: int = 64):
     rt = right.select_columns(cols).map_batches(tag(1), batch_format="pandas")
 
     def reduce(g: pd.DataFrame) -> pd.DataFrame:
-        gb = g.groupby(cols, sort=False, as_index=False)["__side"]
+        # dropna=False: SQL set ops treat NULLs as equal and KEEP
+        # NULL-bearing rows (review r2)
+        gb = g.groupby(cols, sort=False, as_index=False, dropna=False)["__side"]
         mn, mx = gb.min(), gb.max()
         if op == "intersect":
             keep = (mn["__side"] == 0) & (mx["__side"] == 1)

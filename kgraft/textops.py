@@ -383,6 +383,16 @@ def _exact_tier_groups(docs, likely_df, text_col, shingle_k, threshold):
     ``likely_df`` is the (doc_a, doc_b) survivor pair frame —
     near-dup-scale by construction, so driver-side is legitimate.
     """
+    if "doc_a" not in likely_df.columns:
+        # an all-empty candidate Dataset arrives COLUMN-LESS from
+        # to_pandas(); normalize so the no-near-dups case (a clean
+        # corpus) yields singleton groups instead of a KeyError
+        likely_df = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+            }
+        )
     # exact tier — semi-join pushdown: only the texts of surviving pairs
     # are needed, and the surviving ID SET is near-dup-scale, so it
     # broadcasts legitimately; the corpus is filtered map-side in one
@@ -553,24 +563,47 @@ def simhash_near_dup(docs, max_hamming: int = 3, text_col: str = "text"):
     bands = fps.map_batches(explode, batch_format="pyarrow")
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+        )
         u = g.drop_duplicates("doc_id")
-        ids = u["doc_id"].to_numpy()
-        hs = u["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2 or len(ids) > 256:
-            return pd.DataFrame(
-                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+        # star-reduce identical fingerprints FIRST (same move as the
+        # MinHash path): a dup cluster of m docs emits m-1 (rep, member)
+        # edges in band 0 only — never the O(m^2) clique, and never
+        # trips the bucket cap below, which previously dropped every
+        # pair of a >256-doc duplicate cluster (review r2)
+        rep = u.groupby("simhash", sort=False)["doc_id"].transform("min")
+        parts = []
+        if int(u["band"].iat[0]) == 0:
+            m = (rep != u["doc_id"]).to_numpy()
+            if m.any():
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "a": rep.to_numpy()[m].astype("int64"),
+                            "b": u["doc_id"].to_numpy()[m].astype("int64"),
+                        }
+                    )
+                )
+        # pairwise tier over DISTINCT fingerprints (cluster reps)
+        du = u[(rep == u["doc_id"]).to_numpy()].drop_duplicates("simhash")
+        ids = du["doc_id"].to_numpy()
+        hs = du["simhash"].to_numpy().astype(np.uint64)
+        if 2 <= len(ids) <= 256:
+            xor = hs[:, None] ^ hs[None, :]
+            # popcount: unpack each uint64's 8 bytes to bits and sum
+            dist = (
+                np.unpackbits(xor.view(np.uint8))
+                .reshape(len(ids), len(ids), 64)
+                .sum(axis=2)
             )
-        xor = hs[:, None] ^ hs[None, :]
-        # popcount: unpack each uint64's 8 bytes to bits and sum
-        dist = (
-            np.unpackbits(xor.view(np.uint8))
-            .reshape(len(ids), len(ids), 64)
-            .sum(axis=2)
-        )
-        ai, bi = np.where(np.triu(dist <= max_hamming, k=1))
-        return pd.DataFrame(
-            {"a": ids[ai].astype("int64"), "b": ids[bi].astype("int64")}
-        )
+            ai, bi = np.where(np.triu((dist > 0) & (dist <= max_hamming), k=1))
+            parts.append(
+                pd.DataFrame(
+                    {"a": ids[ai].astype("int64"), "b": ids[bi].astype("int64")}
+                )
+            )
+        return pd.concat(parts, ignore_index=True) if parts else empty
 
     pairs = (
         bands.groupby(["band", "band_bits"])
@@ -1060,6 +1093,34 @@ def approx_top_tokens(
 # unigram LM quality scoring (the CCNet-style perplexity filter signal)
 
 
+def _corpus_vocab(ds, vocab_size: int, text_col: str, pat):
+    """Shared vocab-training pass (unigram_nll + tokenize_docs): streaming
+    token-count partials -> deterministic top-V cut (count desc, token asc
+    — the SQL twin must cut the identical vocab). Returns
+    ``(vocab_df, total_tokens)``; only the BOUNDED head ever reaches the
+    driver — N is a Dataset aggregate over the materialized vocab-scale
+    count table."""
+    from .relational import pre_aggregate_ds
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.lower().str.findall(pat).explode().dropna()
+        vc = toks.value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.astype(str), "n": vc.to_numpy(dtype="int64")}
+        )
+
+    agg = pre_aggregate_ds(
+        ds.map_batches(counts, batch_format="pandas"), "token", {"n": ("n", "sum")}
+    ).materialize()  # pins the VOCAB-scale table for the two consumers
+    total_n = int(agg.sum("n"))
+    vocab = (
+        agg.sort(["n", "token"], descending=[True, False])
+        .limit(vocab_size)
+        .to_pandas()
+    )
+    return vocab, total_n
+
+
 def unigram_nll(
     ds,
     vocab_size: int = 1000,
@@ -1087,31 +1148,8 @@ def unigram_nll(
     Documents with zero tokens emit no row (SQL AVG-over-empty-group
     semantics: the group does not exist).
     """
-    from .relational import pre_aggregate_ds
-
     pat = re.compile(token_re)
-
-    def counts(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df[text_col].str.lower().str.findall(pat).explode().dropna()
-        vc = toks.value_counts()
-        return pd.DataFrame(
-            {"token": vc.index.astype(str), "n": vc.to_numpy(dtype="int64")}
-        )
-
-    agg = pre_aggregate_ds(
-        ds.map_batches(counts, batch_format="pandas"), "token", {"n": ("n", "sum")}
-    )
-    # vocab-scale counts NEVER collect to the driver: N is a Dataset
-    # aggregate and the cut is a distributed sort-limit; only the bounded
-    # head broadcasts. materialize() pins the VOCAB-scale table (not the
-    # corpus) so the two consumers below don't re-run the count pass.
-    agg = agg.materialize()
-    total_n = int(agg.sum("n"))
-    vocab = (
-        agg.sort(["n", "token"], descending=[True, False])
-        .limit(vocab_size)
-        .to_pandas()
-    )
+    vocab, total_n = _corpus_vocab(ds, vocab_size, text_col, pat)
     logp = np.log(
         (vocab["n"].to_numpy(dtype="float64") + 1.0) / (total_n + vocab_size + 1.0)
     )
@@ -1302,25 +1340,8 @@ def tokenize_docs(
 
     Output: (id_col, n_tokens, input_ids: list<int32>).
     """
-    from .relational import pre_aggregate_ds
-
     pat = re.compile(token_re)
-
-    def counts(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df[text_col].str.lower().str.findall(pat).explode().dropna()
-        vc = toks.value_counts()
-        return pd.DataFrame(
-            {"token": vc.index.astype(str), "n": vc.to_numpy(dtype="int64")}
-        )
-
-    agg = pre_aggregate_ds(
-        ds.map_batches(counts, batch_format="pandas"), "token", {"n": ("n", "sum")}
-    )
-    vocab = (
-        agg.sort(["n", "token"], descending=[True, False])
-        .limit(vocab_size)
-        .to_pandas()
-    )
+    vocab, _ = _corpus_vocab(ds, vocab_size, text_col, pat)
     vtok = vocab["token"].to_numpy(dtype=object)
     vids = np.arange(1, len(vtok) + 1, dtype=np.int32)  # 0 = UNK
     order = np.argsort(vtok)

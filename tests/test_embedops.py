@@ -160,3 +160,22 @@ def test_pq_recall_vs_bruteforce(ray_session):
     for _, row in approx.iterrows():
         assert abs(row["score"] - by_id[row["vec_id"]]) < 1e-9
     assert len(exact & set(approx["vec_id"])) / 10 >= 0.7
+
+
+def test_embed_near_dup_giant_cluster(ray_session):
+    """>256 identical embeddings must form ONE dup group (star reduction
+    over byte-identical vectors; the bucket cap used to drop them all)."""
+    import ray
+
+    from kgraft import embedops
+
+    vec = np.arange(8, dtype="float64") + 1.0
+    n = 300
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype="int64"),
+            "embedding": [vec.tolist()] * n,
+        }
+    )
+    out = embedops.embed_near_dup(ray.data.from_pandas(df), threshold=0.95).to_pandas()
+    assert out["dup_group"].nunique() == 1

@@ -1246,3 +1246,69 @@ def test_asof_and_range_join_property_one_sided_keys(ray_session):
         if len(want_r):  # an all-empty result arrives column-less from Ray
             got_r = got_r.sort_values(["lv", "rv"]).reset_index(drop=True)
             assert got_r["rv"].tolist() == want_r["rv"].tolist(), seed
+
+
+def test_grouped_argmax_ignores_null_values(ray_session):
+    """SQL max_by skips NULL values — a NaN-value row must never win."""
+    import ray
+
+    from kgraft.relational import grouped_argmax
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 2, 2, 3],
+            "v": [3.0, np.nan, np.nan, 7.0, np.nan],
+            "a": [10, 20, 30, 40, 50],
+        }
+    )
+    got = (
+        grouped_argmax(ray.data.from_pandas(df), "k", "v", "a")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # k=3 is all-NULL -> no row (documented); k=1/k=2 pick the real max
+    assert got["k"].tolist() == [1, 2]
+    assert got["a"].tolist() == [10, 40]
+
+
+def test_windowed_rank_with_null_order_keys(ray_session):
+    """NULL order keys rank as their own (NULLS LAST) tie group instead
+    of crashing the int64 cast (review r2) — verified against DuckDB."""
+    import duckdb
+    import ray
+
+    from kgraft.relational import windowed
+
+    df = pd.DataFrame(
+        {
+            "pid": [1, 1, 1, 1, 2, 2],
+            "ord": [2.0, np.nan, 1.0, np.nan, np.nan, 5.0],
+            "uid": [0, 1, 2, 3, 4, 5],
+        }
+    )
+    got = (
+        windowed(
+            ray.data.from_pandas(df),
+            part_keys="pid",
+            order_keys=["ord"],
+            specs={"r": ("rank", None), "d": ("dense_rank", None),
+                   "pr": ("percent_rank", None), "cd": ("cume_dist", None)},
+            num_buckets=2,
+        )
+        .to_pandas()
+        .sort_values("uid")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        """SELECT uid, CAST(rank() OVER w AS BIGINT) r,
+                  CAST(dense_rank() OVER w AS BIGINT) d,
+                  percent_rank() OVER w pr, cume_dist() OVER w cd
+           FROM t WINDOW w AS (PARTITION BY pid ORDER BY ord) ORDER BY uid"""
+    ).df()
+    assert got["r"].tolist() == want["r"].tolist()
+    assert got["d"].tolist() == want["d"].tolist()
+    np.testing.assert_allclose(got["pr"].to_numpy(), want["pr"].to_numpy(), atol=1e-12)
+    np.testing.assert_allclose(got["cd"].to_numpy(), want["cd"].to_numpy(), atol=1e-12)

@@ -427,3 +427,40 @@ def test_tokenize_docs_matches_bruteforce(ray_session):
     # "the" is the most frequent -> id 1; OOVs present (V < vocab)
     assert ids["the"] == 1
     assert any(0 in list(r) for r in got["input_ids"])
+
+
+def test_near_dup_clean_corpus_all_singletons(ray_session):
+    """A corpus with NO near-duplicates (zero LSH candidates) must yield
+    one singleton group per doc — this path used to KeyError on the
+    column-less empty candidate frame (review r2)."""
+    import ray
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                f"completely distinct document {i} about "
+                + w * 3
+                for i, w in enumerate(
+                    ["kelp forests ", "granite peaks ", "meteor showers ",
+                     "violin bows ", "desert dunes ", "arctic floes "]
+                )
+            ],
+        }
+    )
+    out = textops.near_dup_groups(ray.data.from_pandas(docs), threshold=0.9).to_pandas()
+    assert len(out) == 6
+    assert out["dup_group"].nunique() == 6
+
+
+def test_simhash_near_dup_giant_cluster(ray_session):
+    """A duplicate cluster LARGER than the 256-per-bucket cap must still
+    collapse to one group (star reduction over identical fingerprints —
+    previously every pair was dropped and 300 singletons came back)."""
+    import ray
+
+    text = "the exact same document body repeated verbatim across the corpus"
+    docs = pd.DataFrame({"doc_id": range(300), "text": [text] * 300})
+    out = textops.simhash_near_dup(ray.data.from_pandas(docs), max_hamming=3).to_pandas()
+    assert out["dup_group"].nunique() == 1
+    assert (out["dup_group"] == 0).all()
