@@ -113,7 +113,11 @@ def prepare_training_corpus(
         lambda df: df[(df["quality"] >= min_quality) & (df["n_tokens"] >= min_tokens)],
         batch_format="pandas",
     )
-    deduped = _exact_dedup_rows(kept)
+    # pin the multi-consumer intermediate: near_dup_groups and the reps
+    # join BOTH consume it, and a lazy Dataset re-executes the whole
+    # signals scan + content-hash exchange per consumer (review r2).
+    # Blocks live in the object store, which spills — safe at any size.
+    deduped = _exact_dedup_rows(kept).materialize()
 
     # near-dup groups over the deduped survivors; keep representatives
     groups = near_dup_groups(
@@ -129,7 +133,7 @@ def prepare_training_corpus(
         on="doc_id",
         left_schema=_CURATED_SCHEMA,
         right_schema=pa.schema([("doc_id", pa.int64())]),
-    )
+    ).materialize()  # two consumers: decontaminate scan + the final join
 
     decon = decontaminate(uniq, benchmark)  # (doc_id, n_hits, contaminated)
     clean_ids = decon.map_batches(

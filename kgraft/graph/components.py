@@ -157,8 +157,16 @@ def _label_propagation(
             }
         )
 
-    und = edges.map_batches(both_dirs, batch_format="pyarrow")
-    und = und.groupby(["u", "v"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    # dedup without per-pair Python dispatch: map-side drop_duplicates is
+    # the combiner, one bucketed exchange, vectorized in-bucket drop-dup
+    # (groupby(pair).map_groups(head) paid a group dispatch PER DISTINCT
+    # EDGE — review r2; this is the kcore.simple_pairs shape)
+    from ..relational import bucketed_groupby_apply
+
+    und = edges.map_batches(both_dirs, batch_format="pyarrow").map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas"
+    )
+    und = bucketed_groupby_apply(und, ["u", "v"], lambda g: g.drop_duplicates())
     und = und.materialize()
 
     labels = und.groupby("u").aggregate(Min("v", alias_name="label"))
@@ -227,6 +235,17 @@ def _label_propagation(
         labels = new_labels
         if old.sort_index().equals(new.sort_index()):
             break
+    else:
+        # labels advance one hop per round, so max_iter < graph diameter
+        # means some components still carry multiple labels — returning
+        # them silently would corrupt canonical-id assignment (review r2)
+        from ..errors import PlanError
+
+        raise PlanError(
+            f"label propagation did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter or use "
+            "method='unionfind'"
+        )
 
     out = labels.to_pandas().rename(columns={"u": "entity_id", "label": "component_id"})
     return out.sort_values("entity_id").reset_index(drop=True)

@@ -186,14 +186,18 @@ def pagerank_pregel(
             out[nz] += vals
         return out
 
-    outdeg = fold(ray.get([s.outdeg.remote() for s in shards]))
-    rank = np.full(n, 1.0 / n, dtype=np.float64)
-    safe_deg = np.where(outdeg > 0, outdeg, 1.0)
-    for _ in range(n_iter):
-        w_ref = ray.put(rank / safe_deg)
-        agg = fold(ray.get([s.contrib.remote(w_ref) for s in shards]))
-        dangling = rank[outdeg == 0].sum()
-        rank = (1.0 - damping) / n + damping * (agg + dangling / n)
-    for s in shards:
-        ray.kill(s)
+    try:
+        outdeg = fold(ray.get([s.outdeg.remote() for s in shards]))
+        rank = np.full(n, 1.0 / n, dtype=np.float64)
+        safe_deg = np.where(outdeg > 0, outdeg, 1.0)
+        for _ in range(n_iter):
+            w_ref = ray.put(rank / safe_deg)
+            agg = fold(ray.get([s.contrib.remote(w_ref) for s in shards]))
+            dangling = rank[outdeg == 0].sum()
+            rank = (1.0 - damping) / n + damping * (agg + dangling / n)
+    finally:
+        # a mid-iteration failure must not leave shard actors pinning the
+        # edge table in cluster memory for the session's lifetime
+        for s in shards:
+            ray.kill(s)
     return pd.DataFrame({"node_id": ids, "rank": rank})

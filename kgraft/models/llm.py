@@ -255,6 +255,12 @@ class LLMTripleExtractor:
                 raw = self._complete_with_retry(build_messages(text))
                 doc = json.loads(raw)
                 data = doc["data"]
+                if not isinstance(data, dict):
+                    # a real client may answer data as a list/null — that
+                    # is a dead-letter row, never a dead block (the
+                    # .values() below would otherwise raise OUTSIDE this
+                    # try and kill the Ray task — review r2)
+                    raise TypeError(f"data is {type(data).__name__}, not object")
             except Exception as e:
                 o_url.append(url)
                 o_seg.append(si)

@@ -130,6 +130,10 @@ class MentionDetector:
         irregular = []
         for a in aliases:
             toks = _TOKEN_RE.findall(a)
+            if not toks:
+                # a token-less alias (empty/punctuation-only string) can
+                # never match and L=0 would crash the stride slicing below
+                continue
             if " ".join(toks) != a:
                 # alias not reconstructible from single-space-joined
                 # [\w-]+ tokens (punctuation inside) — rare; handled by a
@@ -166,7 +170,9 @@ class MentionDetector:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["seg_text"].to_pylist()
         n_rows = len(texts)
-        if n_rows == 0 or not self.lengths:
+        # an all-irregular dictionary (no hashable aliases) must still run
+        # the regex fallback below, not bail out (review r2)
+        if n_rows == 0 or (not self.lengths and self.irregular_rx is None):
             return _empty_mentions()
 
         # 1+2. tokenize + hash. ASCII rows (virtually all of a normalized

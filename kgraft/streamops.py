@@ -51,23 +51,31 @@ def json_extract(ds, col: str, field: str, out_col: str, dtype: str = "int64"):
         return v
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        raw = df[col].str.extract(fast, expand=False)
-        # rows where the regex failed but the string might still be
-        # valid JSON (nested objects, escaped quotes): full parse
-        need_slow = raw.isna() & df[col].notna()
-        vals = raw.copy()
-        if need_slow.any():
-            vals.loc[need_slow] = df.loc[need_slow, col].map(parse_one)
-        # unquote fast-path string hits
-        is_q = vals.str.startswith('"').fillna(False)
-        vals.loc[is_q] = vals.loc[is_q].str.slice(1, -1)
+        s = df[col]
+        # the regex matches the field ANYWHERE, so any payload with a
+        # nested container could shadow (or fabricate) the top-level
+        # value — those rows take the real parse (review r2)
+        nested = s.str.slice(1).str.contains(r"[{\[]", regex=True).fillna(True)
+        raw = s.str.extract(fast, expand=False)
+        fast_ok = (~nested & raw.notna()).fillna(False)
+        vals = pd.Series([None] * len(df), index=df.index, dtype=object)
+        fv = raw[fast_ok]
+        # fast hits are JSON literals: bare `null` -> NULL first, THEN
+        # unquote quoted strings (so a legitimate "null" string survives)
+        fv = fv.where(fv != "null", None)
+        is_q = fv.str.startswith('"').fillna(False)
+        fv.loc[is_q] = fv.loc[is_q].str.slice(1, -1)
+        vals.loc[fast_ok] = fv
+        slow = (~fast_ok) & s.notna()
+        if slow.any():
+            vals.loc[slow] = s[slow].map(parse_one)
         out = df.copy()
         if dtype in ("int64", "float64"):
             out[out_col] = pd.to_numeric(vals, errors="coerce")
             if dtype == "int64":
                 out[out_col] = out[out_col].astype("Int64")
         else:
-            out[out_col] = vals.where(~vals.isin(["null"]), None)
+            out[out_col] = vals
         return out
 
     return ds.map_batches(fn, batch_format="pandas")

@@ -134,3 +134,18 @@ def test_pipeline_runs_with_llm_backend(ray_session, tmp_path):
     )
     assert res["triples_written"] == det["triples_written"] > 0
     assert res["n_edges"] == det["n_edges"]
+
+
+def test_non_dict_data_is_dead_lettered_not_fatal():
+    """A real client may answer data as a LIST or null — that must be a
+    dead-letter row, never an AttributeError killing the block (review r2)."""
+
+    class ListDataClient:
+        def complete(self, messages):
+            return '{"headers": ["s","p","o"], "data": [["a","b","c"]]}'
+
+    ex = LLMTripleExtractor(client_factory=ListDataClient)
+    out = ex(_seg_batch([("u", 0, "Zorvex Corp was founded by Mira Tal.")]))
+    assert len(out) == 1
+    err = out["error"].to_pylist()[0]
+    assert err is not None and "TypeError" in err

@@ -114,3 +114,35 @@ def test_hopping_window_covers_each_row_k_times(ray_session):
         streamops.hopping_window(
             ray.data.from_pandas(df), "ts", width_s=3600, hop_s=1000, aggs={}
         )
+
+
+def test_json_extract_nested_shadow_and_string_edge_cases(ray_session):
+    """Nested payloads must take the real parse (the anywhere-matching
+    regex used to report a NESTED field as top-level), and string edge
+    cases survive: a literal "null" value and values with real quote
+    characters (review r2)."""
+    import ray
+
+    from kgraft.streamops import json_extract
+
+    df = pd.DataFrame(
+        {
+            "props": [
+                '{"meta": {"x": 1}, "x": 2}',   # nested shadow: want 2
+                '{"meta": {"x": 1}}',            # nested only: want NULL
+                '{"x": 7}',                      # flat fast path
+                '{"f": "null"}',                 # literal string "null"
+                '{"f": "\\"hi\\""}',             # escaped quotes in value
+                '{"f": null}',                   # real JSON null
+            ]
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    xs = json_extract(ds, "props", "x", "x_val", dtype="int64").to_pandas()["x_val"]
+    assert xs.tolist()[:3] == [2, pd.NA, 7] or (
+        xs.iloc[0] == 2 and pd.isna(xs.iloc[1]) and xs.iloc[2] == 7
+    )
+    fs = json_extract(ds, "props", "f", "f_val", dtype="str").to_pandas()["f_val"]
+    assert fs.iloc[3] == "null"
+    assert fs.iloc[4] == '"hi"'
+    assert fs.iloc[5] is None or pd.isna(fs.iloc[5])
