@@ -771,40 +771,34 @@ def q21_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
         ),
         batch_format="pandas",
     )
-    per = pre_aggregate_ds(
-        li, ["l_orderkey", "l_suppkey"], {"last_ship": ("ship_ts", "max")}
-    )
-    per_schema = pa.schema(
-        [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()), ("last_ship", pa.int64())]
-    )
-    ordagg = pre_aggregate_ds(
-        per, ["l_orderkey"], {"mx": ("last_ship", "max"), "nsupp": (None, "count")}
-    )
-    j = hash_join(
-        per,
-        ordagg,
-        on="l_orderkey",
-        left_schema=per_schema,
-        right_schema=pa.schema(
-            [("l_orderkey", pa.int64()), ("mx", pa.int64()), ("nsupp", pa.int64())]
-        ),
-    )
-    hit = j.map_batches(
-        lambda df: df[(df["last_ship"] == df["mx"]) & (df["nsupp"] >= 2)][
-            ["l_orderkey", "l_suppkey"]
-        ],
-        batch_format="pandas",
-    )
-    hit_schema = pa.schema([("l_orderkey", pa.int64()), ("l_suppkey", pa.int64())])
-    sole = pre_aggregate_ds(hit, ["l_orderkey"], {"nhit": (None, "count")}).map_batches(
-        lambda df: df[df["nhit"] == 1][["l_orderkey"]], batch_format="pandas"
-    )
-    blocked = hash_join(
-        hit,
-        sole,
-        on="l_orderkey",
-        left_schema=hit_schema,
-        right_schema=pa.schema([("l_orderkey", pa.int64())]),
+    # ONE order-keyed co-location computes the whole EXISTS/NOT-EXISTS
+    # logic: the per-(order, supplier) max is combined map-side (the
+    # partial), every order's rows then meet in one bucket where the
+    # order max, supplier count, and sole-latest test are plain
+    # vectorized transforms. Replaces a 4-exchange + 2-join plan — every
+    # intermediate here was keyed by l_orderkey anyway.
+    def local_max(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["l_orderkey", "l_suppkey"], as_index=False)[
+            "ship_ts"
+        ].max()
+
+    def order_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby(["l_orderkey", "l_suppkey"], as_index=False)[
+            "ship_ts"
+        ].max()
+        grp = per.groupby("l_orderkey", sort=False)
+        mx = grp["ship_ts"].transform("max")
+        nsupp = grp["l_suppkey"].transform("size")
+        hit = per[(per["ship_ts"] == mx) & (nsupp >= 2)]
+        nh = hit.groupby("l_orderkey", sort=False)["l_suppkey"].transform("size")
+        return hit.loc[nh == 1, ["l_orderkey", "l_suppkey"]]
+
+    from .relational import bucketed_groupby_apply
+
+    blocked = bucketed_groupby_apply(
+        li.map_batches(local_max, batch_format="pandas"),
+        ["l_orderkey"],
+        order_bucket,
     )
     waits = (
         pre_aggregate_ds(blocked, ["l_suppkey"], {"numwait": (None, "count")})
