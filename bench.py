@@ -340,6 +340,13 @@ def main() -> None:
         # 32 CPUs) and reads as a regression of whatever query runs first
         _warm_workers(num_cpus)
     queries = {} if args.skip_queries else run_queries(sf_dir)
+    # The per-query timing dict is >3 KB; the driver captures only the
+    # TAIL of stdout and parses the FINAL line (round 2 lost the headline
+    # because this dict pushed it out of the capture window). Print the
+    # timings on their own earlier line and keep the final line compact
+    # and self-evidencing.
+    print(json.dumps({"metric": "kg_query_timings", "queries": queries}))
+    sys.stdout.flush()
     print(
         json.dumps(
             {
@@ -375,7 +382,16 @@ def main() -> None:
                     "L3/DRAM contention (BASELINE.md 'Host contention'); "
                     "2->8 is the same N->4N ratio measured below that knee"
                 ),
-                "queries": queries,
+                "queries": {
+                    "count": len(queries),
+                    "errors": sorted(
+                        k for k, v in queries.items() if isinstance(v, str)
+                    ),
+                    "total_sec": round(
+                        sum(v for v in queries.values() if isinstance(v, float)), 1
+                    ),
+                    "note": "per-query timings on the kg_query_timings line above",
+                },
                 "sf": sf_dir,
                 "num_cpus": num_cpus,
             }
