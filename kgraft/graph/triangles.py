@@ -10,21 +10,25 @@ The reference has no graph surface at all (SURVEY.md §2.1).
 Scale shape: every step is a bucketed exchange or a partial-combined
 aggregate —
 
-1. canonicalize to undirected distinct edges (one bucketed dedup on the
-   edge key; self-loops dropped),
+1. canonicalize to undirected distinct edges (map-side numpy dedup as
+   the combiner + one bucketed exchange on the edge key; self-loops
+   dropped),
 2. degree table via endpoint-explode + partial counts,
-3. attach degrees to both endpoints (two bucketed hash joins),
+3. attach degrees to both endpoints (degree-table broadcast at
+   node-scale; two bucketed hash joins beyond it),
 4. ORIENT each edge from its lower (degree, id) endpoint to the higher —
    the trick that caps forward out-degree at O(sqrt(m)), so the
    per-source pair explosion in step 5 is O(m^1.5) TOTAL work spread
    over buckets, never a hub-squared blowup on one reducer,
-5. per-source wedge generation (vectorized triu pair indices inside a
-   bucketed groupby), and
+5. per-source wedge generation (vectorized pair indices per source
+   segment inside a bucketed groupby), and
 6. one bucketed join of wedges against oriented edges on the composite
    (b, c) key; each triangle matches exactly once.
 
 The wedge Dataset is the big intermediate (O(m^1.5) worst case); it
-streams through the closing join without materializing.
+streams through the closing join without materializing. All stages run
+``batch_format="pyarrow"`` with numpy kernels — no pandas block
+round-trips on the hot path (r2 verdict task 8).
 """
 
 from __future__ import annotations
@@ -34,7 +38,13 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from ..relational import bucketed_groupby_apply, hash_join, pre_aggregate_ds
+from ..hashing import splitmix64
+from ..relational import hash_join, pre_aggregate_ds
+
+
+def _edge_bucket(u: np.ndarray, v: np.ndarray, num_buckets: int) -> np.ndarray:
+    h = splitmix64(u.astype(np.uint64) ^ splitmix64(v.astype(np.uint64)))
+    return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
 def count_triangles(
@@ -53,26 +63,55 @@ def count_triangles(
     (= 3*triangles / wedges; 0.0 for wedge-free graphs).
     """
 
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
-        a = df[src].to_numpy(dtype="int64")
-        b = df[dst].to_numpy(dtype="int64")
+    def canon(t: pa.Table) -> pa.Table:
+        a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
         u = np.minimum(a, b)
         v = np.maximum(a, b)
         keep = u != v
-        out = pd.DataFrame({"u": u[keep], "v": v[keep]})
-        return out.drop_duplicates()
+        # map-side dedup is the combiner; the bucketed exchange below
+        # finishes it exactly (an edge's duplicates share its bucket)
+        uv = (
+            np.unique(np.stack([u[keep], v[keep]], axis=1), axis=0)
+            if keep.any()
+            else np.empty((0, 2), dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "u": pa.array(uv[:, 0], pa.int64()),
+                "v": pa.array(uv[:, 1], pa.int64()),
+                "__bucket": pa.array(
+                    _edge_bucket(uv[:, 0], uv[:, 1], num_buckets), pa.int64()
+                ),
+            }
+        )
+
+    def dedup_bucket(g: pa.Table) -> pa.Table:
+        uv = np.unique(
+            np.stack(
+                [
+                    g["u"].to_numpy(zero_copy_only=False),
+                    g["v"].to_numpy(zero_copy_only=False),
+                ],
+                axis=1,
+            ),
+            axis=0,
+        )
+        return pa.table(
+            {"u": pa.array(uv[:, 0], pa.int64()), "v": pa.array(uv[:, 1], pa.int64())}
+        )
 
     # pinned: three consumers (degree pass, join chain, edge count) would
     # otherwise each re-run the dedup shuffle. Distinct-edge scale is the
     # module's documented partitioning assumption (vocab-bounded for the
     # KG; for a general corpus graph this is the O(m) working set any
     # triangle algorithm carries).
-    und = bucketed_groupby_apply(
-        edges.map_batches(canon, batch_format="pandas"),
-        ["u", "v"],
-        lambda g: g.drop_duplicates(),
-        num_buckets,
-    ).materialize()
+    und = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(dedup_bucket, batch_format="pyarrow")
+        .materialize()
+    )
 
     # adapt downstream exchange width to the MEASURED distinct-edge count
     # (free: und is pinned): a vocab-scale graph at 64 buckets pays
@@ -82,13 +121,23 @@ def count_triangles(
     n_edges = int(und.count())
     nb = int(np.clip(n_edges // 50_000 + 1, 4, num_buckets))
 
-    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"node": np.concatenate([df["u"].to_numpy(), df["v"].to_numpy()])}
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.array(
+                    np.concatenate(
+                        [
+                            t["u"].to_numpy(zero_copy_only=False),
+                            t["v"].to_numpy(zero_copy_only=False),
+                        ]
+                    ),
+                    pa.int64(),
+                )
+            }
         )
 
     deg = pre_aggregate_ds(
-        und.map_batches(endpoints, batch_format="pandas"),
+        und.map_batches(endpoints, batch_format="pyarrow"),
         "node",
         {"deg": (None, "count")},
     ).materialize()  # node-scale (vocab-bounded for the KG); 3 consumers below
@@ -96,21 +145,28 @@ def count_triangles(
     n_nodes = deg.count()
     # wedge count needs no join: sum_v C(deg_v, 2) over the degree table
     wedge_parts = deg.map_batches(
-        lambda df: pd.DataFrame(
-            {"w": (df["deg"].to_numpy(dtype="int64") * (df["deg"].to_numpy(dtype="int64") - 1)) // 2}
+        lambda t: pa.table(
+            {
+                "w": pa.array(
+                    (lambda d: d * (d - 1) // 2)(
+                        t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+                    ),
+                    pa.int64(),
+                )
+            }
         ),
-        batch_format="pandas",
+        batch_format="pyarrow",
     )
     n_wedges = int(wedge_parts.sum("w") or 0)
 
-    def _orient_frame(u, v, du, dv) -> pd.DataFrame:
+    def _orient_table(u, v, du, dv) -> pa.Table:
         # lexicographic (degree, id): ties on degree break by node id
         u_first = (du < dv) | ((du == dv) & (u < v))
-        return pd.DataFrame(
+        return pa.table(
             {
-                "a": np.where(u_first, u, v),
-                "b": np.where(u_first, v, u),
-                "db": np.where(u_first, dv, du),
+                "a": pa.array(np.where(u_first, u, v), pa.int64()),
+                "b": pa.array(np.where(u_first, v, u), pa.int64()),
+                "db": pa.array(np.where(u_first, dv, du), pa.int64()),
             }
         )
 
@@ -119,28 +175,31 @@ def count_triangles(
         # vocab-bounded assumption graph/pagerank.py documents) and
         # orient shuffle-free — two bucketed joins disappear
         deg_df = deg.to_pandas()
-        ids = np.sort(deg_df["node"].to_numpy(dtype="int64"))
-        dmap = deg_df.set_index("node")["deg"]
-        degs = dmap.loc[ids].to_numpy(dtype="int64")
+        order = np.argsort(deg_df["node"].to_numpy(dtype="int64"))
+        ids = deg_df["node"].to_numpy(dtype="int64")[order]
+        degs = deg_df["deg"].to_numpy(dtype="int64")[order]
         deg_ref = ray.put((ids, degs))
 
-        def orient_bcast(df: pd.DataFrame) -> pd.DataFrame:
+        def orient_bcast(t: pa.Table) -> pa.Table:
             ids_s, degs_s = ray.get(deg_ref)
-            u = df["u"].to_numpy(dtype="int64")
-            v = df["v"].to_numpy(dtype="int64")
+            u = t["u"].to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy(zero_copy_only=False)
             du = degs_s[np.searchsorted(ids_s, u)]
             dv = degs_s[np.searchsorted(ids_s, v)]
-            return _orient_frame(u, v, du, dv)
+            return _orient_table(u, v, du, dv)
 
-        oriented = und.map_batches(orient_bcast, batch_format="pandas")
+        oriented = und.map_batches(orient_bcast, batch_format="pyarrow")
     else:
         # beyond-broadcast node counts: attach degrees by bucketed join
+        def rename_deg(node_as: str, deg_as: str):
+            def fn(t: pa.Table) -> pa.Table:
+                return pa.table({node_as: t["node"], deg_as: t["deg"]})
+
+            return fn
+
         with_du = hash_join(
             und,
-            deg.map_batches(
-                lambda df: df.rename(columns={"node": "u", "deg": "du"}),
-                batch_format="pandas",
-            ),
+            deg.map_batches(rename_deg("u", "du"), batch_format="pyarrow"),
             on="u",
             num_buckets=num_buckets,
             left_schema=pa.schema([("u", pa.int64()), ("v", pa.int64())]),
@@ -148,10 +207,7 @@ def count_triangles(
         )
         with_both = hash_join(
             with_du,
-            deg.map_batches(
-                lambda df: df.rename(columns={"node": "v", "deg": "dv"}),
-                batch_format="pandas",
-            ),
+            deg.map_batches(rename_deg("v", "dv"), batch_format="pyarrow"),
             on="v",
             num_buckets=num_buckets,
             left_schema=pa.schema(
@@ -160,41 +216,63 @@ def count_triangles(
             right_schema=pa.schema([("v", pa.int64()), ("dv", pa.int64())]),
         )
         oriented = with_both.map_batches(
-            lambda df: _orient_frame(
-                df["u"].to_numpy(dtype="int64"),
-                df["v"].to_numpy(dtype="int64"),
-                df["du"].to_numpy(dtype="int64"),
-                df["dv"].to_numpy(dtype="int64"),
+            lambda t: _orient_table(
+                t["u"].to_numpy(zero_copy_only=False),
+                t["v"].to_numpy(zero_copy_only=False),
+                t["du"].to_numpy(zero_copy_only=False),
+                t["dv"].to_numpy(zero_copy_only=False),
             ),
-            batch_format="pandas",
+            batch_format="pyarrow",
+        )
+
+    def add_src_bucket(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        h = splitmix64(a.astype(np.uint64))
+        return t.append_column(
+            "__bucket", pa.array((h % np.uint64(nb)).astype(np.int64), pa.int64())
         )
 
     # pinned: wedge generation and the closing-edge side both read it
     fwd = oriented.materialize()
 
-    def wedges(g: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for _, grp in g.groupby("a", sort=False):
-            m = len(grp)
+    def wedges(g: pa.Table) -> pa.Table:
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        db = g["db"].to_numpy(zero_copy_only=False)
+        # one lexsort segments by source with neighbors ordered by the
+        # SAME (degree, id) rule, so each emitted pair matches the
+        # closing edge's orientation
+        order = np.lexsort((b, db, a))
+        sa, sb = a[order], b[order]
+        starts = np.flatnonzero(np.r_[True, sa[1:] != sa[:-1]])
+        ends = np.r_[starts[1:], len(sa)]
+        out_b, out_c = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
             if m < 2:
                 continue
-            # neighbors ordered by the SAME (degree, id) rule, so each
-            # emitted pair matches the closing edge's orientation
-            order = np.lexsort((grp["b"].to_numpy(), grp["db"].to_numpy()))
-            nb = grp["b"].to_numpy()[order]
             i, j = np.triu_indices(m, 1)
-            outs.append(pd.DataFrame({"b": nb[i], "c": nb[j]}))
-        if not outs:
-            return pd.DataFrame(
-                {"b": pd.Series([], dtype="int64"), "c": pd.Series([], dtype="int64")}
+            out_b.append(sb[s + i])
+            out_c.append(sb[s + j])
+        if not out_b:
+            return pa.table(
+                {"b": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
             )
-        return pd.concat(outs, ignore_index=True)
+        return pa.table(
+            {
+                "b": pa.array(np.concatenate(out_b), pa.int64()),
+                "c": pa.array(np.concatenate(out_c), pa.int64()),
+            }
+        )
 
-    wedge_ds = bucketed_groupby_apply(fwd, "a", wedges, nb)
+    wedge_ds = (
+        fwd.map_batches(add_src_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(wedges, batch_format="pyarrow")
+    )
 
     closing = fwd.map_batches(
-        lambda df: df[["a", "b"]].rename(columns={"a": "b", "b": "c"}),
-        batch_format="pandas",
+        lambda t: pa.table({"b": t["a"], "c": t["b"]}), batch_format="pyarrow"
     )
     tri = hash_join(
         wedge_ds,

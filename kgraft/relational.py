@@ -616,10 +616,21 @@ def hash_join(
                 v = t[c].to_numpy(zero_copy_only=False).astype(np.uint64)
                 h ^= splitmix64(v + np.uint64(0x9E3779B97F4A7C15 * (i + 1) & (2**64 - 1)))
             return h
-        key = pd.Series(t[on_cols[0]].to_pandas()).astype(str)
-        for c in on_cols[1:]:
-            key = key + "\x1f" + pd.Series(t[c].to_pandas()).astype(str)
-        return hash_strings(key.tolist(), seed=3)
+        # Arrow-native for string keys: cast + element-wise join stay in
+        # Arrow buffers (the pandas astype(str) detour copied every key
+        # through Python objects per batch — r2 review)
+        import pyarrow.compute as pc
+
+        arrs = [
+            pc.fill_null(pc.cast(t[c], pa.string()), "\x00null")
+            for c in on_cols
+        ]
+        key = (
+            arrs[0]
+            if len(arrs) == 1
+            else pc.binary_join_element_wise(*arrs, "\x1f")
+        )
+        return hash_strings(key.to_pylist(), seed=3)
 
     base_l, base_r = list(lcols), list(rcols)
     if salted:
