@@ -2131,6 +2131,87 @@ FROM events GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
 """
 
 
+def skew_salted_join_events(sf_dir: str) -> pd.DataFrame:
+    """Planted-skew fact-fact join through the full skew playbook:
+    derive a Zipf-headed key (every user_id divisible by 3 collapses to
+    key 0 — ~1/3 of all rows on ONE key), run :func:`relational.hot_keys`
+    to measure the head, and push the join through the salted
+    :func:`relational.hash_join` with ``num_salts`` chosen from the
+    measured share. Without salting, the hot key's rows serialize on one
+    reducer; with salts, its left rows spread over ``num_salts`` buckets
+    while each still meets exactly one copy of its match
+    (SURVEY.md §4 skew row; relational.py:542 documents the mechanics).
+
+    Output is all-integer (exact under any partial-sum order): per
+    event_type, row count and sum of the joined per-key count — each
+    left row must have met exactly one right row for the totals to
+    match the oracle."""
+    from .relational import hash_join, hot_keys, pre_aggregate_ds
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = np.where(uid % 3 == 0, 0, uid)
+        return pa.table(
+            {
+                "skew_uid": pa.array(sk, pa.int64()),
+                "event_type": t["event_type"],
+            }
+        )
+
+    left = ev.map_batches(derive, batch_format="pyarrow")
+    # the diagnostic pre-pass: measure the head, size the salts from it
+    head = hot_keys(left.select_columns(["skew_uid"]), "skew_uid", k=1)
+    top_share = float(head["share"].iloc[0]) if len(head) else 0.0
+    num_salts = 8 if top_share >= 0.2 else 1
+
+    side = pre_aggregate_ds(
+        left.select_columns(["skew_uid"]), "skew_uid", {"cnt": (None, "count")}
+    )
+    joined = hash_join(
+        left,
+        side,
+        on="skew_uid",
+        num_salts=num_salts,
+        left_schema=pa.schema(
+            [("skew_uid", pa.int64()), ("event_type", pa.string())]
+        ),
+        right_schema=pa.schema([("skew_uid", pa.int64()), ("cnt", pa.int64())]),
+    )
+    out = (
+        pre_aggregate_ds(
+            joined,
+            "event_type",
+            {"n_rows": (None, "count"), "sum_cnt": ("cnt", "sum")},
+        )
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["sum_cnt"] = out["sum_cnt"].astype("int64")
+    return out
+
+
+_SKEW_SALTED_JOIN_SQL = """
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS skew_uid
+  FROM events
+),
+side AS (
+  SELECT skew_uid, CAST(count(*) AS BIGINT) AS cnt FROM ev GROUP BY skew_uid
+)
+SELECT ev.event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(side.cnt) AS BIGINT) AS sum_cnt
+FROM ev JOIN side ON ev.skew_uid = side.skew_uid
+GROUP BY ev.event_type
+ORDER BY ev.event_type
+"""
+
+
 def doc_unigram_nll(sf_dir: str):
     """Per-doc avg negative log-likelihood under the corpus unigram LM
     (CCNet-style perplexity quality signal) — see
@@ -3015,6 +3096,7 @@ QUERIES = {
     "approx_top_tokens_docs": approx_top_tokens_docs,
     "doc_unigram_nll": doc_unigram_nll,
     "hot_users_events": hot_users_events,
+    "skew_salted_join_events": skew_salted_join_events,
     "zscore_event_values": zscore_event_values,
     "wavg_price_by_flag": wavg_price_by_flag,
     "orders_by_dow": orders_by_dow,
@@ -3123,6 +3205,7 @@ ORACLE_SQL = {
     "approx_top_tokens_docs": _TOP_TOKENS_SQL,
     "doc_unigram_nll": _UNIGRAM_NLL_SQL,
     "hot_users_events": _HOT_USERS_SQL,
+    "skew_salted_join_events": _SKEW_SALTED_JOIN_SQL,
     "zscore_event_values": _ZSCORE_SQL,
     "wavg_price_by_flag": _WAVG_SQL,
     "orders_by_dow": _ORDERS_DOW_SQL,

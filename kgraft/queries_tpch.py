@@ -1029,7 +1029,246 @@ ORDER BY l.l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# q2: minimum-cost supplier (correlated min subquery over the ps relation)
+
+
+def q2_min_cost_supplier(sf_dir: str) -> pd.DataFrame:
+    """Lowest-cost supplier per qualifying part in EUROPE (TPC-H Q2
+    shape). The synthetic schema has no partsupp; the part-supplier
+    catalog derives from lineitem — ps_supplycost := min unit price a
+    supplier ever charged for the part (deterministic, oracle derives
+    identically). The correlated ``= (SELECT min(...))`` subquery
+    becomes a per-part min aggregate joined back to the eligible rows
+    (q17's shape); equality compares 4-dp-rounded values on both sides
+    (q15's convention)."""
+    nation = read_table(sf_dir, "nation").to_pandas()
+    region = read_table(sf_dir, "region").to_pandas()
+    euro_keys = nation.merge(
+        region[region["r_name"] == "EUROPE"],
+        left_on="n_regionkey",
+        right_on="r_regionkey",
+    )[["n_nationkey", "n_name"]]
+    nk_ref = ray.put(euro_keys)
+
+    supp = read_table(
+        sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_acctbal", "s_nationkey"]
+    ).map_batches(
+        lambda df: df.merge(
+            ray.get(nk_ref), left_on="s_nationkey", right_on="n_nationkey"
+        )[["s_suppkey", "s_name", "s_acctbal", "n_name"]].rename(
+            columns={"s_suppkey": "ps_suppkey"}
+        ),
+        batch_format="pandas",
+    )
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"]
+    )
+
+    def unit(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ps_partkey": t["l_partkey"],
+                "ps_suppkey": t["l_suppkey"],
+                "unit_cost": pc.divide(t["l_extendedprice"], t["l_quantity"]),
+            }
+        )
+
+    ps = pre_aggregate_ds(
+        li.map_batches(unit, batch_format="pyarrow"),
+        ["ps_partkey", "ps_suppkey"],
+        {"ps_supplycost": ("unit_cost", "min")},
+    ).map_batches(
+        lambda df: df.assign(ps_supplycost=df["ps_supplycost"].round(4)),
+        batch_format="pandas",
+    )
+
+    elig = hash_join(
+        ps,
+        supp,
+        on="ps_suppkey",
+        left_schema=pa.schema(
+            [
+                ("ps_partkey", pa.int64()),
+                ("ps_suppkey", pa.int64()),
+                ("ps_supplycost", pa.float64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [
+                ("ps_suppkey", pa.int64()),
+                ("s_name", pa.string()),
+                ("s_acctbal", pa.float64()),
+                ("n_name", pa.string()),
+            ]
+        ),
+    )
+    elig_schema = pa.schema(
+        [
+            ("ps_partkey", pa.int64()),
+            ("ps_suppkey", pa.int64()),
+            ("ps_supplycost", pa.float64()),
+            ("s_name", pa.string()),
+            ("s_acctbal", pa.float64()),
+            ("n_name", pa.string()),
+        ]
+    )
+    mins = pre_aggregate_ds(
+        elig, ["ps_partkey"], {"min_cost": ("ps_supplycost", "min")}
+    )
+    winners = hash_join(
+        elig,
+        mins,
+        on="ps_partkey",
+        left_schema=elig_schema,
+        right_schema=pa.schema([("ps_partkey", pa.int64()), ("min_cost", pa.float64())]),
+    ).map_batches(
+        lambda df: df[df["ps_supplycost"] == df["min_cost"]][
+            ["ps_partkey", "ps_supplycost", "s_name", "s_acctbal", "n_name"]
+        ],
+        batch_format="pandas",
+    )
+
+    part = read_table(
+        sf_dir, "part", columns=["p_partkey", "p_brand", "p_type", "p_size"]
+    ).map_batches(
+        lambda df: df[
+            (df["p_size"].between(10, 25)) & (df["p_type"] == "STANDARD")
+        ][["p_partkey", "p_brand"]].rename(columns={"p_partkey": "ps_partkey"}),
+        batch_format="pandas",
+    )
+    out = hash_join(
+        winners,
+        part,
+        on="ps_partkey",
+        left_schema=pa.schema(
+            [
+                ("ps_partkey", pa.int64()),
+                ("ps_supplycost", pa.float64()),
+                ("s_name", pa.string()),
+                ("s_acctbal", pa.float64()),
+                ("n_name", pa.string()),
+            ]
+        ),
+        right_schema=pa.schema([("ps_partkey", pa.int64()), ("p_brand", pa.string())]),
+    ).to_pandas()  # top-100 qualifying winners: driver-small by construction
+    out = out.rename(columns={"ps_partkey": "p_partkey"})
+    out = out.sort_values(
+        ["s_acctbal", "n_name", "s_name", "p_partkey"],
+        ascending=[False, True, True, True],
+    ).head(100)
+    return out[
+        ["s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "ps_supplycost"]
+    ].reset_index(drop=True)
+
+
+_Q2_SQL = """
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         round(min(l_extendedprice / l_quantity), 4) AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2
+),
+eu_supp AS (
+  SELECT s_suppkey AS ps_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+elig AS (
+  SELECT ps.ps_partkey, ps.ps_supplycost, s.s_name, s.s_acctbal, s.n_name
+  FROM ps JOIN eu_supp s USING (ps_suppkey)
+),
+mins AS (SELECT ps_partkey, min(ps_supplycost) AS min_cost FROM elig GROUP BY 1)
+SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand, e.ps_supplycost
+FROM elig e
+JOIN mins m ON e.ps_partkey = m.ps_partkey AND e.ps_supplycost = m.min_cost
+JOIN part p ON p.p_partkey = e.ps_partkey
+WHERE p.p_size BETWEEN 10 AND 25 AND p.p_type = 'STANDARD'
+ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# q11: important stock (grouped share-of-total HAVING)
+
+
+def q11_important_stock(sf_dir: str) -> pd.DataFrame:
+    """Parts whose NATION_3-supplied value exceeds 0.1% of the total
+    (TPC-H Q11 shape: grouped aggregate filtered against a scalar
+    derived from ITS OWN total — the aggregate stays a Dataset; only
+    the O(1) total and the qualifying tail collect). partsupp value is
+    replaced by lineitem revenue through the nation's suppliers."""
+    nation = read_table(sf_dir, "nation").to_pandas()
+    nk = int(nation.loc[nation["n_name"] == "NATION_3", "n_nationkey"].iloc[0])
+
+    supp_keys = read_table(
+        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda df: df[df["s_nationkey"] == nk][["s_suppkey"]].rename(
+            columns={"s_suppkey": "l_suppkey"}
+        ),
+        batch_format="pandas",
+    )
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+    li_n = bloom_semi_join(li, supp_keys, on="l_suppkey")
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ps_partkey": t["l_partkey"],
+                "rev": pc.multiply(
+                    t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+                ),
+            }
+        )
+
+    v = pre_aggregate_ds(
+        li_n.map_batches(rev, batch_format="pyarrow"),
+        ["ps_partkey"],
+        {"part_value": ("rev", "sum")},
+    ).materialize()  # two consumers: the total and the HAVING filter
+    total = float(v.sum("part_value") or 0.0)
+    cut = total * 0.001
+    out = (
+        v.map_batches(
+            lambda df: df[df["part_value"] > cut].assign(
+                part_value=df.loc[df["part_value"] > cut, "part_value"].round(4)
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sort_values(["part_value", "ps_partkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    out["ps_partkey"] = out["ps_partkey"].astype("int64")
+    return out
+
+
+_Q11_SQL = """
+WITH gs AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+),
+v AS (
+  SELECT l_partkey AS ps_partkey,
+         sum(l_extendedprice * (1 - l_discount)) AS part_value
+  FROM lineitem JOIN gs ON l_suppkey = gs.s_suppkey
+  GROUP BY 1
+)
+SELECT ps_partkey, round(part_value, 4) AS part_value
+FROM v
+WHERE part_value > (SELECT sum(part_value) * 0.001 FROM v)
+ORDER BY part_value DESC, ps_partkey
+"""
+
+
 TPCH_QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_stock": q11_important_stock,
     "q12_priority_class": q12_priority_class,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
@@ -1044,6 +1283,8 @@ TPCH_QUERIES = {
 }
 
 TPCH_ORACLE_SQL = {
+    "q2_min_cost_supplier": _Q2_SQL,
+    "q11_important_stock": _Q11_SQL,
     "q12_priority_class": _Q12_SQL,
     "q7_volume_shipping": _Q7_SQL,
     "q8_market_share": _Q8_SQL,
