@@ -89,3 +89,61 @@ def test_image_resizer_fixed_dims(ray_session):
     out = resize_images(ray.data.from_arrow(t), target_w=64, target_h=48).to_pandas()
     assert out.loc[0, "width"] == 64 and out.loc[0, "height"] == 48
     assert isinstance(out.loc[0, "payload"], bytes) and len(out.loc[0, "payload"]) >= 16
+
+
+def test_backend_guard_auto_falls_back_to_fake():
+    """In this sandbox (no PIL/av/soundfile) backend='auto' must resolve
+    to the fake on every actor, and the fake path must actually run."""
+    import pyarrow as pa
+
+    from kgraft.multimodal import (
+        AudioFeatureExtractor,
+        ImageFeatureExtractor,
+        ImageResizer,
+        VideoFrameSampler,
+    )
+
+    for cls in (ImageFeatureExtractor, ImageResizer, VideoFrameSampler, AudioFeatureExtractor):
+        actor = cls(backend="auto")
+        assert actor.backend == "fake", cls.__name__
+    t = pa.table({"url": ["a"], "html": pa.array([b"payload"], pa.binary())})
+    out = ImageFeatureExtractor(backend="auto")(t)
+    assert out.num_rows == 1 and len(out["feature"][0].as_py()) == 8
+
+
+def test_backend_guard_explicit_real_raises_without_lib():
+    """Asking for the real decoder without its library must raise (a
+    silent fake would corrupt downstream features), with an install
+    hint in the message."""
+    import pytest
+
+    from kgraft.multimodal import (
+        AudioFeatureExtractor,
+        ImageFeatureExtractor,
+        ImageResizer,
+        VideoFrameSampler,
+    )
+
+    for cls, real in (
+        (ImageFeatureExtractor, "pil"),
+        (ImageResizer, "pil"),
+        (VideoFrameSampler, "av"),
+        (AudioFeatureExtractor, "soundfile"),
+    ):
+        with pytest.raises(NotImplementedError, match="install"):
+            cls(backend=real)
+
+
+def test_backend_guard_resolution_logic():
+    """resolve_backend picks the real backend when the module imports
+    (proved with a stdlib module standing in for the decoder lib)."""
+    import pytest
+
+    from kgraft.multimodal import resolve_backend
+
+    assert resolve_backend("auto", "pil", "json") == "pil"  # lib "present"
+    assert resolve_backend("auto", "pil", "definitely_not_a_module") == "fake"
+    assert resolve_backend("fake", "pil", "definitely_not_a_module") == "fake"
+    assert resolve_backend("pil", "pil", "json") == "pil"
+    with pytest.raises(NotImplementedError):
+        resolve_backend("pil", "pil", "definitely_not_a_module")
