@@ -126,6 +126,25 @@ class ManifestStore:
                     f"{config}; restore those settings or use a fresh out_dir"
                 )
             return
+        # manifests already present but no recorded config: a checkpoint
+        # from before this guard existed. Adopting the CURRENT config as
+        # the baseline would silently accept one mismatched resume — the
+        # exact corruption the guard exists to block — so refuse and make
+        # the operator state the config explicitly (ADVICE r2).
+        has_manifests = any(
+            f.startswith("part-") and f.endswith(".json")
+            for f in os.listdir(self.manifest_dir)
+        )
+        if has_manifests:
+            from .errors import ConfigError
+
+            raise ConfigError(
+                f"checkpoint at {self.out_dir} predates run-config "
+                "recording (manifests exist but no run_config.json); its "
+                "original partitioning cannot be verified — re-run with a "
+                "fresh out_dir, or write the original config to "
+                f"{path} by hand to vouch for it"
+            )
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(config, f)

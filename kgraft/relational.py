@@ -1613,7 +1613,16 @@ def grouping_sets_aggregate(ds, sets, aggs):
             if k not in sub:
                 lv[k] = None
         levels.append(lv[keys + list(aggs)])
-    return pd.concat(levels, ignore_index=True)
+    out = pd.concat(levels, ignore_index=True)
+    # the grand-total row builds via .agg().to_frame().T, which promotes
+    # int aggregates to float64 and leaks float counts to every level
+    # through the concat; counts are definitionally integral, so re-cast
+    # here instead of relying on each caller (ADVICE r2 — float64 loses
+    # integer precision past 2^53)
+    for out_col, (_, kind) in aggs.items():
+        if kind == "count":
+            out[out_col] = out[out_col].astype("int64")
+    return out
 
 
 def funnel(ds, user_col, ts_col, type_col, steps, num_buckets: int = 64):
@@ -1808,8 +1817,10 @@ def upsert(base, updates, key, version_col, num_buckets: int = 64,
            base_schema=None):
     """Latest-wins merge (SQL ``MERGE INTO`` / lakehouse upsert): for
     each key, keep the row with the highest ``version_col``; on version
-    ties the UPDATES side wins (deterministic — the side tag extends the
-    ordering). Both sides must share one schema.
+    ties the UPDATES side wins, and same-side (key, version) duplicates
+    break on a stable content hash of the full row — the output is
+    deterministic across runs regardless of shuffle/block arrival order
+    (ADVICE r2). Both sides must share one schema.
 
     One tagged union + ONE bucketed exchange on the key; per bucket a
     single vectorized sort + ``drop_duplicates(keep='last')`` — no
@@ -1834,8 +1845,18 @@ def upsert(base, updates, key, version_col, num_buckets: int = 64,
     )
 
     def keep_last(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(key_list + [version_col, "__side"], kind="mergesort")
-        return g.drop_duplicates(key_list, keep="last").drop(columns="__side")
+        # stable content-hash tie-break for same-side duplicate
+        # (key, version) rows — without it keep='last' falls to
+        # in-bucket row order, which depends on shuffle arrival
+        g = g.assign(
+            __rh=pd.util.hash_pandas_object(g[cols], index=False).to_numpy()
+        )
+        g = g.sort_values(
+            key_list + [version_col, "__side", "__rh"], kind="mergesort"
+        )
+        return g.drop_duplicates(key_list, keep="last").drop(
+            columns=["__side", "__rh"]
+        )
 
     return bucketed_groupby_apply(both, key_list, keep_last, num_buckets)
 
@@ -1911,20 +1932,34 @@ def quantile_bucketize(ds, col, n_tiles: int, keep_cols, num_buckets: int = 64):
         .reset_index(drop=True)
     )
     if len(hist):
+        # cuts and values stay in the column's NATIVE numeric dtype: a
+        # float64 detour mis-buckets int64 values past 2^53, and
+        # non-numeric columns fail with a typed PlanError instead of an
+        # opaque numpy cast error (ADVICE r2)
+        if pd.api.types.is_integer_dtype(hist[col]):
+            np_dtype = np.int64
+        elif pd.api.types.is_float_dtype(hist[col]):
+            np_dtype = np.float64
+        else:
+            raise PlanError(
+                f"quantile_bucketize needs a numeric column; {col!r} is "
+                f"{hist[col].dtype}"
+            )
         cum = hist["__n"].cumsum()
         total = int(cum.iloc[-1])
         cuts = [
-            float(hist[col][cum >= math.ceil(total * i / n_tiles)].iloc[0])
+            hist[col][cum >= math.ceil(total * i / n_tiles)].iloc[0]
             for i in range(1, n_tiles)
         ]
     else:  # empty input -> no cuts; assignment passes empty blocks through
+        np_dtype = np.float64
         cuts = []
-    cuts_ref = ray.put(np.asarray(cuts, dtype=np.float64))  # kept sorted, dups kept
+    cuts_ref = ray.put(np.asarray(cuts, dtype=np_dtype))  # kept sorted, dups kept
     cols = list(keep_cols)
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         c = ray.get(cuts_ref)
-        x = df[col].to_numpy(dtype=np.float64)
+        x = df[col].to_numpy(dtype=c.dtype if len(df) else np.float64)
         out = df[cols].copy()
         # side='left': equal-to-cut values do NOT pass the cut (x > c)
         out["bucket"] = (1 + np.searchsorted(c, x, side="left")).astype("int64")

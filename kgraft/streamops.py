@@ -52,12 +52,29 @@ def json_extract(ds, col: str, field: str, out_col: str, dtype: str = "int64"):
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         s = df[col]
-        # the regex matches the field ANYWHERE, so any payload with a
-        # nested container could shadow (or fabricate) the top-level
-        # value — those rows take the real parse (review r2)
+        # the regex matches the field ANYWHERE, so a nested container
+        # could shadow (or fabricate) the top-level value — but only if
+        # it opens BEFORE the match completes. Container-free payloads
+        # stay on the fully vectorized path; payloads with a container
+        # get a cheap per-row regex span check (trust the match iff it
+        # ends before the first container token opens any nested scope),
+        # and only genuinely ambiguous rows pay json.loads (ADVICE r2:
+        # the old rule sent EVERY row containing '[' to the slow path,
+        # disabling the fast path for corpora with array fields).
         nested = s.str.slice(1).str.contains(r"[{\[]", regex=True).fillna(True)
         raw = s.str.extract(fast, expand=False)
         fast_ok = (~nested & raw.notna()).fillna(False)
+        maybe = (nested & raw.notna() & s.notna()).fillna(False)
+        if maybe.any():
+
+            def _match_before_container(x: str) -> bool:
+                m = fast.search(x)
+                if m is None:
+                    return False
+                positions = [p for p in (x.find("{", 1), x.find("[", 1)) if p != -1]
+                return bool(positions) and m.end() <= min(positions)
+
+            fast_ok.loc[maybe] = s[maybe].map(_match_before_container)
         vals = pd.Series([None] * len(df), index=df.index, dtype=object)
         fv = raw[fast_ok]
         # fast hits are JSON literals: bare `null` -> NULL first, THEN

@@ -311,3 +311,23 @@ def test_fragment_writer_empty_pending_keeps_schema(ray_session, tmp_path):
     store.check_run_config({"n_partitions": 16, "lang_filter": None})  # same: ok
     with pytest.raises(ConfigError):
         store.check_run_config({"n_partitions": 32, "lang_filter": None})
+
+
+def test_run_config_guard_refuses_legacy_checkpoint(tmp_path):
+    """Manifests without a recorded run_config.json (pre-guard
+    checkpoint) must REFUSE the resume instead of silently adopting the
+    current run's config as the baseline (ADVICE r3)."""
+    import pytest
+
+    from kgraft.errors import ConfigError
+    from kgraft.manifest import ManifestStore
+
+    store = ManifestStore(str(tmp_path / "out"))
+    # fake a legacy checkpoint: a partition manifest, no run_config.json
+    with open(os.path.join(store.manifest_dir, "part-00000.json"), "w") as f:
+        f.write("{}")
+    with pytest.raises(ConfigError, match="predates"):
+        store.check_run_config({"n_partitions": 16, "lang_filter": None})
+    # a truly fresh out_dir still records the config normally
+    fresh = ManifestStore(str(tmp_path / "fresh"))
+    fresh.check_run_config({"n_partitions": 16, "lang_filter": None})

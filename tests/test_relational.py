@@ -1312,3 +1312,72 @@ def test_windowed_rank_with_null_order_keys(ray_session):
     assert got["d"].tolist() == want["d"].tolist()
     np.testing.assert_allclose(got["pr"].to_numpy(), want["pr"].to_numpy(), atol=1e-12)
     np.testing.assert_allclose(got["cd"].to_numpy(), want["cd"].to_numpy(), atol=1e-12)
+
+
+def test_upsert_duplicate_update_rows_deterministic(ray_session):
+    """Same-side duplicate (key, version) rows must resolve identically
+    across runs (stable content-hash tie-break, ADVICE r3)."""
+    import ray
+
+    from kgraft.relational import upsert
+
+    base = pd.DataFrame({"k": [1], "v": [0], "payload": ["base"]})
+    upd = pd.DataFrame(
+        {"k": [1, 1, 1], "v": [5, 5, 5], "payload": ["zz", "aa", "mm"]}
+    )
+    outs = []
+    for _ in range(3):
+        got = upsert(
+            ray.data.from_pandas(base),
+            ray.data.from_pandas(upd),
+            key="k",
+            version_col="v",
+        ).to_pandas()
+        outs.append(got["payload"].iloc[0])
+    assert len(set(outs)) == 1
+
+
+def test_grouping_sets_count_stays_int64(ray_session):
+    import ray
+
+    from kgraft.relational import grouping_sets_aggregate
+
+    df = pd.DataFrame({"a": ["x", "x", "y"], "b": [1, 2, 1], "v": [1.0, 2.0, 3.0]})
+    out = grouping_sets_aggregate(
+        ray.data.from_pandas(df),
+        [["a", "b"], ["a"], []],
+        {"n": (None, "count"), "s": ("v", "sum")},
+    )
+    assert out["n"].dtype == "int64"
+    total = out[out["a"].isna() & out["b"].isna()]
+    assert total["n"].iloc[0] == 3
+
+
+def test_quantile_bucketize_int64_native_and_typed_error(ray_session):
+    import pytest
+    import ray
+
+    from kgraft.errors import PlanError
+    from kgraft.relational import quantile_bucketize
+
+    # int64 beyond 2^53: float64 would collapse the two values
+    big = 2**60
+    df = pd.DataFrame({"x": [big, big + 1, big + 1, 0], "id": [0, 1, 2, 3]})
+    out = (
+        quantile_bucketize(ray.data.from_pandas(df), "x", 2, ["id", "x"])
+        .to_pandas()
+        .sort_values("id")
+    )
+    # big and big+1 must land in different buckets relative to the cut
+    assert out.loc[out["x"] == big, "bucket"].nunique() == 1
+    assert (
+        out.loc[out["x"] == big + 1, "bucket"].iloc[0]
+        > out.loc[out["x"] == 0, "bucket"].iloc[0]
+    )
+    with pytest.raises(PlanError):
+        quantile_bucketize(
+            ray.data.from_pandas(pd.DataFrame({"x": ["a", "b"], "id": [0, 1]})),
+            "x",
+            2,
+            ["id"],
+        )

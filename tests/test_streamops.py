@@ -146,3 +146,33 @@ def test_json_extract_nested_shadow_and_string_edge_cases(ray_session):
     assert fs.iloc[3] == "null"
     assert fs.iloc[4] == '"hi"'
     assert fs.iloc[5] is None or pd.isna(fs.iloc[5])
+
+
+def test_json_extract_array_payload_keeps_fast_path_correct(ray_session):
+    """Payloads carrying an array AFTER the target field must still
+    extract correctly (they now ride the span-checked fast tier), and a
+    field shadowed INSIDE a nested container must not leak out."""
+    import ray
+
+    from kgraft.streamops import json_extract
+
+    rows = pd.DataFrame(
+        {
+            "payload": [
+                '{"k": 7, "tags": [1, 2, 3]}',      # array after field
+                '{"tags": [1, 2], "k": 9}',          # array before field
+                '{"nested": {"k": 5}}',              # only nested k -> NULL
+                '{"k": 1, "nested": {"k": 5}}',      # top-level wins
+                "not json",
+            ]
+        }
+    )
+    out = json_extract(
+        ray.data.from_pandas(rows), "payload", "k", "k_val"
+    ).to_pandas()
+    got = out["k_val"].tolist()
+    assert got[0] == 7
+    assert got[1] == 9
+    assert pd.isna(got[2])
+    assert got[3] == 1
+    assert pd.isna(got[4])
