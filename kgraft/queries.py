@@ -975,6 +975,108 @@ SELECT user_id, count(*) AS n_sessions FROM (
 """
 
 
+def event_transitions(sf_dir: str) -> pd.DataFrame:
+    """Event-type transition matrix (sequence mining): per
+    (prev_type, next_type), how many consecutive same-user event pairs
+    — the Markov-chain input of funnel/recommendation analyses.
+
+    One bucketed shuffle co-locates each user's events; inside a bucket
+    the whole sequence step is a vectorized sort + groupby shift, and
+    each bucket emits only type^2-bounded partial counts (users are
+    hash-partitioned, so bucket counts are disjoint and sum exactly)."""
+    from .relational import bucketed_groupby_apply, pre_aggregate_ds
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = g.groupby("user_id", sort=False)["event_type"].shift(1)
+        d = pd.DataFrame({"prev_type": prev, "next_type": g["event_type"]}).dropna()
+        return (
+            d.groupby(["prev_type", "next_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    parts = bucketed_groupby_apply(ds, "user_id", per_bucket)
+    out = (
+        pre_aggregate_ds(parts, ["prev_type", "next_type"], {"n": ("n", "sum")})
+        .to_pandas()  # type^2-bounded transition matrix
+        .sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def user_retention_cohorts(sf_dir: str) -> pd.DataFrame:
+    """Retention cohort matrix: users grouped by first-seen day
+    (cohort), counted once per day they were active — the
+    growth-analytics staple. Days are epoch-day ints (exact compare).
+
+    One bucketed shuffle on user_id; per bucket the cohort assignment
+    is a vectorized transform('min') and output is day^2-bounded
+    partial counts (disjoint users per bucket — counts sum exactly)."""
+    from .relational import bucketed_groupby_apply, pre_aggregate_ds
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def add_day(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].astype("int64") // (86_400 * 1_000_000)
+        return pd.DataFrame({"user_id": df["user_id"], "day": day})
+
+    days = ds.map_batches(add_day, batch_format="pandas")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        first = g.groupby("user_id", sort=False)["day"].transform("min")
+        d = pd.DataFrame({"cohort_day": first, "active_day": g["day"]})
+        return (
+            d.groupby(["cohort_day", "active_day"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+
+    parts = bucketed_groupby_apply(days, "user_id", per_bucket)
+    out = (
+        pre_aggregate_ds(
+            parts, ["cohort_day", "active_day"], {"n_users": ("n_users", "sum")}
+        )
+        .to_pandas()  # day^2-bounded cohort matrix
+        .sort_values(["cohort_day", "active_day"])
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+_RETENTION_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+),
+firsts AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1)
+SELECT f.cohort_day, d.day AS active_day, CAST(count(*) AS BIGINT) AS n_users
+FROM days d JOIN firsts f ON d.user_id = f.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def user_event_windows(sf_dir: str):
     """Partitioned window functions over the click stream: per user,
     ordered by (ts, event_id) — row_number, lag(value), running sum,
@@ -3097,6 +3199,8 @@ QUERIES = {
     "doc_unigram_nll": doc_unigram_nll,
     "hot_users_events": hot_users_events,
     "skew_salted_join_events": skew_salted_join_events,
+    "event_transitions": event_transitions,
+    "user_retention_cohorts": user_retention_cohorts,
     "zscore_event_values": zscore_event_values,
     "wavg_price_by_flag": wavg_price_by_flag,
     "orders_by_dow": orders_by_dow,
@@ -3206,6 +3310,8 @@ ORACLE_SQL = {
     "doc_unigram_nll": _UNIGRAM_NLL_SQL,
     "hot_users_events": _HOT_USERS_SQL,
     "skew_salted_join_events": _SKEW_SALTED_JOIN_SQL,
+    "event_transitions": _TRANSITIONS_SQL,
+    "user_retention_cohorts": _RETENTION_SQL,
     "zscore_event_values": _ZSCORE_SQL,
     "wavg_price_by_flag": _WAVG_SQL,
     "orders_by_dow": _ORDERS_DOW_SQL,
