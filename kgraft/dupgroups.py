@@ -111,31 +111,6 @@ def _pair_bucket(a: np.ndarray, b: np.ndarray, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
-def dedup_pairs(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b",
-                num_buckets: int = 64):
-    """Distinct (a, b) rows: map-side drop_duplicates (the combiner — LSH
-    re-emits a surviving pair once per colliding band, mostly within one
-    block) then one bucketed exchange keyed on the pair hash with an
-    in-bucket vectorized drop_duplicates."""
-
-    def local(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates([a_col, b_col])
-        out = df.copy()
-        out["__bucket"] = _pair_bucket(
-            df[a_col].to_numpy(dtype=np.int64),
-            df[b_col].to_numpy(dtype=np.int64),
-            num_buckets,
-        )
-        return out
-
-    bucketed = pairs_ds.map_batches(local, batch_format="pandas")
-
-    def reduce(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop(columns="__bucket").drop_duplicates([a_col, b_col])
-
-    return bucketed.groupby("__bucket").map_groups(reduce, batch_format="pandas")
-
-
 def _bloom_refs(pairs_ds, a_col, b_col, num_bits, num_hashes):
     """OR-folded Bloom bitmap of every id appearing in a pair. Map-side
     fixed-size partials; the fold is associative (tree-reduce on a real

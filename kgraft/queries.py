@@ -3072,6 +3072,46 @@ LIMIT 20
 """
 
 
+def bm25_search_docs(sf_dir: str) -> pd.DataFrame:
+    """Relevance-ranked corpus search: top-20 documents for the query
+    terms under Okapi BM25 (k1=1.2, b=0.75, char-length dl) — the
+    scored upgrade of ``search_docs``. Two shuffle-free scans: a tiny
+    per-block stats partial (N, Σdl, per-term df), then vectorized
+    scoring with per-block top-k. See :func:`kgraft.textops.bm25_search`."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textops.bm25_search(docs, ["sort", "merge", "stream"], k=20)
+
+
+_BM25_SQL = """
+WITH t(term) AS (SELECT unnest(['sort', 'merge', 'stream'])),
+stats AS (
+  SELECT count(*) AS n, avg(length(text)) AS avgdl FROM documents
+),
+tf AS (
+  SELECT d.doc_id, t.term, length(d.text) AS dl,
+         CAST((length(lower(d.text)) - length(replace(lower(d.text), t.term, '')))
+              / length(t.term) AS BIGINT) AS tf
+  FROM documents d CROSS JOIN t
+),
+df AS (SELECT term, count(*) AS df FROM tf WHERE tf > 0 GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+         ), 4) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN stats
+  WHERE tf.tf > 0
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM scores
+WHERE score > 0
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
 def stratified_sample_events(sf_dir: str):
     """Deterministic stratified sampling of the event stream — keep 20%
     of clicks, 10% of views, 50% of purchases, 2% of everything else,
@@ -3184,6 +3224,7 @@ QUERIES = {
     "stratified_sample_events": stratified_sample_events,
     "top_events_per_user": top_events_per_user,
     "search_docs": search_docs,
+    "bm25_search_docs": bm25_search_docs,
     "median_price_by_priority": median_price_by_priority,
     "p90_event_value_by_type": p90_event_value_by_type,
     "lineitem_moments": lineitem_moments,
@@ -3297,6 +3338,7 @@ ORACLE_SQL = {
     "stratified_sample_events": _STRATIFIED_SQL,
     "top_events_per_user": _TOP_PER_USER_SQL,
     "search_docs": _SEARCH_SQL,
+    "bm25_search_docs": _BM25_SQL,
     "median_price_by_priority": _MEDIAN_PRICE_SQL,
     "p90_event_value_by_type": _P90_EVENT_SQL,
     "lineitem_moments": _LINEITEM_MOMENTS_SQL,

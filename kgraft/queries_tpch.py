@@ -1195,11 +1195,14 @@ LIMIT 100
 
 
 def q11_important_stock(sf_dir: str) -> pd.DataFrame:
-    """Parts whose NATION_3-supplied value exceeds 0.1% of the total
-    (TPC-H Q11 shape: grouped aggregate filtered against a scalar
-    derived from ITS OWN total — the aggregate stays a Dataset; only
-    the O(1) total and the qualifying tail collect). partsupp value is
-    replaced by lineitem revenue through the nation's suppliers."""
+    """Parts whose NATION_3-supplied value exceeds 1.5x the average
+    part's share (TPC-H Q11 shape: grouped aggregate filtered against a
+    scalar derived from ITS OWN total — the aggregate stays a Dataset;
+    only the O(1) scalars and the qualifying tail collect). partsupp
+    value is replaced by lineitem revenue through the nation's
+    suppliers; the cut is share-relative (TPC-H scales its fraction by
+    1/SF for the same reason — a fixed fraction empties out as the part
+    count grows)."""
     nation = read_table(sf_dir, "nation").to_pandas()
     nk = int(nation.loc[nation["n_name"] == "NATION_3", "n_nationkey"].iloc[0])
 
@@ -1230,9 +1233,10 @@ def q11_important_stock(sf_dir: str) -> pd.DataFrame:
         li_n.map_batches(rev, batch_format="pyarrow"),
         ["ps_partkey"],
         {"part_value": ("rev", "sum")},
-    ).materialize()  # two consumers: the total and the HAVING filter
+    ).materialize()  # three consumers: total, count, HAVING filter
     total = float(v.sum("part_value") or 0.0)
-    cut = total * 0.001
+    n_parts = int(v.count())
+    cut = total * 1.5 / n_parts if n_parts else 0.0
     out = (
         v.map_batches(
             lambda df: df[df["part_value"] > cut].assign(
@@ -1241,9 +1245,17 @@ def q11_important_stock(sf_dir: str) -> pd.DataFrame:
             batch_format="pandas",
         )
         .to_pandas()
-        .sort_values(["part_value", "ps_partkey"], ascending=[False, True])
-        .reset_index(drop=True)
     )
+    if "ps_partkey" not in out.columns:  # all-empty blocks arrive column-less
+        out = pd.DataFrame(
+            {
+                "ps_partkey": pd.Series([], dtype="int64"),
+                "part_value": pd.Series([], dtype="float64"),
+            }
+        )
+    out = out.sort_values(
+        ["part_value", "ps_partkey"], ascending=[False, True]
+    ).reset_index(drop=True)
     out["ps_partkey"] = out["ps_partkey"].astype("int64")
     return out
 
@@ -1261,7 +1273,7 @@ v AS (
 )
 SELECT ps_partkey, round(part_value, 4) AS part_value
 FROM v
-WHERE part_value > (SELECT sum(part_value) * 0.001 FROM v)
+WHERE part_value > (SELECT sum(part_value) * 1.5 / count(*) FROM v)
 ORDER BY part_value DESC, ps_partkey
 """
 

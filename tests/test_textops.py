@@ -464,3 +464,39 @@ def test_simhash_near_dup_giant_cluster(ray_session):
     out = textops.simhash_near_dup(ray.data.from_pandas(docs), max_hamming=3).to_pandas()
     assert out["dup_group"].nunique() == 1
     assert (out["dup_group"] == 0).all()
+
+
+def test_bm25_search_matches_bruteforce(ray_session):
+    """BM25 ranking equals a straight-line numpy implementation of the
+    same formula over the whole corpus."""
+    import math
+
+    import ray
+
+    rng = np.random.default_rng(3)
+    vocab = ["sort", "merge", "stream", "hash", "scan", "table"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 30)))
+        for _ in range(200)
+    ]
+    docs = pd.DataFrame({"doc_id": np.arange(200, dtype="int64"), "text": texts})
+    terms = ["sort", "merge"]
+    got = textops.bm25_search(ray.data.from_pandas(docs), terms, k=10)
+
+    # brute force
+    n = len(docs)
+    dl = np.array([len(t) for t in texts], dtype=float)
+    avgdl = dl.mean()
+    tf = np.array([[t.count(term) for term in terms] for t in texts], dtype=float)
+    df = (tf > 0).sum(axis=0)
+    idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    norm = 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)
+    scores = ((idf * tf * 2.2) / (tf + norm[:, None])).sum(axis=1)
+    exp = (
+        pd.DataFrame({"doc_id": docs["doc_id"], "score": np.round(scores, 4)})
+        .query("score > 0")
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
