@@ -151,3 +151,43 @@ def test_route_texts_to_pairs_exact(ray_session):
     out = dupgroups.route_texts_to_pairs(docs, pairs, verify).to_pandas()
     got = set(zip(out["doc_a"], out["doc_b"]))
     assert got == {(0, 1), (2, 5)}
+
+
+def test_near_dup_multiblock_planted(ray_session):
+    """Planted dup clusters SPANNING many blocks must cluster correctly
+    through the full distributed route (Bloom prefilter + both
+    exchanges + components + labeling) — single-block toy inputs can
+    hide bucket-affinity bugs."""
+    import ray
+
+    from kgraft import textops
+
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i}" for i in range(500)]
+    n = 400
+    texts = []
+    for i in range(n):
+        if i % 10 == 0:
+            # cluster A: near-identical long docs, ids spread over blocks
+            texts.append(
+                "alpha beta gamma delta " * 30 + f"suffix variant {i % 3}"
+            )
+        elif i % 10 == 1:
+            # cluster B: exact duplicates
+            texts.append("identical body text repeated verbatim " * 10)
+        else:
+            texts.append(" ".join(rng.choice(vocab, size=40)))
+    docs = pd.DataFrame({"doc_id": np.arange(n, dtype="int64"), "text": texts})
+    ds = ray.data.from_pandas(docs).repartition(16)
+    out = textops.near_dup_groups(ds, threshold=0.7).to_pandas()
+    groups = dict(zip(out["doc_id"], out["dup_group"]))
+    a_ids = [i for i in range(n) if i % 10 == 0]
+    b_ids = [i for i in range(n) if i % 10 == 1]
+    assert len({groups[i] for i in a_ids}) == 1
+    assert groups[a_ids[0]] == min(a_ids)
+    assert len({groups[i] for i in b_ids}) == 1
+    assert groups[b_ids[0]] == min(b_ids)
+    # the two clusters stay separate, and random docs stay singletons
+    assert groups[a_ids[0]] != groups[b_ids[0]]
+    rand_ids = [i for i in range(n) if i % 10 > 1]
+    assert all(groups[i] == i for i in rand_ids[:50])
