@@ -166,6 +166,14 @@ def route_texts_to_pairs(
     Driver state: one fixed-size Bloom bitmap (1 MiB default) — never
     an id list, never a text."""
     pairs_ds = pairs_ds.materialize()  # read twice: bloom build + explode
+    # the candidate set arrives as one tiny block per LSH reduce
+    # partition; every downstream pass pays a per-block task cost, so
+    # coalesce to ~50k pairs/block (floor 8 — at corpus scale the block
+    # count grows with the pair count, which is the 100-TB layout)
+    n_blocks = pairs_ds.num_blocks()
+    target = max(8, min(n_blocks, int(pairs_ds.count()) // 50_000 + 1))
+    if target < n_blocks:
+        pairs_ds = pairs_ds.repartition(target).materialize()
     bref, nb, seeds = _bloom_refs(pairs_ds, "doc_a", "doc_b", num_bits, num_hashes)
 
     # every intermediate is built as an explicitly-typed Arrow table:
