@@ -2774,6 +2774,25 @@ def kg_edges(sf_dir: str):
     return ray.data.read_parquet(m["edges_dir"])
 
 
+def _read_kg_edges(m: dict, columns):
+    """Edge-table read with size-based block sizing: the checkpoint
+    writer emits one small fragment per partition, and Ray's default
+    split then shreds a vocab-scale edge table into ~64 tiny blocks —
+    every downstream exchange pays a per-block task cost, and the
+    triangle canon pass ships each block's copy of the popular edges
+    (measured: kg_triangles 10.5 s at 64 blocks vs 4.5 s at 8 on the
+    same input). Target ~8 MB compressed per block, floor 8; at corpus
+    scale block count grows with the data."""
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(m["edges_dir"], "*.parquet")))
+    total = sum(os.path.getsize(f) for f in files)
+    blocks = max(8, total // (8 << 20) + 1)
+    return ray.data.read_parquet(
+        m["edges_dir"], columns=columns, override_num_blocks=blocks
+    )
+
+
 def kg_pagerank(sf_dir: str) -> pd.DataFrame:
     """PageRank over the engine's own materialized KG edges (graph
     analytics on the construction output): top-20 entities by rank.
@@ -2801,7 +2820,7 @@ def kg_pagerank(sf_dir: str) -> pd.DataFrame:
     if files and total_bytes < 4 * (1 << 30):
         pr = pagerank_pregel(files, node_ids, n_iter=15)
     else:
-        edges = ray.data.read_parquet(m["edges_dir"], columns=["subj_id", "obj_id"])
+        edges = _read_kg_edges(m, ["subj_id", "obj_id"])
         pr = pagerank(edges, node_ids, n_iter=15)
     pr["rank"] = pr["rank"].round(10)
     top = pr.sort_values(["rank", "node_id"], ascending=[False, True]).head(20)
@@ -2815,7 +2834,7 @@ def kg_degree_stats(sf_dir: str) -> pd.DataFrame:
     first). One partial-combined aggregate over the edge table, then a
     tiny histogram."""
     m = _kg_outputs(sf_dir)
-    edges = ray.data.read_parquet(m["edges_dir"], columns=["subj_id"])
+    edges = _read_kg_edges(m, ["subj_id"])
     per_node = pre_aggregate_ds(edges, "subj_id", {"deg": (None, "count")})
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
@@ -2841,7 +2860,7 @@ def kg_triangles(sf_dir: str) -> pd.DataFrame:
     from .graph.triangles import count_triangles
 
     m = _kg_outputs(sf_dir)
-    edges = ray.data.read_parquet(m["edges_dir"], columns=["subj_id", "obj_id"])
+    edges = _read_kg_edges(m, ["subj_id", "obj_id"])
     return count_triangles(edges, src="subj_id", dst="obj_id")
 
 
@@ -2860,7 +2879,7 @@ def kg_kcore(sf_dir: str) -> pd.DataFrame:
     node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
         "entity_id"
     ].to_numpy()
-    edges = ray.data.read_parquet(m["edges_dir"], columns=["subj_id", "obj_id"])
+    edges = _read_kg_edges(m, ["subj_id", "obj_id"])
     cn = core_numbers(edges, node_ids)
     out = (
         cn.groupby("coreness", as_index=False)
