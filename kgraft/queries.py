@@ -1077,6 +1077,39 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def event_value_time_window(sf_dir: str):
+    """Trailing 30-minute time-RANGE window per user over the event
+    stream: per event, the sum and count of ``value`` in the user's
+    last half hour — the rate/velocity feature a fraud or engagement
+    pipeline computes. See :func:`kgraft.relational.time_windowed` for
+    the one-exchange vectorized realization."""
+    from .relational import time_windowed
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = time_windowed(ds, "user_id", "ts", "value", "30min", ["sum", "count"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "w_sum": df["w_sum"].round(4),
+                "w_cnt": df["w_count"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+_TIME_WINDOW_SQL = """
+SELECT event_id,
+       round(sum(value) OVER w, 4) AS w_sum,
+       CAST(count(value) OVER w AS BIGINT) AS w_cnt
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW)
+"""
+
+
 def user_event_windows(sf_dir: str):
     """Partitioned window functions over the click stream: per user,
     ordered by (ts, event_id) — row_number, lag(value), running sum,
@@ -3261,6 +3294,7 @@ QUERIES = {
     "skew_salted_join_events": skew_salted_join_events,
     "event_transitions": event_transitions,
     "user_retention_cohorts": user_retention_cohorts,
+    "event_value_time_window": event_value_time_window,
     "zscore_event_values": zscore_event_values,
     "wavg_price_by_flag": wavg_price_by_flag,
     "orders_by_dow": orders_by_dow,
@@ -3373,6 +3407,7 @@ ORACLE_SQL = {
     "skew_salted_join_events": _SKEW_SALTED_JOIN_SQL,
     "event_transitions": _TRANSITIONS_SQL,
     "user_retention_cohorts": _RETENTION_SQL,
+    "event_value_time_window": _TIME_WINDOW_SQL,
     "zscore_event_values": _ZSCORE_SQL,
     "wavg_price_by_flag": _WAVG_SQL,
     "orders_by_dow": _ORDERS_DOW_SQL,

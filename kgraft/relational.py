@@ -1702,6 +1702,42 @@ def set_op(left, right, cols, op: str, num_buckets: int = 64):
 # skew diagnostics: hot-key detection (the pre-pass that sizes num_salts)
 
 
+def time_windowed(ds, part_col: str, ts_col: str, val_col: str, window: str,
+                  kinds, out_prefix: str = "w_", num_buckets: int = 64):
+    """Time-RANGE window aggregates (an operator Ray Data lacks): for
+    each row, aggregate ``val_col`` over the trailing time window
+    ``[ts - window, ts]`` within its ``part_col`` partition — SQL
+    ``... OVER (PARTITION BY part ORDER BY ts RANGE BETWEEN INTERVAL
+    window PRECEDING AND CURRENT ROW)``. ``kinds`` ⊆ {sum, mean,
+    count, min, max}; ``window`` is a pandas offset string ('30min').
+
+    One bucketed exchange co-locates each partition key; in-bucket the
+    whole computation is a single vectorized time-based
+    ``groupby().rolling(window, on=ts)`` — no per-row or per-key
+    Python. Equal timestamps within a key would diverge from SQL RANGE
+    peer semantics (SQL includes later peers at the same ts, a
+    row-position rolling does not); callers with tied timestamps
+    should disambiguate the order key first."""
+    kinds = [kinds] if isinstance(kinds, str) else list(kinds)
+    bad = set(kinds) - {"sum", "mean", "count", "min", "max"}
+    if bad:
+        raise PlanError(f"unsupported time-window kinds: {sorted(bad)}")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([part_col, ts_col], kind="mergesort")
+        out = g.copy()
+        roll = g.groupby(part_col, sort=False).rolling(window, on=ts_col)[val_col]
+        for k in kinds:
+            vals = getattr(roll, k)().to_numpy()
+            if k == "count":
+                out[f"{out_prefix}{k}"] = vals.astype("int64")
+            else:
+                out[f"{out_prefix}{k}"] = vals
+        return out
+
+    return bucketed_groupby_apply(ds, part_col, per_bucket, num_buckets)
+
+
 def hot_keys(ds, keys, k: int = 10):
     """Top-k hottest key values by row count, with each key's share of
     total rows — the diagnostic a pipeline runs BEFORE a wide join or

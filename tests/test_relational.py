@@ -1381,3 +1381,40 @@ def test_quantile_bucketize_int64_native_and_typed_error(ray_session):
             2,
             ["id"],
         )
+
+
+def test_time_windowed_matches_bruteforce(ray_session):
+    import ray
+
+    from kgraft.errors import PlanError
+    from kgraft.relational import time_windowed
+
+    rng = np.random.default_rng(5)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "uid": rng.integers(0, 20, n),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.choice(10**6, n, replace=False), unit="s"),
+            "v": rng.normal(size=n).round(3),
+        }
+    )
+    got = (
+        time_windowed(ray.data.from_pandas(df), "uid", "ts", "v", "1h",
+                      ["sum", "mean", "min", "max", "count"])
+        .to_pandas()
+        .sort_values(["uid", "ts"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["uid", "ts"]).reset_index(drop=True)
+    roll = exp.groupby("uid", sort=False).rolling("1h", on="ts")["v"]
+    for k in ["sum", "mean", "min", "max"]:
+        np.testing.assert_allclose(
+            got[f"w_{k}"].to_numpy(), getattr(roll, k)().to_numpy(), rtol=1e-12
+        )
+    assert (got["w_count"].to_numpy() == roll.count().to_numpy().astype(int)).all()
+
+    import pytest
+
+    with pytest.raises(PlanError):
+        time_windowed(ray.data.from_pandas(df), "uid", "ts", "v", "1h", ["median"])
