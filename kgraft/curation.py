@@ -20,8 +20,9 @@ Every stage is the already-tested operator; this module owns only the
 composition (schema handoff between stages and the join keys). Scale
 notes: stages 1-2 are shuffle-free; stage 3 is one content-key
 exchange; stage 4's blocking is the LSH band shuffle; stage 5
-broadcasts only the BOUNDED benchmark shingle set; the two doc_id
-joins are bucketed hash joins, never broadcasts.
+broadcasts only the BOUNDED benchmark shingle set; the payload rides
+the shuffle-free labeling and decontaminate scans, so the composite has
+NO doc_id re-join exchanges at all.
 """
 
 from __future__ import annotations
@@ -31,7 +32,7 @@ import pandas as pd
 import pyarrow as pa
 
 from .hashing import hash_strings
-from .relational import bucketed_groupby_apply, hash_join
+from .relational import bucketed_groupby_apply
 from .textops import _STOPWORDS, decontaminate, near_dup_groups
 
 
@@ -89,16 +90,6 @@ def _exact_dedup_rows(ds):
     return bucketed_groupby_apply(hashed, ["__h1", "__h2"], keep_min)
 
 
-_CURATED_SCHEMA = pa.schema(
-    [
-        ("doc_id", pa.int64()),
-        ("text", pa.large_string()),
-        ("n_tokens", pa.int64()),
-        ("quality", pa.float64()),
-    ]
-)
-
-
 def prepare_training_corpus(
     docs,
     benchmark,
@@ -113,41 +104,36 @@ def prepare_training_corpus(
         lambda df: df[(df["quality"] >= min_quality) & (df["n_tokens"] >= min_tokens)],
         batch_format="pandas",
     )
-    # pin the multi-consumer intermediate: near_dup_groups and the reps
-    # join BOTH consume it, and a lazy Dataset re-executes the whole
-    # signals scan + content-hash exchange per consumer (review r2).
-    # Blocks live in the object store, which spills — safe at any size.
+    # pin the multi-consumer intermediate: the sketch pass, the text
+    # router and the labeling scan inside near_dup_groups all consume
+    # it, and a lazy Dataset re-executes the whole signals scan +
+    # content-hash exchange per consumer (review r2). Blocks live in
+    # the object store, which spills — safe at any size.
     deduped = _exact_dedup_rows(kept).materialize()
 
-    # near-dup groups over the deduped survivors; keep representatives
+    # near-dup groups over the deduped survivors; the labeling scan is
+    # shuffle-free and appends dup_group to whatever columns ride in, so
+    # the payload carries through and the representative filter needs NO
+    # join back against the corpus (round 3: this plus the payload-
+    # carrying decontaminate scan removed both of the composite's
+    # doc_id hash-join exchanges)
     groups = near_dup_groups(
-        deduped, threshold=near_dup_threshold
-    )  # (doc_id, dup_group)
-    reps = groups.map_batches(
-        lambda df: df[df["doc_id"] == df["dup_group"]][["doc_id"]],
+        deduped,
+        threshold=near_dup_threshold,
+        keep_cols=["text", "n_tokens", "quality"],
+    )  # (doc_id, text, n_tokens, quality, dup_group)
+    uniq = groups.map_batches(
+        lambda df: df.loc[
+            df["doc_id"] == df["dup_group"],
+            ["doc_id", "text", "n_tokens", "quality"],
+        ],
         batch_format="pandas",
     )
-    uniq = hash_join(
-        deduped,
-        reps,
-        on="doc_id",
-        left_schema=_CURATED_SCHEMA,
-        right_schema=pa.schema([("doc_id", pa.int64())]),
-    ).materialize()  # two consumers: decontaminate scan + the final join
 
-    decon = decontaminate(uniq, benchmark)  # (doc_id, n_hits, contaminated)
-    clean_ids = decon.map_batches(
-        lambda df: df.loc[~df["contaminated"], ["doc_id"]], batch_format="pandas"
-    )
-    final = hash_join(
-        uniq,
-        clean_ids,
-        on="doc_id",
-        left_schema=_CURATED_SCHEMA,
-        right_schema=pa.schema([("doc_id", pa.int64())]),
-    )
-    return final.map_batches(
-        lambda df: df[["doc_id", "n_tokens", "quality"]], batch_format="pandas"
+    decon = decontaminate(uniq, benchmark, keep_cols=["n_tokens", "quality"])
+    return decon.map_batches(
+        lambda df: df.loc[~df["contaminated"], ["doc_id", "n_tokens", "quality"]],
+        batch_format="pandas",
     )
 
 

@@ -71,7 +71,9 @@ def label_by_pairs(ids_ds, pairs_ds, id_col: str, a_col: str = "doc_a",
     driver/broadcast state is the (sorted ids, group ids) int64 pair —
     the same vocabulary-bounded shape the KG component stage already
     commits to, and ~1000x smaller than the texts the round-2 code
-    staged."""
+    staged. The labeling scan APPENDS ``dup_group`` to ``ids_ds``'s
+    columns, so payload can ride through for free (callers that want
+    only ids select them upstream)."""
     from .graph.components import connected_components
 
     def as_edges(t: pa.Table) -> pa.Table:
@@ -99,9 +101,7 @@ def label_by_pairs(ids_ds, pairs_ds, id_col: str, a_col: str = "doc_a",
             grp = np.where(hit, lgroups[pos], ids)
         else:
             grp = ids
-        return pa.table(
-            {id_col: t[id_col], "dup_group": pa.array(grp, pa.int64())}
-        )
+        return t.append_column("dup_group", pa.array(grp, pa.int64()))
 
     return ids_ds.map_batches(label, batch_format="pyarrow")
 

@@ -350,6 +350,7 @@ def near_dup_groups(
     text_col: str = "text",
     estimate_margin: float | None = 0.15,
     shingle_k: int = 4,
+    keep_cols=None,
 ):
     """(doc_id, dup_group) Dataset — dup_group = min doc_id of the
     near-dup cluster (union-find over verified LSH pairs; singletons map
@@ -392,10 +393,12 @@ def near_dup_groups(
         sketches=sketch_docs(docs, num_perm, text_col, shingle_k),
         est_floor=est_floor,
     )
-    return _exact_tier_groups(docs, cand, text_col, shingle_k, threshold)
+    return _exact_tier_groups(
+        docs, cand, text_col, shingle_k, threshold, keep_cols
+    )
 
 
-def _exact_tier_groups(docs, cand, text_col, shingle_k, threshold):
+def _exact_tier_groups(docs, cand, text_col, shingle_k, threshold, keep_cols=None):
     """Exact k-gram-Jaccard verification of candidate pairs + distributed
     group labeling; shared by the MinHash-estimate and pure-Jaccard
     paths. ``cand`` is the (doc_a, doc_b) candidate-pair DATASET
@@ -427,7 +430,11 @@ def _exact_tier_groups(docs, cand, text_col, shingle_k, threshold):
         id_col="doc_id",
         text_col=text_col,
     )
-    return label_by_pairs(docs.select_columns(["doc_id"]), verified, "doc_id")
+    # the labeling scan appends dup_group to whatever columns ride in,
+    # so callers (e.g. the curation composite) can carry payload through
+    # for free instead of re-joining against the corpus afterwards
+    cols = ["doc_id"] + list(keep_cols or [])
+    return label_by_pairs(docs.select_columns(cols), verified, "doc_id")
 
 
 def ngram_jaccard_groups(
@@ -820,6 +827,7 @@ def decontaminate(
     shingle_k: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_cols=None,
 ):
     """Benchmark decontamination: per corpus document, count its
     ``shingle_k``-char shingles that also occur in ANY benchmark document
@@ -861,15 +869,15 @@ def decontaminate(
                 idx = np.searchsorted(b, hs)
                 idx[idx == len(b)] = 0
                 hits[i] = int((b[idx] == hs).sum())
-        return pd.DataFrame(
-            {
-                id_col: df[id_col],
-                "n_hits": hits,
-                "contaminated": hits > 0,
-            }
-        )
+        out = {id_col: df[id_col]}
+        for c in keep_cols or []:  # scan is shuffle-free: payload rides free
+            out[c] = df[c]
+        out["n_hits"] = hits
+        out["contaminated"] = hits > 0
+        return pd.DataFrame(out)
 
-    return corpus.select_columns([id_col, text_col]).map_batches(
+    cols = [id_col, text_col] + [c for c in (keep_cols or []) if c != text_col]
+    return corpus.select_columns(cols).map_batches(
         scan, batch_format="pandas"
     )
 
