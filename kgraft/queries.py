@@ -2231,6 +2231,83 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def regr_price_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Per-group least-squares line price = slope*quantity + intercept —
+    the ``regr_slope``/``regr_intercept`` algebraic kinds of
+    ``pre_aggregate``: the five cross-moment sums combine map-side, one
+    partial row per (flag, batch) crosses the exchange."""
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice", "l_quantity"]
+    )
+    out = pre_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "slope": (("l_extendedprice", "l_quantity"), "regr_slope"),
+            "icept": (("l_extendedprice", "l_quantity"), "regr_intercept"),
+        },
+    )
+    out["slope"] = out["slope"].round(6)
+    out["icept"] = out["icept"].round(4)
+    return out.sort_values("l_returnflag", ignore_index=True)
+
+
+_REGR_SQL = """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def event_user_entropy(sf_dir: str) -> pd.DataFrame:
+    """Shannon entropy (nats) of the per-event-type user distribution —
+    how concentrated each event type is on few users. Map side collapses
+    raw rows to (type, user, count) partials, so the exchange carries
+    distinct-pair-scale rows (relational.grouped_entropy)."""
+    from .relational import grouped_entropy
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    out = grouped_entropy(ev, "event_type", "user_id").to_pandas()
+    out["entropy"] = out["entropy"].round(6)
+    return out.sort_values("event_type", ignore_index=True)
+
+
+_EVENT_ENTROPY_SQL = """
+WITH c AS (
+  SELECT event_type, user_id, count(*)::DOUBLE AS n
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+), t AS (SELECT event_type, sum(n) AS tot FROM c GROUP BY 1)
+SELECT c.event_type, round(-sum((n / tot) * ln(n / tot)), 6) AS entropy
+FROM c JOIN t USING (event_type) GROUP BY c.event_type ORDER BY 1
+"""
+
+
+def robust_zscore_events(sf_dir: str) -> pd.DataFrame:
+    """Outlier-resistant per-type standardization of event values:
+    (x - median) / (1.4826 * MAD). One distinct-value histogram exchange
+    computes both statistics; the per-row transform is shuffle-free
+    (relational.robust_standardize)."""
+    from .relational import robust_standardize
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    out = robust_standardize(ev, "event_type", "value").to_pandas()
+    out["rz"] = out["rz"].round(6)
+    return out[["event_id", "rz"]].sort_values("event_id", ignore_index=True)
+
+
+_ROBUST_Z_SQL = """
+WITH s AS (
+  SELECT event_type, median(value) AS med, mad(value) AS mad
+  FROM events GROUP BY 1
+)
+SELECT e.event_id,
+       round(CASE WHEN 1.4826 * mad = 0 THEN NULL
+                  ELSE (value - med) / (1.4826 * mad) END, 6) AS rz
+FROM events e JOIN s USING (event_type) ORDER BY event_id
+"""
+
+
 def zscore_event_values(sf_dir: str):
     """Global z-score of event values (two-pass standardization) —
     see :func:`kgraft.relational.standardize`."""
@@ -3297,6 +3374,9 @@ QUERIES = {
     "event_value_time_window": event_value_time_window,
     "zscore_event_values": zscore_event_values,
     "wavg_price_by_flag": wavg_price_by_flag,
+    "regr_price_by_flag": regr_price_by_flag,
+    "event_user_entropy": event_user_entropy,
+    "robust_zscore_events": robust_zscore_events,
     "orders_by_dow": orders_by_dow,
     "event_value_histogram": event_value_histogram,
     "intersect_orders": intersect_orders,
@@ -3410,6 +3490,9 @@ ORACLE_SQL = {
     "event_value_time_window": _TIME_WINDOW_SQL,
     "zscore_event_values": _ZSCORE_SQL,
     "wavg_price_by_flag": _WAVG_SQL,
+    "regr_price_by_flag": _REGR_SQL,
+    "event_user_entropy": _EVENT_ENTROPY_SQL,
+    "robust_zscore_events": _ROBUST_Z_SQL,
     "orders_by_dow": _ORDERS_DOW_SQL,
     "event_value_histogram": _EVENT_HIST_SQL,
     "intersect_orders": _INTERSECT_SQL,

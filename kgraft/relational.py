@@ -122,13 +122,18 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
     """Grouped aggregation with per-batch partial combine — Dataset out.
 
     ``aggs``: dict out_col -> (in_col, kind) with kind in
-    {sum, count, min, max, mean, var, std, corr, covar, wavg}. Mean is computed
+    {sum, count, min, max, mean, var, std, corr, covar, wavg,
+    regr_slope, regr_intercept}. Mean is computed
     from sum + NON-NULL count partials (SQL semantics: nulls are excluded
     from the divisor). ``var``/``std`` are SAMPLE variance/stddev
     (ddof=1, DuckDB ``var_samp``/``stddev_samp``) from (sum, sum-of-
     squares, non-null count) partials; ``corr``/``covar`` take in_col as
     a PAIR ``(x_col, y_col)`` and reduce the five cross-moment sums over
-    rows where BOTH are non-null (DuckDB ``corr``/``covar_samp``); ``wavg``
+    rows where BOTH are non-null (DuckDB ``corr``/``covar_samp``);
+    ``regr_slope``/``regr_intercept`` take in_col as ``(y_col, x_col)``
+    — SQL argument order ``regr_slope(y, x)`` — and reduce the same
+    five cross-moment sums (population covariance over variance, DuckDB
+    semantics: NULL when var_pop(x) = 0); ``wavg``
     takes in_col as ``(x_col, weight_col)`` and reduces (sum(w*x), sum(w))
     over pairwise-non-null rows — SQL ``SUM(x*w) / SUM(w)``. All of
     these are algebraic — one partial row per (key, batch) crosses the
@@ -154,8 +159,11 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
             max_cols.append((out, col))
         elif kind in ("var", "std"):
             var_cols.append((out, col, kind))
-        elif kind in ("corr", "covar"):
-            corr_cols.append((out, col, kind))  # col = (x_col, y_col)
+        elif kind in ("corr", "covar", "regr_slope", "regr_intercept"):
+            # corr/covar: col = (x_col, y_col); regr_*: col = (y_col, x_col)
+            # — SQL argument order regr_slope(y, x). All four reduce the
+            # same five cross-moment sums; only the finalize differs.
+            corr_cols.append((out, col, kind))
         else:
             raise PlanError(f"unknown aggregate kind {kind!r}")
 
@@ -301,6 +309,16 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
             sxy = merged[f"__sxy_{out}"]
             if kind == "covar":
                 val = ((sxy - sx * sy / n) / (n - 1)).where(n > 1)
+            elif kind in ("regr_slope", "regr_intercept"):
+                # pair order is (y, x): sx/sxx track y, sy/syy track x.
+                # slope = covar_pop(y,x)/var_pop(x); NULL when n = 0 or
+                # var_pop(x) = 0 (DuckDB regr_slope/regr_intercept).
+                denom = n * syy - sy**2
+                slope = ((n * sxy - sx * sy) / denom).where((n > 0) & (denom != 0))
+                if kind == "regr_slope":
+                    val = slope
+                else:
+                    val = ((sx - slope * sy) / n).where((n > 0) & (denom != 0))
             else:
                 denom = np.sqrt((n * sxx - sx**2) * (n * syy - sy**2))
                 val = ((n * sxy - sx * sy) / denom).where(n > 1)
@@ -2102,3 +2120,116 @@ def grouped_hmean(ds, keys, col, out_col="hmean", num_buckets: int = 64):
     )
     out[out_col] = 1.0 / out[out_col].to_numpy(dtype="float64")
     return out
+
+
+def grouped_entropy(ds, keys, col, out_col="entropy", num_buckets: int = 64):
+    """Shannon entropy (natural log) of ``col``'s empirical distribution
+    per key group — ``-sum(p * ln p)`` over the group's category
+    frequencies. NULL categories are excluded (DuckDB ``entropy``
+    semantics, which this matches up to its log base: DuckDB uses log2,
+    so the SQL twin is spelled from raw counts instead).
+
+    Scale shape: one partial row per (key, category, batch) crosses the
+    exchange — the map side collapses raw rows to counts first, so a
+    million-event user costs the shuffle as many rows as it has DISTINCT
+    event types per batch. Final entropy is a vectorized transform over
+    the merged (key, category) count table inside each bucket.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or any(c not in df.columns for c in key_list + [col]):
+            cols = {
+                k: pd.Series([], dtype=df[k].dtype if k in df.columns else object)
+                for k in key_list + [col]
+            }
+            cols["__c"] = pd.Series([], dtype="int64")
+            return pd.DataFrame(cols)
+        d = df[df[col].notna()]
+        return (
+            d.groupby(key_list + [col], observed=True, sort=False, dropna=False)
+            .size()
+            .rename("__c")
+            .reset_index()
+        )
+
+    partials = ds.select_columns(key_list + [col]).map_batches(
+        partial, batch_format="pandas"
+    )
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        cc = g.groupby(
+            key_list + [col], as_index=False, observed=True, sort=False, dropna=False
+        )["__c"].sum()
+        tot = cc.groupby(key_list, sort=False)["__c"].transform("sum")
+        p = cc["__c"].to_numpy(dtype="float64") / tot.to_numpy(dtype="float64")
+        cc["__h"] = -p * np.log(p)
+        out = cc.groupby(key_list, as_index=False, sort=False)["__h"].sum()
+        return out.rename(columns={"__h": out_col})
+
+    return bucketed_groupby_apply(partials, key_list, finalize, num_buckets)
+
+
+def robust_standardize(
+    ds, keys, col, out_col="rz", scale: float = 1.4826, num_buckets: int = 64
+):
+    """Per-group ROBUST z-score: ``(x - median) / (scale * MAD)`` —
+    outlier-resistant standardization (1.4826 makes MAD a consistent
+    sigma estimator under normality). Median and MAD are the
+    interpolated (continuous) statistics of :func:`grouped_mad`, and
+    both derive from ONE partial-combined (keys, value) count histogram
+    — a single distinct-value-scale exchange; the per-row transform is
+    then shuffle-free (the small per-key (median, mad) table broadcasts
+    via ``ray.put``). Groups with MAD = 0 emit NULL (division guard).
+    Dimension-bounded key spaces only (the stats table is collected).
+
+    SQL twin: ``(col - median(col) OVER group) / (scale * mad(col))``
+    spelled as a join against ``GROUP BY keys`` of ``median``/``mad``.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    hist = pre_aggregate_ds(
+        ds.select_columns(key_list + [col]),
+        key_list + [col],
+        {"__n": (None, "count")},
+        num_buckets,
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g[col].notna()]  # SQL median/mad skip NULLs
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    **{k: pd.Series([], dtype=g[k].dtype) for k in key_list},
+                    "__med": pd.Series([], dtype="float64"),
+                    "__mad": pd.Series([], dtype="float64"),
+                }
+            )
+        med = _hist_cont_median(g, key_list, col, "__n")
+        d = g.merge(med, on=key_list)
+        d["__dev"] = (d[col] - d["__med"]).abs()
+        d = d.groupby(key_list + ["__dev"], as_index=False, sort=False)["__n"].sum()
+        mad = _hist_cont_median(d, key_list, "__dev", "__n").rename(
+            columns={"__med": "__mad"}
+        )
+        return med.merge(mad, on=key_list)
+
+    stats = bucketed_groupby_apply(hist, key_list, pick, num_buckets).to_pandas()
+    if len(stats) > BROADCAST_ROW_GUARD:
+        raise ConfigError(
+            f"robust_standardize key space has {len(stats)} groups "
+            f"(> {BROADCAST_ROW_GUARD}); use a join-based plan for "
+            "corpus-cardinality keys"
+        )
+    ref = ray.put(stats)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[key_list].merge(ray.get(ref), on=key_list, how="left")
+        denom = scale * m["__mad"].to_numpy(dtype="float64")
+        x = df[col].to_numpy(dtype="float64")
+        out = df.copy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (x - m["__med"].to_numpy(dtype="float64")) / denom
+        out[out_col] = np.where(denom == 0, np.nan, z)
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -1418,3 +1418,105 @@ def test_time_windowed_matches_bruteforce(ray_session):
 
     with pytest.raises(PlanError):
         time_windowed(ray.data.from_pandas(df), "uid", "ts", "v", "1h", ["median"])
+
+
+def test_regr_slope_intercept_match_duckdb(ray_session):
+    """regr_slope/regr_intercept aggregate kinds vs DuckDB, with nulls
+    on both sides and a zero-variance-x group (must be NULL)."""
+    import ray
+
+    from kgraft.relational import pre_aggregate
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(list("abcd"), 300),
+            "x": rng.uniform(0, 10, 300),
+            "y": rng.normal(5, 2, 300),
+        }
+    )
+    df.loc[::9, "x"] = np.nan
+    df.loc[::13, "y"] = np.nan
+    df.loc[df["k"] == "d", "x"] = 3.0  # var_pop(x)=0 -> NULL slope
+    got = pre_aggregate(
+        ray.data.from_pandas(df),
+        ["k"],
+        {"slope": (("y", "x"), "regr_slope"), "icept": (("y", "x"), "regr_intercept")},
+    ).sort_values("k", ignore_index=True)
+    want = duckdb.sql(
+        "SELECT k, regr_slope(y, x) AS slope, regr_intercept(y, x) AS icept "
+        "FROM df GROUP BY k ORDER BY k"
+    ).df()
+    np.testing.assert_allclose(
+        got[["slope", "icept"]].to_numpy(dtype=float),
+        want[["slope", "icept"]].to_numpy(dtype=float),
+        rtol=1e-9,
+    )
+    assert np.isnan(got.loc[got["k"] == "d", "slope"].iloc[0])
+
+
+def test_grouped_entropy_matches_counts_oracle(ray_session):
+    """grouped_entropy vs a from-scratch -sum(p ln p), nulls excluded,
+    single-category group (entropy 0) included."""
+    import ray
+
+    from kgraft.relational import grouped_entropy
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(list("abc"), 400),
+            "c": rng.choice(list("xyzw"), 400).astype(object),
+        }
+    )
+    df.loc[::17, "c"] = None
+    df.loc[df["k"] == "c", "c"] = "x"  # one category -> entropy 0
+    got = (
+        grouped_entropy(ray.data.from_pandas(df), "k", "c", num_buckets=4)
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    d = df[df["c"].notna()]
+    want = []
+    for k, g in d.groupby("k"):
+        p = g["c"].value_counts(normalize=True).to_numpy()
+        want.append(-(p * np.log(p)).sum())
+    np.testing.assert_allclose(got["entropy"].to_numpy(), want, rtol=1e-12)
+    assert got.loc[got["k"] == "c", "entropy"].iloc[0] == 0.0
+
+
+def test_robust_standardize_matches_duckdb(ray_session):
+    """robust_standardize vs DuckDB (x - median)/(1.4826*mad), with a
+    constant group (mad=0 -> NULL) and value nulls passing through."""
+    import ray
+
+    from kgraft.relational import robust_standardize
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(350),
+            "k": rng.choice(list("abc"), 350),
+            "v": rng.randint(0, 40, 350).astype("float64"),
+        }
+    )
+    df.loc[::23, "v"] = np.nan
+    df.loc[df["k"] == "c", "v"] = 7.0  # mad = 0 -> NULL z
+    got = (
+        robust_standardize(ray.data.from_pandas(df), "k", "v", num_buckets=4)
+        .to_pandas()
+        .sort_values("rid", ignore_index=True)
+    )
+    want = duckdb.sql(
+        """
+        WITH s AS (SELECT k, median(v) AS med, mad(v) AS mad FROM df GROUP BY k)
+        SELECT rid, CASE WHEN 1.4826 * mad = 0 THEN NULL
+                         ELSE (v - med) / (1.4826 * mad) END AS rz
+        FROM df JOIN s USING (k) ORDER BY rid
+        """
+    ).df()
+    np.testing.assert_allclose(
+        got["rz"].to_numpy(dtype=float), want["rz"].to_numpy(dtype=float),
+        rtol=1e-9, equal_nan=True,
+    )
+    assert got.loc[df.sort_values("rid")["k"].to_numpy() == "c", "rz"].isna().all()
