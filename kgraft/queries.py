@@ -2308,6 +2308,56 @@ FROM events e JOIN s USING (event_type) ORDER BY event_id
 """
 
 
+def dedup_segments_docs(sf_dir: str):
+    """Within-document duplicate-segment removal (MassiveText repeated-
+    line dedup; the synthetic docs are newline-less so the segment
+    separator is the space token) — shuffle-free single pass
+    (textops.remove_duplicate_segments)."""
+    from .textops import remove_duplicate_segments
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return remove_duplicate_segments(docs, sep=" ")
+
+
+_DEDUP_SEGMENTS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+  FROM documents
+), firsts AS (SELECT doc_id, tok, min(i) AS i FROM toks GROUP BY doc_id, tok)
+SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text
+FROM firsts GROUP BY doc_id
+"""
+
+
+def strip_boilerplate_docs(sf_dir: str):
+    """Cross-document boilerplate removal: segments present in >= 60 %
+    of all documents stripped everywhere. Pass 1 is a vocab-scale
+    distinct-doc frequency exchange; pass 2 broadcasts the small
+    frequent set and rewrites shuffle-free
+    (textops.remove_frequent_segments)."""
+    from .textops import remove_frequent_segments
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return remove_frequent_segments(docs, sep=" ", min_frac=0.6)
+
+
+_STRIP_BOILERPLATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+  FROM documents
+), freq AS (
+  SELECT tok FROM toks GROUP BY tok
+  HAVING count(DISTINCT doc_id) >= 0.6 * (SELECT count(*) FROM documents)
+)
+SELECT doc_id,
+       coalesce(string_agg(tok, ' ' ORDER BY i)
+                FILTER (WHERE tok NOT IN (SELECT tok FROM freq)), '') AS text
+FROM toks GROUP BY doc_id
+"""
+
+
 def zscore_event_values(sf_dir: str):
     """Global z-score of event values (two-pass standardization) —
     see :func:`kgraft.relational.standardize`."""
@@ -3377,6 +3427,8 @@ QUERIES = {
     "regr_price_by_flag": regr_price_by_flag,
     "event_user_entropy": event_user_entropy,
     "robust_zscore_events": robust_zscore_events,
+    "dedup_segments_docs": dedup_segments_docs,
+    "strip_boilerplate_docs": strip_boilerplate_docs,
     "orders_by_dow": orders_by_dow,
     "event_value_histogram": event_value_histogram,
     "intersect_orders": intersect_orders,
@@ -3493,6 +3545,8 @@ ORACLE_SQL = {
     "regr_price_by_flag": _REGR_SQL,
     "event_user_entropy": _EVENT_ENTROPY_SQL,
     "robust_zscore_events": _ROBUST_Z_SQL,
+    "dedup_segments_docs": _DEDUP_SEGMENTS_SQL,
+    "strip_boilerplate_docs": _STRIP_BOILERPLATE_SQL,
     "orders_by_dow": _ORDERS_DOW_SQL,
     "event_value_histogram": _EVENT_HIST_SQL,
     "intersect_orders": _INTERSECT_SQL,

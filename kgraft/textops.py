@@ -721,6 +721,113 @@ def normalize_text(docs, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def _explode_segments(df: pd.DataFrame, text_col: str, sep: str):
+    """(doc-row index, flat segment) arrays for a batch — the shared
+    explode kernel of the segment-dedup family. Empty batch -> empties."""
+    if len(df) == 0:
+        return np.array([], dtype=np.int64), pd.Series([], dtype=object)
+    parts = df[text_col].str.split(sep)
+    counts = parts.str.len().to_numpy()
+    didx = np.repeat(np.arange(len(df), dtype=np.int64), counts)
+    flat = pd.Series(np.concatenate(parts.to_numpy()), dtype=object)
+    return didx, flat
+
+
+def remove_duplicate_segments(docs, id_col="doc_id", text_col="text", sep=" "):
+    """Within-document duplicate-segment removal (MassiveText-style
+    repeated-line dedup, separator-parameterized — newline for real web
+    pages, any token for line-less corpora): split on ``sep``, keep each
+    segment's FIRST occurrence, rejoin. Kills the intra-page repetition
+    (nav blocks, chat echoes) that inflates LLM training loss.
+
+    Shuffle-free: one vectorized ``map_batches`` pass — explode, a
+    C-level ``duplicated()`` mask over (doc, segment), per-doc rejoin.
+    Raw text never crosses an exchange; at 100 TB this runs at read
+    bandwidth."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        didx, flat = _explode_segments(df, text_col, sep)
+        keep = ~pd.DataFrame({"d": didx, "t": flat}).duplicated().to_numpy()
+        joined = (
+            pd.Series(flat.to_numpy()[keep], index=didx[keep])
+            .groupby(level=0)
+            .agg(sep.join)
+            .reindex(np.arange(len(df)), fill_value="")
+        )
+        return pd.DataFrame({id_col: df[id_col].to_numpy(), "text": joined.to_numpy()})
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+def remove_frequent_segments(
+    docs,
+    id_col="doc_id",
+    text_col="text",
+    sep=" ",
+    min_frac: float = 0.5,
+    num_buckets: int = 64,
+):
+    """Cross-document boilerplate removal: segments present in
+    ``>= min_frac`` of all documents (cookie banners, nav bars, license
+    footers) are stripped from every document. Two passes:
+
+    1. distinct-doc frequency per segment — the map side dedupes
+       (doc, segment) inside each batch, then an algebraic count
+       pre-aggregate; the exchange carries (segment, partial-count)
+       rows at VOCAB scale, never raw text.
+    2. the frequent set (boilerplate-scale, small by construction)
+       broadcasts once via ``ray.put``; each batch drops hits with a
+       vectorized hash-table ``isin`` and rejoins — shuffle-free.
+
+    Documents reduced to nothing come back as ``''`` (kept, not
+    dropped — row counts are stable for downstream joins)."""
+    from .relational import BROADCAST_ROW_GUARD, pre_aggregate_ds
+    from .errors import ConfigError
+
+    n_docs = docs.count()
+    thr = min_frac * n_docs
+
+    def seg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        didx, flat = _explode_segments(df, text_col, sep)
+        u = pd.DataFrame({"d": didx, "s": flat}).drop_duplicates()
+        return u[["s"]]
+
+    segs = docs.select_columns([id_col, text_col]).map_batches(
+        seg_partial, batch_format="pandas"
+    )
+    freq = pre_aggregate_ds(segs, ["s"], {"nd": (None, "count")}, num_buckets)
+    hot_tbl = freq.map_batches(
+        lambda df: df.loc[df["nd"] >= thr, ["s"]], batch_format="pandas"
+    ).to_pandas()
+    if len(hot_tbl) > BROADCAST_ROW_GUARD:
+        raise ConfigError(
+            f"frequent-segment set has {len(hot_tbl)} entries "
+            f"(> {BROADCAST_ROW_GUARD}) — min_frac={min_frac} is not "
+            "selecting boilerplate; raise it"
+        )
+    log.info("remove_frequent_segments: %d frequent segments (thr=%.1f docs)",
+             len(hot_tbl), thr)
+    ref = ray.put(hot_tbl["s"].to_numpy(dtype=object))
+
+    def strip(df: pd.DataFrame) -> pd.DataFrame:
+        hot = ray.get(ref)
+        didx, flat = _explode_segments(df, text_col, sep)
+        keep = ~flat.isin(hot).to_numpy()
+        joined = (
+            pd.Series(flat.to_numpy()[keep], index=didx[keep])
+            .groupby(level=0)
+            .agg(sep.join)
+            .reindex(np.arange(len(df)), fill_value="")
+        )
+        return pd.DataFrame({id_col: df[id_col].to_numpy(), "text": joined.to_numpy()})
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        strip, batch_format="pandas"
+    )
+
+
 # PII patterns pinned to the RE2-compatible subset (no lookaround, no
 # backreferences) so the engine (Python re) and the SQL twin (DuckDB
 # RE2 regexp_replace) substitute byte-identically. Order matters:

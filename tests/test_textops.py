@@ -500,3 +500,56 @@ def test_bm25_search_matches_bruteforce(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_remove_duplicate_segments_newline(ray_session):
+    """Within-doc repeated-LINE removal (the real MassiveText shape):
+    first occurrence kept in order, empty text survives, multi-block."""
+    import ray
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "alpha\nbeta\nalpha\ngamma\nbeta",
+                "same\nsame\nsame",
+                "",
+                "one line only",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = (
+        textops.remove_duplicate_segments(ds, sep="\n")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out["text"].tolist() == [
+        "alpha\nbeta\ngamma",
+        "same",
+        "",
+        "one line only",
+    ]
+
+
+def test_remove_frequent_segments_boilerplate(ray_session):
+    """Cross-doc boilerplate removal: a footer line in >= 60% of docs
+    is stripped everywhere; a doc that is ALL boilerplate collapses to
+    '' but keeps its row; rare lines survive."""
+    import ray
+
+    footer = "(c) example corp"
+    df = pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "text": [f"body {i}\n{footer}" for i in range(9)] + [footer],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = (
+        textops.remove_frequent_segments(ds, sep="\n", min_frac=0.6, num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out["text"].tolist() == [f"body {i}" for i in range(9)] + [""]
+    assert len(out) == 10
