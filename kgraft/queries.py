@@ -14,6 +14,7 @@ rows-only checks from the driver and full oracles in ``tests/``.
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -2358,6 +2359,158 @@ FROM toks GROUP BY doc_id
 """
 
 
+def global_dedup_segments_docs(sf_dir: str):
+    """Corpus-wide segment dedup with document reassembly (CCNet
+    paragraph dedup): each segment survives once, in its lowest-
+    (doc_id, position) occurrence; docs rebuild from survivors. Two
+    map-side-reduced exchanges, survivor set never leaves the cluster
+    (textops.dedup_segments_global)."""
+    from .textops import dedup_segments_global
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dedup_segments_global(docs, sep=" ").to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+_GLOBAL_DEDUP_SEGMENTS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+  FROM documents
+), keep AS (
+  SELECT tok, doc_id, i FROM (
+    SELECT tok, doc_id, i,
+           row_number() OVER (PARTITION BY tok ORDER BY doc_id, i) AS rn
+    FROM toks) WHERE rn = 1
+), agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text
+  FROM keep GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.text, '') AS text
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def co_ordered_parts(sf_dir: str) -> pd.DataFrame:
+    """Market-basket co-occurrence: top-20 part PAIRS by number of
+    orders containing both. One global distinct over (order, part),
+    then ONE bucketed exchange on the order key generates within-order
+    pairs via an in-bucket vectorized self-merge (no corpus self-join
+    shuffle), pair counts pre-aggregate map-side."""
+    from .relational import bucketed_groupby_apply
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    op = distinct(li, ["l_orderkey", "l_partkey"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame(
+            {"part_a": m["l_partkey_x"], "part_b": m["l_partkey_y"]}
+        )
+
+    pr = bucketed_groupby_apply(op, ["l_orderkey"], pairs, num_buckets=32)
+    counts = pre_aggregate_ds(pr, ["part_a", "part_b"], {"n_orders": (None, "count")})
+    out = (
+        counts.sort(["n_orders", "part_a", "part_b"], descending=[True, False, False])
+        .limit(20)
+        .to_pandas()
+    )
+    return out[["part_a", "part_b", "n_orders"]].reset_index(drop=True)
+
+
+_CO_ORDERED_PARTS_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(*) AS n_orders
+FROM op a JOIN op b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+"""
+
+
+def source_token_kl(sf_dir: str) -> pd.DataFrame:
+    """Corpus-drift diagnostic: KL divergence (nats) of each source's
+    token distribution from the whole-corpus distribution. One
+    vocab-scale (source, token, count) pre-aggregate exchange; global
+    token marginals derive from it (second vocab-scale aggregate), the
+    KL sum is a bucketed join on token + a per-source pre-aggregate —
+    raw text crosses no exchange."""
+    from .relational import bucketed_groupby_apply, hash_join, pre_aggregate_ds
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+    pat = re.compile(r"[a-z0-9_]+")
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(pat)
+        n = toks.str.len().to_numpy()
+        return (
+            pd.DataFrame(
+                {
+                    "source": np.repeat(df["source"].to_numpy(), n),
+                    "t": np.concatenate(toks.to_numpy()) if len(df) else [],
+                }
+            )
+            .groupby(["source", "t"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    st = pre_aggregate_ds(
+        docs.map_batches(explode, batch_format="pandas"),
+        ["source", "t"],
+        {"n": ("n", "sum")},
+    )
+    tot_s = st.map_batches(
+        lambda df: df.groupby("source", as_index=False, sort=False)["n"]
+        .sum()
+        .rename(columns={"n": "tot_s"}),
+        batch_format="pandas",
+    )
+    tot_s = pre_aggregate_ds(tot_s, ["source"], {"tot_s": ("tot_s", "sum")}).to_pandas()
+    tot_all = float(tot_s["tot_s"].sum())
+    q = pre_aggregate_ds(st, ["t"], {"nq": ("n", "sum")})
+    j = hash_join(
+        st,
+        q,
+        on="t",
+        num_buckets=32,
+        left_schema=pa.schema(
+            [("source", pa.string()), ("t", pa.string()), ("n", pa.int64())]
+        ),
+        right_schema=pa.schema([("t", pa.string()), ("nq", pa.int64())]),
+    )
+    ref = ray.put(dict(zip(tot_s["source"], tot_s["tot_s"].astype("float64"))))
+
+    def term(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["source"].map(ray.get(ref)).to_numpy(dtype="float64")
+        p = df["n"].to_numpy(dtype="float64") / ts
+        qq = df["nq"].to_numpy(dtype="float64") / tot_all
+        return pd.DataFrame({"source": df["source"], "term": p * np.log(p / qq)})
+
+    out = pre_aggregate_ds(
+        j.map_batches(term, batch_format="pandas"), ["source"], {"kl": ("term", "sum")}
+    ).to_pandas()
+    out["kl"] = out["kl"].round(6)
+    return out.sort_values("source", ignore_index=True)
+
+
+_SOURCE_TOKEN_KL_SQL = """
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+  FROM documents
+), p AS (SELECT source, t, count(*)::DOUBLE AS n FROM toks GROUP BY 1, 2),
+ps AS (SELECT source, sum(n) AS tot FROM p GROUP BY 1),
+q AS (SELECT t, sum(n) AS nq FROM p GROUP BY 1),
+qs AS (SELECT sum(nq) AS tot FROM q)
+SELECT p.source,
+       round(sum((p.n / ps.tot) * ln((p.n / ps.tot) / (q.nq / qs.tot))), 6) AS kl
+FROM p JOIN ps USING (source) JOIN q USING (t), qs
+GROUP BY p.source ORDER BY p.source
+"""
+
+
 def zscore_event_values(sf_dir: str):
     """Global z-score of event values (two-pass standardization) —
     see :func:`kgraft.relational.standardize`."""
@@ -3429,6 +3582,9 @@ QUERIES = {
     "robust_zscore_events": robust_zscore_events,
     "dedup_segments_docs": dedup_segments_docs,
     "strip_boilerplate_docs": strip_boilerplate_docs,
+    "global_dedup_segments_docs": global_dedup_segments_docs,
+    "co_ordered_parts": co_ordered_parts,
+    "source_token_kl": source_token_kl,
     "orders_by_dow": orders_by_dow,
     "event_value_histogram": event_value_histogram,
     "intersect_orders": intersect_orders,
@@ -3547,6 +3703,9 @@ ORACLE_SQL = {
     "robust_zscore_events": _ROBUST_Z_SQL,
     "dedup_segments_docs": _DEDUP_SEGMENTS_SQL,
     "strip_boilerplate_docs": _STRIP_BOILERPLATE_SQL,
+    "global_dedup_segments_docs": _GLOBAL_DEDUP_SEGMENTS_SQL,
+    "co_ordered_parts": _CO_ORDERED_PARTS_SQL,
+    "source_token_kl": _SOURCE_TOKEN_KL_SQL,
     "orders_by_dow": _ORDERS_DOW_SQL,
     "event_value_histogram": _EVENT_HIST_SQL,
     "intersect_orders": _INTERSECT_SQL,

@@ -722,15 +722,19 @@ def normalize_text(docs, id_col: str = "doc_id", text_col: str = "text"):
 
 
 def _explode_segments(df: pd.DataFrame, text_col: str, sep: str):
-    """(doc-row index, flat segment) arrays for a batch — the shared
-    explode kernel of the segment-dedup family. Empty batch -> empties."""
+    """(doc-row index, within-doc position, flat segment) arrays for a
+    batch — the shared explode kernel of the segment-dedup family.
+    Empty batch -> empties."""
     if len(df) == 0:
-        return np.array([], dtype=np.int64), pd.Series([], dtype=object)
+        e = np.array([], dtype=np.int64)
+        return e, e, pd.Series([], dtype=object)
     parts = df[text_col].str.split(sep)
     counts = parts.str.len().to_numpy()
     didx = np.repeat(np.arange(len(df), dtype=np.int64), counts)
+    offs = np.r_[0, np.cumsum(counts[:-1])].astype(np.int64)
+    pos = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(offs, counts)
     flat = pd.Series(np.concatenate(parts.to_numpy()), dtype=object)
-    return didx, flat
+    return didx, pos, flat
 
 
 def remove_duplicate_segments(docs, id_col="doc_id", text_col="text", sep=" "):
@@ -746,7 +750,7 @@ def remove_duplicate_segments(docs, id_col="doc_id", text_col="text", sep=" "):
     bandwidth."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        didx, flat = _explode_segments(df, text_col, sep)
+        didx, _, flat = _explode_segments(df, text_col, sep)
         keep = ~pd.DataFrame({"d": didx, "t": flat}).duplicated().to_numpy()
         joined = (
             pd.Series(flat.to_numpy()[keep], index=didx[keep])
@@ -790,7 +794,7 @@ def remove_frequent_segments(
     thr = min_frac * n_docs
 
     def seg_partial(df: pd.DataFrame) -> pd.DataFrame:
-        didx, flat = _explode_segments(df, text_col, sep)
+        didx, _, flat = _explode_segments(df, text_col, sep)
         u = pd.DataFrame({"d": didx, "s": flat}).drop_duplicates()
         return u[["s"]]
 
@@ -813,7 +817,7 @@ def remove_frequent_segments(
 
     def strip(df: pd.DataFrame) -> pd.DataFrame:
         hot = ray.get(ref)
-        didx, flat = _explode_segments(df, text_col, sep)
+        didx, _, flat = _explode_segments(df, text_col, sep)
         keep = ~flat.isin(hot).to_numpy()
         joined = (
             pd.Series(flat.to_numpy()[keep], index=didx[keep])
@@ -826,6 +830,89 @@ def remove_frequent_segments(
     return docs.select_columns([id_col, text_col]).map_batches(
         strip, batch_format="pandas"
     )
+
+
+def dedup_segments_global(
+    docs, id_col="doc_id", text_col="text", sep=" ", num_buckets: int = 64
+):
+    """CORPUS-WIDE segment dedup with document reassembly (CCNet-style
+    paragraph dedup): every segment survives exactly once — in the
+    lowest-doc-id, earliest-position occurrence — and each document is
+    rebuilt from its surviving segments (possibly ``''``, row kept).
+
+    Two corpus-scale exchanges, both with map-side pre-reduction:
+
+    1. shuffle key = segment text; each batch first collapses its own
+       occurrences to the lexicographic-min (doc, pos) per segment
+       (one row per distinct segment per batch crosses the wire), the
+       bucket reducer repeats the same collapse -> global survivor set.
+    2. shuffle key = doc_id; survivors regroup to their keeper doc and
+       rejoin in position order.
+
+    Documents that lose every segment are restored by a bucketed LEFT
+    join against the doc-id spine, so row counts are stable. Unlike the
+    broadcast-set ops above this never materializes a segment map on
+    the driver — distinct paragraphs are corpus-proportional at 100 TB,
+    so the survivor set must stay a Dataset."""
+    from .relational import bucketed_groupby_apply, hash_join
+
+    def explode_min(df: pd.DataFrame) -> pd.DataFrame:
+        didx, pos, flat = _explode_segments(df, text_col, sep)
+        d = pd.DataFrame(
+            {
+                "s": flat,
+                "d": df[id_col].to_numpy()[didx] if len(df) else didx,
+                "i": pos,
+            }
+        )
+        return d.sort_values(["s", "d", "i"]).drop_duplicates("s")
+
+    partials = docs.select_columns([id_col, text_col]).map_batches(
+        explode_min, batch_format="pandas"
+    )
+
+    def pick_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["s", "d", "i"]).drop_duplicates("s")
+
+    survivors = bucketed_groupby_apply(partials, ["s"], pick_first, num_buckets)
+
+    def rejoin(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.sort_values(["d", "i"])
+            .groupby("d", sort=False)["s"]
+            .agg(sep.join)
+            .reset_index()
+        )
+        return out.rename(columns={"d": id_col, "s": "text"})
+
+    rebuilt = bucketed_groupby_apply(survivors, ["d"], rejoin, num_buckets)
+    spine = docs.select_columns([id_col])
+    # explicit join schemas: the inputs may be pandas-blocked (schema
+    # types are numpy dtypes, not pa.DataType) and `rebuilt` is lazy
+    # downstream of two shuffles (fetching its schema would execute
+    # that whole prefix)
+    sch = docs.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    if not isinstance(id_type, pa.DataType):
+        try:
+            id_type = pa.from_numpy_dtype(np.dtype(id_type))
+        except (TypeError, pa.ArrowNotImplementedError):
+            id_type = pa.string()
+    joined = hash_join(
+        spine,
+        rebuilt,
+        on=id_col,
+        how="left",
+        num_buckets=num_buckets,
+        left_schema=pa.schema([(id_col, id_type)]),
+        right_schema=pa.schema([(id_col, id_type), ("text", pa.string())]),
+    )
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        df["text"] = df["text"].fillna("")
+        return df[[id_col, "text"]]
+
+    return joined.map_batches(fill, batch_format="pandas")
 
 
 # PII patterns pinned to the RE2-compatible subset (no lookaround, no

@@ -553,3 +553,35 @@ def test_remove_frequent_segments_boilerplate(ray_session):
     )
     assert out["text"].tolist() == [f"body {i}" for i in range(9)] + [""]
     assert len(out) == 10
+
+
+def test_dedup_segments_global_newline(ray_session):
+    """Corpus-wide segment dedup: each line survives once, in its
+    lowest-(doc, position) occurrence; docs that lose everything come
+    back as '' with the row kept; reassembly preserves position order."""
+    import ray
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12, 13],
+            "text": [
+                "shared\nunique-a\nshared",   # keeps shared (pos 0) + unique-a
+                "unique-b\nshared",            # shared already owned by doc 10
+                "shared",                      # -> ''
+                "unique-c\nunique-d",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = (
+        textops.dedup_segments_global(ds, sep="\n", num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out["text"].tolist() == [
+        "shared\nunique-a",
+        "unique-b",
+        "",
+        "unique-c\nunique-d",
+    ]
+    assert out["doc_id"].tolist() == [10, 11, 12, 13]
