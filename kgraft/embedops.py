@@ -366,6 +366,111 @@ def embed_near_dup(
     )
 
 
+def semdedup(
+    embeddings,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    sample_limit: int = 4096,
+    seed: int = 7,
+    num_buckets: int = 32,
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering + within-cluster cosine
+    threshold — vectors in the same cluster with cosine >= ``threshold``
+    collapse to one survivor. Returns ``(vec_id, dup_group)`` with
+    dup_group = min vec_id of the connected dup set (survivors are the
+    rows with ``vec_id == dup_group``).
+
+    Scale shape: centroids train on the deterministic hash sample and
+    broadcast once; every vector is assigned map-side and rides ONE
+    bucketed exchange keyed on its cluster id (the paper's premise:
+    semantic duplicates land in the same cluster, so pairwise work is
+    per-cluster, never corpus-wide). In-cluster verification star-
+    reduces byte-identical vectors first, then runs the shared tiled
+    pairwise kernel (loud sub-splitting, no silent caps); groups and
+    corpus labeling via the contracted Dataset union-find. Unlike
+    :func:`embed_near_dup`'s hyperplane LSH (recall tuned by band
+    count), recall here is bounded by the clustering — near-dups split
+    across a cluster boundary are missed, the published algorithm's own
+    trade for linear-in-cluster-size work.
+    """
+    from .dupgroups import cosine_pair_stars, label_by_pairs
+    from .relational import bucketed_groupby_apply
+
+    sample = _hash_sample_matrix(embeddings, sample_limit)
+    cents = kmeans_centroids(sample, n_cells, seed=seed)
+    cref = ray.put(cents)
+
+    def assign_unit(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                    "unit": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        mat = _batch_matrix(t)
+        c = ray.get(cref)
+        d2 = (
+            (mat**2).sum(axis=1)[:, None]
+            - 2.0 * (mat @ c.T)
+            + (c**2).sum(axis=1)[None, :]
+        )
+        cell = d2.argmin(axis=1).astype(np.int64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1e-12
+        unit = mat / norms[:, None]
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cluster_id": pa.array(cell, pa.int64()),
+                "unit": pa.array(list(unit), pa.list_(pa.float64())),
+            }
+        )
+
+    assigned = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        assign_unit, batch_format="pyarrow"
+    )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for _, grp in g.groupby("cluster_id", sort=False):
+            key = grp["unit"].map(
+                lambda v: np.asarray(v, dtype=np.float64).tobytes()
+            )
+            rep = grp.groupby(key, sort=False)["vec_id"].transform("min")
+            m = (rep != grp["vec_id"]).to_numpy()
+            if m.any():
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "a": rep.to_numpy()[m].astype("int64"),
+                            "b": grp["vec_id"].to_numpy()[m].astype("int64"),
+                        }
+                    )
+                )
+            du = grp[(rep == grp["vec_id"]).to_numpy()]
+            ids = du["vec_id"].to_numpy().astype(np.int64)
+            if len(ids) >= 2:
+                unit_m = np.stack(du["unit"].map(np.asarray).values)
+                a, b = cosine_pair_stars(ids, unit_m, threshold, what="semdedup")
+                if len(a):
+                    parts.append(pd.DataFrame({"a": a, "b": b}))
+        if not parts:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    pairs = bucketed_groupby_apply(
+        assigned, ["cluster_id"], pairs_in_bucket, num_buckets
+    )
+    return label_by_pairs(
+        embeddings.select_columns(["vec_id"]), pairs, "vec_id", a_col="a", b_col="b"
+    )
+
+
 def label_norm_stats(embeddings):
     """label, n_vecs, avg_norm (rounded 6) — partial-aggregated."""
 

@@ -2391,6 +2391,52 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def dedup_spans_docs(sf_dir: str):
+    """Corpus-wide duplicated-span removal at 5-token granularity
+    (Lee-et-al-style exact-substring dedup on k-gram keys) — see
+    :func:`kgraft.textops.dedup_spans_global`."""
+    from .textops import dedup_spans_global
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dedup_spans_global(docs, k=5, sep=" ").to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+_DEDUP_SPANS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+  FROM documents
+), kg AS (
+  SELECT a.doc_id, a.i, string_agg(b.tok, ' ' ORDER BY b.i) AS kgram
+  FROM toks a JOIN toks b
+    ON b.doc_id = a.doc_id AND b.i BETWEEN a.i AND a.i + 4
+  GROUP BY a.doc_id, a.i
+  HAVING count(*) = 5
+), rem AS (
+  SELECT doc_id, i FROM (
+    SELECT doc_id, i,
+           row_number() OVER (PARTITION BY kgram ORDER BY doc_id, i) AS rn,
+           count(*) OVER (PARTITION BY kgram) AS cnt
+    FROM kg) WHERE cnt > 1 AND rn > 1
+), cov AS (
+  SELECT DISTINCT t.doc_id, t.i
+  FROM toks t JOIN rem r
+    ON t.doc_id = r.doc_id AND t.i BETWEEN r.i AND r.i + 4
+), kept AS (
+  SELECT t.doc_id, t.i, t.tok FROM toks t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.i = t.i
+  )
+), agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.text, '') AS text
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def co_ordered_parts(sf_dir: str) -> pd.DataFrame:
     """Market-basket co-occurrence: top-20 part PAIRS by number of
     orders containing both. One global distinct over (order, part),
@@ -2508,6 +2554,50 @@ SELECT p.source,
        round(sum((p.n / ps.tot) * ln((p.n / ps.tot) / (q.nq / qs.tot))), 6) AS kl
 FROM p JOIN ps USING (source) JOIN q USING (t), qs
 GROUP BY p.source ORDER BY p.source
+"""
+
+
+def dsir_select_docs(sf_dir: str) -> pd.DataFrame:
+    """Top-50 documents by DSIR importance weight toward the 'src0'
+    domain — see :func:`kgraft.curation.importance_weights`."""
+    from .curation import importance_weights
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"]).map_batches(
+        lambda df: df.assign(is_tgt=(df["source"] == "src0").astype("int64"))[
+            ["doc_id", "text", "is_tgt"]
+        ],
+        batch_format="pandas",
+    )
+    out = importance_weights(docs, "is_tgt").to_pandas()
+    out["weight"] = out["weight"].round(6)
+    out = out.sort_values(
+        ["weight", "doc_id"], ascending=[False, True], ignore_index=True
+    ).head(50)
+    return out[["doc_id", "weight"]]
+
+
+_DSIR_SELECT_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+  FROM documents
+), tok AS (
+  SELECT t, count(*)::DOUBLE AS raw_n,
+         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::DOUBLE AS tgt_n
+  FROM toks GROUP BY t
+), tot AS (
+  SELECT sum(raw_n) AS n_raw, sum(tgt_n) AS n_tgt, count(*)::DOUBLE AS v
+  FROM tok
+), dt AS (
+  SELECT doc_id, t, count(*)::DOUBLE AS n FROM toks GROUP BY 1, 2
+)
+SELECT dt.doc_id,
+       round(sum(dt.n * (ln((tok.tgt_n + 1) / (tot.n_tgt + tot.v))
+                       - ln((tok.raw_n + 1) / (tot.n_raw + tot.v)))), 6) AS weight
+FROM dt JOIN tok USING (t), tot
+GROUP BY dt.doc_id
+ORDER BY weight DESC, doc_id
+LIMIT 50
 """
 
 
@@ -3001,6 +3091,15 @@ def label_norms(sf_dir: str) -> pd.DataFrame:
 def embed_near_dup_q(sf_dir: str):
     emb = read_table(sf_dir, "embeddings")
     return embedops.embed_near_dup(emb, threshold=0.95)
+
+
+def semdedup_embeddings_q(sf_dir: str):
+    """SemDeDup groups over the embeddings table — see
+    :func:`kgraft.embedops.semdedup` (k-means + within-cluster cosine;
+    no SQL oracle: clustering is iterative, pytest-checked against a
+    same-assignment brute-force oracle instead)."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedops.semdedup(emb, n_cells=8, threshold=0.95)
 
 
 _LABEL_NORMS_SQL = """
@@ -3583,8 +3682,10 @@ QUERIES = {
     "dedup_segments_docs": dedup_segments_docs,
     "strip_boilerplate_docs": strip_boilerplate_docs,
     "global_dedup_segments_docs": global_dedup_segments_docs,
+    "dedup_spans_docs": dedup_spans_docs,
     "co_ordered_parts": co_ordered_parts,
     "source_token_kl": source_token_kl,
+    "dsir_select_docs": dsir_select_docs,
     "orders_by_dow": orders_by_dow,
     "event_value_histogram": event_value_histogram,
     "intersect_orders": intersect_orders,
@@ -3618,6 +3719,7 @@ QUERIES = {
     "simhash_docs": simhash_docs_q,
     "simhash_near_dup": simhash_near_dup_q,
     "embed_near_dup": embed_near_dup_q,
+    "semdedup_embeddings": semdedup_embeddings_q,
     "langid_docs": langid_docs_q,
     "quality_docs": quality_docs_q,
     "fingerprint_docs": fingerprint_docs_q,
@@ -3704,8 +3806,10 @@ ORACLE_SQL = {
     "dedup_segments_docs": _DEDUP_SEGMENTS_SQL,
     "strip_boilerplate_docs": _STRIP_BOILERPLATE_SQL,
     "global_dedup_segments_docs": _GLOBAL_DEDUP_SEGMENTS_SQL,
+    "dedup_spans_docs": _DEDUP_SPANS_SQL,
     "co_ordered_parts": _CO_ORDERED_PARTS_SQL,
     "source_token_kl": _SOURCE_TOKEN_KL_SQL,
+    "dsir_select_docs": _DSIR_SELECT_SQL,
     "orders_by_dow": _ORDERS_DOW_SQL,
     "event_value_histogram": _EVENT_HIST_SQL,
     "intersect_orders": _INTERSECT_SQL,

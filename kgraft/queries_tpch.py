@@ -1278,7 +1278,72 @@ ORDER BY part_value DESC, ps_partkey
 """
 
 
+def q13_customer_distribution(sf_dir: str) -> pd.DataFrame:
+    """Distribution of customers by order count (TPC-H Q13: the
+    filtered LEFT OUTER join + two-level aggregation shape — the last
+    classic missing from the suite). The synthetic schema has no
+    ``o_comment``, so the "not special requests" anti-predicate is
+    remapped to ``o_orderpriority <> '4-NOT SPECIFIED'``; the shape
+    (right side filtered BEFORE the outer join, zero-order customers
+    kept and counted in the c_count=0 bin) is intact.
+
+    Scale: orders collapse to per-customer counts map-side (the only
+    corpus-scale exchange is customer-cardinality count partials), the
+    LEFT join attaches counts to the customer spine through one
+    bucketed exchange, and the final distribution is a tiny
+    distinct-count-cardinality reduce."""
+    counts = pre_aggregate_ds(
+        read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+        .map_batches(
+            lambda df: df.loc[
+                df["o_orderpriority"] != "4-NOT SPECIFIED", ["o_custkey"]
+            ].rename(columns={"o_custkey": "c_custkey"}),
+            batch_format="pandas",
+        ),
+        ["c_custkey"],
+        {"c_count": (None, "count")},
+    )
+    spine = read_table(sf_dir, "customer", columns=["c_custkey"])
+    j = hash_join(
+        spine,
+        counts,
+        on="c_custkey",
+        how="left",
+        left_schema=pa.schema([("c_custkey", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()), ("c_count", pa.int64())]),
+    )
+    dist = pre_aggregate(
+        j.map_batches(
+            lambda df: pd.DataFrame(
+                {"c_count": df["c_count"].fillna(0).astype("int64")}
+            ),
+            batch_format="pandas",
+        ),
+        ["c_count"],
+        {"custdist": (None, "count")},
+    )
+    dist["custdist"] = dist["custdist"].astype("int64")
+    return dist.sort_values(
+        ["custdist", "c_count"], ascending=[False, False], ignore_index=True
+    )[["c_count", "custdist"]]
+
+
+_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
 TPCH_QUERIES = {
+    "q13_customer_distribution": q13_customer_distribution,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q11_important_stock": q11_important_stock,
     "q12_priority_class": q12_priority_class,
@@ -1295,6 +1360,7 @@ TPCH_QUERIES = {
 }
 
 TPCH_ORACLE_SQL = {
+    "q13_customer_distribution": _Q13_SQL,
     "q2_min_cost_supplier": _Q2_SQL,
     "q11_important_stock": _Q11_SQL,
     "q12_priority_class": _Q12_SQL,

@@ -915,6 +915,134 @@ def dedup_segments_global(
     return joined.map_batches(fill, batch_format="pandas")
 
 
+def dedup_spans_global(
+    docs,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+    num_buckets: int = 64,
+):
+    """Corpus-wide duplicated-SPAN removal at k-token granularity (the
+    exact-substring dedup of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499, with the
+    suffix-array replaced by k-gram keys): every k-token window that
+    occurs more than once in the corpus keeps its lowest-(doc, pos)
+    occurrence; every other occurrence's k tokens are removed, with
+    overlapping duplicated windows unioned into spans. Documents
+    rebuild from surviving tokens (possibly ``''``, row kept).
+
+    Scale shape — three exchanges, each the minimal payload:
+    1. window exchange: one tokenizing scan emits (h1, h2, doc, pos)
+       per k-token window (two independent 64-bit rolling hashes — the
+       pair key makes cross-window collisions ~2^-128 * nC2; token
+       text never crosses). Bucketed on the hash pair; the reducer
+       keeps the min-(doc, pos) occurrence per window and emits the
+       REST as removal starts — dup-proportional output.
+    2. removal starts aggregate per doc (dup-proportional exchange)
+       into one (doc, sorted starts) row each.
+    3. one bucketed LEFT join puts the starts next to the doc text;
+       rebuild is vectorized pass-through for untouched docs and a
+       per-removal-doc mask loop (dup-proportional) otherwise.
+    """
+    from .hashing import splitmix64
+    from .relational import bucketed_groupby_apply, hash_join
+
+    kk = int(k)
+    P = np.uint64(1099511628211)
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "h1": pd.Series([], dtype="int64"),
+                "h2": pd.Series([], dtype="int64"),
+                "d": pd.Series([], dtype="int64"),
+                "i": pd.Series([], dtype="int64"),
+            }
+        )
+        didx, pos, flat = _explode_segments(df, text_col, sep)
+        t = len(flat)
+        if t < kk:
+            return empty
+        th1 = hash_strings(flat.tolist()).astype(np.uint64)
+        th2 = splitmix64(th1 ^ np.uint64(0x9E3779B97F4A7C15))
+        n_win = t - kk + 1
+        acc1 = th1[:n_win].copy()
+        acc2 = th2[:n_win].copy()
+        for j in range(1, kk):
+            acc1 = acc1 * P + th1[j : n_win + j]
+            acc2 = acc2 * P + th2[j : n_win + j]
+        valid = didx[:n_win] == didx[kk - 1 :]
+        if not valid.any():
+            return empty
+        dids = df[id_col].to_numpy()[didx[:n_win][valid]]
+        return pd.DataFrame(
+            {
+                "h1": acc1[valid].view(np.int64),
+                "h2": acc2[valid].view(np.int64),
+                "d": dids,
+                "i": pos[:n_win][valid],
+            }
+        )
+
+    win = docs.select_columns([id_col, text_col]).map_batches(
+        windows, batch_format="pandas"
+    )
+
+    def pick_removals(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h1", "h2", "d", "i"])
+        keeper = ~g.duplicated(["h1", "h2"]).to_numpy()
+        dup_any = g.duplicated(["h1", "h2"], keep=False).to_numpy()
+        return g.loc[dup_any & ~keeper, ["d", "i"]]
+
+    rems = bucketed_groupby_apply(win, ["h1", "h2"], pick_removals, num_buckets)
+
+    def agg_starts(g: pd.DataFrame) -> pd.DataFrame:
+        # starts ride the join as a comma-joined string (Acero's hash
+        # join rejects list-typed payload columns)
+        out = (
+            g.sort_values(["d", "i"])
+            .groupby("d", sort=False)["i"]
+            .agg(lambda s: ",".join(map(str, s)))
+            .reset_index()
+        )
+        return out.rename(columns={"d": id_col, "i": "starts"})
+
+    rem_agg = bucketed_groupby_apply(rems, ["d"], agg_starts, num_buckets)
+
+    sch = docs.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    if not isinstance(id_type, pa.DataType):
+        try:
+            id_type = pa.from_numpy_dtype(np.dtype(id_type))
+        except (TypeError, pa.ArrowNotImplementedError):
+            id_type = pa.string()
+    joined = hash_join(
+        docs.select_columns([id_col, text_col]),
+        rem_agg,
+        on=id_col,
+        how="left",
+        num_buckets=num_buckets,
+        left_schema=pa.schema([(id_col, id_type), (text_col, pa.string())]),
+        right_schema=pa.schema([(id_col, id_type), ("starts", pa.string())]),
+    )
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        starts_col = df["starts"]
+        has = starts_col.notna().to_numpy()
+        texts = df[text_col].to_numpy(dtype=object).copy()
+        for j in np.flatnonzero(has):  # dup-proportional loop only
+            toks = texts[j].split(sep)
+            mask = np.zeros(len(toks), dtype=bool)
+            for s in starts_col.iat[j].split(","):
+                mask[int(s) : int(s) + kk] = True
+            keep = [tok for tok, m in zip(toks, mask) if not m]
+            texts[j] = sep.join(keep)
+        return pd.DataFrame({id_col: df[id_col], text_col: texts})
+
+    return joined.map_batches(rebuild, batch_format="pandas")
+
+
 # PII patterns pinned to the RE2-compatible subset (no lookaround, no
 # backreferences) so the engine (Python re) and the SQL twin (DuckDB
 # RE2 regexp_replace) substitute byte-identically. Order matters:

@@ -179,3 +179,65 @@ def test_embed_near_dup_giant_cluster(ray_session):
     )
     out = embedops.embed_near_dup(ray.data.from_pandas(df), threshold=0.95).to_pandas()
     assert out["dup_group"].nunique() == 1
+
+
+def test_semdedup_vs_same_assignment_bruteforce(ray_session):
+    """SemDeDup must equal the brute-force within-cluster oracle built
+    from the SAME deterministic centroids/assignment: two separated
+    blobs with planted near-dups inside each; cross-blob near-dups (by
+    construction none here) are out of scope per the algorithm."""
+    import ray
+
+    from kgraft import embedops
+    from kgraft.graph.components import _UnionFind
+
+    rng = np.random.RandomState(5)
+    blob_a = rng.randn(12, 16) + 40.0
+    blob_b = rng.randn(12, 16) - 40.0
+    vecs = list(blob_a) + list(blob_b)
+    vecs += [blob_a[0] * 1.01, blob_a[1] + 1e-4 * rng.randn(16), blob_b[2].copy()]
+    ids = np.arange(len(vecs), dtype="int64")
+    df = pd.DataFrame(
+        {"vec_id": ids, "embedding": [v.tolist() for v in vecs]}
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = embedops.semdedup(ds, n_cells=2, threshold=0.999).to_pandas()
+    groups = dict(zip(got["vec_id"], got["dup_group"]))
+
+    # oracle: identical centroids -> identical assignment -> brute force
+    sample = embedops._hash_sample_matrix(ds, 4096)
+    cents = embedops.kmeans_centroids(sample, 2, seed=7)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+    cell = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    sims = unit @ unit.T
+    uf = _UnionFind()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if cell[i] == cell[j] and sims[i, j] >= 0.999:
+                uf.union(i, j)
+    want = {i: uf.find(i) for i in range(len(ids))}
+    assert groups == want
+    assert groups[24] == groups[0] and groups[25] == groups[1]
+    assert groups[26] == groups[14]
+
+
+def test_semdedup_giant_identical_cluster(ray_session):
+    """A >MAX-style pile of identical vectors star-reduces to one group
+    inside its k-means cell (no silent in-bucket cap)."""
+    import ray
+
+    from kgraft import embedops
+
+    vec = np.arange(8, dtype="float64") + 2.0
+    n = 300
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype="int64"),
+            "embedding": [vec.tolist()] * n,
+        }
+    )
+    out = embedops.semdedup(
+        ray.data.from_pandas(df), n_cells=2, threshold=0.95
+    ).to_pandas()
+    assert out["dup_group"].nunique() == 1

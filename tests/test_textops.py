@@ -585,3 +585,36 @@ def test_dedup_segments_global_newline(ray_session):
         "unique-c\nunique-d",
     ]
     assert out["doc_id"].tolist() == [10, 11, 12, 13]
+
+
+def test_dedup_spans_global_planted(ray_session):
+    """Duplicated-span removal (k=3): the first (doc, pos) occurrence of
+    a repeated 3-token window survives; later occurrences lose their
+    covered tokens with overlapping windows unioned; docs shorter than k
+    and unique text pass through untouched."""
+    import ray
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "a b c d e",          # keeper of every window
+                "x a b c d y",        # 'a b c' + 'b c d' dup -> union drops a b c d
+                "a b c d e",          # full dup of doc 1 -> ''
+                "q r",                # < k tokens, untouched
+                "u v w u v w",        # within-doc repeat: 2nd 'u v w' window dup
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = (
+        textops.dedup_spans_global(ds, k=3, sep=" ", num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out.loc[0, "text"] == "a b c d e"
+    assert out.loc[1, "text"] == "x y"
+    assert out.loc[2, "text"] == ""
+    assert out.loc[3, "text"] == "q r"
+    assert out.loc[4, "text"] == "u v w"
+    assert out["doc_id"].tolist() == [1, 2, 3, 4, 5]
