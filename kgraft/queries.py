@@ -2601,6 +2601,102 @@ LIMIT 50
 """
 
 
+def near_dup_against_docs(sf_dir: str) -> pd.DataFrame:
+    """Incremental near-dup: flag 'src0' documents that transitively
+    near-duplicate the rest-of-corpus snapshot — see
+    :func:`kgraft.textops.near_dup_against` (no SQL oracle: MinHash
+    family; pytest plants cross-snapshot dups)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    new = docs.map_batches(
+        lambda df: df.loc[df["source"] == "src0", ["doc_id", "text"]],
+        batch_format="pandas",
+    )
+    ref = docs.map_batches(
+        lambda df: df.loc[df["source"] != "src0", ["doc_id", "text"]],
+        batch_format="pandas",
+    )
+    out = textops.near_dup_against(new, ref, threshold=0.7).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def bpe_merges_docs(sf_dir: str) -> pd.DataFrame:
+    """First 8 BPE merges learned over the documents corpus — see
+    :func:`kgraft.textops.bpe_train` (iterative, no SQL oracle; pytest
+    checks equality with a serial reference implementation)."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    return textops.bpe_train(docs, n_merges=8)
+
+
+def unpivot_lineitem_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-measure totals over an UNPIVOT of the four lineitem measures
+    — see :func:`kgraft.relational.unpivot` (shuffle-free melt; only
+    (variable, partial) rows cross the final 4-key reduce)."""
+    from .relational import unpivot
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    u = unpivot(
+        li, [], ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+    out = pre_aggregate(
+        u,
+        ["variable"],
+        {
+            "total": ("value", "sum"),
+            "avg_value": ("value", "mean"),
+            "n": (None, "count"),
+        },
+    )
+    out["total"] = out["total"].round(4)
+    out["avg_value"] = out["avg_value"].round(6)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("variable", ignore_index=True)[
+        ["variable", "total", "avg_value", "n"]
+    ]
+
+
+_UNPIVOT_SQL = """
+WITH u AS (
+  SELECT 'l_quantity' AS variable, l_quantity::DOUBLE AS value FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT variable, round(sum(value), 4) AS total,
+       round(avg(value), 6) AS avg_value, count(*) AS n
+FROM u GROUP BY variable ORDER BY variable
+"""
+
+
+def weighted_sample_events(sf_dir: str) -> pd.DataFrame:
+    """Top-20 weighted sample (without replacement) of events by value
+    — see :func:`kgraft.relational.weighted_sample` (Efraimidis-
+    Spirakis exponential keys, deterministic SQL-replayable draws)."""
+    from .relational import weighted_sample
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "value"])
+    out = weighted_sample(
+        ev, "value", 20, "event_id", keep_cols=["value"]
+    ).to_pandas()
+    out["score"] = out["score"].round(6)
+    return out[["event_id", "score", "value"]].reset_index(drop=True)
+
+
+_WEIGHTED_SAMPLE_SQL = """
+SELECT event_id,
+       round(ln((((event_id * 2654435761) % 4294967296) + 1)
+                / 4294967298.0) / value, 6) AS score,
+       value
+FROM events WHERE value > 0
+ORDER BY ln((((event_id * 2654435761) % 4294967296) + 1)
+            / 4294967298.0) / value DESC, event_id
+LIMIT 20
+"""
+
+
 def zscore_event_values(sf_dir: str):
     """Global z-score of event values (two-pass standardization) —
     see :func:`kgraft.relational.standardize`."""
@@ -3205,6 +3301,35 @@ def _read_kg_edges(m: dict, columns):
     )
 
 
+def kg_communities(sf_dir: str) -> pd.DataFrame:
+    """Top-20 label-propagation communities by size over the engine's
+    materialized KG edges — see
+    :func:`kgraft.graph.communities.label_propagation_communities`.
+    Rows-only driver check; the serial-reference oracle lives in
+    tests/test_graph.py."""
+    import pyarrow.parquet as pq
+
+    from .graph.communities import label_propagation_communities
+
+    m = _kg_outputs(sf_dir)
+    node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
+        "entity_id"
+    ].to_numpy()
+    edges = _read_kg_edges(m, columns=["subj_id", "obj_id"])
+    comm = label_propagation_communities(
+        edges, node_ids, n_iter=5, src_col="subj_id", dst_col="obj_id"
+    )
+    sizes = (
+        comm.groupby("community", as_index=False)
+        .size()
+        .rename(columns={"size": "n_nodes"})
+    )
+    sizes["n_nodes"] = sizes["n_nodes"].astype("int64")
+    return sizes.sort_values(
+        ["n_nodes", "community"], ascending=[False, True], ignore_index=True
+    ).head(20)
+
+
 def kg_pagerank(sf_dir: str) -> pd.DataFrame:
     """PageRank over the engine's own materialized KG edges (graph
     analytics on the construction output): top-20 entities by rank.
@@ -3686,6 +3811,10 @@ QUERIES = {
     "co_ordered_parts": co_ordered_parts,
     "source_token_kl": source_token_kl,
     "dsir_select_docs": dsir_select_docs,
+    "unpivot_lineitem_stats": unpivot_lineitem_stats,
+    "weighted_sample_events": weighted_sample_events,
+    "bpe_merges_docs": bpe_merges_docs,
+    "near_dup_against_docs": near_dup_against_docs,
     "orders_by_dow": orders_by_dow,
     "event_value_histogram": event_value_histogram,
     "intersect_orders": intersect_orders,
@@ -3734,6 +3863,7 @@ QUERIES = {
     "kg_nodes": kg_nodes,
     "kg_edges": kg_edges,
     "kg_pagerank": kg_pagerank,
+    "kg_communities": kg_communities,
     "kg_degree_stats": kg_degree_stats,
     "kg_triangles": kg_triangles,
     "kg_kcore": kg_kcore,
@@ -3810,6 +3940,8 @@ ORACLE_SQL = {
     "co_ordered_parts": _CO_ORDERED_PARTS_SQL,
     "source_token_kl": _SOURCE_TOKEN_KL_SQL,
     "dsir_select_docs": _DSIR_SELECT_SQL,
+    "unpivot_lineitem_stats": _UNPIVOT_SQL,
+    "weighted_sample_events": _WEIGHTED_SAMPLE_SQL,
     "orders_by_dow": _ORDERS_DOW_SQL,
     "event_value_histogram": _EVENT_HIST_SQL,
     "intersect_orders": _INTERSECT_SQL,

@@ -492,6 +492,79 @@ def unnest(ds, list_col: str, out_col: str = "val", ord_col: str = "ord"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def unpivot(ds, id_cols, value_cols, var_name: str = "variable",
+            value_name: str = "value"):
+    """SQL UNPIVOT / pandas melt: one output row per (input row, value
+    column); measures share one float64 ``value_name`` column and the
+    source column name lands in ``var_name``.
+
+    Shuffle-free map-side explode (each block emits len(value_cols)
+    stacked copies of its id columns — Arrow concat, no Python rows);
+    output grows by the measure count, so size ``batch_size`` upstream
+    for wide unpivots."""
+    import pyarrow.compute as pc
+
+    id_cols = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    value_cols = list(value_cols)
+    if not value_cols:
+        raise PlanError("unpivot needs at least one value column")
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = len(t)
+        parts = []
+        for c in value_cols:
+            cols = {ic: t[ic] for ic in id_cols}
+            cols[var_name] = pa.array([c] * n, pa.string())
+            cols[value_name] = pc.cast(t[c], pa.float64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def weighted_sample(ds, weight_col: str, k: int, id_col: str,
+                    keep_cols=None):
+    """Weighted sampling WITHOUT replacement, top-``k`` (Efraimidis &
+    Spirakis 2006, A-ES): each row draws u in (0,1) and scores
+    ln(u)/w — the k largest scores are exactly a weighted sample
+    without replacement. Rows with non-positive weight are excluded
+    (zero-weight rows can never be drawn; the score is undefined).
+
+    Deterministic and SQL-replayable: u derives from the id by a fixed
+    Knuth-multiplicative map ``((id * 2654435761) mod 2^32 + 1) /
+    (2^32 + 2)`` — the same expression a DuckDB twin can evaluate, and
+    invariant to repartitioning/resume. Scale shape: each block emits
+    only its local top-k candidate rows; a tiny global sort finishes
+    (same pattern as the hash-sample matrix)."""
+    keep_cols = [] if keep_cols is None else list(keep_cols)
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[weight_col].to_numpy(dtype="float64")
+        pos = w > 0
+        df = df[pos]
+        if len(df) == 0:
+            out = {id_col: pd.Series([], dtype="int64"),
+                   "score": pd.Series([], dtype="float64")}
+            for c in keep_cols:
+                out[c] = pd.Series([], dtype="float64")
+            return pd.DataFrame(out)
+        ids = df[id_col].to_numpy(dtype="int64").astype(np.uint64)
+        u = ((ids * np.uint64(2654435761)) % np.uint64(2**32)).astype(
+            np.float64
+        )
+        u = (u + 1.0) / float(2**32 + 2)
+        score = np.log(u) / w[pos]
+        order = np.argsort(-score, kind="stable")[:k]
+        out = {id_col: df[id_col].to_numpy()[order],
+               "score": score[order]}
+        for c in keep_cols:
+            out[c] = df[c].to_numpy()[order]
+        return pd.DataFrame(out)
+
+    partial = ds.map_batches(local, batch_format="pandas")
+    return partial.sort(["score", id_col], descending=[True, False]).limit(k)
+
+
 BROADCAST_ROW_GUARD = 5_000_000  # a "small side" beyond this is a plan bug
 
 

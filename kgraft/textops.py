@@ -1043,6 +1043,263 @@ def dedup_spans_global(
     return joined.map_batches(rebuild, batch_format="pandas")
 
 
+_SNAPSHOT_OFFSET = np.int64(1) << np.int64(40)
+
+
+def near_dup_against(
+    new_docs,
+    reference,
+    threshold: float = 0.7,
+    num_perm: int = 128,
+    num_bands: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    estimate_margin: float = 0.15,
+    shingle_k: int = 4,
+):
+    """Incremental-crawl NEAR dedup: flag new documents that
+    near-duplicate (exact k-gram Jaccard >= ``threshold``) ANY document
+    of the prior snapshot -> ``(id_col, near_dup)`` over ``new_docs``.
+    The exact twin of :func:`dedup_against` for the near-dup family:
+    within-snapshot and within-new duplicates are out of scope (run
+    :func:`near_dup_groups` for those) — only CROSS-side pairs are
+    verified, so a re-crawl doesn't pay for the old corpus's internal
+    duplication again.
+
+    A new doc flags when its verified-pair COMPONENT contains a
+    snapshot doc: the LSH tier star-contracts identical/near bucket
+    clusters to spanning structures, so the direct (new, ref) pair may
+    only exist transitively through a new-new pair — pair-level cross
+    filtering would silently lose it. Ref-ref pairs ARE dropped
+    map-side before text routing (safe: a component's has-ref flag
+    never depends on a ref-ref edge — any chain from a new doc already
+    touches a ref at its first ref hop — so the incremental run never
+    re-verifies the old corpus's internal duplication).
+
+    Scale shape: both sides sketch once and share ONE band exchange
+    (reference ids ride offset by 2^40 so the sides stay disjoint —
+    callers need ids < 2^40); surviving pairs go through the usual
+    Bloom-prefiltered text routing + fused exact verify; components
+    come from the contracted Dataset union-find; the per-component
+    has-ref/has-new flags reduce map-side and only MIXED component ids
+    (bounded by verified-pair count) broadcast for the final
+    searchsorted labeling scan."""
+    from .dupgroups import label_by_pairs, route_texts_to_pairs
+    from .relational import pre_aggregate_ds
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            ids = df[id_col].to_numpy().astype(np.int64)
+            if side and (ids >= _SNAPSHOT_OFFSET).any():
+                raise ValueError("near_dup_against needs ids < 2^40")
+            return pd.DataFrame(
+                {
+                    "doc_id": ids + np.int64(side) * _SNAPSHOT_OFFSET,
+                    text_col: df[text_col],
+                }
+            )
+
+        return fn
+
+    union = new_docs.map_batches(tag(0), batch_format="pandas").union(
+        reference.map_batches(tag(1), batch_format="pandas")
+    )
+    est_floor = None if estimate_margin is None else threshold - estimate_margin
+    cand = minhash_candidate_pairs(
+        union,
+        num_perm,
+        num_bands,
+        text_col,
+        sketches=sketch_docs(union, num_perm, text_col, shingle_k),
+        est_floor=est_floor,
+    )
+    touches_new = cand.map_batches(
+        lambda df: df[
+            (df["doc_a"] < _SNAPSHOT_OFFSET) | (df["doc_b"] < _SNAPSHOT_OFFSET)
+        ],
+        batch_format="pandas",
+    )
+    verified = route_texts_to_pairs(
+        union,
+        touches_new,
+        lambda t: _verify_pairs_jaccard(t, shingle_k, threshold),
+        id_col="doc_id",
+        text_col=text_col,
+    )
+    labeled = label_by_pairs(
+        union.map_batches(
+            lambda df: df[["doc_id"]], batch_format="pandas"
+        ),
+        verified,
+        "doc_id",
+    )
+
+    def side_flags(df: pd.DataFrame) -> pd.DataFrame:
+        is_ref = (df["doc_id"].to_numpy() >= _SNAPSHOT_OFFSET)
+        return pd.DataFrame(
+            {
+                "g": df["dup_group"],
+                "has_ref": is_ref.astype("int64"),
+                "has_new": (~is_ref).astype("int64"),
+            }
+        )
+
+    agg = pre_aggregate_ds(
+        labeled.map_batches(side_flags, batch_format="pandas"),
+        ["g"],
+        {"has_ref": ("has_ref", "max"), "has_new": ("has_new", "max")},
+    )
+    mixed = (
+        agg.map_batches(
+            lambda df: df.loc[
+                (df["has_ref"] > 0) & (df["has_new"] > 0), ["g"]
+            ],
+            batch_format="pandas",
+        )
+        .to_pandas()["g"]
+        .to_numpy()
+    )
+    gref = ray.put(np.unique(mixed.astype(np.int64)))
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        arr = ray.get(gref)
+        keep = df["doc_id"].to_numpy() < _SNAPSHOT_OFFSET
+        df = df[keep]
+        g = df["dup_group"].to_numpy().astype(np.int64)
+        if len(arr):
+            pos = np.searchsorted(arr, g)
+            hit = (pos < len(arr)) & (arr[np.minimum(pos, len(arr) - 1)] == g)
+        else:
+            hit = np.zeros(len(g), dtype=bool)
+        return pd.DataFrame(
+            {id_col: df["doc_id"].astype("int64"), "near_dup": hit}
+        )
+
+    return labeled.map_batches(label, batch_format="pandas")
+
+
+_BPE_TOKEN_RE = re.compile(r"[a-z0-9_]+")
+_BPE_EOW = "</w>"
+
+
+def bpe_train(docs, n_merges: int = 10, text_col: str = "text"):
+    """Byte-pair-encoding merge training (Sennrich et al. 2016,
+    arXiv:1508.07909) over the corpus: learn the ``n_merges`` most
+    frequent adjacent symbol pairs, greedily, over the word-frequency
+    table. Words start as character symbols + an end-of-word marker;
+    pair counts weight by word frequency; overlapping adjacencies all
+    count, merges apply left-to-right non-overlapping; ties break to
+    the lexicographically smallest pair (deterministic under any
+    partitioning). Returns a driver-small DataFrame
+    (rank, left, right, pair_count) — one row per merge.
+
+    Scale shape (the published algorithm's own structure): the corpus
+    is read ONCE — a tokenizing scan collapses to the (word, count)
+    vocabulary table via one map-side-reduced exchange; every one of
+    the ``n_merges`` rounds then touches only the VOCAB-scale symbol
+    table: per-batch weighted pair counting partials -> a tiny global
+    pair aggregate -> sort-limit-1 argmax (one row to the driver) ->
+    a shuffle-free rewrite pass. Each round materializes the rewritten
+    vocab so round r+1 doesn't re-execute rounds 1..r's lineage."""
+    from .relational import pre_aggregate_ds
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"w": pd.Series([], dtype=object), "n": pd.Series([], dtype="int64")}
+        )
+        if len(df) == 0:
+            return empty
+        toks = df[text_col].str.lower().str.findall(_BPE_TOKEN_RE)
+        arrs = toks.to_numpy()
+        if not len(arrs):
+            return empty
+        flat = pd.Series(np.concatenate(arrs), dtype=object)
+        if len(flat) == 0:
+            return empty
+        g = flat.value_counts()
+        return pd.DataFrame(
+            {"w": g.index.to_numpy(), "n": g.to_numpy().astype("int64")}
+        )
+
+    vocab = pre_aggregate_ds(
+        docs.select_columns([text_col]).map_batches(
+            explode, batch_format="pandas"
+        ),
+        ["w"],
+        {"n": ("n", "sum")},
+    )
+
+    def to_syms(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "syms": [list(w) + [_BPE_EOW] for w in df["w"]],
+                "n": df["n"].astype("int64"),
+            }
+        )
+
+    cur = vocab.map_batches(to_syms, batch_format="pandas").materialize()
+
+    merges = []
+    for r in range(int(n_merges)):
+
+        def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+            c: dict = {}
+            for syms, n in zip(df["syms"], df["n"]):
+                ni = int(n)
+                for a, b in zip(syms, syms[1:]):
+                    c[(a, b)] = c.get((a, b), 0) + ni
+            ks = list(c.keys())
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([k[0] for k in ks], dtype=object),
+                    "b": pd.Series([k[1] for k in ks], dtype=object),
+                    "cnt": pd.Series([c[k] for k in ks], dtype="int64"),
+                }
+            )
+
+        pair_ds = pre_aggregate_ds(
+            cur.map_batches(pair_counts, batch_format="pandas"),
+            ["a", "b"],
+            {"cnt": ("cnt", "sum")},
+        )
+        top = (
+            pair_ds.sort(["cnt", "a", "b"], descending=[True, False, False])
+            .limit(1)
+            .to_pandas()
+        )
+        if len(top) == 0 or int(top["cnt"].iat[0]) < 2:
+            break
+        a, b = str(top["a"].iat[0]), str(top["b"].iat[0])
+        merges.append((r, a, b, int(top["cnt"].iat[0])))
+        ab = a + b
+
+        def apply_merge(df: pd.DataFrame, a=a, b=b, ab=ab) -> pd.DataFrame:
+            out = []
+            for syms in df["syms"]:
+                res = []
+                i, L = 0, len(syms)
+                while i < L:
+                    if i < L - 1 and syms[i] == a and syms[i + 1] == b:
+                        res.append(ab)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            return pd.DataFrame({"syms": out, "n": df["n"]})
+
+        cur = cur.map_batches(apply_merge, batch_format="pandas").materialize()
+
+    return pd.DataFrame(
+        {
+            "rank": pd.Series([m[0] for m in merges], dtype="int64"),
+            "left": [m[1] for m in merges],
+            "right": [m[2] for m in merges],
+            "pair_count": pd.Series([m[3] for m in merges], dtype="int64"),
+        }
+    )
+
+
 # PII patterns pinned to the RE2-compatible subset (no lookaround, no
 # backreferences) so the engine (Python re) and the SQL twin (DuckDB
 # RE2 regexp_replace) substitute byte-identically. Order matters:

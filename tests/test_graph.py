@@ -226,3 +226,51 @@ def test_core_numbers_match_bruteforce_peeling(ray_session):
         gmap = dict(zip(got["node_id"], got["coreness"]))
         assert gmap == want, trial
         assert all(gmap[100 + i] >= 5 for i in range(6))  # clique is 5-core
+
+
+def test_label_propagation_communities_cliques(ray_session):
+    """Two 5-cliques joined by one bridge edge resolve into two
+    communities, and the distributed result equals the serial
+    synchronous-LPA reference (same min tie-break)."""
+    import itertools
+
+    import ray
+
+    from kgraft.graph.communities import label_propagation_communities
+
+    ed = list(itertools.combinations(range(5), 2))
+    ed += list(itertools.combinations(range(10, 15), 2))
+    ed.append((4, 10))
+    df = pd.DataFrame(
+        {"src": [a for a, _ in ed], "dst": [b for _, b in ed]}
+    )
+    node_ids = np.array(list(range(5)) + list(range(10, 15)), dtype="int64")
+    out = label_propagation_communities(
+        ray.data.from_pandas(df).repartition(3), node_ids, n_iter=6
+    )
+    comm = dict(zip(out["node_id"], out["community"]))
+    assert len({comm[i] for i in range(5)}) == 1
+    assert len({comm[i] for i in range(10, 15)}) == 1
+    assert comm[0] != comm[10]
+
+    # serial reference: same synchronous rule, same tie-break
+    ids = sorted(node_ids.tolist())
+    lab = {i: i for i in ids}
+    nbrs = {i: [] for i in ids}
+    for a, b in ed:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    for _ in range(6):
+        new = {}
+        for i in ids:
+            counts = {}
+            for j in nbrs[i]:
+                counts[lab[j]] = counts.get(lab[j], 0) + 1
+            if counts:
+                new[i] = min(counts, key=lambda l: (-counts[l], l))
+            else:
+                new[i] = lab[i]
+        if new == lab:
+            break
+        lab = new
+    assert comm == lab

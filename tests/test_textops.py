@@ -618,3 +618,115 @@ def test_dedup_spans_global_planted(ray_session):
     assert out.loc[3, "text"] == "q r"
     assert out.loc[4, "text"] == "u v w"
     assert out["doc_id"].tolist() == [1, 2, 3, 4, 5]
+
+
+def _ref_bpe(word_counts, n_merges):
+    """Serial reference BPE (Sennrich et al.): same conventions as the
+    engine — char symbols + '</w>', overlapping pair counts weighted by
+    word frequency, left-to-right non-overlapping merge, (count desc,
+    pair asc) tie-break, stop when the best pair count < 2."""
+    vocab = {w: list(w) + ["</w>"] for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for w, syms in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] = pairs.get(p, 0) + word_counts[w]
+        if not pairs:
+            break
+        best_pair, best_cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if best_cnt < 2:
+            break
+        merges.append((best_pair[0], best_pair[1], best_cnt))
+        a, b = best_pair
+        for w, syms in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            vocab[w] = res
+    return merges
+
+
+def test_bpe_train_vs_reference(ray_session):
+    """Distributed BPE merges must equal the serial reference on a
+    corpus with a clear frequency gradient, across block boundaries."""
+    import re
+
+    import ray
+
+    texts = [
+        "low low low lower lower newest newest newest",
+        "newest newest widest widest low lowest",
+        "new new new news news",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = textops.bpe_train(ds, n_merges=6)
+
+    wc = {}
+    for t in texts:
+        for w in re.findall(r"[a-z0-9_]+", t.lower()):
+            wc[w] = wc.get(w, 0) + 1
+    want = _ref_bpe(wc, 6)
+    assert list(zip(got["left"], got["right"], got["pair_count"])) == want
+    assert got["rank"].tolist() == list(range(len(want)))
+
+
+def test_bpe_train_stops_when_dry(ray_session):
+    """All-unique single-char words: no pair ever reaches count 2, so
+    zero merges come back (no infinite loop, no count-1 merges)."""
+    import ray
+
+    df = pd.DataFrame({"doc_id": [0], "text": ["a b c d"]})
+    got = textops.bpe_train(ray.data.from_pandas(df), n_merges=5)
+    assert len(got) == 0
+
+
+def test_near_dup_against_snapshot(ray_session):
+    """Incremental near-dup: new docs that near-duplicate the prior
+    snapshot flag true; fresh docs and the snapshot's own internal
+    duplication stay out of scope."""
+    import ray
+
+    base = (
+        "the gondar engine streams arrow batches through actor pools with "
+        "backpressure and spills to the object store when memory is tight "
+    )
+    ref = pd.DataFrame(
+        {
+            "doc_id": [100, 101, 102],
+            "text": [
+                base * 4,
+                base * 4,  # internal snapshot dup — must NOT affect output
+                "prune the roses in late winter; mulch beds before the first frost",
+            ],
+        }
+    )
+    new = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                base * 4,                  # exact cross dup -> flagged
+                base * 4 + " tail.",       # near cross dup -> flagged
+                "the sicilian defence trades central space for dynamic play",
+            ],
+        }
+    )
+    out = (
+        textops.near_dup_against(
+            ray.data.from_pandas(new).repartition(2),
+            ray.data.from_pandas(ref).repartition(2),
+            threshold=0.7,
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out["near_dup"].tolist() == [True, True, False]
+    assert out["doc_id"].tolist() == [0, 1, 2]
