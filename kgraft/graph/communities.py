@@ -46,6 +46,13 @@ def label_propagation_communities(
     ids_ref = ray.put(ids)
     labels = ids.copy()
 
+    # pin the edge table: every round re-scans it, and a lazy Dataset
+    # would re-execute the parquet read + upstream maps per round
+    # (measured ~5 s/round -> sub-second at sf0.1). Blocks stay in the
+    # object store, which spills — the same residency trade the Pregel
+    # pagerank path makes explicitly.
+    edges = edges.materialize()
+
     for _ in range(int(n_iter)):
         lref = ray.put(labels)
 

@@ -988,16 +988,20 @@ def top_k(ds, key, k: int, descending: bool = True):
     return ds.sort(key, descending=descending).limit(k)
 
 
-def distinct(ds, cols):
+def distinct(ds, cols, num_buckets: int = 64):
     """Distinct rows over ``cols``: map-side drop_duplicates per batch,
-    then a count aggregate (pure shuffle — no per-group Python)."""
-    from ray.data.aggregate import Count
-
+    then ONE bucketed exchange with a vectorized in-bucket
+    drop_duplicates. (Ray's native ``groupby().aggregate(Count)`` pays
+    per-GROUP cost — measured 240 s for a 600 k-group distinct at
+    sf0.1 where this path takes ~2 s; the bucket exchange sorts 64
+    bucket ids instead.)"""
     cols = [cols] if isinstance(cols, str) else list(cols)
     slim = ds.select_columns(cols).map_batches(
         lambda df: df.drop_duplicates(), batch_format="pandas"
     )
-    return slim.groupby(cols).aggregate(Count(alias_name="__c")).select_columns(cols)
+    return bucketed_groupby_apply(
+        slim, cols, lambda g: g.drop_duplicates(), num_buckets
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1119,20 +1119,25 @@ def near_dup_against(
         ],
         batch_format="pandas",
     )
+    # pin the two multi-consumer intermediates: verified feeds the
+    # union-find AND the labeling scan, labeled feeds the component
+    # flag aggregate AND the final output scan — lazy, each consumer
+    # would re-execute the whole sketch+route chain (measured 63 s ->
+    # 9 s at sf0.1). Pairs are dup-proportional, labels are id-scale.
     verified = route_texts_to_pairs(
         union,
         touches_new,
         lambda t: _verify_pairs_jaccard(t, shingle_k, threshold),
         id_col="doc_id",
         text_col=text_col,
-    )
+    ).materialize()
     labeled = label_by_pairs(
         union.map_batches(
             lambda df: df[["doc_id"]], batch_format="pandas"
         ),
         verified,
         "doc_id",
-    )
+    ).materialize()
 
     def side_flags(df: pd.DataFrame) -> pd.DataFrame:
         is_ref = (df["doc_id"].to_numpy() >= _SNAPSHOT_OFFSET)
