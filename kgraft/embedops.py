@@ -366,6 +366,83 @@ def embed_near_dup(
     )
 
 
+def knn_topk_multi(embeddings, query_ids, k: int = 10, round_dp: int = 4):
+    """Batched brute-force cosine top-k for MULTIPLE query vectors in
+    one corpus pass (the retrieval shape: one scan serves the whole
+    query batch, not one scan per query). Returns
+    ``(query_id, vec_id, score)`` — the self-match rides along at
+    score 1 like any other row.
+
+    Scale shape: the (q, dim) unit query matrix broadcasts once via
+    ``ray.put`` (bounded by the query-batch size); each block computes
+    ONE (n, q) matmul and emits only its per-query local top-k, cut by
+    the same deterministic (score desc, vec_id asc) rule the global
+    tier uses (scores pre-rounded so float noise can't reorder the
+    cut); the finish is a tiny bucketed per-query head — shuffle
+    payload is q x k x #blocks candidate rows, never the corpus."""
+    from .relational import bucketed_groupby_apply
+
+    qset_ref = ray.put({int(i) for i in query_ids})
+    qdf = (
+        embeddings.map_batches(
+            lambda df: df.loc[
+                df["vec_id"].isin(ray.get(qset_ref)), ["vec_id", "embedding"]
+            ],
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    Q = np.stack(qdf["embedding"].map(np.asarray).values).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1)[:, None]
+    qids = qdf["vec_id"].to_numpy().astype(np.int64)
+    qref, qid_ref = ray.put(Qn), ray.put(qids)
+
+    def local(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        mat = _batch_matrix(t)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1e-12
+        sims = np.round((mat / norms[:, None]) @ ray.get(qref).T, round_dp)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q, out_i, out_s = [], [], []
+        for j, qid in enumerate(ray.get(qid_ref)):
+            s = sims[:, j]
+            order = np.lexsort((ids, -s))[:k]
+            out_q.append(np.full(len(order), qid, dtype=np.int64))
+            out_i.append(ids[order])
+            out_s.append(s[order])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_i), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    partial = embeddings.map_batches(local, batch_format="pyarrow")
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(
+                ["query_id", "score", "vec_id"],
+                ascending=[True, False, True],
+            )
+            .groupby("query_id", sort=False)
+            .head(k)
+        )
+
+    return bucketed_groupby_apply(partial, ["query_id"], head, num_buckets=8)
+
+
 def semdedup(
     embeddings,
     n_cells: int = 16,

@@ -2627,6 +2627,90 @@ def bpe_merges_docs(sf_dir: str) -> pd.DataFrame:
     return textops.bpe_train(docs, n_merges=8)
 
 
+def scenario_revenue(sf_dir: str) -> pd.DataFrame:
+    """Per-scenario discounted revenue: lineitem CROSS JOIN a 3-row
+    scenario grid — see :func:`kgraft.relational.cross_join_small`
+    (broadcast parameter table, shuffle-free replicate, partial-summed
+    per scenario)."""
+    from .relational import cross_join_small
+
+    grid = pd.DataFrame(
+        {"scenario": ["base", "bear", "bull"], "mult": [1.0, 0.9, 1.1]}
+    )
+    li = read_table(sf_dir, "lineitem", columns=["l_extendedprice", "l_discount"])
+    x = cross_join_small(li, grid)
+    terms = x.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "scenario": df["scenario"],
+                "rev": df["l_extendedprice"]
+                * (1.0 - df["l_discount"])
+                * df["mult"],
+            }
+        ),
+        batch_format="pandas",
+    )
+    out = pre_aggregate(terms, ["scenario"], {"revenue": ("rev", "sum")})
+    out["revenue"] = out["revenue"].round(2)
+    return out.sort_values("scenario", ignore_index=True)
+
+
+_SCENARIO_REVENUE_SQL = """
+WITH grid AS (
+  SELECT * FROM (VALUES ('base', 1.0), ('bear', 0.9), ('bull', 1.1))
+    AS t(scenario, mult)
+)
+SELECT scenario,
+       round(sum(l_extendedprice * (1.0 - l_discount) * mult), 2) AS revenue
+FROM lineitem CROSS JOIN grid
+GROUP BY scenario ORDER BY scenario
+"""
+
+
+def gap_fill_hourly_events(sf_dir: str) -> pd.DataFrame:
+    """Hourly per-type value series with gaps forward-filled — see
+    :func:`kgraft.relational.gap_fill` (resample + ffill over a
+    generate_series grid)."""
+    from .relational import gap_fill
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+    hourly = ev.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "h": df["ts"].dt.floor("h"),
+                "value": df["value"],
+            }
+        ),
+        batch_format="pandas",
+    )
+    agg = pre_aggregate_ds(hourly, ["event_type", "h"], {"v": ("value", "sum")})
+    out = gap_fill(agg, "event_type", "h", "v", freq="h").to_pandas()
+    out["v"] = out["v"].round(4)
+    return out.sort_values(["event_type", "h"], ignore_index=True)
+
+
+_GAP_FILL_SQL = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, sum(value) AS v
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(h) AS lo, max(h) AS hi FROM agg GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+), j AS (
+  SELECT g.event_type, g.h, a.v
+  FROM grid g LEFT JOIN agg a USING (event_type, h)
+)
+SELECT event_type, h,
+       round(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v
+FROM j ORDER BY event_type, h
+"""
+
+
 def unpivot_lineitem_stats(sf_dir: str) -> pd.DataFrame:
     """Per-measure totals over an UNPIVOT of the four lineitem measures
     — see :func:`kgraft.relational.unpivot` (shuffle-free melt; only
@@ -3187,6 +3271,36 @@ def label_norms(sf_dir: str) -> pd.DataFrame:
 def embed_near_dup_q(sf_dir: str):
     emb = read_table(sf_dir, "embeddings")
     return embedops.embed_near_dup(emb, threshold=0.95)
+
+
+def knn_multi_q(sf_dir: str) -> pd.DataFrame:
+    """Top-5 cosine neighbors for a 5-vector query batch in one corpus
+    pass — see :func:`kgraft.embedops.knn_topk_multi`."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = embedops.knn_topk_multi(emb, [0, 1, 2, 3, 4], k=5).to_pandas()
+    return out.sort_values(
+        ["query_id", "score", "vec_id"],
+        ascending=[True, False, True],
+        ignore_index=True,
+    )
+
+
+_KNN_MULTI_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe
+  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+), s AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding, q.qe), 4) AS score
+  FROM embeddings e, q
+)
+SELECT query_id, vec_id, score FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+  FROM s
+) WHERE rn <= 5
+ORDER BY query_id, score DESC, vec_id
+"""
 
 
 def semdedup_embeddings_q(sf_dir: str):
@@ -3813,6 +3927,8 @@ QUERIES = {
     "dsir_select_docs": dsir_select_docs,
     "unpivot_lineitem_stats": unpivot_lineitem_stats,
     "weighted_sample_events": weighted_sample_events,
+    "gap_fill_hourly_events": gap_fill_hourly_events,
+    "scenario_revenue": scenario_revenue,
     "bpe_merges_docs": bpe_merges_docs,
     "near_dup_against_docs": near_dup_against_docs,
     "orders_by_dow": orders_by_dow,
@@ -3849,6 +3965,7 @@ QUERIES = {
     "simhash_near_dup": simhash_near_dup_q,
     "embed_near_dup": embed_near_dup_q,
     "semdedup_embeddings": semdedup_embeddings_q,
+    "knn_multi_topk": knn_multi_q,
     "langid_docs": langid_docs_q,
     "quality_docs": quality_docs_q,
     "fingerprint_docs": fingerprint_docs_q,
@@ -3942,6 +4059,9 @@ ORACLE_SQL = {
     "dsir_select_docs": _DSIR_SELECT_SQL,
     "unpivot_lineitem_stats": _UNPIVOT_SQL,
     "weighted_sample_events": _WEIGHTED_SAMPLE_SQL,
+    "gap_fill_hourly_events": _GAP_FILL_SQL,
+    "knn_multi_topk": _KNN_MULTI_SQL,
+    "scenario_revenue": _SCENARIO_REVENUE_SQL,
     "orders_by_dow": _ORDERS_DOW_SQL,
     "event_value_histogram": _EVENT_HIST_SQL,
     "intersect_orders": _INTERSECT_SQL,

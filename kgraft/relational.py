@@ -1797,6 +1797,80 @@ def set_op(left, right, cols, op: str, num_buckets: int = 64):
 # skew diagnostics: hot-key detection (the pre-pass that sizes num_salts)
 
 
+def cross_join_small(ds, small_df: pd.DataFrame,
+                     max_broadcast_rows: int = 10_000):
+    """SQL CROSS JOIN against a bounded parameter table (scenario
+    grids, rate tables): every input row pairs with every small-side
+    row. Broadcast once via ``ray.put``; each block replicates itself
+    |small| times map-side — shuffle-free, output grows by the
+    small-side row count. Guarded like :func:`broadcast_join`: a
+    corpus-scale "small" side is a plan bug, fail fast."""
+    if len(small_df) > max_broadcast_rows:
+        raise PlanError(
+            f"cross_join_small: small side has {len(small_df)} rows "
+            f"(> {max_broadcast_rows}); a cross join against a "
+            "corpus-scale table is a plan bug"
+        )
+    shared = set(small_df.columns)
+    ref = ray.put(small_df.reset_index(drop=True))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        overlap = shared & set(df.columns)
+        if overlap:
+            raise SchemaError(f"cross join column clash: {sorted(overlap)}")
+        s = ray.get(ref)
+        n, m = len(df), len(s)
+        left = df.iloc[np.repeat(np.arange(n), m)].reset_index(drop=True)
+        right = s.iloc[np.tile(np.arange(m), n)].reset_index(drop=True)
+        return pd.concat([left, right], axis=1)
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def gap_fill(ds, key_col: str, ts_col: str, val_col: str,
+             freq: str = "h", num_buckets: int = 64):
+    """Time-series gap-fill / resample with forward fill (an operator
+    Ray Data lacks): for every key, emit one row per ``freq`` step from
+    that key's min to max timestamp; steps with no input row carry the
+    previous step's value (SQL ``last_value(v IGNORE NULLS)`` over a
+    ``generate_series`` grid). Input must be one row per (key, step) —
+    pre-aggregate first (e.g. :func:`pre_aggregate_ds` on the truncated
+    timestamp).
+
+    Scale shape: ONE bucketed exchange co-locates each key's rows;
+    in-bucket the fill is a per-key vectorized reindex + ffill (the
+    per-key loop is key-cardinality-bounded, grids never leave their
+    bucket). Output grows by the gap density — at 100 TB keep ``freq``
+    coarse enough that per-key grids stay partition-sized."""
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for k, grp in g.groupby(key_col, sort=False):
+            grp = grp.sort_values(ts_col)
+            s = pd.Series(
+                grp[val_col].to_numpy(),
+                index=pd.DatetimeIndex(grp[ts_col]),
+            )
+            grid = pd.date_range(s.index.min(), s.index.max(), freq=freq)
+            f = s.reindex(grid).ffill()
+            out.append(
+                pd.DataFrame(
+                    {key_col: k, ts_col: f.index, val_col: f.to_numpy()}
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype=g[key_col].dtype),
+                    ts_col: pd.Series([], dtype="datetime64[us]"),
+                    val_col: pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_groupby_apply(ds, [key_col], fill, num_buckets)
+
+
 def time_windowed(ds, part_col: str, ts_col: str, val_col: str, window: str,
                   kinds, out_prefix: str = "w_", num_buckets: int = 64):
     """Time-RANGE window aggregates (an operator Ray Data lacks): for

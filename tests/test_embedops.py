@@ -241,3 +241,38 @@ def test_semdedup_giant_identical_cluster(ray_session):
         ray.data.from_pandas(df), n_cells=2, threshold=0.95
     ).to_pandas()
     assert out["dup_group"].nunique() == 1
+
+
+def test_knn_topk_multi_vs_bruteforce(ray_session):
+    """Batched multi-query cosine top-k equals the numpy brute force
+    under the same (rounded score desc, vec_id asc) ordering."""
+    import ray
+
+    from kgraft import embedops
+
+    rng = np.random.RandomState(11)
+    mat = rng.randn(40, 8)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(40, dtype="int64"),
+            "embedding": [v.tolist() for v in mat],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = (
+        embedops.knn_topk_multi(ds, [0, 3, 7], k=5)
+        .to_pandas()
+        .sort_values(["query_id", "score", "vec_id"],
+                     ascending=[True, False, True], ignore_index=True)
+    )
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    rows = []
+    for q in (0, 3, 7):
+        s = np.round(unit @ unit[q], 4)
+        order = np.lexsort((np.arange(40), -s))[:5]
+        for i in order:
+            rows.append((q, int(i), s[i]))
+    want = pd.DataFrame(rows, columns=["query_id", "vec_id", "score"])
+    pd.testing.assert_frame_equal(
+        got.astype({"vec_id": "int64"}), want.astype({"vec_id": "int64"})
+    )

@@ -1520,3 +1520,65 @@ def test_robust_standardize_matches_duckdb(ray_session):
         rtol=1e-9, equal_nan=True,
     )
     assert got.loc[df.sort_values("rid")["k"].to_numpy() == "c", "rz"].isna().all()
+
+
+def test_gap_fill_forward_fill(ray_session):
+    """Gap-fill: every key emits one row per hour from its min to max
+    timestamp; missing hours carry the previous hour's value; keys
+    never bleed into each other's grids."""
+    import ray
+
+    from kgraft.relational import gap_fill
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b", "b"],
+            "h": pd.to_datetime(
+                [
+                    "2024-01-01 00:00",
+                    "2024-01-01 01:00",
+                    "2024-01-01 03:00",  # hour 2 missing -> ffill 2.0
+                    "2024-01-01 05:00",
+                    "2024-01-01 07:00",  # hour 6 missing -> ffill 4.0
+                ]
+            ),
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    out = (
+        gap_fill(ray.data.from_pandas(df).repartition(2), "k", "h", "v", freq="h", num_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "h"], ignore_index=True)
+    )
+    a = out[out["k"] == "a"]
+    b = out[out["k"] == "b"]
+    assert a["v"].tolist() == [1.0, 2.0, 2.0, 3.0]
+    assert a["h"].dt.hour.tolist() == [0, 1, 2, 3]
+    assert b["v"].tolist() == [4.0, 4.0, 5.0]
+    assert b["h"].dt.hour.tolist() == [5, 6, 7]
+
+
+def test_cross_join_small_guard_and_values(ray_session):
+    """Cross join replicates every row per grid row; a corpus-scale
+    'small' side raises PlanError."""
+    import ray
+
+    from kgraft.errors import PlanError
+    from kgraft.relational import cross_join_small
+
+    df = pd.DataFrame({"x": [1, 2, 3]})
+    grid = pd.DataFrame({"s": ["a", "b"], "m": [1.0, 2.0]})
+    out = (
+        cross_join_small(ray.data.from_pandas(df).repartition(2), grid)
+        .to_pandas()
+        .sort_values(["x", "s"], ignore_index=True)
+    )
+    assert len(out) == 6
+    assert out.loc[(out["x"] == 2) & (out["s"] == "b"), "m"].iloc[0] == 2.0
+
+    big = pd.DataFrame({"s": range(20001)})
+    try:
+        cross_join_small(ray.data.from_pandas(df), big, max_broadcast_rows=20000)
+        assert False, "expected PlanError"
+    except PlanError:
+        pass
