@@ -2627,6 +2627,143 @@ def bpe_merges_docs(sf_dir: str) -> pd.DataFrame:
     return textops.bpe_train(docs, n_merges=8)
 
 
+def ccnet_bucket_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style perplexity-bucket sampling (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data", LREC): per language, documents split into head/middle/tail
+    NLL terciles under the corpus unigram LM; the head keeps all docs,
+    the middle 50 %, the tail 10 % — selection by the deterministic
+    SQL-replayable draw (same Knuth map as weighted_sample). Output:
+    (lang, bucket, n_docs, n_kept). Composite of the already-oracled
+    pieces: unigram_nll -> bucketed doc_id join -> windowed NTILE ->
+    shuffle-free draw -> pre-aggregated counts."""
+    from .relational import hash_join, pre_aggregate, windowed
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    nll = textops.unigram_nll(docs, vocab_size=1000)
+    lang = docs.map_batches(
+        lambda df: df[["doc_id", "lang"]], batch_format="pandas"
+    )
+    j = hash_join(
+        nll,
+        lang,
+        on="doc_id",
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("avg_nll", pa.float64())]
+        ),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("lang", pa.string())]),
+    )
+    win = windowed(
+        j,
+        part_keys="lang",
+        order_keys=["avg_nll"],
+        specs={"bucket": ("ntile", None, 3)},
+        tiebreak=["doc_id"],
+    )
+
+    def decide(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.uint64)
+        u = (
+            ((ids * np.uint64(2654435761)) % np.uint64(2**32)).astype(
+                np.float64
+            )
+            + 1.0
+        ) / float(2**32 + 2)
+        b = df["bucket"].to_numpy().astype(np.int64)
+        rate = np.where(b == 1, 1.0, np.where(b == 2, 0.5, 0.1))
+        return pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "bucket": b,
+                "kept": (u < rate).astype("int64"),
+            }
+        )
+
+    out = pre_aggregate(
+        win.map_batches(decide, batch_format="pandas"),
+        ["lang", "bucket"],
+        {"n_docs": (None, "count"), "n_kept": ("kept", "sum")},
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_kept"] = out["n_kept"].astype("int64")
+    return out.sort_values(["lang", "bucket"], ignore_index=True)[
+        ["lang", "bucket", "n_docs", "n_kept"]
+    ]
+
+
+_CCNET_BUCKET_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+  FROM documents
+),
+tot AS (SELECT count(*) AS n FROM toks),
+vocab AS (
+  SELECT t, count(*) AS c FROM toks GROUP BY t
+  ORDER BY c DESC, t LIMIT 1000
+),
+nll AS (
+  SELECT toks.doc_id,
+         round(avg(-ln((coalesce(vocab.c, 0) + 1.0) / (tot.n + 1001.0))), 6)
+             AS avg_nll
+  FROM toks CROSS JOIN tot LEFT JOIN vocab ON toks.t = vocab.t
+  GROUP BY toks.doc_id
+),
+b AS (
+  SELECT d.doc_id, d.lang,
+         CAST(ntile(3) OVER (
+           PARTITION BY d.lang ORDER BY nll.avg_nll, d.doc_id
+         ) AS BIGINT) AS bucket
+  FROM documents d JOIN nll ON d.doc_id = nll.doc_id
+),
+s AS (
+  SELECT lang, bucket,
+         CASE bucket WHEN 1 THEN 1.0 WHEN 2 THEN 0.5 ELSE 0.1 END AS rate,
+         ((((doc_id * 2654435761) % 4294967296)) + 1) / 4294967298.0 AS u
+  FROM b
+)
+SELECT lang, bucket, count(*) AS n_docs,
+       sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS n_kept
+FROM s GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+
+def c4_clean_docs(sf_dir: str) -> pd.DataFrame:
+    """C4 line+page cleaning over the documents table — see
+    :func:`kgraft.textops.c4_clean`. (The synthetic corpus carries no
+    punctuation, so every page fails the sentence rule — the oracle
+    still checks the full rule pipeline byte-for-byte; realistic-text
+    behavior is pytest-planted.)"""
+    from .textops import c4_clean
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = c4_clean(docs).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+_C4_CLEAN_SQL = """
+WITH lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(text, chr(10))))) AS i
+  FROM documents
+), kept_lines AS (
+  SELECT doc_id, line, i FROM lines
+  WHERE regexp_matches(line, '[.!?"]\\s*$')
+    AND len(string_split(trim(line), ' ')) >= 5
+    AND NOT contains(lower(line), 'javascript')
+), agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS ctext
+  FROM kept_lines GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.ctext, '') AS text,
+       (coalesce(len(regexp_extract_all(a.ctext, '[.!?]')), 0) >= 3
+        AND NOT contains(lower(d.text), 'lorem ipsum')
+        AND NOT contains(d.text, '{')) AS kept
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def scenario_revenue(sf_dir: str) -> pd.DataFrame:
     """Per-scenario discounted revenue: lineitem CROSS JOIN a 3-row
     scenario grid — see :func:`kgraft.relational.cross_join_small`
@@ -3929,6 +4066,8 @@ QUERIES = {
     "weighted_sample_events": weighted_sample_events,
     "gap_fill_hourly_events": gap_fill_hourly_events,
     "scenario_revenue": scenario_revenue,
+    "c4_clean_docs": c4_clean_docs,
+    "ccnet_bucket_sample_docs": ccnet_bucket_sample_docs,
     "bpe_merges_docs": bpe_merges_docs,
     "near_dup_against_docs": near_dup_against_docs,
     "orders_by_dow": orders_by_dow,
@@ -4062,6 +4201,8 @@ ORACLE_SQL = {
     "gap_fill_hourly_events": _GAP_FILL_SQL,
     "knn_multi_topk": _KNN_MULTI_SQL,
     "scenario_revenue": _SCENARIO_REVENUE_SQL,
+    "c4_clean_docs": _C4_CLEAN_SQL,
+    "ccnet_bucket_sample_docs": _CCNET_BUCKET_SQL,
     "orders_by_dow": _ORDERS_DOW_SQL,
     "event_value_histogram": _EVENT_HIST_SQL,
     "intersect_orders": _INTERSECT_SQL,

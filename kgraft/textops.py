@@ -1043,6 +1043,66 @@ def dedup_spans_global(
     return joined.map_batches(rebuild, batch_format="pandas")
 
 
+_C4_TERMINAL_RE = re.compile(r'[.!?"]\s*$')
+
+
+def c4_clean(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    min_sentences: int = 3,
+):
+    """C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+    Transfer Learning...", JMLR 21 — the C4 corpus construction):
+    line tier keeps lines that end in terminal punctuation, have
+    >= ``min_words`` space-separated words, and don't mention
+    'javascript'; page tier drops documents whose CLEANED text has
+    fewer than ``min_sentences`` sentence enders, or whose original
+    text contains 'lorem ipsum' or '{'. Returns
+    ``(id_col, text, kept)`` — cleaned text for every row (possibly
+    ``''``), ``kept`` = page-tier verdict. (The published pipeline also
+    drops bad-words pages; that list is swappable into the same line
+    mask.)
+
+    Shuffle-free: one vectorized pass per batch (line explode via the
+    shared segment kernel, pandas str kernels for every rule, grouped
+    rejoin) — raw text never crosses an exchange."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        didx, _, flat = _explode_segments(df, text_col, "\n")
+        out_text = np.full(len(df), "", dtype=object)
+        if len(flat):
+            term = flat.str.contains(_C4_TERMINAL_RE).to_numpy()
+            words = flat.str.strip().str.split(" ").str.len().to_numpy()
+            nojs = ~flat.str.lower().str.contains(
+                "javascript", regex=False
+            ).to_numpy()
+            keep = term & (words >= min_words) & nojs
+            if keep.any():
+                joined = (
+                    pd.Series(flat.to_numpy()[keep], index=didx[keep])
+                    .groupby(level=0)
+                    .agg("\n".join)
+                )
+                out_text[joined.index.to_numpy()] = joined.to_numpy()
+        ctext = pd.Series(out_text, index=df.index)
+        nsent = ctext.str.count(r"[.!?]")
+        lower = df[text_col].str.lower()
+        kept = (
+            (nsent >= min_sentences)
+            & ~lower.str.contains("lorem ipsum", regex=False)
+            & ~df[text_col].str.contains("{", regex=False)
+        )
+        return pd.DataFrame(
+            {id_col: df[id_col], "text": out_text, "kept": kept.to_numpy()}
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
 _SNAPSHOT_OFFSET = np.int64(1) << np.int64(40)
 
 

@@ -730,3 +730,45 @@ def test_near_dup_against_snapshot(ray_session):
     )
     assert out["near_dup"].tolist() == [True, True, False]
     assert out["doc_id"].tolist() == [0, 1, 2]
+
+
+def test_c4_clean_planted(ray_session):
+    """C4 rules on realistic planted pages: line tier drops short /
+    unterminated / javascript lines; page tier drops lorem-ipsum,
+    curly-brace, and under-3-sentence pages."""
+    import ray
+
+    good = (
+        "This is the first proper sentence of the page.\n"
+        "short line.\n"
+        "Here is another complete sentence with enough words.\n"
+        "a line without terminal punctuation and enough words here\n"
+        "Enable javascript to view this page properly now.\n"
+        "Finally a third full sentence closes the page!"
+    )
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                good,
+                good + "\nAlso some lorem ipsum filler text here.",
+                good + "\nfunction f() { return 1; }",
+                "Only one full sentence lives on this page.",
+            ],
+        }
+    )
+    out = (
+        textops.c4_clean(ray.data.from_pandas(df).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    want_text = (
+        "This is the first proper sentence of the page.\n"
+        "Here is another complete sentence with enough words.\n"
+        "Finally a third full sentence closes the page!"
+    )
+    assert out.loc[0, "text"] == want_text
+    assert bool(out.loc[0, "kept"]) is True
+    assert bool(out.loc[1, "kept"]) is False   # lorem ipsum
+    assert bool(out.loc[2, "kept"]) is False   # curly brace
+    assert bool(out.loc[3, "kept"]) is False   # < 3 sentences
