@@ -3034,6 +3034,52 @@ ORDER BY ev.event_type
 """
 
 
+def auto_skew_join_events(sf_dir: str) -> pd.DataFrame:
+    """The same planted-Zipf fact-fact join as
+    :func:`skew_salted_join_events`, but through
+    :func:`kgraft.relational.auto_hash_join` — the engine measures the
+    head share itself and sizes the salts (here share ~1/3 ->
+    num_salts=4 at hot_share=0.1). Same all-integer oracle: exactness
+    under auto-salting is the point."""
+    from .relational import auto_hash_join, pre_aggregate_ds
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = np.where(uid % 3 == 0, 0, uid)
+        return pa.table(
+            {"skew_uid": pa.array(sk, pa.int64()), "event_type": t["event_type"]}
+        )
+
+    left = ev.map_batches(derive, batch_format="pyarrow").materialize()
+    side = pre_aggregate_ds(
+        left.select_columns(["skew_uid"]), "skew_uid", {"cnt": (None, "count")}
+    )
+    joined = auto_hash_join(
+        left,
+        side,
+        on="skew_uid",
+        left_schema=pa.schema(
+            [("skew_uid", pa.int64()), ("event_type", pa.string())]
+        ),
+        right_schema=pa.schema([("skew_uid", pa.int64()), ("cnt", pa.int64())]),
+    )
+    out = (
+        pre_aggregate_ds(
+            joined,
+            "event_type",
+            {"n_rows": (None, "count"), "sum_cnt": ("cnt", "sum")},
+        )
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["sum_cnt"] = out["sum_cnt"].astype("int64")
+    return out
+
+
 def doc_unigram_nll(sf_dir: str):
     """Per-doc avg negative log-likelihood under the corpus unigram LM
     (CCNet-style perplexity quality signal) — see
@@ -4047,6 +4093,7 @@ QUERIES = {
     "doc_unigram_nll": doc_unigram_nll,
     "hot_users_events": hot_users_events,
     "skew_salted_join_events": skew_salted_join_events,
+    "auto_skew_join_events": auto_skew_join_events,
     "event_transitions": event_transitions,
     "user_retention_cohorts": user_retention_cohorts,
     "event_value_time_window": event_value_time_window,
@@ -4181,6 +4228,7 @@ ORACLE_SQL = {
     "doc_unigram_nll": _UNIGRAM_NLL_SQL,
     "hot_users_events": _HOT_USERS_SQL,
     "skew_salted_join_events": _SKEW_SALTED_JOIN_SQL,
+    "auto_skew_join_events": _SKEW_SALTED_JOIN_SQL,
     "event_transitions": _TRANSITIONS_SQL,
     "user_retention_cohorts": _RETENTION_SQL,
     "event_value_time_window": _TIME_WINDOW_SQL,

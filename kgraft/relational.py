@@ -20,6 +20,8 @@ No function here calls ``ray.init``.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1936,6 +1938,43 @@ def hot_keys(ds, keys, k: int = 10):
     out["n"] = out["n"].astype("int64")
     out["share"] = (out["n"] / total).round(6)
     return out
+
+
+def auto_hash_join(left, right, on, how: str = "inner",
+                   num_buckets: int = 64, left_schema=None,
+                   right_schema=None, hot_share: float = 0.1,
+                   max_salts: int = 16):
+    """:func:`hash_join` with the skew playbook built in: one
+    diagnostic pass (:func:`hot_keys`, k=1) over the LEFT side's key
+    column measures the hottest key's row share, and ``num_salts``
+    sizes itself as ceil(share / hot_share) (capped at ``max_salts``)
+    so the hot key's reducer work spreads back down to roughly a
+    ``hot_share``-sized bucket. Below the threshold it degrades to a
+    plain unsalted join — the diagnostic costs one extra scan of the
+    left KEY column only (pass a materialized ``left`` when its
+    upstream is expensive, or call :func:`hash_join` with explicit
+    ``num_salts`` when the skew is already known).
+
+    Salting requires ``how`` in ('inner', 'left') — same contract as
+    ``hash_join``; other join types skip the diagnostic entirely."""
+    import math
+
+    on_cols = [on] if isinstance(on, str) else list(on)
+    num_salts = 1
+    if how in ("inner", "left"):
+        head = hot_keys(left.select_columns(on_cols), on_cols, k=1)
+        share = float(head["share"].iloc[0]) if len(head) else 0.0
+        if share > hot_share:
+            num_salts = int(min(max_salts, max(2, math.ceil(share / hot_share))))
+            logging.getLogger("kgraft.relational").info(
+                "auto_hash_join: hot key share %.3f > %.3f -> num_salts=%d",
+                share, hot_share, num_salts,
+            )
+    return hash_join(
+        left, right, on=on, how=how, num_buckets=num_buckets,
+        num_salts=num_salts, left_schema=left_schema,
+        right_schema=right_schema,
+    )
 
 
 def standardize(ds, col: str, out_col: str = "z", round_dp: int = 6, ddof: int = 1):

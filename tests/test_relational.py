@@ -1582,3 +1582,50 @@ def test_cross_join_small_guard_and_values(ray_session):
         assert False, "expected PlanError"
     except PlanError:
         pass
+
+
+def test_auto_hash_join_salts_and_matches_plain(ray_session):
+    """auto_hash_join on a planted-Zipf key must pick num_salts > 1 and
+    return exactly the plain join's rows; on a uniform key it degrades
+    to the unsalted path."""
+    import logging
+
+    import ray
+
+    from kgraft.relational import auto_hash_join, hash_join
+
+    n = 3000
+    uid = np.arange(n, dtype="int64")
+    skew = np.where(uid % 3 == 0, 0, uid)
+    left = pd.DataFrame({"k": skew, "x": uid})
+    right = pd.DataFrame({"k": np.unique(skew), "y": np.unique(skew) * 2})
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right).repartition(2)
+    import pyarrow as pa
+
+    ls = pa.schema([("k", pa.int64()), ("x", pa.int64())])
+    rs = pa.schema([("k", pa.int64()), ("y", pa.int64())])
+
+    logs = []
+    h = logging.Handler()
+    h.emit = lambda rec: logs.append(rec.getMessage())
+    lg = logging.getLogger("kgraft.relational")
+    old_level = lg.level
+    lg.setLevel(logging.INFO)
+    lg.addHandler(h)
+    try:
+        got = (
+            auto_hash_join(lds, rds, on="k", left_schema=ls, right_schema=rs)
+            .to_pandas()
+            .sort_values(["k", "x"], ignore_index=True)
+        )
+    finally:
+        lg.removeHandler(h)
+        lg.setLevel(old_level)
+    assert any("num_salts=4" in m for m in logs), logs
+    want = (
+        hash_join(lds, rds, on="k", left_schema=ls, right_schema=rs)
+        .to_pandas()
+        .sort_values(["k", "x"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "x", "y"]], want[["k", "x", "y"]])
