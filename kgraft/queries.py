@@ -2627,6 +2627,57 @@ def bpe_merges_docs(sf_dir: str) -> pd.DataFrame:
     return textops.bpe_train(docs, n_merges=8)
 
 
+def winsorized_event_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-type mean of 5%/95%-winsorized event values — see
+    :func:`kgraft.relational.winsorize` (quantile_disc cuts from one
+    histogram exchange, shuffle-free clip)."""
+    from .relational import winsorize
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    w = winsorize(ev, "value", 0.05, 0.95)
+    out = pre_aggregate(
+        w, ["event_type"], {"wmean": ("value", "mean"), "n": (None, "count")}
+    )
+    out["wmean"] = out["wmean"].round(6)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type", ignore_index=True)[
+        ["event_type", "wmean", "n"]
+    ]
+
+
+_WINSORIZE_SQL = """
+WITH cuts AS (
+  SELECT quantile_disc(value, 0.05) AS lo,
+         quantile_disc(value, 0.95) AS hi
+  FROM events
+)
+SELECT event_type,
+       round(avg(least(greatest(value, lo), hi)), 6) AS wmean,
+       count(*) AS n
+FROM events, cuts GROUP BY event_type ORDER BY event_type
+"""
+
+
+def fuzzy_name_pairs(sf_dir: str) -> pd.DataFrame:
+    """First 100 customer-key pairs whose names sit at edit distance
+    <= 1 — FastSS deletion-neighborhood blocking, see
+    :func:`kgraft.textops.fuzzy_pairs_ed1`."""
+    from .textops import fuzzy_pairs_ed1
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    out = fuzzy_pairs_ed1(cust, "c_custkey", "c_name").to_pandas()
+    return out.sort_values(["key_a", "key_b"], ignore_index=True).head(100)
+
+
+_FUZZY_PAIRS_SQL = """
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY key_a, key_b LIMIT 100
+"""
+
+
 def ccnet_bucket_sample_docs(sf_dir: str) -> pd.DataFrame:
     """CCNet-style perplexity-bucket sampling (Wenzek et al. 2020,
     "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
@@ -4115,6 +4166,8 @@ QUERIES = {
     "scenario_revenue": scenario_revenue,
     "c4_clean_docs": c4_clean_docs,
     "ccnet_bucket_sample_docs": ccnet_bucket_sample_docs,
+    "winsorized_event_stats": winsorized_event_stats,
+    "fuzzy_name_pairs": fuzzy_name_pairs,
     "bpe_merges_docs": bpe_merges_docs,
     "near_dup_against_docs": near_dup_against_docs,
     "orders_by_dow": orders_by_dow,
@@ -4251,6 +4304,8 @@ ORACLE_SQL = {
     "scenario_revenue": _SCENARIO_REVENUE_SQL,
     "c4_clean_docs": _C4_CLEAN_SQL,
     "ccnet_bucket_sample_docs": _CCNET_BUCKET_SQL,
+    "winsorized_event_stats": _WINSORIZE_SQL,
+    "fuzzy_name_pairs": _FUZZY_PAIRS_SQL,
     "orders_by_dow": _ORDERS_DOW_SQL,
     "event_value_histogram": _EVENT_HIST_SQL,
     "intersect_orders": _INTERSECT_SQL,

@@ -1940,6 +1940,44 @@ def hot_keys(ds, keys, k: int = 10):
     return out
 
 
+def winsorize(ds, col: str, lower_q: float = 0.05, upper_q: float = 0.95):
+    """Percentile clipping (winsorization): values below the
+    ``lower_q`` quantile rise to it, values above ``upper_q`` drop to
+    it — the outlier-robust feature transform. Cut points are exact
+    ``quantile_disc`` values (rank = ceil(q*n) over the cumulative
+    distinct-value histogram — the same rule DuckDB implements and
+    :func:`quantile_bucketize` uses), from ONE partial-combined
+    histogram exchange; the clip itself is shuffle-free. Other columns
+    pass through. Same cardinality contract as ``quantile_bucketize``:
+    the histogram is distinct-VALUE-scale and must stay driver-bounded
+    — for unbounded continuous columns derive approximate cuts from
+    :func:`grouped_approx_quantile` instead."""
+    import math
+
+    hist = (
+        pre_aggregate_ds(ds.select_columns([col]), [col], {"__n": (None, "count")})
+        .to_pandas()
+        .sort_values(col)
+        .reset_index(drop=True)
+    )
+    if not len(hist):
+        return ds
+    cum = hist["__n"].cumsum()
+    total = int(cum.iloc[-1])
+
+    def cut(q: float):
+        return hist[col][cum >= math.ceil(total * q)].iloc[0]
+
+    lo, hi = cut(lower_q), cut(upper_q)
+
+    def clip(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[col] = df[col].clip(lo, hi)
+        return df
+
+    return ds.map_batches(clip, batch_format="pandas")
+
+
 def auto_hash_join(left, right, on, how: str = "inner",
                    num_buckets: int = 64, left_schema=None,
                    right_schema=None, hot_share: float = 0.1,

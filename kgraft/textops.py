@@ -1043,6 +1043,87 @@ def dedup_spans_global(
     return joined.map_batches(rebuild, batch_format="pandas")
 
 
+def _ed_le1(a: str, b: str) -> bool:
+    """Exact edit-distance <= 1 check in O(len) (no DP table needed for
+    the <=1 ball)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def fuzzy_pairs_ed1(ds, id_col: str, name_col: str, num_buckets: int = 64):
+    """All id pairs whose names are at edit distance <= 1 — FastSS /
+    deletion-neighborhood blocking (Bocek et al. 2007, "Fast Similarity
+    Search in Large Dictionaries"): every string emits itself plus its
+    len(s) single-character deletions; two strings within distance 1
+    ALWAYS share a variant (substitution: same-position deletions
+    coincide; indel: the shorter string IS a variant of the longer), so
+    the blocking is exact-recall and the per-bucket verifier only
+    confirms. Shared variants can also arise at distance 2 (two
+    different-position deletions), which the O(len) ``<=1`` check
+    rejects in-bucket.
+
+    Scale shape: the explode multiplies rows by ~len(name)+1 (the
+    published trade: index size for candidate locality); ONE bucketed
+    exchange on the variant string co-locates candidates, pairs verify
+    vectorized per bucket and dedupe map-side, and one tiny pair-keyed
+    exchange finishes the global distinct. Returns
+    ``(key_a, key_b)`` with key_a < key_b."""
+    from .relational import bucketed_groupby_apply
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ks, vs, ns = [], [], []
+        for k, name in zip(df[id_col], df[name_col]):
+            variants = [name] + [
+                name[:i] + name[i + 1 :] for i in range(len(name))
+            ]
+            ks.extend([k] * len(variants))
+            ns.extend([name] * len(variants))
+            vs.extend(variants)
+        return pd.DataFrame({"v": vs, "k": ks, "name": ns})
+
+    var = ds.select_columns([id_col, name_col]).map_batches(
+        explode, batch_format="pandas"
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby("v", sort=False):
+            u = grp.drop_duplicates("k")
+            if len(u) < 2:
+                continue
+            kk = u["k"].to_numpy()
+            nn = u["name"].to_numpy()
+            for i in range(len(u)):
+                for j in range(i + 1, len(u)):
+                    if _ed_le1(nn[i], nn[j]):
+                        a, b = kk[i], kk[j]
+                        if a > b:
+                            a, b = b, a
+                        out_a.append(a)
+                        out_b.append(b)
+        res = pd.DataFrame(
+            {
+                "key_a": pd.Series(out_a, dtype="int64"),
+                "key_b": pd.Series(out_b, dtype="int64"),
+            }
+        )
+        return res.drop_duplicates()
+
+    cand = bucketed_groupby_apply(var, ["v"], pairs, num_buckets)
+    return bucketed_groupby_apply(
+        cand, ["key_a", "key_b"], lambda g: g.drop_duplicates(), num_buckets
+    )
+
+
 _C4_TERMINAL_RE = re.compile(r'[.!?"]\s*$')
 
 

@@ -772,3 +772,38 @@ def test_c4_clean_planted(ray_session):
     assert bool(out.loc[1, "kept"]) is False   # lorem ipsum
     assert bool(out.loc[2, "kept"]) is False   # curly brace
     assert bool(out.loc[3, "kept"]) is False   # < 3 sentences
+
+
+def test_fuzzy_pairs_ed1_vs_bruteforce(ray_session):
+    """FastSS deletion blocking must find exactly the brute-force
+    edit-distance<=1 pairs (including indel pairs), and reject the
+    shared-variant distance-2 false positives."""
+    import ray
+
+    names = {
+        1: "kitten",
+        2: "sitten",    # sub -> ED 1 from kitten
+        3: "kittn",     # del -> ED 1 from kitten
+        4: "kittens",   # ins -> ED 1 from kitten
+        5: "mitten",    # ED 1 from kitten and sitten
+        6: "sittin",    # ED 1 from sitten; ED 2 from kitten (shared variant trap)
+        7: "banana",
+    }
+    df = pd.DataFrame({"k": list(names), "name": list(names.values())})
+    got = (
+        textops.fuzzy_pairs_ed1(
+            ray.data.from_pandas(df).repartition(3), "k", "name", num_buckets=4
+        )
+        .to_pandas()
+        .sort_values(["key_a", "key_b"], ignore_index=True)
+    )
+    want = []
+    ks = list(names)
+    for i in range(len(ks)):
+        for j in range(i + 1, len(ks)):
+            if textops._ed_le1(names[ks[i]], names[ks[j]]):
+                want.append((min(ks[i], ks[j]), max(ks[i], ks[j])))
+    want = sorted(want)
+    assert list(zip(got["key_a"], got["key_b"])) == want
+    assert (1, 6) not in want  # distance-2 trap really is distance 2
+    assert (1, 2) in want and (1, 3) in want and (1, 4) in want
