@@ -114,6 +114,49 @@ def pagerank(
     return pd.DataFrame({"node_id": ids, "rank": rank})
 
 
+def personalized_pagerank(
+    edges,
+    node_ids: np.ndarray,
+    seeds,
+    damping: float = 0.85,
+    n_iter: int = 20,
+    src_col: str = "subj_id",
+    dst_col: str = "obj_id",
+) -> pd.DataFrame:
+    """Personalized PageRank (Page et al. 1999 §6 / Jeh & Widom 2003):
+    teleport mass returns to the SEED distribution instead of
+    uniformly — ``r' = (1-d)·p + d·(A^T (r/outdeg) + dangling_mass·p)``
+    with p uniform over ``seeds``. The local-importance ranking around
+    an entity set (seed-expansion, related-entity retrieval).
+
+    Same scale shape as :func:`pagerank`: vocab-scale vectors
+    broadcast per BSP round, edges stream through shuffle-free
+    bincount partials. Returns ``(node_id, rank)``."""
+    ids = np.unique(np.asarray(node_ids, dtype=np.int64))
+    n = len(ids)
+    seed_idx = _to_index(ids, np.unique(np.asarray(seeds, dtype=np.int64)), "seed")
+    p = np.zeros(n, dtype=np.float64)
+    p[seed_idx] = 1.0 / len(seed_idx)
+    ids_ref = ray.put(ids)
+
+    outdeg = _fold(
+        _sparse_partials(edges, ids_ref, src_col, dst_col).to_pandas(), n
+    )
+    rank = p.copy()
+    safe_deg = np.where(outdeg > 0, outdeg, 1.0)
+    for _ in range(n_iter):
+        w_ref = ray.put(rank / safe_deg)
+        agg = _fold(
+            _sparse_partials(
+                edges, ids_ref, src_col, dst_col, weights_ref=w_ref
+            ).to_pandas(),
+            n,
+        )
+        dangling = rank[outdeg == 0].sum()
+        rank = (1.0 - damping) * p + damping * (agg + dangling * p)
+    return pd.DataFrame({"node_id": ids, "rank": rank})
+
+
 # ---------------------------------------------------------------------------
 # Pregel-style iteration: edge shards pinned in actors
 

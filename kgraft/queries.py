@@ -2627,6 +2627,59 @@ def bpe_merges_docs(sf_dir: str) -> pd.DataFrame:
     return textops.bpe_train(docs, n_merges=8)
 
 
+def gopher_rules_docs(sf_dir: str) -> pd.DataFrame:
+    """Gopher quality-rule signals + verdict per document — see
+    :func:`kgraft.textops.gopher_rules`."""
+    from .textops import gopher_rules
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return gopher_rules(docs).to_pandas().sort_values("doc_id", ignore_index=True)
+
+
+_GOPHER_RULES_SQL = """
+WITH base AS (
+  SELECT doc_id, text,
+         string_split(text, ' ') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         round(list_aggregate(
+           list_transform(words, x -> CAST(len(x) AS DOUBLE)), 'avg'), 6)
+             AS mean_wl,
+         round(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+               / CAST(len(words) AS DOUBLE), 6) AS sym_ratio,
+         round(len(list_filter(lines,
+           l -> l LIKE '•%' OR l LIKE '-%' OR l LIKE '*%'))
+               / CAST(len(lines) AS DOUBLE), 6) AS bullet_frac,
+         round(len(list_filter(lines, l -> l LIKE '%...'))
+               / CAST(len(lines) AS DOUBLE), 6) AS ellipsis_frac,
+         round(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+               / CAST(len(words) AS DOUBLE), 6) AS alpha_frac,
+         (CAST(list_contains(words, 'the') AS INT)
+          + CAST(list_contains(words, 'be') AS INT)
+          + CAST(list_contains(words, 'to') AS INT)
+          + CAST(list_contains(words, 'of') AS INT)
+          + CAST(list_contains(words, 'and') AS INT)
+          + CAST(list_contains(words, 'that') AS INT)
+          + CAST(list_contains(words, 'have') AS INT)
+          + CAST(list_contains(words, 'with') AS INT)) AS n_stop
+  FROM base
+)
+SELECT doc_id, n_words, mean_wl, sym_ratio, bullet_frac, ellipsis_frac,
+       alpha_frac, CAST(n_stop AS BIGINT) AS n_stop,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_wl BETWEEN 3.0 AND 10.0
+        AND sym_ratio <= 0.1
+        AND bullet_frac <= 0.9
+        AND ellipsis_frac <= 0.3
+        AND alpha_frac >= 0.8
+        AND n_stop >= 2) AS kept
+FROM m ORDER BY doc_id
+"""
+
+
 def winsorized_event_stats(sf_dir: str) -> pd.DataFrame:
     """Per-type mean of 5%/95%-winsorized event values — see
     :func:`kgraft.relational.winsorize` (quantile_disc cuts from one
@@ -3649,6 +3702,28 @@ def _read_kg_edges(m: dict, columns):
     )
 
 
+def kg_ppr(sf_dir: str) -> pd.DataFrame:
+    """Personalized PageRank around the three lowest entity ids: top-20
+    related entities — see
+    :func:`kgraft.graph.pagerank.personalized_pagerank`. Rows-only
+    driver check; the dense-oracle pytest lives in tests/test_graph.py."""
+    import pyarrow.parquet as pq
+
+    from .graph.pagerank import personalized_pagerank
+
+    m = _kg_outputs(sf_dir)
+    node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
+        "entity_id"
+    ].to_numpy()
+    seeds = np.sort(np.unique(node_ids))[:3]
+    edges = _read_kg_edges(m, columns=["subj_id", "obj_id"]).materialize()
+    pr = personalized_pagerank(edges, node_ids, seeds, n_iter=15)
+    pr["rank"] = pr["rank"].round(8)
+    return pr.sort_values(
+        ["rank", "node_id"], ascending=[False, True], ignore_index=True
+    ).head(20)
+
+
 def kg_communities(sf_dir: str) -> pd.DataFrame:
     """Top-20 label-propagation communities by size over the engine's
     materialized KG edges — see
@@ -4168,6 +4243,7 @@ QUERIES = {
     "ccnet_bucket_sample_docs": ccnet_bucket_sample_docs,
     "winsorized_event_stats": winsorized_event_stats,
     "fuzzy_name_pairs": fuzzy_name_pairs,
+    "gopher_rules_docs": gopher_rules_docs,
     "bpe_merges_docs": bpe_merges_docs,
     "near_dup_against_docs": near_dup_against_docs,
     "orders_by_dow": orders_by_dow,
@@ -4220,6 +4296,7 @@ QUERIES = {
     "kg_edges": kg_edges,
     "kg_pagerank": kg_pagerank,
     "kg_communities": kg_communities,
+    "kg_ppr": kg_ppr,
     "kg_degree_stats": kg_degree_stats,
     "kg_triangles": kg_triangles,
     "kg_kcore": kg_kcore,
@@ -4306,6 +4383,7 @@ ORACLE_SQL = {
     "ccnet_bucket_sample_docs": _CCNET_BUCKET_SQL,
     "winsorized_event_stats": _WINSORIZE_SQL,
     "fuzzy_name_pairs": _FUZZY_PAIRS_SQL,
+    "gopher_rules_docs": _GOPHER_RULES_SQL,
     "orders_by_dow": _ORDERS_DOW_SQL,
     "event_value_histogram": _EVENT_HIST_SQL,
     "intersect_orders": _INTERSECT_SQL,

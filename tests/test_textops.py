@@ -807,3 +807,32 @@ def test_fuzzy_pairs_ed1_vs_bruteforce(ray_session):
     assert list(zip(got["key_a"], got["key_b"])) == want
     assert (1, 6) not in want  # distance-2 trap really is distance 2
     assert (1, 2) in want and (1, 3) in want and (1, 4) in want
+
+
+def test_gopher_rules_planted(ray_session):
+    """Each Gopher rule trips on a purpose-built page while a clean
+    page passes all six."""
+    import ray
+
+    clean = " ".join(
+        ["the quick brown fox jumps over that lazy dog with vigor"] * 6
+    )  # 60 words, stop words 'the'/'that'/'with', mean wl ~4
+    pages = {
+        1: clean,                                        # kept
+        2: "word " * 10,                                 # too few words
+        3: clean + " " + "#### " * 20,                   # symbol ratio
+        4: "\n".join(["- bullet item here ok"] * 20),    # bullets + few words
+        5: clean.replace("the", "123").replace("that", "456").replace("with", "789"),  # no stops
+    }
+    df = pd.DataFrame({"doc_id": list(pages), "text": list(pages.values())})
+    out = (
+        textops.gopher_rules(ray.data.from_pandas(df).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+        .set_index("doc_id")
+    )
+    assert bool(out.loc[1, "kept"]) is True
+    assert bool(out.loc[2, "kept"]) is False
+    assert bool(out.loc[3, "kept"]) is False and out.loc[3, "sym_ratio"] > 0.1
+    assert bool(out.loc[4, "kept"]) is False and out.loc[4, "bullet_frac"] == 1.0
+    assert bool(out.loc[5, "kept"]) is False and out.loc[5, "n_stop"] < 2
