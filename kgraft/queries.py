@@ -3724,6 +3724,56 @@ def kg_ppr(sf_dir: str) -> pd.DataFrame:
     ).head(20)
 
 
+def kg_khop(sf_dir: str) -> pd.DataFrame:
+    """Nodes reachable within 3 hops of the three lowest entity ids:
+    count per hop — see :func:`kgraft.graph.khop.k_hop_reach`.
+    Rows-only driver check; the BFS-oracle pytest lives in
+    tests/test_graph.py."""
+    import pyarrow.parquet as pq
+
+    from .graph.khop import k_hop_reach
+
+    m = _kg_outputs(sf_dir)
+    node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
+        "entity_id"
+    ].to_numpy()
+    seeds = np.sort(np.unique(node_ids))[:3]
+    edges = _read_kg_edges(m, columns=["subj_id", "obj_id"]).materialize()
+    reach = k_hop_reach(
+        edges, node_ids, seeds, k=3, src_col="subj_id", dst_col="obj_id"
+    )
+    out = (
+        reach.groupby("hop", as_index=False)
+        .size()
+        .rename(columns={"size": "n_nodes"})
+    )
+    out["n_nodes"] = out["n_nodes"].astype("int64")
+    return out.sort_values("hop", ignore_index=True)
+
+
+def canonical_url_dedup(sf_dir: str) -> pd.DataFrame:
+    """Crawl-level URL canonicalization rollup: total pages, distinct
+    canonical URLs, and the largest duplicate group — see
+    :func:`kgraft.textops.canonicalize_urls`. Rows-only driver check;
+    the collapse semantics are pytest-planted."""
+    from .relational import pre_aggregate_ds
+    from .synth import corpus_dir, sharded_pages
+    from .textops import canonicalize_urls
+
+    d = corpus_dir(_pages_for(sf_dir))
+    pages = ray.data.read_parquet(sharded_pages(d), columns=["url"])
+    canon = canonicalize_urls(pages)
+    counts = pre_aggregate_ds(
+        canon.select_columns(["canon_url"]), ["canon_url"], {"n": (None, "count")}
+    ).materialize()
+    n_canon = int(counts.count())
+    n_pages = int(counts.sum("n"))
+    max_dup = int(counts.max("n"))
+    return pd.DataFrame(
+        {"n_pages": [n_pages], "n_canonical": [n_canon], "max_dup": [max_dup]}
+    )
+
+
 def kg_communities(sf_dir: str) -> pd.DataFrame:
     """Top-20 label-propagation communities by size over the engine's
     materialized KG edges — see
@@ -4297,6 +4347,8 @@ QUERIES = {
     "kg_pagerank": kg_pagerank,
     "kg_communities": kg_communities,
     "kg_ppr": kg_ppr,
+    "kg_khop": kg_khop,
+    "canonical_url_dedup": canonical_url_dedup,
     "kg_degree_stats": kg_degree_stats,
     "kg_triangles": kg_triangles,
     "kg_kcore": kg_kcore,

@@ -1043,6 +1043,65 @@ def dedup_spans_global(
     return joined.map_batches(rebuild, batch_format="pandas")
 
 
+_TRACKING_PARAMS = ("utm_", "gclid", "fbclid", "msclkid", "ref")
+
+
+def canonicalize_urls(ds, url_col: str = "url", out_col: str = "canon_url"):
+    """URL canonicalization for crawl dedup/rollup: lowercase scheme +
+    host, strip default ports (:80 http / :443 https), drop the
+    fragment, remove tracking query parameters (utm_*, gclid, fbclid,
+    msclkid, ref), sort the surviving query parameters, and strip a
+    trailing slash from the path. Two fetches of the same resource then
+    collapse to one key — the pre-pass before exact URL dedup or
+    per-page rollups. Shuffle-free; the per-URL loop touches only URLs
+    WITH a query string or fragment (the vectorized regex fast path
+    handles the rest)."""
+    from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
+
+    def canon_one(u: str) -> str:
+        try:
+            p = urlsplit(u)
+        except ValueError:
+            return u
+        host = (p.hostname or "").lower()
+        scheme = p.scheme.lower()
+        if p.port and not (
+            (scheme == "http" and p.port == 80)
+            or (scheme == "https" and p.port == 443)
+        ):
+            host = f"{host}:{p.port}"
+        q = [
+            (k, v)
+            for k, v in parse_qsl(p.query, keep_blank_values=True)
+            if not (k.startswith("utm_") or k in _TRACKING_PARAMS)
+        ]
+        path = p.path.rstrip("/") or ""
+        return urlunsplit((scheme, host, path, urlencode(sorted(q)), ""))
+
+    simple_re = re.compile(r"^(https?)://([^/?#:]+)(/[^?#]*)?$")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        urls = df[url_col]
+        m = urls.str.match(simple_re)
+        out = np.empty(len(df), dtype=object)
+        simple = urls[m]
+        # fast path: no port / query / fragment -> lowercase + rstrip
+        ext = simple.str.extract(simple_re)
+        out[m.to_numpy()] = (
+            ext[0].str.lower()
+            + "://"
+            + ext[1].str.lower()
+            + ext[2].fillna("").str.rstrip("/")
+        ).to_numpy()
+        for i in np.flatnonzero(~m.to_numpy()):
+            out[i] = canon_one(urls.iat[i])
+        res = df.copy()
+        res[out_col] = out
+        return res
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 _GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 

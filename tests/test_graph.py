@@ -311,3 +311,41 @@ def test_personalized_pagerank_matches_dense_oracle(ray_session):
         r = 0.15 * p + 0.85 * (contrib + dangling * p)
     np.testing.assert_allclose(got.loc[ids].to_numpy(), r, rtol=1e-10, atol=1e-12)
     assert abs(got.sum() - 1.0) < 1e-9
+
+
+def test_k_hop_reach_matches_bfs(ray_session):
+    """k-hop reachability equals a serial BFS on a random sparse graph
+    (undirected traversal, shortest hop recorded, cap respected)."""
+    import collections
+
+    import ray
+
+    from kgraft.graph.khop import k_hop_reach
+
+    rng = np.random.RandomState(13)
+    n, m = 70, 180
+    ids = np.sort(rng.choice(np.arange(0, 8000), size=n, replace=False)).astype("int64")
+    src = ids[rng.randint(0, n, m)]
+    dst = ids[rng.randint(0, n, m)]
+    seeds = ids[:2]
+    got = k_hop_reach(
+        ray.data.from_pandas(pd.DataFrame({"src": src, "dst": dst})).repartition(5),
+        ids, seeds, k=3,
+    )
+    gmap = dict(zip(got["node_id"], got["hop"]))
+
+    adj = collections.defaultdict(set)
+    for s, d in zip(src, dst):
+        adj[s].add(d)
+        adj[d].add(s)
+    want = {int(s): 0 for s in seeds}
+    frontier = set(int(s) for s in seeds)
+    for h in (1, 2, 3):
+        nxt = set()
+        for u in frontier:
+            for v in adj[u]:
+                if v not in want:
+                    want[v] = h
+                    nxt.add(v)
+        frontier = nxt
+    assert gmap == want

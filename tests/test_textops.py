@@ -836,3 +836,29 @@ def test_gopher_rules_planted(ray_session):
     assert bool(out.loc[3, "kept"]) is False and out.loc[3, "sym_ratio"] > 0.1
     assert bool(out.loc[4, "kept"]) is False and out.loc[4, "bullet_frac"] == 1.0
     assert bool(out.loc[5, "kept"]) is False and out.loc[5, "n_stop"] < 2
+
+
+def test_canonicalize_urls(ray_session):
+    """Canonicalization collapses scheme/host case, default ports,
+    fragments, tracking params, param order, and trailing slashes;
+    distinct resources stay distinct."""
+    import ray
+
+    urls = [
+        "HTTP://Example.COM:80/a/b/",                       # case+port+slash
+        "http://example.com/a/b",                           # same resource
+        "https://example.com/p?b=2&a=1&utm_source=x#frag",  # params+frag
+        "https://example.com/p?a=1&b=2",                    # same resource
+        "https://example.com:8443/p",                       # nonstandard port kept
+        "https://example.com/other",
+    ]
+    df = pd.DataFrame({"url": urls})
+    out = (
+        textops.canonicalize_urls(ray.data.from_pandas(df).repartition(2))
+        .to_pandas()
+    )
+    c = dict(zip(out["url"], out["canon_url"]))
+    assert c[urls[0]] == c[urls[1]] == "http://example.com/a/b"
+    assert c[urls[2]] == c[urls[3]] == "https://example.com/p?a=1&b=2"
+    assert ":8443" in c[urls[4]]
+    assert c[urls[5]] != c[urls[1]]
