@@ -2627,6 +2627,48 @@ def bpe_merges_docs(sf_dir: str) -> pd.DataFrame:
     return textops.bpe_train(docs, n_merges=8)
 
 
+def ewma_user_value(sf_dir: str) -> pd.DataFrame:
+    """Each user's final EWMA of event values in event order — see
+    :func:`kgraft.streamops.ewma` (rows-only: the recursion has no
+    closed SQL form; pytest checks the pandas recursion)."""
+    from .relational import bucketed_groupby_apply
+    from .streamops import ewma
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_id", "value"])
+    e = ewma(ev, "user_id", "event_id", "value", alpha=0.3)
+    last = bucketed_groupby_apply(
+        e,
+        ["user_id"],
+        lambda g: g.sort_values(["user_id", "event_id"])
+        .groupby("user_id", sort=False)
+        .tail(1)[["user_id", "ewma"]],
+        num_buckets=32,
+    )
+    return last.to_pandas().sort_values("user_id", ignore_index=True)
+
+
+def cusum_event_alarms(sf_dir: str) -> pd.DataFrame:
+    """Per-type CUSUM upward-shift alarm counts over event values in
+    arrival order — see :func:`kgraft.streamops.cusum_alarms`
+    (rows-only; the planted-shift pytest is the oracle)."""
+    from .streamops import cusum_alarms
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "event_id", "value"])
+    # value ~ mean 50, sd 48: monitor drift above the mean, zero slack
+    # so random excursions exercise the alarm path (values are i.i.d.
+    # in the synthetic corpus — a real deployment sets slack ~ sd/2)
+    c = cusum_alarms(
+        ev, "event_type", "event_id", "value",
+        target=50.0, slack=0.0, threshold=150.0,
+    )
+    out = pre_aggregate(
+        c, ["event_type"], {"n_alarms": ("alarm", "sum"), "n": (None, "count")}
+    )
+    out["n_alarms"] = out["n_alarms"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type", ignore_index=True)
+
+
 def gopher_rules_docs(sf_dir: str) -> pd.DataFrame:
     """Gopher quality-rule signals + verdict per document — see
     :func:`kgraft.textops.gopher_rules`."""
@@ -4294,6 +4336,8 @@ QUERIES = {
     "winsorized_event_stats": winsorized_event_stats,
     "fuzzy_name_pairs": fuzzy_name_pairs,
     "gopher_rules_docs": gopher_rules_docs,
+    "ewma_user_value": ewma_user_value,
+    "cusum_event_alarms": cusum_event_alarms,
     "bpe_merges_docs": bpe_merges_docs,
     "near_dup_against_docs": near_dup_against_docs,
     "orders_by_dow": orders_by_dow,

@@ -184,3 +184,57 @@ def hopping_window(ds, ts_col, width_s: int, hop_s: int, aggs, keys=()):
 
     exploded = ds.map_batches(explode, batch_format="pandas")
     return pre_aggregate_ds(exploded, ["window_start", *keys], aggs)
+
+
+def ewma(ds, part_col: str, order_col: str, val_col: str,
+         alpha: float = 0.3, out_col: str = "ewma", num_buckets: int = 64):
+    """Per-key exponentially weighted moving average in event order
+    (recursive form, pandas ``ewm(adjust=False)`` semantics:
+    e_0 = x_0, e_t = alpha*x_t + (1-alpha)*e_{t-1}) — the streaming
+    smoother behind rate limiting and anomaly baselines. One bucketed
+    exchange on the key; in-bucket the whole recursion is a vectorized
+    ``groupby().ewm`` transform. Appends ``out_col`` (rounded 6)."""
+    from .relational import bucketed_groupby_apply
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([part_col, order_col], kind="mergesort")
+        g[out_col] = (
+            g.groupby(part_col, sort=False)[val_col]
+            .transform(lambda s: s.ewm(alpha=alpha, adjust=False).mean())
+            .round(6)
+        )
+        return g
+
+    return bucketed_groupby_apply(ds, [part_col], fn, num_buckets)
+
+
+def cusum_alarms(ds, part_col: str, order_col: str, val_col: str,
+                 target: float, slack: float, threshold: float,
+                 num_buckets: int = 64):
+    """Per-key one-sided CUSUM change-point detection (Page 1954): the
+    classic upward-shift monitor ``s_t = max(0, s_{t-1} + x_t - target
+    - slack)`` with an alarm where ``s_t > threshold``. Appends
+    ``cusum`` (rounded 6) and ``alarm`` (0/1).
+
+    One bucketed exchange; in-bucket the recursion vectorizes through
+    the running-minimum identity ``s_t = y_t - min(0, min_{j<=t} y_j)``
+    with ``y = cumsum(x - target - slack)`` — no per-row Python."""
+    from .relational import bucketed_groupby_apply
+
+    k = float(target) + float(slack)
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([part_col, order_col], kind="mergesort")
+
+        def one(s: pd.Series) -> pd.Series:
+            y = (s.to_numpy(dtype="float64") - k).cumsum()
+            floor = np.minimum.accumulate(np.minimum(y, 0.0))
+            return pd.Series(y - floor, index=s.index)
+
+        g["cusum"] = (
+            g.groupby(part_col, sort=False)[val_col].transform(one).round(6)
+        )
+        g["alarm"] = (g["cusum"] > threshold).astype("int64")
+        return g
+
+    return bucketed_groupby_apply(ds, [part_col], fn, num_buckets)

@@ -176,3 +176,71 @@ def test_json_extract_array_payload_keeps_fast_path_correct(ray_session):
     assert pd.isna(got[2])
     assert got[3] == 1
     assert pd.isna(got[4])
+
+
+def test_ewma_matches_pandas(ray_session):
+    """Distributed per-key EWMA equals the serial pandas recursion."""
+    import ray
+
+    from kgraft import streamops
+
+    rng = np.random.RandomState(2)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, n),
+            "i": np.arange(n, dtype="int64"),
+            "x": rng.randn(n).round(3),
+        }
+    )
+    got = (
+        streamops.ewma(
+            ray.data.from_pandas(df).repartition(4), "k", "i", "x", alpha=0.25
+        )
+        .to_pandas()
+        .sort_values("i", ignore_index=True)
+    )
+    want = (
+        df.sort_values(["k", "i"])
+        .groupby("k")["x"]
+        .transform(lambda s: s.ewm(alpha=0.25, adjust=False).mean())
+        .round(6)
+    )
+    np.testing.assert_allclose(
+        got.sort_values("i")["ewma"].to_numpy(),
+        df.assign(w=want).sort_values("i")["w"].to_numpy(),
+        atol=1e-9,
+    )
+
+
+def test_cusum_alarms_planted_shift(ray_session):
+    """CUSUM: a planted +3 mean shift mid-series raises the alarm only
+    after the shift; the vectorized identity equals the direct
+    recursion."""
+    import ray
+
+    from kgraft import streamops
+
+    rng = np.random.RandomState(4)
+    pre = rng.normal(0, 0.3, 50)
+    post = rng.normal(3, 0.3, 50)
+    x = np.concatenate([pre, post])
+    df = pd.DataFrame(
+        {"k": ["a"] * 100, "i": np.arange(100, dtype="int64"), "x": x}
+    )
+    got = (
+        streamops.cusum_alarms(
+            ray.data.from_pandas(df).repartition(3),
+            "k", "i", "x", target=0.0, slack=0.5, threshold=4.0,
+        )
+        .to_pandas()
+        .sort_values("i", ignore_index=True)
+    )
+    # direct recursion oracle
+    s, want = 0.0, []
+    for v in x:
+        s = max(0.0, s + v - 0.5)
+        want.append(round(s, 6))
+    np.testing.assert_allclose(got["cusum"].to_numpy(), want, atol=1e-9)
+    assert got.loc[got["i"] < 50, "alarm"].sum() == 0
+    assert got.loc[got["i"] >= 52, "alarm"].all()
