@@ -2151,6 +2151,145 @@ GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
 
 
+def pmi_collocations_docs(sf_dir: str) -> pd.DataFrame:
+    """Top-20 collocations by pointwise mutual information (Church &
+    Hanks 1990): PMI = ln(p(w1 w2) / (p(w1) p(w2))), bigram probability
+    over adjacent-pair count, unigram probabilities over token counts,
+    minimum bigram count 5 (the published guard against PMI's
+    rare-pair bias). Scale shape: the SAME shifted-explode pass emits
+    (w1, w2, n) bigram partials and (t, n) unigram partials; marginals
+    attach through two bucketed string-keyed joins (vocab-scale sides,
+    never broadcast); the top-k is a distributed sort-limit."""
+    from .relational import hash_join
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def bigram_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(r"[a-z0-9_]+")
+        idx = pd.RangeIndex(len(df)).repeat(toks.str.len())
+        ex = pd.Series(
+            np.concatenate(toks.to_numpy())
+            if len(df) and int(toks.str.len().sum())
+            else np.empty(0, dtype=object),
+            index=idx,
+        )
+        nxt = ex.shift(-1)
+        same = (pd.Series(idx, index=idx).shift(-1) == idx).fillna(False)
+        g = pd.DataFrame({"w1": ex[same], "w2": nxt[same]})
+        vc = g.groupby(["w1", "w2"], sort=False).size().rename("n").reset_index()
+        return vc
+
+    def unigram_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(r"[a-z0-9_]+")
+        arrs = toks.to_numpy()
+        if not len(arrs) or not int(toks.str.len().sum()):
+            return pd.DataFrame(
+                {"t": pd.Series([], dtype=object), "n": pd.Series([], dtype="int64")}
+            )
+        vc = pd.Series(np.concatenate(arrs), dtype=object).value_counts()
+        return pd.DataFrame({"t": vc.index.to_numpy(), "n": vc.to_numpy()})
+
+    bi = pre_aggregate_ds(
+        docs.map_batches(bigram_counts, batch_format="pandas"),
+        ["w1", "w2"],
+        {"n_ab": ("n", "sum")},
+    ).materialize()
+    uni = pre_aggregate_ds(
+        docs.map_batches(unigram_counts, batch_format="pandas"),
+        ["t"],
+        {"n_t": ("n", "sum")},
+    ).materialize()
+    n_bi = float(bi.sum("n_ab"))
+    n_uni = float(uni.sum("n_t"))
+
+    cand = bi.map_batches(
+        lambda df: df[df["n_ab"] >= 5], batch_format="pandas"
+    )
+    bi_schema = pa.schema(
+        [("w1", pa.string()), ("w2", pa.string()), ("n_ab", pa.int64())]
+    )
+    j1 = hash_join(
+        cand.map_batches(
+            lambda df: df.rename(columns={"w1": "t"}), batch_format="pandas"
+        ),
+        uni.map_batches(
+            lambda df: df.rename(columns={"n_t": "n_a"}), batch_format="pandas"
+        ),
+        on="t",
+        left_schema=pa.schema(
+            [("t", pa.string()), ("w2", pa.string()), ("n_ab", pa.int64())]
+        ),
+        right_schema=pa.schema([("t", pa.string()), ("n_a", pa.int64())]),
+    ).map_batches(
+        lambda df: df.rename(columns={"t": "w1", "w2": "t"}),
+        batch_format="pandas",
+    )
+    j2 = hash_join(
+        j1,
+        uni.map_batches(
+            lambda df: df.rename(columns={"n_t": "n_b"}), batch_format="pandas"
+        ),
+        on="t",
+        left_schema=pa.schema(
+            [
+                ("w1", pa.string()),
+                ("t", pa.string()),
+                ("n_ab", pa.int64()),
+                ("n_a", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("t", pa.string()), ("n_b", pa.int64())]),
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        p_ab = df["n_ab"].to_numpy(dtype="float64") / n_bi
+        p_a = df["n_a"].to_numpy(dtype="float64") / n_uni
+        p_b = df["n_b"].to_numpy(dtype="float64") / n_uni
+        return pd.DataFrame(
+            {
+                "w1": df["w1"],
+                "w2": df["t"],
+                "n_ab": df["n_ab"].astype("int64"),
+                "pmi": np.round(np.log(p_ab / (p_a * p_b)), 6),
+            }
+        )
+
+    out = (
+        j2.map_batches(score, batch_format="pandas")
+        .sort(["pmi", "w1", "w2"], descending=[True, False, False])
+        .limit(20)
+        .to_pandas()
+    )
+    return out[["w1", "w2", "n_ab", "pmi"]].reset_index(drop=True)
+
+
+_PMI_SQL = """
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents
+), bi AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab FROM (
+    SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS w1,
+           unnest(list_transform(range(1, len(ts)), i -> ts[i + 1])) AS w2
+    FROM toks)
+  GROUP BY w1, w2
+), uni AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n_t
+  FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t
+), tot AS (
+  SELECT (SELECT sum(n_ab) FROM bi)::DOUBLE AS n_bi,
+         (SELECT sum(n_t) FROM uni)::DOUBLE AS n_uni
+)
+SELECT bi.w1, bi.w2, bi.n_ab,
+       round(ln((bi.n_ab / tot.n_bi)
+                / ((a.n_t / tot.n_uni) * (b.n_t / tot.n_uni))), 6) AS pmi
+FROM bi, tot
+JOIN uni a ON a.t = bi.w1
+JOIN uni b ON b.t = bi.w2
+WHERE bi.n_ab >= 5
+ORDER BY pmi DESC, bi.w1, bi.w2 LIMIT 20
+"""
+
+
 def event_value_histogram(sf_dir: str) -> pd.DataFrame:
     """20-bin equi-width histogram of event values over [0, 500) —
     see :func:`kgraft.relational.histogram`."""
@@ -4338,6 +4477,7 @@ QUERIES = {
     "gopher_rules_docs": gopher_rules_docs,
     "ewma_user_value": ewma_user_value,
     "cusum_event_alarms": cusum_event_alarms,
+    "pmi_collocations_docs": pmi_collocations_docs,
     "bpe_merges_docs": bpe_merges_docs,
     "near_dup_against_docs": near_dup_against_docs,
     "orders_by_dow": orders_by_dow,
@@ -4480,6 +4620,7 @@ ORACLE_SQL = {
     "winsorized_event_stats": _WINSORIZE_SQL,
     "fuzzy_name_pairs": _FUZZY_PAIRS_SQL,
     "gopher_rules_docs": _GOPHER_RULES_SQL,
+    "pmi_collocations_docs": _PMI_SQL,
     "orders_by_dow": _ORDERS_DOW_SQL,
     "event_value_histogram": _EVENT_HIST_SQL,
     "intersect_orders": _INTERSECT_SQL,
