@@ -2151,6 +2151,35 @@ GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
 
 
+def dup_rate_by_source(sf_dir: str) -> pd.DataFrame:
+    """Curation dashboard view: per-source near-duplication rate —
+    fraction of each source's documents whose near-dup group
+    representative is a different doc. Composes
+    :func:`kgraft.textops.near_dup_groups` with the payload-carrying
+    labeling scan (source rides along, no corpus re-join); rows-only
+    (near-dup family)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    groups = textops.near_dup_groups(docs, threshold=0.7, keep_cols=["source"])
+    flags = groups.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "source": df["source"],
+                "is_dup": (df["doc_id"] != df["dup_group"]).astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    out = pre_aggregate(
+        flags, ["source"], {"n_docs": (None, "count"), "n_dups": ("is_dup", "sum")}
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_dups"] = out["n_dups"].astype("int64")
+    out["dup_rate"] = (out["n_dups"] / out["n_docs"]).round(6)
+    return out.sort_values("source", ignore_index=True)[
+        ["source", "n_docs", "n_dups", "dup_rate"]
+    ]
+
+
 def pmi_collocations_docs(sf_dir: str) -> pd.DataFrame:
     """Top-20 collocations by pointwise mutual information (Church &
     Hanks 1990): PMI = ln(p(w1 w2) / (p(w1) p(w2))), bigram probability
@@ -4478,6 +4507,7 @@ QUERIES = {
     "ewma_user_value": ewma_user_value,
     "cusum_event_alarms": cusum_event_alarms,
     "pmi_collocations_docs": pmi_collocations_docs,
+    "dup_rate_by_source": dup_rate_by_source,
     "bpe_merges_docs": bpe_merges_docs,
     "near_dup_against_docs": near_dup_against_docs,
     "orders_by_dow": orders_by_dow,
