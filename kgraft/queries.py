@@ -1508,6 +1508,42 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def shape_stats_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Distribution-shape aggregates — sample skewness (adjusted
+    Fisher-Pearson G1) and excess kurtosis (G2) per returnflag, DuckDB
+    ``skewness()``/``kurtosis()`` semantics. Algebraic like var/corr:
+    four power sums per (key, batch) are all that shuffles. 6dp rounding
+    on both sides (partial-sum order differs from DuckDB's one pass)."""
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+    out = pre_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "n_items": (None, "count"),
+            "skew_qty": ("l_quantity", "skew"),
+            "kurt_qty": ("l_quantity", "kurt"),
+            "skew_price": ("l_extendedprice", "skew"),
+            "kurt_price": ("l_extendedprice", "kurt"),
+        },
+    )
+    for c in ("skew_qty", "kurt_qty", "skew_price", "kurt_price"):
+        out[c] = out[c].round(6)
+    return out.sort_values("l_returnflag", ignore_index=True)
+
+
+_SHAPE_STATS_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       round(skewness(l_quantity), 6) AS skew_qty,
+       round(kurtosis(l_quantity), 6) AS kurt_qty,
+       round(skewness(l_extendedprice), 6) AS skew_price,
+       round(kurtosis(l_extendedprice), 6) AS kurt_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -4467,6 +4503,7 @@ QUERIES = {
     "median_price_by_priority": median_price_by_priority,
     "p90_event_value_by_type": p90_event_value_by_type,
     "lineitem_moments": lineitem_moments,
+    "shape_stats_by_flag": shape_stats_by_flag,
     "event_type_pivot": event_type_pivot,
     "order_count_distribution": order_count_distribution,
     "mode_priority_by_status": mode_priority_by_status,
@@ -4614,6 +4651,7 @@ ORACLE_SQL = {
     "median_price_by_priority": _MEDIAN_PRICE_SQL,
     "p90_event_value_by_type": _P90_EVENT_SQL,
     "lineitem_moments": _LINEITEM_MOMENTS_SQL,
+    "shape_stats_by_flag": _SHAPE_STATS_SQL,
     "event_type_pivot": _EVENT_PIVOT_SQL,
     "order_count_distribution": _ORDER_COUNT_DIST_SQL,
     "mode_priority_by_status": _MODE_PRIORITY_SQL,

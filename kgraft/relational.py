@@ -124,8 +124,8 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
     """Grouped aggregation with per-batch partial combine — Dataset out.
 
     ``aggs``: dict out_col -> (in_col, kind) with kind in
-    {sum, count, min, max, mean, var, std, corr, covar, wavg,
-    regr_slope, regr_intercept}. Mean is computed
+    {sum, count, min, max, mean, var, std, skew, kurt, corr, covar,
+    wavg, regr_slope, regr_intercept}. Mean is computed
     from sum + NON-NULL count partials (SQL semantics: nulls are excluded
     from the divisor). ``var``/``std`` are SAMPLE variance/stddev
     (ddof=1, DuckDB ``var_samp``/``stddev_samp``) from (sum, sum-of-
@@ -147,7 +147,7 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
     driver; follow with :func:`top_k` / ``write_parquet`` / a join.
     """
     sum_cols, min_cols, max_cols, var_cols, corr_cols = [], [], [], [], []
-    wavg_cols = []
+    wavg_cols, skew_cols = [], []
     for out, (col, kind) in aggs.items():
         if kind in ("sum", "mean"):
             sum_cols.append((out, col, kind))
@@ -161,6 +161,13 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
             max_cols.append((out, col))
         elif kind in ("var", "std"):
             var_cols.append((out, col, kind))
+        elif kind in ("skew", "kurt"):
+            # adjusted Fisher-Pearson G1 / excess G2 — DuckDB
+            # skewness()/kurtosis() (== pandas .skew()/.kurt()) from four
+            # power-sum partials. Raw power sums cancel badly when
+            # |mean| >> std at huge n; fine for bounded business columns,
+            # documented trade vs a sequential pairwise-update merge.
+            skew_cols.append((out, col, kind))
         elif kind in ("corr", "covar", "regr_slope", "regr_intercept"):
             # corr/covar: col = (x_col, y_col); regr_*: col = (y_col, x_col)
             # — SQL argument order regr_slope(y, x). All four reduce the
@@ -195,6 +202,10 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
                 for p in ("s1", "s2"):
                     cols[f"__{p}_{out}"] = pd.Series([], dtype="float64")
                 cols[f"__c_{out}"] = pd.Series([], dtype="int64")
+            for out, _, _ in skew_cols:
+                for p in ("p1", "p2", "p3", "p4"):
+                    cols[f"__{p}_{out}"] = pd.Series([], dtype="float64")
+                cols[f"__pc_{out}"] = pd.Series([], dtype="int64")
             for out, _, _ in corr_cols:
                 for p in ("sx", "sy", "sxx", "syy", "sxy"):
                     cols[f"__{p}_{out}"] = pd.Series([], dtype="float64")
@@ -207,6 +218,12 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
         for out, col, _ in var_cols:
             v = df[col].astype("float64")
             derived[f"__sq_{out}"] = v * v
+        for out, col, _ in skew_cols:
+            v = df[col].astype("float64")
+            v2 = v * v
+            derived[f"__pw2_{out}"] = v2
+            derived[f"__pw3_{out}"] = v2 * v
+            derived[f"__pw4_{out}"] = v2 * v2
         for out, (xc, yc), _ in corr_cols:
             x, y = df[xc].astype("float64"), df[yc].astype("float64")
             m = x.notna() & y.notna()
@@ -243,6 +260,12 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
             parts[f"__s1_{out}"] = g[col].sum()
             parts[f"__s2_{out}"] = g[f"__sq_{out}"].sum()
             parts[f"__c_{out}"] = g[col].count()
+        for out, col, _ in skew_cols:
+            parts[f"__p1_{out}"] = g[col].sum()
+            parts[f"__p2_{out}"] = g[f"__pw2_{out}"].sum()
+            parts[f"__p3_{out}"] = g[f"__pw3_{out}"].sum()
+            parts[f"__p4_{out}"] = g[f"__pw4_{out}"].sum()
+            parts[f"__pc_{out}"] = g[col].count()
         for out, _, _ in corr_cols:
             for p, c in (
                 ("sx", "__x_"), ("sy", "__y_"), ("sxx", "__xx_"),
@@ -268,6 +291,9 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
         agg_plan[f"__max_{out}"] = "max"
     for out, _, _ in var_cols:
         for p in ("s1", "s2", "c"):
+            agg_plan[f"__{p}_{out}"] = "sum"
+    for out, _, _ in skew_cols:
+        for p in ("p1", "p2", "p3", "p4", "pc"):
             agg_plan[f"__{p}_{out}"] = "sum"
     for out, _, _ in corr_cols:
         for p in ("sx", "sy", "sxx", "syy", "sxy", "cn"):
@@ -304,6 +330,27 @@ def pre_aggregate_ds(ds, keys, aggs, num_buckets: int = 64):
             ) / (c - 1)
             var = var.where(c > 1)  # SQL: NULL below 2 samples
             out_df[out] = np.sqrt(var.clip(lower=0)) if kind == "std" else var
+        for out, _, kind in skew_cols:
+            c = merged[f"__pc_{out}"].astype("float64")
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mean = merged[f"__p1_{out}"] / c
+                e2 = merged[f"__p2_{out}"] / c
+                e3 = merged[f"__p3_{out}"] / c
+                e4 = merged[f"__p4_{out}"] / c
+                m2 = e2 - mean**2
+                if kind == "skew":
+                    m3 = e3 - 3 * mean * e2 + 2 * mean**3
+                    g1 = m3 / m2**1.5
+                    val = g1 * np.sqrt(c * (c - 1)) / (c - 2)
+                    # DuckDB skewness(): NULL below 3 samples or zero var
+                    val = val.where((c > 2) & (m2 > 0))
+                else:
+                    m4 = e4 - 4 * mean * e3 + 6 * mean**2 * e2 - 3 * mean**4
+                    g2 = m4 / m2**2 - 3.0
+                    val = ((c + 1) * g2 + 6) * (c - 1) / ((c - 2) * (c - 3))
+                    # DuckDB kurtosis(): NULL below 4 samples or zero var
+                    val = val.where((c > 3) & (m2 > 0))
+            out_df[out] = val.replace([np.inf, -np.inf], np.nan)
         for out, _, kind in corr_cols:
             n = merged[f"__cn_{out}"]
             sx, sy = merged[f"__sx_{out}"], merged[f"__sy_{out}"]

@@ -297,16 +297,52 @@ def test_moments_match_duckdb(ray_session):
                 "vr": ("x", "var"),
                 "cr": (("x", "y"), "corr"),
                 "cv": (("x", "y"), "covar"),
+                "sk": ("x", "skew"),
+                "ku": ("x", "kurt"),
             },
         )
         .sort_values("k", ignore_index=True)
     )
     want = duckdb.sql(
         "SELECT k, stddev_samp(x) sd, var_samp(x) vr, corr(x, y) cr, "
-        "covar_samp(x, y) cv FROM df GROUP BY k ORDER BY k"
+        "covar_samp(x, y) cv, skewness(x) sk, kurtosis(x) ku "
+        "FROM df GROUP BY k ORDER BY k"
     ).df()
     for c in ("sd", "vr", "cr", "cv"):
         np.testing.assert_allclose(got[c].to_numpy(), want[c].to_numpy(), rtol=1e-9)
+    for c in ("sk", "ku"):
+        # power-sum cancellation: 3rd/4th moments lose a few digits
+        np.testing.assert_allclose(got[c].to_numpy(), want[c].to_numpy(), rtol=1e-7)
+
+
+def test_skew_kurt_edge_groups(ray_session):
+    """DuckDB NULL semantics at tiny/degenerate groups: skew NULL below
+    3 samples or zero variance, kurt NULL below 4 samples."""
+    import ray
+
+    from kgraft.relational import pre_aggregate
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "b", "b", "b", "c", "c", "c", "c", "d", "d", "d", "d"],
+            "x": [1.0, 2.0, 1.0, 2.0, 4.0, 1.0, 3.0, 9.0, 2.0, 5.0, 5.0, 5.0, 5.0],
+        }
+    )
+    got = (
+        pre_aggregate(
+            ray.data.from_pandas(df).repartition(3),
+            ["k"],
+            {"sk": ("x", "skew"), "ku": ("x", "kurt")},
+        )
+        .sort_values("k", ignore_index=True)
+    )
+    want = duckdb.sql(
+        "SELECT k, skewness(x) sk, kurtosis(x) ku FROM df GROUP BY k ORDER BY k"
+    ).df()
+    for c in ("sk", "ku"):
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        assert (np.isnan(g) == np.isnan(w)).all(), (c, g, w)
+        np.testing.assert_allclose(g[~np.isnan(g)], w[~np.isnan(w)], rtol=1e-9)
 
 
 def test_grouped_quantile_cont_matches_duckdb(ray_session):
