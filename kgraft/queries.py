@@ -27,6 +27,7 @@ from .util import pool_concurrency
 from . import embedops, textops
 from .relational import (
     broadcast_join,
+    bucketed_groupby_apply,
     distinct,
     hash_join,
     pre_aggregate,
@@ -1505,6 +1506,93 @@ SELECT l_returnflag,
        round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
        round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
 FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def tfidf_top_terms_docs(sf_dir: str) -> pd.DataFrame:
+    """Top-3 TF-IDF terms per document (score = tf · ln(N/df)) — the
+    keyword-extraction pass of a search/labeling pipeline. Scale shape:
+    per-(doc, token) TF partials form in-batch (a document's text lives
+    in one row, so TF needs no exchange); document frequency is a
+    vocab-scale map-side-combined aggregate that STAYS a Dataset; DF
+    attaches back through the bucketed string-keyed :func:`hash_join`
+    (never a broadcast — web-corpus vocabularies are unbounded); the
+    per-doc top-3 cut runs in one doc-keyed bucket pass. Ties broken
+    (score desc, token asc) identically to the SQL twin's row_number."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = float(docs.count())  # parquet metadata count, no scan
+
+    def tf_part(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z0-9_]+")
+        ex = toks.explode()
+        f = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].reindex(ex.index).to_numpy(),
+                "token": ex.to_numpy(),
+            }
+        ).dropna(subset=["token"])
+        g = f.groupby(["doc_id", "token"], sort=False).size().reset_index(name="tf")
+        g["tf"] = g["tf"].astype("int64")
+        return g
+
+    tf_ds = docs.map_batches(tf_part, batch_format="pandas")
+    df_ds = pre_aggregate_ds(tf_ds, "token", {"df": (None, "count")})
+    joined = hash_join(
+        tf_ds,
+        df_ds,
+        on="token",
+        # spelled schemas: df_ds sits downstream of a shuffle (schema
+        # fetch would re-execute its prefix) and both sides are
+        # pandas-block datasets (numpy dtypes, not Arrow types)
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("token", pa.string()), ("tf", pa.int64())]
+        ),
+        right_schema=pa.schema([("token", pa.string()), ("df", pa.int64())]),
+    )
+
+    def head3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["tfidf"] = g["tf"].astype("float64") * np.log(
+            n_docs / g["df"].astype("float64")
+        )
+        g = g.sort_values(
+            ["doc_id", "tfidf", "token"], ascending=[True, False, True]
+        )
+        out = g.groupby("doc_id", sort=False).head(3)
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].astype("int64"),
+                "token": out["token"],
+                "tfidf": out["tfidf"].round(6),
+            }
+        )
+
+    out = bucketed_groupby_apply(joined, "doc_id", head3).to_pandas()
+    return out.sort_values(
+        ["doc_id", "tfidf", "token"], ascending=[True, False, True],
+        ignore_index=True,
+    )
+
+
+_TFIDF_TOP_TERMS_SQL = """
+WITH tf AS (
+  SELECT doc_id, t AS token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+        FROM documents)
+  GROUP BY doc_id, t
+), df AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+), nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf * ln(nd.n / df.df) AS raw,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ln(nd.n / df.df) DESC, tf.token
+         ) AS rn
+  FROM tf JOIN df USING (token) CROSS JOIN nd
+)
+SELECT doc_id, token, round(raw, 6) AS tfidf
+FROM scored WHERE rn <= 3 ORDER BY doc_id, raw DESC, token
 """
 
 
@@ -4504,6 +4592,7 @@ QUERIES = {
     "p90_event_value_by_type": p90_event_value_by_type,
     "lineitem_moments": lineitem_moments,
     "shape_stats_by_flag": shape_stats_by_flag,
+    "tfidf_top_terms_docs": tfidf_top_terms_docs,
     "event_type_pivot": event_type_pivot,
     "order_count_distribution": order_count_distribution,
     "mode_priority_by_status": mode_priority_by_status,
@@ -4652,6 +4741,7 @@ ORACLE_SQL = {
     "p90_event_value_by_type": _P90_EVENT_SQL,
     "lineitem_moments": _LINEITEM_MOMENTS_SQL,
     "shape_stats_by_flag": _SHAPE_STATS_SQL,
+    "tfidf_top_terms_docs": _TFIDF_TOP_TERMS_SQL,
     "event_type_pivot": _EVENT_PIVOT_SQL,
     "order_count_distribution": _ORDER_COUNT_DIST_SQL,
     "mode_priority_by_status": _MODE_PRIORITY_SQL,
