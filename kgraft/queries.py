@@ -2767,6 +2767,126 @@ GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 20
 """
 
 
+def iqr_outliers_by_type(sf_dir: str) -> pd.DataFrame:
+    """Tukey-fence outlier report per event type: exact q1/q3
+    (``quantile_disc`` — bit-identical order statistics on both sides,
+    so the fence comparison can't drift at 1 ulp like interpolated
+    quantiles can), fences at ±1.5·IQR, and the count of rows outside
+    them. Scale shape: the quantile histogram is distinct-value-scale
+    (raw rows never shuffle), the |types|-scale fence table broadcasts
+    into one shuffle-free counting scan."""
+    from .relational import grouped_quantile_disc
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    q1 = grouped_quantile_disc(ev, "event_type", "value", q=0.25, out_col="q1")
+    q3 = grouped_quantile_disc(ev, "event_type", "value", q=0.75, out_col="q3")
+    fences = q1.to_pandas().merge(q3.to_pandas(), on="event_type")
+    fences["iqr"] = fences["q3"] - fences["q1"]
+    fences["lo"] = fences["q1"] - 1.5 * fences["iqr"]
+    fences["hi"] = fences["q3"] + 1.5 * fences["iqr"]
+    lo = fences.set_index("event_type")["lo"]
+    hi = fences.set_index("event_type")["hi"]
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(dtype="float64")
+        l = lo.reindex(df["event_type"]).to_numpy(dtype="float64")
+        h = hi.reindex(df["event_type"]).to_numpy(dtype="float64")
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "is_out": ((v < l) | (v > h)).astype("int64"),
+            }
+        )
+
+    counts = pre_aggregate(
+        ev.map_batches(flag, batch_format="pandas"),
+        ["event_type"],
+        {"n_events": (None, "count"), "n_outliers": ("is_out", "sum")},
+    )
+    out = fences.merge(counts, on="event_type")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["n_outliers"] = out["n_outliers"].astype("int64")
+    for c in ("q1", "q3", "iqr", "lo", "hi"):
+        out[c] = out[c].round(6)
+    return out.sort_values("event_type", ignore_index=True)[
+        ["event_type", "q1", "q3", "iqr", "lo", "hi", "n_events", "n_outliers"]
+    ]
+
+
+_IQR_OUTLIERS_SQL = """
+WITH f AS (
+  SELECT event_type,
+         quantile_disc(value, 0.25) AS q1,
+         quantile_disc(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       round(f.q1, 6) AS q1, round(f.q3, 6) AS q3,
+       round(f.q3 - f.q1, 6) AS iqr,
+       round(f.q1 - 1.5 * (f.q3 - f.q1), 6) AS lo,
+       round(f.q3 + 1.5 * (f.q3 - f.q1), 6) AS hi,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN e.value < f.q1 - 1.5 * (f.q3 - f.q1)
+                       OR e.value > f.q3 + 1.5 * (f.q3 - f.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN f USING (event_type)
+GROUP BY e.event_type, f.q1, f.q3
+ORDER BY e.event_type
+"""
+
+
+def audience_overlap_events(sf_dir: str) -> pd.DataFrame:
+    """Audience-overlap matrix: Jaccard similarity of the USER SETS of
+    every event-type pair — the segment-overlap report of a product
+    analytics stack. Scale shape: one global distinct over
+    (type, user), per-type set sizes from a map-side-combined count,
+    within-user type pairs via ONE bucketed exchange on the user key
+    (in-bucket vectorized self-merge — type-pair count is bounded at
+    |types|², so the pair partials are tiny regardless of corpus size);
+    the |types|²-scale finalize joins sizes on the driver."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    tu = distinct(ev, ["event_type", "user_id"])
+    sizes = pre_aggregate(tu, ["event_type"], {"n_users": (None, "count")})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        return pd.DataFrame(
+            {"type_a": m["event_type_x"], "type_b": m["event_type_y"]}
+        )
+
+    pr = bucketed_groupby_apply(tu, ["user_id"], pairs, num_buckets=32)
+    inter = pre_aggregate(pr, ["type_a", "type_b"], {"n_common": (None, "count")})
+    sz = sizes.set_index("event_type")["n_users"]
+    inter["n_common"] = inter["n_common"].astype("int64")
+    na = sz.reindex(inter["type_a"]).to_numpy(dtype="float64")
+    nb = sz.reindex(inter["type_b"]).to_numpy(dtype="float64")
+    inter["jaccard"] = (
+        inter["n_common"] / (na + nb - inter["n_common"])
+    ).round(6)
+    return inter.sort_values(["type_a", "type_b"], ignore_index=True)[
+        ["type_a", "type_b", "n_common", "jaccard"]
+    ]
+
+
+_AUDIENCE_OVERLAP_SQL = """
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+sz AS (SELECT event_type, count(*) AS n FROM tu GROUP BY event_type),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM tu a JOIN tu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, n_common,
+       round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.event_type = type_a
+JOIN sz sb ON sb.event_type = type_b
+ORDER BY type_a, type_b
+"""
+
+
 def source_token_kl(sf_dir: str) -> pd.DataFrame:
     """Corpus-drift diagnostic: KL divergence (nats) of each source's
     token distribution from the whole-corpus distribution. One
@@ -4619,6 +4739,8 @@ QUERIES = {
     "global_dedup_segments_docs": global_dedup_segments_docs,
     "dedup_spans_docs": dedup_spans_docs,
     "co_ordered_parts": co_ordered_parts,
+    "audience_overlap_events": audience_overlap_events,
+    "iqr_outliers_by_type": iqr_outliers_by_type,
     "source_token_kl": source_token_kl,
     "dsir_select_docs": dsir_select_docs,
     "unpivot_lineitem_stats": unpivot_lineitem_stats,
@@ -4766,6 +4888,8 @@ ORACLE_SQL = {
     "global_dedup_segments_docs": _GLOBAL_DEDUP_SEGMENTS_SQL,
     "dedup_spans_docs": _DEDUP_SPANS_SQL,
     "co_ordered_parts": _CO_ORDERED_PARTS_SQL,
+    "audience_overlap_events": _AUDIENCE_OVERLAP_SQL,
+    "iqr_outliers_by_type": _IQR_OUTLIERS_SQL,
     "source_token_kl": _SOURCE_TOKEN_KL_SQL,
     "dsir_select_docs": _DSIR_SELECT_SQL,
     "unpivot_lineitem_stats": _UNPIVOT_SQL,
