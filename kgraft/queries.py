@@ -4257,6 +4257,20 @@ def kg_communities(sf_dir: str) -> pd.DataFrame:
     ).head(20)
 
 
+def kg_link_prediction(sf_dir: str) -> pd.DataFrame:
+    """Top-20 UNLINKED entity pairs by Adamic-Adar score over the
+    materialized KG — "entities that should probably be linked", the
+    graph-completion candidate feed. See
+    :func:`kgraft.graph.linkpred.adamic_adar_topk` for the wedge-pass
+    algorithm and the loud hub cap. Rows-only driver check; the serial
+    brute-force oracle lives in tests/test_graph.py."""
+    from .graph.linkpred import adamic_adar_topk
+
+    m = _kg_outputs(sf_dir)
+    edges = _read_kg_edges(m, columns=["subj_id", "obj_id"])
+    return adamic_adar_topk(edges, src="subj_id", dst="obj_id", k=20)
+
+
 def kg_pagerank(sf_dir: str) -> pd.DataFrame:
     """PageRank over the engine's own materialized KG edges (graph
     analytics on the construction output): top-20 entities by rank.
@@ -4808,6 +4822,7 @@ QUERIES = {
     "kg_edges": kg_edges,
     "kg_pagerank": kg_pagerank,
     "kg_communities": kg_communities,
+    "kg_link_prediction": kg_link_prediction,
     "kg_ppr": kg_ppr,
     "kg_khop": kg_khop,
     "canonical_url_dedup": canonical_url_dedup,

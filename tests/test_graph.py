@@ -349,3 +349,75 @@ def test_k_hop_reach_matches_bfs(ray_session):
                     nxt.add(v)
         frontier = nxt
     assert gmap == want
+
+
+def test_adamic_adar_matches_bruteforce(ray_session):
+    """Distributed Adamic-Adar top-k == serial brute force on a random
+    graph (all degrees below the hub cap, so the result is exact)."""
+    import itertools
+
+    import ray
+
+    from kgraft.graph.linkpred import adamic_adar_topk
+
+    rng = np.random.RandomState(7)
+    n_nodes, n_edges = 60, 300
+    a = rng.randint(0, n_nodes, n_edges).astype("int64")
+    b = rng.randint(0, n_nodes, n_edges).astype("int64")
+    edges = pd.DataFrame({"src": a, "dst": b})
+
+    got = adamic_adar_topk(
+        ray.data.from_pandas(edges).repartition(5), k=15, num_buckets=8
+    )
+    assert got.attrs["n_skipped_hubs"] == 0
+
+    # serial oracle
+    adj = {}
+    linked = set()
+    for u, v in zip(a, b):
+        if u == v:
+            continue
+        lo, hi = int(min(u, v)), int(max(u, v))
+        linked.add((lo, hi))
+        adj.setdefault(lo, set()).add(hi)
+        adj.setdefault(hi, set()).add(lo)
+    scores = {}
+    for w, nbrs in adj.items():
+        wgt = 1.0 / np.log(len(nbrs)) if len(nbrs) >= 2 else None
+        for u, v in itertools.combinations(sorted(nbrs), 2):
+            cn, aa = scores.get((u, v), (0, 0.0))
+            scores[(u, v)] = (cn + 1, aa + wgt)
+    rows = [
+        (u, v, cn, aa)
+        for (u, v), (cn, aa) in scores.items()
+        if (u, v) not in linked
+    ]
+    want = (
+        pd.DataFrame(rows, columns=["node_a", "node_b", "common_neighbors", "adamic_adar"])
+        .sort_values(
+            ["adamic_adar", "node_a", "node_b"], ascending=[False, True, True],
+            ignore_index=True,
+        )
+        .head(15)
+    )
+    want["adamic_adar"] = want["adamic_adar"].round(6)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want, check_dtype=False)
+
+
+def test_adamic_adar_hub_cap_is_loud(ray_session):
+    """A star graph's center exceeds the cap: result excludes its wedges
+    and n_skipped_hubs reports it."""
+    import ray
+
+    from kgraft.graph.linkpred import adamic_adar_topk
+
+    # star: node 0 connected to 1..30, plus a small triangle-free tail
+    star = pd.DataFrame(
+        {"src": np.zeros(30, dtype="int64"), "dst": np.arange(1, 31, dtype="int64")}
+    )
+    got = adamic_adar_topk(
+        ray.data.from_pandas(star), k=10, max_center_degree=16, num_buckets=4
+    )
+    assert got.attrs["n_skipped_hubs"] == 1
+    # leaves have degree 1 (< 2): no wedges at all once the hub is skipped
+    assert len(got) == 0
