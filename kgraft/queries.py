@@ -1596,6 +1596,69 @@ FROM scored WHERE rn <= 3 ORDER BY doc_id, raw DESC, token
 """
 
 
+def inverted_index_docs(sf_dir: str) -> pd.DataFrame:
+    """Inverted-index materialization: posting rows (token, doc_id, tf)
+    for mid-frequency terms (5 ≤ df ≤ 40 — the discriminative band a
+    search index actually serves; stopword-band and hapax tokens are
+    pruned by the df filter). Scale shape: per-(doc, token) TF partials
+    form in-batch, the vocab-scale DF aggregate STAYS a Dataset and its
+    band filter runs vectorized on it, postings attach through the
+    bucketed string-keyed join. At 100 TB the posting table is written
+    partitioned by token hash, never collected — the small-scale query
+    collects only because the df band bounds it."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf_part(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z0-9_]+")
+        ex = toks.explode()
+        f = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].reindex(ex.index).to_numpy(),
+                "token": ex.to_numpy(),
+            }
+        ).dropna(subset=["token"])
+        g = f.groupby(["doc_id", "token"], sort=False).size().reset_index(name="tf")
+        g["tf"] = g["tf"].astype("int64")
+        return g
+
+    tf_ds = docs.map_batches(tf_part, batch_format="pandas")
+    df_ds = pre_aggregate_ds(tf_ds, "token", {"df": (None, "count")})
+    band = df_ds.map_batches(
+        lambda d: d[(d["df"] >= 5) & (d["df"] <= 40)], batch_format="pandas"
+    )
+    postings = hash_join(
+        tf_ds,
+        band,
+        on="token",
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("token", pa.string()), ("tf", pa.int64())]
+        ),
+        right_schema=pa.schema([("token", pa.string()), ("df", pa.int64())]),
+    )
+    out = postings.to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["tf"] = out["tf"].astype("int64")
+    return out.sort_values(["token", "doc_id"], ignore_index=True)[
+        ["token", "doc_id", "tf"]
+    ]
+
+
+_INVERTED_INDEX_SQL = """
+WITH tf AS (
+  SELECT doc_id, t AS token, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+        FROM documents)
+  GROUP BY doc_id, t
+), df AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+)
+SELECT tf.token, tf.doc_id, tf.tf
+FROM tf JOIN df USING (token)
+WHERE df.df BETWEEN 5 AND 40
+ORDER BY token, doc_id
+"""
+
+
 def shape_stats_by_flag(sf_dir: str) -> pd.DataFrame:
     """Distribution-shape aggregates — sample skewness (adjusted
     Fisher-Pearson G1) and excess kurtosis (G2) per returnflag, DuckDB
@@ -2764,6 +2827,48 @@ SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
 FROM op a JOIN op b
   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+"""
+
+
+def user_state_history(sf_dir: str) -> pd.DataFrame:
+    """SCD-type-2 dimension history: each sampled user's event-type
+    stream compressed into change intervals (valid_from / valid_to,
+    NULL-open current row) — see :func:`kgraft.relational.scd2_compress`.
+    The user sample (``user_id % 97 = 0``) filters at the scan, BEFORE
+    the one co-locating exchange; (ts, event_id) is the deterministic
+    per-user total order on both sides."""
+    from .relational import scd2_compress
+
+    ev = read_table(
+        sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"]
+    ).map_batches(
+        lambda df: df[df["user_id"] % 97 == 0], batch_format="pandas"
+    )
+    out = scd2_compress(
+        ev, "user_id", ["ts", "event_id"], "event_type"
+    ).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values(
+        ["user_id", "valid_from", "event_type"], ignore_index=True
+    )[["user_id", "event_type", "valid_from", "valid_to"]]
+
+
+_USER_STATE_HISTORY_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type FROM events WHERE user_id % 97 = 0
+), s AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+  FROM e
+), c AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id
+  FROM s WHERE p IS NULL OR p <> event_type
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (
+         PARTITION BY user_id ORDER BY valid_from, event_id
+       ) AS valid_to
+FROM c ORDER BY user_id, valid_from, event_type
 """
 
 
@@ -4257,6 +4362,29 @@ def kg_communities(sf_dir: str) -> pd.DataFrame:
     ).head(20)
 
 
+def kg_hits(sf_dir: str) -> pd.DataFrame:
+    """Top-20 entities by HITS authority over the materialized KG (hub
+    score alongside) — separates well-referenced canonical entities from
+    aggregator hubs, a signal PageRank conflates. See
+    :func:`kgraft.graph.hits.hits`. Rows-only driver check; the dense
+    power-iteration oracle lives in tests/test_graph.py."""
+    import pyarrow.parquet as pq
+
+    from .graph.hits import hits
+
+    m = _kg_outputs(sf_dir)
+    node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
+        "entity_id"
+    ].to_numpy()
+    edges = _read_kg_edges(m, columns=["subj_id", "obj_id"])
+    out = hits(edges, node_ids, n_iter=15, src_col="subj_id", dst_col="obj_id")
+    out["authority"] = out["authority"].round(8)
+    out["hub"] = out["hub"].round(8)
+    return out.sort_values(
+        ["authority", "node"], ascending=[False, True], ignore_index=True
+    ).head(20)
+
+
 def kg_link_prediction(sf_dir: str) -> pd.DataFrame:
     """Top-20 UNLINKED entity pairs by Adamic-Adar score over the
     materialized KG — "entities that should probably be linked", the
@@ -4727,6 +4855,7 @@ QUERIES = {
     "lineitem_moments": lineitem_moments,
     "shape_stats_by_flag": shape_stats_by_flag,
     "tfidf_top_terms_docs": tfidf_top_terms_docs,
+    "inverted_index_docs": inverted_index_docs,
     "event_type_pivot": event_type_pivot,
     "order_count_distribution": order_count_distribution,
     "mode_priority_by_status": mode_priority_by_status,
@@ -4755,6 +4884,7 @@ QUERIES = {
     "co_ordered_parts": co_ordered_parts,
     "audience_overlap_events": audience_overlap_events,
     "iqr_outliers_by_type": iqr_outliers_by_type,
+    "user_state_history": user_state_history,
     "source_token_kl": source_token_kl,
     "dsir_select_docs": dsir_select_docs,
     "unpivot_lineitem_stats": unpivot_lineitem_stats,
@@ -4823,6 +4953,7 @@ QUERIES = {
     "kg_pagerank": kg_pagerank,
     "kg_communities": kg_communities,
     "kg_link_prediction": kg_link_prediction,
+    "kg_hits": kg_hits,
     "kg_ppr": kg_ppr,
     "kg_khop": kg_khop,
     "canonical_url_dedup": canonical_url_dedup,
@@ -4879,6 +5010,7 @@ ORACLE_SQL = {
     "lineitem_moments": _LINEITEM_MOMENTS_SQL,
     "shape_stats_by_flag": _SHAPE_STATS_SQL,
     "tfidf_top_terms_docs": _TFIDF_TOP_TERMS_SQL,
+    "inverted_index_docs": _INVERTED_INDEX_SQL,
     "event_type_pivot": _EVENT_PIVOT_SQL,
     "order_count_distribution": _ORDER_COUNT_DIST_SQL,
     "mode_priority_by_status": _MODE_PRIORITY_SQL,
@@ -4905,6 +5037,7 @@ ORACLE_SQL = {
     "co_ordered_parts": _CO_ORDERED_PARTS_SQL,
     "audience_overlap_events": _AUDIENCE_OVERLAP_SQL,
     "iqr_outliers_by_type": _IQR_OUTLIERS_SQL,
+    "user_state_history": _USER_STATE_HISTORY_SQL,
     "source_token_kl": _SOURCE_TOKEN_KL_SQL,
     "dsir_select_docs": _DSIR_SELECT_SQL,
     "unpivot_lineitem_stats": _UNPIVOT_SQL,

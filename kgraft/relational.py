@@ -1920,6 +1920,53 @@ def gap_fill(ds, key_col: str, ts_col: str, val_col: str,
     return bucketed_groupby_apply(ds, [key_col], fill, num_buckets)
 
 
+def scd2_compress(ds, key_col: str, order_cols, state_col: str,
+                  num_buckets: int = 64):
+    """Slowly-changing-dimension (type 2) interval build: collapse each
+    key's ordered state stream into change intervals
+    ``(key, state, valid_from, valid_to)`` — the dimension-history
+    materialization every warehouse MERGE pipeline needs. A row opens an
+    interval when its state differs from the key's previous state
+    (null-safe, SQL ``IS DISTINCT FROM``); ``valid_to`` is the next
+    interval's ``valid_from`` and NULL (NaT) for the current interval.
+
+    ``order_cols``: list defining a DETERMINISTIC total order per key —
+    include a unique tiebreak column after the timestamp, or equal-time
+    rows make the compression order-dependent. ``valid_from`` is the
+    first order column at the change row.
+
+    Scale shape: ONE bucketed exchange co-locates each key's rows;
+    in-bucket everything is vectorized shift/compare — no per-key or
+    per-row Python. Output is change-proportional, never row-scale."""
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    ts_col = order_cols[0]
+
+    def compress(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + order_cols, ignore_index=True)
+        key = g[key_col]
+        st = g[state_col]
+        new_key = ~key.eq(key.shift()).to_numpy()
+        prev = st.shift()
+        same_state = (st.eq(prev) | (st.isna() & prev.isna())).to_numpy()
+        c = g.loc[new_key | ~same_state]
+        nk = c[key_col].to_numpy()
+        vf = c[ts_col].reset_index(drop=True)
+        vt = vf.shift(-1)
+        vt[np.r_[nk[1:] != nk[:-1], True]] = (
+            pd.NaT if np.issubdtype(vf.dtype, np.datetime64) else np.nan
+        )
+        return pd.DataFrame(
+            {
+                key_col: nk,
+                state_col: c[state_col].to_numpy(),
+                "valid_from": vf.to_numpy(),
+                "valid_to": vt.to_numpy(),
+            }
+        )
+
+    return bucketed_groupby_apply(ds, [key_col], compress, num_buckets)
+
+
 def time_windowed(ds, part_col: str, ts_col: str, val_col: str, window: str,
                   kinds, out_prefix: str = "w_", num_buckets: int = 64):
     """Time-RANGE window aggregates (an operator Ray Data lacks): for

@@ -421,3 +421,31 @@ def test_adamic_adar_hub_cap_is_loud(ray_session):
     assert got.attrs["n_skipped_hubs"] == 1
     # leaves have degree 1 (< 2): no wedges at all once the hub is skipped
     assert len(got) == 0
+
+
+def test_hits_matches_dense_oracle(ray_session):
+    """Distributed HITS == dense numpy power iteration (same iteration
+    count and normalization order) on a random directed multigraph."""
+    import ray
+
+    from kgraft.graph.hits import hits
+
+    rng = np.random.RandomState(19)
+    n_nodes, n_edges = 40, 250
+    s = rng.randint(0, n_nodes, n_edges).astype("int64")
+    d = rng.randint(0, n_nodes, n_edges).astype("int64")
+    edges = ray.data.from_pandas(pd.DataFrame({"src": s, "dst": d})).repartition(5)
+
+    got = hits(edges, np.arange(n_nodes, dtype="int64"), n_iter=15)
+
+    A = np.zeros((n_nodes, n_nodes))
+    np.add.at(A, (s, d), 1.0)  # multiplicity counts, like the operator
+    a = np.full(n_nodes, 1.0 / np.sqrt(n_nodes))
+    h = np.full(n_nodes, 1.0 / np.sqrt(n_nodes))
+    for _ in range(15):
+        a = A.T @ h
+        a /= np.linalg.norm(a)
+        h = A @ a
+        h /= np.linalg.norm(h)
+    np.testing.assert_allclose(got["authority"].to_numpy(), a, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(got["hub"].to_numpy(), h, rtol=1e-9, atol=1e-12)
