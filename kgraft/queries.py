@@ -2830,6 +2830,44 @@ GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 20
 """
 
 
+def bcubed_docs(sf_dir: str) -> pd.DataFrame:
+    """B-cubed clustering-agreement metrics (Bagga & Baldwin 1998)
+    between a deterministic hash-bucketing of documents and their
+    source labels — exercises the entity-resolution / dedup-quality
+    metric operator :func:`kgraft.relational.clustering_agreement`
+    end-to-end with a SQL twin (real uses feed it predicted dup groups
+    or KG component ids, which have no SQL twin)."""
+    from .relational import clustering_agreement
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"pred": (df["doc_id"] % 50).astype("int64"), "gold": df["source"]}
+        )
+
+    return clustering_agreement(
+        docs.map_batches(label, batch_format="pandas"), "pred", "gold"
+    )
+
+
+_BCUBED_DOCS_SQL = """
+WITH t AS (SELECT doc_id % 50 AS pred, source AS gold FROM documents),
+cells AS (SELECT pred, gold, count(*)::DOUBLE AS c FROM t GROUP BY pred, gold),
+pn AS (SELECT pred, sum(c) AS s FROM cells GROUP BY pred),
+gn AS (SELECT gold, sum(c) AS s FROM cells GROUP BY gold),
+n AS (SELECT sum(c) AS n FROM cells),
+p AS (SELECT sum(cells.c * cells.c / pn.s) AS v FROM cells JOIN pn USING (pred)),
+r AS (SELECT sum(cells.c * cells.c / gn.s) AS v FROM cells JOIN gn USING (gold))
+SELECT CAST(n.n AS BIGINT) AS n_items,
+       round(p.v / n.n, 6) AS bcubed_precision,
+       round(r.v / n.n, 6) AS bcubed_recall,
+       round(2 * (p.v / n.n) * (r.v / n.n) / ((p.v / n.n) + (r.v / n.n)), 6)
+         AS bcubed_f1
+FROM n, p, r
+"""
+
+
 def user_state_history(sf_dir: str) -> pd.DataFrame:
     """SCD-type-2 dimension history: each sampled user's event-type
     stream compressed into change intervals (valid_from / valid_to,
@@ -4885,6 +4923,7 @@ QUERIES = {
     "audience_overlap_events": audience_overlap_events,
     "iqr_outliers_by_type": iqr_outliers_by_type,
     "user_state_history": user_state_history,
+    "bcubed_docs": bcubed_docs,
     "source_token_kl": source_token_kl,
     "dsir_select_docs": dsir_select_docs,
     "unpivot_lineitem_stats": unpivot_lineitem_stats,
@@ -5038,6 +5077,7 @@ ORACLE_SQL = {
     "audience_overlap_events": _AUDIENCE_OVERLAP_SQL,
     "iqr_outliers_by_type": _IQR_OUTLIERS_SQL,
     "user_state_history": _USER_STATE_HISTORY_SQL,
+    "bcubed_docs": _BCUBED_DOCS_SQL,
     "source_token_kl": _SOURCE_TOKEN_KL_SQL,
     "dsir_select_docs": _DSIR_SELECT_SQL,
     "unpivot_lineitem_stats": _UNPIVOT_SQL,

@@ -1967,6 +1967,75 @@ def scd2_compress(ds, key_col: str, order_cols, state_col: str,
     return bucketed_groupby_apply(ds, [key_col], compress, num_buckets)
 
 
+def clustering_agreement(ds, pred_col: str, gold_col: str,
+                         num_buckets: int = 64) -> pd.DataFrame:
+    """B-cubed precision/recall/F1 (Bagga & Baldwin 1998) between a
+    predicted clustering and gold labels — THE entity-resolution /
+    dedup-quality metric: per-item precision is the fraction of the
+    item's predicted cluster sharing its gold label, recall the
+    fraction of its gold class sharing its cluster; scores average over
+    items. Rows where either label is NULL are excluded (pairwise-null,
+    like corr).
+
+    Scale shape: rows reduce through ONE map-side-combined (pred, gold)
+    contingency aggregate that STAYS a Dataset (singleton clusters make
+    cells item-scale — never collected); per-cluster and per-class
+    marginal sums reduce it again to two more partial-combined
+    aggregates whose per-key contribution ``(Σc²)/(Σc)`` uses the
+    identity: item-average B-cubed precision = Σ_cells c²/cluster_size
+    over n. Only four scalars ever reach the driver."""
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[pred_col, gold_col]]
+        return out[out[pred_col].notna() & out[gold_col].notna()]
+
+    cells = pre_aggregate_ds(
+        ds.map_batches(slim, batch_format="pandas"),
+        [pred_col, gold_col],
+        {"c": (None, "count")},
+        num_buckets=num_buckets,
+    ).materialize()  # two marginal consumers below
+
+    def add_c2(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["c2"] = df["c"].astype("float64") * df["c"].astype("float64")
+        return df
+
+    cells2 = cells.map_batches(add_c2, batch_format="pandas")
+
+    def marginal_sum(key_col: str) -> tuple:
+        per_key = pre_aggregate_ds(
+            cells2, key_col, {"s2": ("c2", "sum"), "s1": ("c", "sum")},
+            num_buckets=num_buckets,
+        )
+        contrib = per_key.map_batches(
+            lambda d: pd.DataFrame(
+                {"num": d["s2"].astype("float64") / d["s1"].astype("float64"),
+                 "n": d["s1"].astype("float64")}
+            ),
+            batch_format="pandas",
+        )
+        return float(contrib.sum("num") or 0.0), float(contrib.sum("n") or 0.0)
+
+    p_num, n = marginal_sum(pred_col)
+    r_num, _ = marginal_sum(gold_col)
+    if n == 0:
+        return pd.DataFrame(
+            {"n_items": [0], "bcubed_precision": [np.nan],
+             "bcubed_recall": [np.nan], "bcubed_f1": [np.nan]}
+        )
+    prec, rec = p_num / n, r_num / n
+    f1 = 2 * prec * rec / (prec + rec) if (prec + rec) > 0 else 0.0
+    return pd.DataFrame(
+        {
+            "n_items": [int(n)],
+            "bcubed_precision": [round(prec, 6)],
+            "bcubed_recall": [round(rec, 6)],
+            "bcubed_f1": [round(f1, 6)],
+        }
+    )
+
+
 def time_windowed(ds, part_col: str, ts_col: str, val_col: str, window: str,
                   kinds, out_prefix: str = "w_", num_buckets: int = 64):
     """Time-RANGE window aggregates (an operator Ray Data lacks): for

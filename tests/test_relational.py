@@ -1665,3 +1665,56 @@ def test_auto_hash_join_salts_and_matches_plain(ray_session):
         .sort_values(["k", "x"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(got[["k", "x", "y"]], want[["k", "x", "y"]])
+
+
+def test_clustering_agreement_matches_per_item(ray_session):
+    """Dataset B-cubed == literal per-item average (the definition),
+    including a perfect clustering and an all-singletons one."""
+    import ray
+
+    from kgraft.relational import clustering_agreement
+
+    rng = np.random.RandomState(23)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "pred": rng.randint(0, 12, n).astype("int64"),
+            "gold": rng.choice(["a", "b", "c", "d"], n),
+        }
+    )
+    df.loc[rng.rand(n) < 0.05, "gold"] = None  # pairwise-null excluded
+
+    def per_item(frame):
+        frame = frame.dropna(subset=["pred", "gold"]).reset_index(drop=True)
+        ps, rs = [], []
+        for i in range(len(frame)):
+            cl = frame[frame["pred"] == frame.loc[i, "pred"]]
+            gc = frame[frame["gold"] == frame.loc[i, "gold"]]
+            same = ((frame["pred"] == frame.loc[i, "pred"])
+                    & (frame["gold"] == frame.loc[i, "gold"])).sum()
+            ps.append(same / len(cl))
+            rs.append(same / len(gc))
+        p, r = np.mean(ps), np.mean(rs)
+        return len(frame), p, r, 2 * p * r / (p + r)
+
+    got = clustering_agreement(
+        ray.data.from_pandas(df).repartition(7), "pred", "gold"
+    )
+    n_items, p, r, f1 = per_item(df)
+    assert got.loc[0, "n_items"] == n_items
+    np.testing.assert_allclose(got.loc[0, "bcubed_precision"], round(p, 6), atol=1e-6)
+    np.testing.assert_allclose(got.loc[0, "bcubed_recall"], round(r, 6), atol=1e-6)
+    np.testing.assert_allclose(got.loc[0, "bcubed_f1"], round(f1, 6), atol=1e-6)
+
+    # perfect clustering: all three scores 1.0
+    perfect = pd.DataFrame({"pred": df["gold"], "gold": df["gold"]}).dropna()
+    got_p = clustering_agreement(ray.data.from_pandas(perfect), "pred", "gold")
+    assert got_p.loc[0, "bcubed_precision"] == 1.0
+    assert got_p.loc[0, "bcubed_recall"] == 1.0
+
+    # singletons: precision 1, recall = E[1/class size]
+    single = df.dropna().reset_index(drop=True)
+    single["pred"] = np.arange(len(single), dtype="int64")
+    got_s = clustering_agreement(ray.data.from_pandas(single), "pred", "gold")
+    assert got_s.loc[0, "bcubed_precision"] == 1.0
+    assert got_s.loc[0, "bcubed_recall"] < 0.1
