@@ -719,3 +719,96 @@ def pq_topk(
 
     partial = embeddings.map_batches(local, batch_format="pyarrow")
     return partial.sort(["score", "vec_id"], descending=[True, False]).limit(k)
+
+
+def mmr_rerank(
+    embeddings,
+    query: np.ndarray,
+    k: int = 10,
+    shortlist: int = 100,
+    lam: float = 0.7,
+    round_dp: int = 6,
+) -> pd.DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): return k results that balance relevance to the query
+    against redundancy with already-selected results —
+    ``mmr(d) = lam·cos(q, d) − (1−lam)·max_{s∈S} cos(d, s)``.
+    The diversity pass retrieval stacks run AFTER ANN shortlisting.
+
+    Scale shape: the corpus pass is the knn_topk shape — each block
+    emits its local top-``shortlist`` (vec_id, score, embedding), the
+    global cut keeps ``shortlist`` rows. Only the shortlist×dim matrix
+    reaches the driver (bounded by the caller, never corpus-scale); the
+    greedy k-step selection is O(k·shortlist) numpy on that matrix.
+    Deterministic: ties break to the lower vec_id at every step.
+    """
+    q = np.asarray(query, dtype=np.float64)
+    qref = ray.put(q)
+    local_n = max(shortlist, 32)
+
+    def local_top(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                    "embedding": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        mat = _batch_matrix(t)
+        scores = _cosine(mat, ray.get(qref))
+        order = np.argsort(-scores)[:local_n]
+        idx = pa.array(order)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"].take(idx),
+                "score": pa.array(scores[order], pa.float64()),
+                "embedding": pa.array(
+                    [mat[i].tolist() for i in order], pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    short = (
+        embeddings.map_batches(local_top, batch_format="pyarrow")
+        .sort(["score", "vec_id"], descending=[True, False])
+        .limit(shortlist)
+        .to_pandas()
+    )
+    if short.empty:
+        return pd.DataFrame(
+            {
+                "rank": pd.Series([], dtype="int64"),
+                "vec_id": pd.Series([], dtype="int64"),
+                "relevance": pd.Series([], dtype="float64"),
+                "mmr_score": pd.Series([], dtype="float64"),
+            }
+        )
+    ids = short["vec_id"].to_numpy(dtype="int64")
+    rel = short["score"].to_numpy(dtype="float64")
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in short["embedding"]])
+    norms = np.linalg.norm(mat, axis=1)
+    unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
+
+    n = len(ids)
+    k = min(k, n)
+    selected: list[int] = []
+    max_sim = np.full(n, -np.inf)
+    avail = np.ones(n, dtype=bool)
+    out_rows = []
+    for rank in range(k):
+        div = np.where(np.isfinite(max_sim), max_sim, 0.0)
+        mmr = lam * rel - (1.0 - lam) * (div if selected else 0.0)
+        cand = np.where(avail)[0]
+        # ties -> lower vec_id: lexsort on (-mmr, vec_id) over available
+        best = cand[np.lexsort((ids[cand], -mmr[cand]))[0]]
+        out_rows.append(
+            (rank + 1, int(ids[best]), round(float(rel[best]), round_dp),
+             round(float(mmr[best]), round_dp))
+        )
+        avail[best] = False
+        selected.append(best)
+        max_sim = np.maximum(max_sim, unit @ unit[best])
+    return pd.DataFrame(
+        out_rows, columns=["rank", "vec_id", "relevance", "mmr_score"]
+    )

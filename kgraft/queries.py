@@ -4108,6 +4108,17 @@ ORDER BY score DESC, e.vec_id LIMIT 10
 """
 
 
+def mmr_diverse_neighbors(sf_dir: str) -> pd.DataFrame:
+    """MMR-diversified top-10 neighbors of vec_id 0 (λ = 0.7, shortlist
+    100) — the redundancy-suppressing re-rank retrieval stacks run after
+    ANN. See :func:`kgraft.embedops.mmr_rerank`. Rows-only driver check
+    (the greedy selection is not SQL-expressible); the serial-greedy
+    oracle lives in tests/test_embedops.py."""
+    emb = read_table(sf_dir, "embeddings")
+    q = embedops.get_query_vector(emb, vec_id=0)
+    return embedops.mmr_rerank(emb, q, k=10, shortlist=100, lam=0.7)
+
+
 def ivf_ann_topk(sf_dir: str) -> pd.DataFrame:
     emb = read_table(sf_dir, "embeddings")
     q = embedops.get_query_vector(emb, vec_id=0)
@@ -4980,6 +4991,7 @@ QUERIES = {
     "quality_docs": quality_docs_q,
     "fingerprint_docs": fingerprint_docs_q,
     "knn_cosine_topk": knn_cosine_topk,
+    "mmr_diverse_neighbors": mmr_diverse_neighbors,
     "ivf_ann_topk": ivf_ann_topk,
     "pq_ann_topk": pq_ann_topk,
     "cluster_embeddings": cluster_embeddings,

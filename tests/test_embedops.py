@@ -276,3 +276,60 @@ def test_knn_topk_multi_vs_bruteforce(ray_session):
     pd.testing.assert_frame_equal(
         got.astype({"vec_id": "int64"}), want.astype({"vec_id": "int64"})
     )
+
+
+def test_mmr_rerank_matches_serial(ray_session):
+    """Distributed-shortlist MMR == serial greedy on the same corpus
+    (shortlist covers the whole corpus, so selection is exact)."""
+    import ray
+
+    from kgraft.embedops import mmr_rerank
+
+    rng = np.random.RandomState(31)
+    n, d = 120, 16
+    mat = rng.normal(size=(n, d))
+    q = rng.normal(size=d)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype="int64"), "embedding": [v.tolist() for v in mat]}
+    )
+    lam = 0.6
+    got = mmr_rerank(
+        ray.data.from_pandas(df).repartition(6), q, k=10, shortlist=n, lam=lam
+    )
+
+    # serial reference
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return a @ b / (na * nb) if na and nb else 0.0
+
+    rel = np.array([cos(v, q) for v in mat])
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    sel, avail = [], set(range(n))
+    rows = []
+    for rank in range(10):
+        best, best_score = None, None
+        for i in sorted(avail):
+            div = max((unit[i] @ unit[j] for j in sel), default=0.0)
+            s = lam * rel[i] - (1 - lam) * div
+            if best is None or s > best_score + 1e-15:
+                best, best_score = i, s
+        rows.append((rank + 1, best, round(rel[best], 6), round(best_score, 6)))
+        sel.append(best)
+        avail.remove(best)
+    want = pd.DataFrame(rows, columns=["rank", "vec_id", "relevance", "mmr_score"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # planted twins: the duplicate of the top hit must NOT come second
+    twin = pd.DataFrame(
+        {
+            "vec_id": np.arange(4, dtype="int64"),
+            "embedding": [
+                q.tolist(), q.tolist(),           # identical, maximal relevance
+                (-q).tolist(), np.roll(q, 1).tolist(),
+            ],
+        }
+    )
+    # lam < 0.5 so the diversity term outweighs the twin's relevance
+    got2 = mmr_rerank(ray.data.from_pandas(twin), q, k=3, shortlist=4, lam=0.3)
+    assert got2.loc[0, "vec_id"] == 0
+    assert got2.loc[1, "vec_id"] != 1  # diversity suppresses the twin
