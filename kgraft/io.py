@@ -91,3 +91,163 @@ def read_csv(paths, dtypes: dict | None = None):
             lambda df: _pin(df, dtypes), batch_format="pandas"
         )
     return ds
+
+
+# ---------------------------------------------------------------------------
+# hash-bucketed Parquet layout: co-partitioned storage for shuffle-free joins
+
+
+def write_bucketed(ds, out_dir: str, on, num_buckets: int = 64) -> None:
+    """Write a Dataset as a HASH-BUCKETED Parquet layout: rows land in
+    ``__bucket=<b>/`` hive directories by the engine's versioned join
+    hash (:func:`kgraft.relational.join_key_hash`) of the key columns.
+    Two tables written with the same key types and ``num_buckets`` are
+    CO-PARTITIONED: :func:`copartitioned_join` later joins them
+    bucket-by-bucket with NO shuffle at all — the storage layout IS the
+    exchange, paid once at write time and amortized over every
+    downstream join (the Hive/Iceberg bucketing trade). A
+    ``_buckets.json`` manifest pins (key, num_buckets, key kind, hash
+    version, Arrow schema) so a mismatched join fails fast instead of
+    silently mispairing.
+    """
+    import base64
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    from .relational import join_key_hash
+
+    on_cols = [on] if isinstance(on, str) else list(on)
+    schema = ds.schema()
+
+    def _arrow_type(t):
+        # pandas-block datasets report numpy dtypes; normalize so the
+        # manifest always pins Arrow types (object columns are strings
+        # by the engine's data model)
+        if isinstance(t, pa.DataType):
+            return t
+        dt = np.dtype(t)
+        return pa.string() if dt == np.dtype(object) else pa.from_numpy_dtype(dt)
+
+    types = {n: _arrow_type(t) for n, t in zip(schema.names, schema.types)}
+    missing = [c for c in on_cols if c not in types]
+    if missing:
+        raise ValueError(f"write_bucketed: key column(s) {missing} not in schema")
+    import pyarrow.types as pt
+
+    int_keys = all(pt.is_integer(types[c]) for c in on_cols)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = join_key_hash(t, on_cols, int_keys)
+        return t.append_column(
+            "__bucket",
+            pa.array((h % np.uint64(num_buckets)).astype(np.int64), pa.int64()),
+        )
+
+    ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["__bucket"]
+    )
+    arrow_schema = pa.schema([(n, types[n]) for n in schema.names])
+    manifest = {
+        "key": on_cols,
+        "num_buckets": int(num_buckets),
+        "int_keys": bool(int_keys),
+        "hash_version": 1,
+        "schema_b64": base64.b64encode(arrow_schema.serialize().to_pybytes()).decode(),
+    }
+    with open(os.path.join(out_dir, "_buckets.json"), "w") as f:
+        json.dump(manifest, f)
+
+
+def _load_bucket_manifest(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "_buckets.json")) as f:
+        return json.load(f)
+
+
+def copartitioned_join(left_dir: str, right_dir: str, on, how: str = "inner"):
+    """SHUFFLE-FREE equi-join of two hash-bucketed layouts written by
+    :func:`write_bucketed`: bucket b of the left joins bucket b of the
+    right inside one map task — no exchange, because co-partitioning
+    already co-located every key. Validates both manifests (same key,
+    bucket count, key kind, hash version) and fails fast on drift.
+    Returns a streaming Dataset; join semantics match
+    :func:`kgraft.relational.hash_join` (Acero ``pyarrow.Table.join``
+    per bucket).
+    """
+    import base64
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    on_cols = [on] if isinstance(on, str) else list(on)
+    lm, rm = _load_bucket_manifest(left_dir), _load_bucket_manifest(right_dir)
+    for m, side in ((lm, "left"), (rm, "right")):
+        if m["key"] != on_cols:
+            raise ValueError(
+                f"copartitioned_join: {side} layout is bucketed by "
+                f"{m['key']}, join asked for {on_cols}"
+            )
+    for field in ("num_buckets", "int_keys", "hash_version"):
+        if lm[field] != rm[field]:
+            raise ValueError(
+                f"copartitioned_join: layouts disagree on {field}: "
+                f"{lm[field]} vs {rm[field]} — rewrite one side"
+            )
+    join_type = {
+        "inner": "inner",
+        "left": "left outer",
+        "right": "right outer",
+        "outer": "full outer",
+    }.get(how)
+    if join_type is None:
+        raise ValueError(f"copartitioned_join: unsupported how={how!r}")
+    lschema = pa.ipc.read_schema(
+        pa.BufferReader(base64.b64decode(lm["schema_b64"]))
+    )
+    rschema = pa.ipc.read_schema(
+        pa.BufferReader(base64.b64decode(rm["schema_b64"]))
+    )
+    shared = [
+        c for c in rschema.names if c in lschema.names and c not in on_cols
+    ]
+    if shared:
+        raise ValueError(
+            f"copartitioned_join: ambiguous non-key columns on both sides: {shared}"
+        )
+
+    n = int(lm["num_buckets"])
+    buckets = ray.data.from_items(list(range(n)), override_num_blocks=n)
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for b in df["item"].tolist():
+            lp = sorted(glob.glob(os.path.join(left_dir, f"__bucket={b}", "*.parquet")))
+            rp = sorted(glob.glob(os.path.join(right_dir, f"__bucket={b}", "*.parquet")))
+            lt = (
+                pa.concat_tables([pq.read_table(p, schema=lschema) for p in lp])
+                if lp
+                else lschema.empty_table()
+            )
+            rt = (
+                pa.concat_tables([pq.read_table(p, schema=rschema) for p in rp])
+                if rp
+                else rschema.empty_table()
+            )
+            if how == "inner" and (len(lt) == 0 or len(rt) == 0):
+                continue
+            j = lt.join(rt, keys=on_cols, join_type=join_type)
+            if len(j):
+                outs.append(j.to_pandas())
+        if not outs:
+            cols = list(dict.fromkeys(lschema.names + rschema.names))
+            return pd.DataFrame({c: [] for c in cols})
+        return pd.concat(outs, ignore_index=True)
+
+    return buckets.map_batches(join_bucket, batch_format="pandas")

@@ -2830,6 +2830,66 @@ GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 20
 """
 
 
+def bucketed_join_revenue(sf_dir: str) -> pd.DataFrame:
+    """Customer-order revenue per nation through the HASH-BUCKETED
+    STORAGE LAYOUT: both tables are written once as co-partitioned
+    ``write_bucketed`` layouts (cached under /tmp keyed by sf_dir), then
+    :func:`kgraft.io.copartitioned_join` joins them bucket-by-bucket
+    with NO shuffle — the storage layout is the exchange, paid at write
+    time (the Hive/Iceberg bucketing trade, the right shape when a fact
+    table is joined on the same key by many downstream pipelines)."""
+    import hashlib
+    import os
+
+    from .io import copartitioned_join, write_bucketed
+
+    base = os.path.join(
+        "/tmp/kgraft_bucketed", hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    cd, od = os.path.join(base, "customer"), os.path.join(base, "orders")
+    if not os.path.exists(os.path.join(cd, "_buckets.json")):
+        cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+        write_bucketed(
+            cust.map_batches(
+                lambda t: t.rename_columns(["custkey", "c_nationkey"]),
+                batch_format="pyarrow",
+            ),
+            cd,
+            "custkey",
+            num_buckets=16,
+        )
+    if not os.path.exists(os.path.join(od, "_buckets.json")):
+        ords = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        write_bucketed(
+            ords.map_batches(
+                lambda t: t.rename_columns(["custkey", "o_totalprice"]),
+                batch_format="pyarrow",
+            ),
+            od,
+            "custkey",
+            num_buckets=16,
+        )
+    joined = copartitioned_join(cd, od, "custkey")
+    out = pre_aggregate(
+        joined,
+        ["c_nationkey"],
+        {"n_orders": (None, "count"), "total_price": ("o_totalprice", "sum")},
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["total_price"] = out["total_price"].round(2)
+    return out.sort_values("c_nationkey", ignore_index=True)[
+        ["c_nationkey", "n_orders", "total_price"]
+    ]
+
+
+_BUCKETED_JOIN_REVENUE_SQL = """
+SELECT c_nationkey, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
 def bcubed_docs(sf_dir: str) -> pd.DataFrame:
     """B-cubed clustering-agreement metrics (Bagga & Baldwin 1998)
     between a deterministic hash-bucketing of documents and their
@@ -4935,6 +4995,7 @@ QUERIES = {
     "iqr_outliers_by_type": iqr_outliers_by_type,
     "user_state_history": user_state_history,
     "bcubed_docs": bcubed_docs,
+    "bucketed_join_revenue": bucketed_join_revenue,
     "source_token_kl": source_token_kl,
     "dsir_select_docs": dsir_select_docs,
     "unpivot_lineitem_stats": unpivot_lineitem_stats,
@@ -5090,6 +5151,7 @@ ORACLE_SQL = {
     "iqr_outliers_by_type": _IQR_OUTLIERS_SQL,
     "user_state_history": _USER_STATE_HISTORY_SQL,
     "bcubed_docs": _BCUBED_DOCS_SQL,
+    "bucketed_join_revenue": _BUCKETED_JOIN_REVENUE_SQL,
     "source_token_kl": _SOURCE_TOKEN_KL_SQL,
     "dsir_select_docs": _DSIR_SELECT_SQL,
     "unpivot_lineitem_stats": _UNPIVOT_SQL,

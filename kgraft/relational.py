@@ -661,6 +661,36 @@ def semi_anti_join(ds, keys, on: str, anti: bool = False):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def join_key_hash(t: pa.Table, on_cols, int_keys: bool) -> np.ndarray:
+    """The engine's ONE join-key hash (versioned: v1) — shared by
+    :func:`hash_join` and the bucketed storage layout in ``kgraft.io``
+    so that tables written with :func:`kgraft.io.write_bucketed` are
+    co-partitioned with live join buckets."""
+    from .hashing import splitmix64
+
+    if int_keys:
+        h = np.zeros(len(t), dtype=np.uint64)
+        for i, c in enumerate(on_cols):
+            v = t[c].to_numpy(zero_copy_only=False).astype(np.uint64)
+            h ^= splitmix64(v + np.uint64(0x9E3779B97F4A7C15 * (i + 1) & (2**64 - 1)))
+        return h
+    # Arrow-native for string keys: cast + element-wise join stay in
+    # Arrow buffers (the pandas astype(str) detour copied every key
+    # through Python objects per batch — r2 review)
+    import pyarrow.compute as pc
+
+    arrs = [
+        pc.fill_null(pc.cast(t[c], pa.string()), "\x00null")
+        for c in on_cols
+    ]
+    key = (
+        arrs[0]
+        if len(arrs) == 1
+        else pc.binary_join_element_wise(*arrs, "\x1f")
+    )
+    return hash_strings(key.to_pylist(), seed=3)
+
+
 def hash_join(
     left,
     right,
@@ -748,29 +778,7 @@ def hash_join(
     out_cols = lcols + [c for c in rcols if c not in on_cols]
 
     def rawhash(t: pa.Table) -> np.ndarray:
-        from .hashing import splitmix64
-
-        if int_keys:
-            h = np.zeros(len(t), dtype=np.uint64)
-            for i, c in enumerate(on_cols):
-                v = t[c].to_numpy(zero_copy_only=False).astype(np.uint64)
-                h ^= splitmix64(v + np.uint64(0x9E3779B97F4A7C15 * (i + 1) & (2**64 - 1)))
-            return h
-        # Arrow-native for string keys: cast + element-wise join stay in
-        # Arrow buffers (the pandas astype(str) detour copied every key
-        # through Python objects per batch — r2 review)
-        import pyarrow.compute as pc
-
-        arrs = [
-            pc.fill_null(pc.cast(t[c], pa.string()), "\x00null")
-            for c in on_cols
-        ]
-        key = (
-            arrs[0]
-            if len(arrs) == 1
-            else pc.binary_join_element_wise(*arrs, "\x1f")
-        )
-        return hash_strings(key.to_pylist(), seed=3)
+        return join_key_hash(t, on_cols, int_keys)
 
     base_l, base_r = list(lcols), list(rcols)
     if salted:

@@ -61,3 +61,86 @@ def test_csv_roundtrip_customer(ray_session, tmp_path):
         .sort_values("c_custkey", ignore_index=True)[want.columns]
     )
     pd.testing.assert_frame_equal(back, want)
+
+
+def test_bucketed_layout_shuffle_free_join(ray_session, tmp_path):
+    """write_bucketed + copartitioned_join == plain merge, for int and
+    string keys, including rows whose key exists on one side only."""
+    import ray
+
+    from kgraft.io import copartitioned_join, write_bucketed
+
+    rng = np.random.RandomState(41)
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 50, 300).astype("int64"),
+            "s": rng.choice(["x", "y", "z"], 300),
+            "lv": rng.rand(300),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(25, 75, 120).astype("int64"),
+            "rv": rng.rand(120),
+        }
+    )
+    ld, rd = str(tmp_path / "l"), str(tmp_path / "r")
+    write_bucketed(ray.data.from_pandas(left).repartition(4), ld, "k", num_buckets=8)
+    write_bucketed(ray.data.from_pandas(right).repartition(3), rd, "k", num_buckets=8)
+
+    got = (
+        copartitioned_join(ld, rd, "k")
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"], ignore_index=True)
+    )
+    want = left.merge(right, on="k").sort_values(
+        ["k", "lv", "rv"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(
+        got[["k", "s", "lv", "rv"]], want[["k", "s", "lv", "rv"]],
+        check_dtype=False,
+    )
+
+    # left join keeps unmatched left rows with null rv
+    gl = copartitioned_join(ld, rd, "k", how="left").to_pandas()
+    wl = left.merge(right, on="k", how="left")
+    assert len(gl) == len(wl)
+    assert gl["rv"].isna().sum() == wl["rv"].isna().sum()
+
+    # string-keyed layout round-trips through the string hash path
+    ls = left.rename(columns={"s": "key_s"})[["key_s", "lv"]]
+    rs = pd.DataFrame({"key_s": ["x", "z", "w"], "tag": [1, 2, 3]})
+    lsd, rsd = str(tmp_path / "ls"), str(tmp_path / "rs")
+    write_bucketed(ray.data.from_pandas(ls), lsd, "key_s", num_buckets=4)
+    write_bucketed(ray.data.from_pandas(rs), rsd, "key_s", num_buckets=4)
+    gs = (
+        copartitioned_join(lsd, rsd, "key_s")
+        .to_pandas()
+        .sort_values(["key_s", "lv"], ignore_index=True)
+    )
+    ws = ls.merge(rs, on="key_s").sort_values(["key_s", "lv"], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        gs[["key_s", "lv", "tag"]], ws[["key_s", "lv", "tag"]], check_dtype=False
+    )
+
+
+def test_bucketed_layout_manifest_guards(ray_session, tmp_path):
+    import pytest
+    import ray
+
+    from kgraft.io import copartitioned_join, write_bucketed
+
+    a = pd.DataFrame({"k": np.arange(10, dtype="int64"), "v": np.arange(10)})
+    d1, d2, d3 = (str(tmp_path / x) for x in ("a", "b", "c"))
+    write_bucketed(ray.data.from_pandas(a), d1, "k", num_buckets=4)
+    write_bucketed(
+        ray.data.from_pandas(a.rename(columns={"v": "w"})), d2, "k", num_buckets=8
+    )
+    with pytest.raises(ValueError, match="num_buckets"):
+        copartitioned_join(d1, d2, "k")
+    write_bucketed(
+        ray.data.from_pandas(a.rename(columns={"k": "j", "v": "w"})), d3, "j",
+        num_buckets=4,
+    )
+    with pytest.raises(ValueError, match="bucketed by"):
+        copartitioned_join(d1, d3, "k")
