@@ -2890,6 +2890,43 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def quality_classifier_docs(sf_dir: str) -> pd.DataFrame:
+    """Trainable quality filter end-to-end: fit the fastText-style
+    hashed-bag-of-words logistic classifier
+    (:func:`kgraft.models.classifier.train_text_classifier`) to
+    separate a deterministic source split (sources whose numeric suffix
+    is even = "good"), score the corpus shuffle-free, report per-source
+    mean keep-probability. Rows-only (iterative GD is not
+    SQL-expressible); gradient-exactness + accuracy oracles live in
+    tests/test_models.py."""
+    from .models.classifier import score_text, train_text_classifier
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        suffix = df["source"].str.extract(r"(\d+)$", expand=False).fillna("1")
+        df["label"] = (suffix.astype("int64") % 2 == 0).astype("int64")
+        return df
+
+    labeled = docs.map_batches(label, batch_format="pandas")
+    model = train_text_classifier(
+        labeled, "text", "label", hash_bits=14, n_iter=8
+    )
+    scored = score_text(labeled, model, "text")
+    out = pre_aggregate(
+        scored,
+        ["source"],
+        {"n_docs": (None, "count"), "mean_p_good": ("p_good", "mean")},
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["mean_p_good"] = out["mean_p_good"].round(4)
+    out["final_loss"] = round(model["losses"][-1], 4)
+    return out.sort_values("source", ignore_index=True)[
+        ["source", "n_docs", "mean_p_good", "final_loss"]
+    ]
+
+
 def bcubed_docs(sf_dir: str) -> pd.DataFrame:
     """B-cubed clustering-agreement metrics (Bagga & Baldwin 1998)
     between a deterministic hash-bucketing of documents and their
@@ -4996,6 +5033,7 @@ QUERIES = {
     "user_state_history": user_state_history,
     "bcubed_docs": bcubed_docs,
     "bucketed_join_revenue": bucketed_join_revenue,
+    "quality_classifier_docs": quality_classifier_docs,
     "source_token_kl": source_token_kl,
     "dsir_select_docs": dsir_select_docs,
     "unpivot_lineitem_stats": unpivot_lineitem_stats,

@@ -1,5 +1,7 @@
 """Stages 4-5: mention detection + triple extraction (deterministic backend)."""
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from kgraft.models.triples import TripleExtractor
@@ -65,3 +67,72 @@ def test_mention_detector(ray_session):
     assert surfaces == ["Zorvex Corp", "Acme Labs", "zorvex"]  # longest-first
     s, e = out["start"].to_pylist()[0], out["end"].to_pylist()[0]
     assert s == 0 and e == len("Zorvex Corp")
+
+
+def test_text_classifier_matches_serial_gd(ray_session):
+    """Distributed full-batch GD == serial numpy GD (same hashed
+    features): gradient partials are exact sums, so block layout cannot
+    change the trajectory beyond float-summation noise."""
+    import ray
+
+    from kgraft.hashing import hash_strings
+    from kgraft.models.classifier import train_text_classifier
+
+    rng = np.random.RandomState(3)
+    good_vocab = [f"good{i}" for i in range(30)]
+    bad_vocab = [f"bad{i}" for i in range(30)]
+    rows = []
+    for i in range(200):
+        v = good_vocab if i % 2 == 0 else bad_vocab
+        rows.append((" ".join(rng.choice(v, 12)), i % 2 == 0 and 1 or 0))
+    df = pd.DataFrame(rows, columns=["text", "label"])
+    df["label"] = (np.arange(200) % 2 == 0).astype("int64")
+
+    hash_bits, n_iter, lr, l2, seed = 10, 12, 10.0, 1e-6, 11
+    model = train_text_classifier(
+        ray.data.from_pandas(df).repartition(6), "text", "label",
+        hash_bits=hash_bits, n_iter=n_iter, lr=lr, l2=l2, seed=seed,
+    )
+
+    # serial twin
+    import re
+
+    dim = 1 << hash_bits
+    X = np.zeros((len(df), dim))
+    for r, text in enumerate(df["text"]):
+        toks = re.findall(r"[a-z0-9_]+", text.lower())
+        cols = (hash_strings(toks, seed=seed) % np.uint64(dim)).astype(int)
+        np.add.at(X[r], cols, 1.0 / max(len(toks), 1))  # mean pooling
+    y = df["label"].to_numpy(dtype=float)
+    w, b = np.zeros(dim), 0.0
+    n = len(df)
+    for _ in range(n_iter):
+        p = 1 / (1 + np.exp(-(X @ w + b)))
+        w -= lr * (X.T @ (p - y) / n + l2 * w)
+        b -= lr * float((p - y).sum()) / n
+    np.testing.assert_allclose(model["w"], w, atol=1e-10)
+    np.testing.assert_allclose(model["b"], b, atol=1e-10)
+
+    # loss decreases and the planted separation is learned
+    assert model["losses"][-1] < model["losses"][0] * 0.6
+
+
+def test_text_classifier_scores_separate_sources(ray_session):
+    import ray
+
+    from kgraft.models.classifier import score_text, train_text_classifier
+
+    rng = np.random.RandomState(9)
+    rows = []
+    for i in range(300):
+        if i % 2:
+            rows.append(("clean prose " + " ".join(rng.choice(list("abcdef"), 5)), 1))
+        else:
+            rows.append(("spam junk buy " + " ".join(rng.choice(list("uvwxyz"), 5)), 0))
+    df = pd.DataFrame(rows, columns=["text", "label"])
+    df["label"] = df["label"].astype("int64")
+    ds = ray.data.from_pandas(df).repartition(5)
+    model = train_text_classifier(ds, "text", "label", hash_bits=12, n_iter=10)
+    scored = score_text(ds, model, "text").to_pandas()
+    acc = ((scored["p_good"] > 0.5).astype(int) == scored["label"]).mean()
+    assert acc > 0.95
