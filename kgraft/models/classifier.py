@@ -143,3 +143,51 @@ def score_text(ds, model: dict, text_col: str, out_col: str = "p_good"):
         return df
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def pr_curve(ds, score_col: str, label_col: str, num_bins: int = 256) -> pd.DataFrame:
+    """Precision/recall sweep for a scored corpus: metrics at every
+    threshold k/num_bins — how a curation team picks the keep-rate /
+    precision operating point for a quality filter.
+
+    Scale shape: ONE shuffle-free pass; each block emits two fixed-size
+    score histograms (positives, negatives), the driver's cumulative
+    sums turn them into exact tp/fp/fn at every bin-edge threshold.
+    Exact because thresholds sit ON bin edges. Returns
+    (threshold, n_kept, precision, recall, f1) rows, thresholds with an
+    empty keep set dropped (precision undefined there, SQL-NULL-like).
+    """
+    edges = np.linspace(0.0, 1.0, num_bins + 1)
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[score_col].to_numpy(dtype=np.float64)
+        y = df[label_col].to_numpy(dtype=np.int64)
+        hp, _ = np.histogram(s[y == 1], bins=edges)
+        hn, _ = np.histogram(s[y == 0], bins=edges)
+        return pd.DataFrame({"hp": [hp.tobytes()], "hn": [hn.tobytes()]})
+
+    parts = ds.map_batches(hist_partial, batch_format="pandas").to_pandas()
+    hp = np.zeros(num_bins, dtype=np.int64)
+    hn = np.zeros(num_bins, dtype=np.int64)
+    for a, b in zip(parts["hp"], parts["hn"]):
+        hp += np.frombuffer(a, dtype=np.int64)
+        hn += np.frombuffer(b, dtype=np.int64)
+    n_pos = int(hp.sum())
+    # tp at threshold t_k = positives in bins >= k (score >= t_k)
+    tp = np.r_[hp[::-1].cumsum()[::-1], 0].astype(np.float64)
+    fp = np.r_[hn[::-1].cumsum()[::-1], 0].astype(np.float64)
+    kept = tp + fp
+    with np.errstate(divide="ignore", invalid="ignore"):
+        prec = tp / kept
+        rec = tp / n_pos if n_pos else np.full_like(tp, np.nan)
+        f1 = 2 * prec * rec / (prec + rec)
+    out = pd.DataFrame(
+        {
+            "threshold": np.round(edges, 6),
+            "n_kept": kept.astype("int64"),
+            "precision": np.round(prec, 6),
+            "recall": np.round(rec, 6),
+            "f1": np.round(np.where(np.isfinite(f1), f1, 0.0), 6),
+        }
+    )
+    return out[out["n_kept"] > 0].reset_index(drop=True)

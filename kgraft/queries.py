@@ -1596,6 +1596,135 @@ FROM scored WHERE rn <= 3 ORDER BY doc_id, raw DESC, token
 """
 
 
+def doc_bigram_nll(sf_dir: str) -> pd.DataFrame:
+    """Per-document average NLL under an add-one-smoothed corpus BIGRAM
+    LM — the context-aware upgrade of ``doc_unigram_nll``:
+    p(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V + 1) with c(w1·) the count
+    of bigram positions opening with w1 and V the distinct-token count.
+    Scale shape: the bigram count table is vocab²-scale so it can NEVER
+    broadcast (the unigram scorer's top-V trick dies here) — counts
+    attach back to the position rows through TWO bucketed string-keyed
+    joins instead; position rows form in-batch, per-doc means reduce
+    map-side."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bigrams(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z0-9_]+")
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "w1": pd.Series([], dtype=object),
+                    "bigram": pd.Series([], dtype=object),
+                }
+            )
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        rows = np.repeat(df["doc_id"].to_numpy(), lens)
+        # bigram positions: every token except each row's last
+        ends = np.cumsum(lens) - 1
+        keep = np.ones(len(flat), dtype=bool)
+        keep[ends[lens > 0]] = False
+        w1 = flat[keep]
+        w2 = flat[1:][keep[:-1]] if len(flat) > 1 else flat[:0]
+        return pd.DataFrame(
+            {
+                "doc_id": rows[keep].astype("int64"),
+                "w1": w1,
+                "bigram": w1 + " " + w2,
+            }
+        )
+
+    bg = docs.map_batches(bigrams, batch_format="pandas").materialize()
+    bgc = pre_aggregate_ds(bg, "bigram", {"cb": (None, "count")})
+    c1 = pre_aggregate_ds(
+        bg.map_batches(
+            lambda d: d[["w1"]].rename(columns={"w1": "ctx"}),
+            batch_format="pandas",
+        ),
+        "ctx",
+        {"c1": (None, "count")},
+    ).map_batches(
+        lambda d: d.rename(columns={"ctx": "w1"}), batch_format="pandas"
+    )
+
+    def tokens(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].fillna("").str.lower().str.findall(r"[a-z0-9_]+").explode()
+        return pd.DataFrame({"token": ex.dropna().to_numpy()})
+
+    vocab_n = int(
+        pre_aggregate_ds(
+            docs.map_batches(tokens, batch_format="pandas"),
+            "token",
+            {"n": (None, "count")},
+        ).count()
+    )
+
+    j1 = hash_join(
+        bg,
+        bgc,
+        on="bigram",
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("w1", pa.string()), ("bigram", pa.string())]
+        ),
+        right_schema=pa.schema([("bigram", pa.string()), ("cb", pa.int64())]),
+    )
+    j2 = hash_join(
+        j1,
+        c1,
+        on="w1",
+        left_schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("w1", pa.string()),
+                ("bigram", pa.string()),
+                ("cb", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("w1", pa.string()), ("c1", pa.int64())]),
+    )
+
+    def nll(df: pd.DataFrame) -> pd.DataFrame:
+        p = (df["cb"].to_numpy(dtype="float64") + 1.0) / (
+            df["c1"].to_numpy(dtype="float64") + vocab_n + 1.0
+        )
+        return pd.DataFrame({"doc_id": df["doc_id"], "nll": -np.log(p)})
+
+    out = pre_aggregate(
+        j2.map_batches(nll, batch_format="pandas"),
+        ["doc_id"],
+        {"avg_nll": ("nll", "mean")},
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["avg_nll"] = out["avg_nll"].round(6)
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+_DOC_BIGRAM_NLL_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS w1,
+         unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]))
+           AS bigram
+  FROM toks
+), bgc AS (
+  SELECT bigram, count(*) AS cb FROM bg GROUP BY bigram
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+), v AS (
+  SELECT count(DISTINCT t) AS vn
+  FROM (SELECT unnest(ts) AS t FROM toks)
+)
+SELECT bg.doc_id,
+       round(avg(-ln((bgc.cb + 1.0) / (c1.c1 + v.vn + 1.0))), 6) AS avg_nll
+FROM bg JOIN bgc USING (bigram) JOIN c1 USING (w1) CROSS JOIN v
+GROUP BY bg.doc_id ORDER BY bg.doc_id
+"""
+
+
 def inverted_index_docs(sf_dir: str) -> pd.DataFrame:
     """Inverted-index materialization: posting rows (token, doc_id, tf)
     for mid-frequency terms (5 ≤ df ≤ 40 — the discriminative band a
@@ -4522,7 +4651,8 @@ def kg_hits(sf_dir: str) -> pd.DataFrame:
     node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
         "entity_id"
     ].to_numpy()
-    edges = _read_kg_edges(m, columns=["subj_id", "obj_id"])
+    # pinned: HITS re-scans edges 2×n_iter times
+    edges = _read_kg_edges(m, columns=["subj_id", "obj_id"]).materialize()
     out = hits(edges, node_ids, n_iter=15, src_col="subj_id", dst_col="obj_id")
     out["authority"] = out["authority"].round(8)
     out["hub"] = out["hub"].round(8)
@@ -5002,6 +5132,7 @@ QUERIES = {
     "shape_stats_by_flag": shape_stats_by_flag,
     "tfidf_top_terms_docs": tfidf_top_terms_docs,
     "inverted_index_docs": inverted_index_docs,
+    "doc_bigram_nll": doc_bigram_nll,
     "event_type_pivot": event_type_pivot,
     "order_count_distribution": order_count_distribution,
     "mode_priority_by_status": mode_priority_by_status,
@@ -5161,6 +5292,7 @@ ORACLE_SQL = {
     "shape_stats_by_flag": _SHAPE_STATS_SQL,
     "tfidf_top_terms_docs": _TFIDF_TOP_TERMS_SQL,
     "inverted_index_docs": _INVERTED_INDEX_SQL,
+    "doc_bigram_nll": _DOC_BIGRAM_NLL_SQL,
     "event_type_pivot": _EVENT_PIVOT_SQL,
     "order_count_distribution": _ORDER_COUNT_DIST_SQL,
     "mode_priority_by_status": _MODE_PRIORITY_SQL,

@@ -136,3 +136,26 @@ def test_text_classifier_scores_separate_sources(ray_session):
     scored = score_text(ds, model, "text").to_pandas()
     acc = ((scored["p_good"] > 0.5).astype(int) == scored["label"]).mean()
     assert acc > 0.95
+
+
+def test_pr_curve_matches_direct(ray_session):
+    """Histogram-partial PR sweep == direct per-threshold counting."""
+    import ray
+
+    from kgraft.models.classifier import pr_curve
+
+    rng = np.random.RandomState(5)
+    n = 2000
+    y = (rng.rand(n) < 0.3).astype("int64")
+    # scores correlated with labels but noisy
+    s = np.clip(0.5 * y + 0.4 * rng.rand(n), 0, 1)
+    df = pd.DataFrame({"p": s, "y": y})
+    got = pr_curve(ray.data.from_pandas(df).repartition(6), "p", "y", num_bins=64)
+
+    for _, row in got.sample(10, random_state=1).iterrows():
+        t = row["threshold"]
+        keep = s >= t
+        tp = int((keep & (y == 1)).sum())
+        assert row["n_kept"] == int(keep.sum())
+        assert abs(row["precision"] - tp / keep.sum()) < 1e-6
+        assert abs(row["recall"] - tp / (y == 1).sum()) < 1e-6
