@@ -4637,6 +4637,42 @@ def kg_communities(sf_dir: str) -> pd.DataFrame:
     ).head(20)
 
 
+def kg_smoothed_importance(sf_dir: str) -> pd.DataFrame:
+    """GNN-style feature prep on the KG: PageRank scores smoothed by a
+    1-hop undirected neighborhood mean (GraphSAGE pooling with self-
+    loop) — "importance of the company you keep", top-20. See
+    :func:`kgraft.graph.neighborhood.neighbor_aggregate`. Rows-only;
+    the dense adjacency oracle lives in tests/test_graph.py."""
+    import pyarrow.parquet as pq
+
+    from .graph.neighborhood import neighbor_aggregate
+    from .graph.pagerank import pagerank
+
+    m = _kg_outputs(sf_dir)
+    node_ids = np.sort(
+        pq.read_table(m["nodes_dir"], columns=["entity_id"])["entity_id"].to_numpy()
+    )
+    edges = _read_kg_edges(m, columns=["subj_id", "obj_id"]).materialize()
+    pr = pagerank(edges, node_ids, n_iter=15)
+    ranks = (
+        pr.sort_values("node_id")["rank"].to_numpy(dtype="float64").reshape(-1, 1)
+    )
+    smoothed = neighbor_aggregate(
+        edges, node_ids, ranks, direction="both", include_self=True,
+        src_col="subj_id", dst_col="obj_id",
+    )
+    out = pd.DataFrame(
+        {
+            "node_id": node_ids,
+            "rank": np.round(ranks[:, 0], 10),
+            "smoothed_rank": np.round(smoothed[:, 0], 10),
+        }
+    )
+    return out.sort_values(
+        ["smoothed_rank", "node_id"], ascending=[False, True], ignore_index=True
+    ).head(20)
+
+
 def kg_hits(sf_dir: str) -> pd.DataFrame:
     """Top-20 entities by HITS authority over the materialized KG (hub
     score alongside) — separates well-referenced canonical entities from
@@ -5235,6 +5271,7 @@ QUERIES = {
     "kg_communities": kg_communities,
     "kg_link_prediction": kg_link_prediction,
     "kg_hits": kg_hits,
+    "kg_smoothed_importance": kg_smoothed_importance,
     "kg_ppr": kg_ppr,
     "kg_khop": kg_khop,
     "canonical_url_dedup": canonical_url_dedup,
