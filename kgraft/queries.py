@@ -1727,15 +1727,19 @@ GROUP BY bg.doc_id ORDER BY bg.doc_id
 
 def inverted_index_docs(sf_dir: str) -> pd.DataFrame:
     """Inverted-index materialization: posting rows (token, doc_id, tf)
-    for mid-frequency terms (5 ≤ df ≤ 40 — the discriminative band a
-    search index actually serves; stopword-band and hapax tokens are
-    pruned by the df filter). Scale shape: per-(doc, token) TF partials
-    form in-batch, the vocab-scale DF aggregate STAYS a Dataset and its
-    band filter runs vectorized on it, postings attach through the
-    bucketed string-keyed join. At 100 TB the posting table is written
-    partitioned by token hash, never collected — the small-scale query
-    collects only because the df band bounds it."""
+    for mid-frequency terms (max(5, N/100) ≤ df ≤ N/12, N = corpus doc
+    count — the discriminative band a search index actually serves,
+    scale-relative so it stays non-degenerate at every corpus size;
+    stopword-band and hapax tokens are pruned by the df filter). Scale
+    shape: per-(doc, token) TF partials form in-batch, the vocab-scale
+    DF aggregate STAYS a Dataset and its band filter runs vectorized on
+    it, postings attach through the bucketed string-keyed join. At
+    100 TB the posting table is written partitioned by token hash,
+    never collected — the small-scale query collects only because the
+    df band bounds it."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = int(docs.count())  # parquet metadata count
+    lo, hi = max(5, n_docs // 100), max(6, n_docs // 12)
 
     def tf_part(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].fillna("").str.lower().str.findall(r"[a-z0-9_]+")
@@ -1753,7 +1757,7 @@ def inverted_index_docs(sf_dir: str) -> pd.DataFrame:
     tf_ds = docs.map_batches(tf_part, batch_format="pandas")
     df_ds = pre_aggregate_ds(tf_ds, "token", {"df": (None, "count")})
     band = df_ds.map_batches(
-        lambda d: d[(d["df"] >= 5) & (d["df"] <= 40)], batch_format="pandas"
+        lambda d: d[(d["df"] >= lo) & (d["df"] <= hi)], batch_format="pandas"
     )
     postings = hash_join(
         tf_ds,
@@ -1765,6 +1769,14 @@ def inverted_index_docs(sf_dir: str) -> pd.DataFrame:
         right_schema=pa.schema([("token", pa.string()), ("df", pa.int64())]),
     )
     out = postings.to_pandas()
+    if out.empty:  # degenerate band: typed empty frame, schema stable
+        return pd.DataFrame(
+            {
+                "token": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype="int64"),
+                "tf": pd.Series([], dtype="int64"),
+            }
+        )
     out["doc_id"] = out["doc_id"].astype("int64")
     out["tf"] = out["tf"].astype("int64")
     return out.sort_values(["token", "doc_id"], ignore_index=True)[
@@ -1780,10 +1792,14 @@ WITH tf AS (
   GROUP BY doc_id, t
 ), df AS (
   SELECT token, count(*) AS df FROM tf GROUP BY token
+), band AS (
+  SELECT greatest(5, CAST(count(*) // 100 AS BIGINT)) AS lo,
+         greatest(6, CAST(count(*) // 12 AS BIGINT)) AS hi
+  FROM documents
 )
 SELECT tf.token, tf.doc_id, tf.tf
-FROM tf JOIN df USING (token)
-WHERE df.df BETWEEN 5 AND 40
+FROM tf JOIN df USING (token) CROSS JOIN band
+WHERE df.df BETWEEN band.lo AND band.hi
 ORDER BY token, doc_id
 """
 
@@ -3091,6 +3107,74 @@ SELECT CAST(n.n AS BIGINT) AS n_items,
        round(2 * (p.v / n.n) * (r.v / n.n) / ((p.v / n.n) + (r.v / n.n)), 6)
          AS bcubed_f1
 FROM n, p, r
+"""
+
+
+def event_gap_stats(sf_dir: str) -> pd.DataFrame:
+    """Inter-event timing profile: per event TYPE, the mean/stddev and
+    burstiness coefficient (Goh & Barabási 2008: (σ−μ)/(σ+μ)) of the
+    gaps between each user's consecutive events of that type — the
+    traffic-shape diagnostic behind rate-limit and anomaly baselines.
+    One user-keyed co-locating exchange; gaps form in-bucket via
+    vectorized shift, the per-type reduction is map-side partials.
+    Gap unit: seconds as epoch-µs difference / 1e6, computed with the
+    identical expression in the SQL twin."""
+    from .relational import bucketed_groupby_apply
+
+    ev = read_table(
+        sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"]
+    )
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"])
+        us = g["ts"].astype("datetime64[us]").astype("int64")
+        same = (
+            g["user_id"].eq(g["user_id"].shift())
+            & g["event_type"].eq(g["event_type"].shift())
+        ).to_numpy()
+        gap_s = (us - us.shift()).to_numpy(dtype="float64") / 1e6
+        return pd.DataFrame(
+            {"event_type": g["event_type"].to_numpy()[same], "gap_s": gap_s[same]}
+        )
+
+    gap_ds = bucketed_groupby_apply(ev, ["user_id"], gaps)
+    out = pre_aggregate(
+        gap_ds,
+        ["event_type"],
+        {
+            "n_gaps": (None, "count"),
+            "avg_gap_s": ("gap_s", "mean"),
+            "std_gap_s": ("gap_s", "std"),
+        },
+    )
+    out["n_gaps"] = out["n_gaps"].astype("int64")
+    out["burstiness"] = (
+        (out["std_gap_s"] - out["avg_gap_s"])
+        / (out["std_gap_s"] + out["avg_gap_s"])
+    ).round(6)
+    out["avg_gap_s"] = out["avg_gap_s"].round(4)
+    out["std_gap_s"] = out["std_gap_s"].round(4)
+    return out.sort_values("event_type", ignore_index=True)[
+        ["event_type", "n_gaps", "avg_gap_s", "std_gap_s", "burstiness"]
+    ]
+
+
+_EVENT_GAP_STATS_SQL = """
+WITH g AS (
+  SELECT event_type,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id, event_type ORDER BY ts, event_id
+          )) / 1e6 AS gap_s
+  FROM events
+)
+SELECT event_type,
+       count(gap_s) AS n_gaps,
+       round(avg(gap_s), 4) AS avg_gap_s,
+       round(stddev_samp(gap_s), 4) AS std_gap_s,
+       round((stddev_samp(gap_s) - avg(gap_s))
+             / (stddev_samp(gap_s) + avg(gap_s)), 6) AS burstiness
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY event_type ORDER BY event_type
 """
 
 
@@ -5049,6 +5133,85 @@ LIMIT 20
 """
 
 
+def rrf_hybrid_search_docs(sf_dir: str) -> pd.DataFrame:
+    """Hybrid search via reciprocal-rank fusion (Cormack et al., SIGIR
+    2009): fuse the keyword-count ranking and the BM25 ranking with
+    score = Σ 1/(60 + rank) over the lists a doc appears in — the
+    rank-based combiner retrieval stacks use because it needs no score
+    calibration. The two corpus scans are the existing distributed
+    search ops; fusion itself touches only the two top-50 lists
+    (bounded, driver-side by design)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    kw = textops.keyword_search(docs, ["sort", "merge"], k=50)
+    bm = textops.bm25_search(docs, ["sort", "merge", "stream"], k=50)
+    kw = kw.to_pandas() if not isinstance(kw, pd.DataFrame) else kw
+    bm = bm.to_pandas() if not isinstance(bm, pd.DataFrame) else bm
+
+    def ranked(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["score", "doc_id"], ascending=[False, True], ignore_index=True
+        )
+        df["rank"] = np.arange(1, len(df) + 1, dtype="int64")
+        return df[["doc_id", "rank"]]
+
+    fused = ranked(kw).merge(
+        ranked(bm), on="doc_id", how="outer", suffixes=("_kw", "_bm25")
+    )
+    fused["rrf"] = (
+        (1.0 / (60.0 + fused["rank_kw"])).fillna(0.0)
+        + (1.0 / (60.0 + fused["rank_bm25"])).fillna(0.0)
+    ).round(6)
+    out = fused.sort_values(
+        ["rrf", "doc_id"], ascending=[False, True], ignore_index=True
+    ).head(10)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["doc_id", "rrf"]]
+
+
+_RRF_HYBRID_SQL = """
+WITH kw AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM (
+    SELECT doc_id,
+           CAST((length(text) - length(replace(text, 'sort', ''))) / 4
+              + (length(text) - length(replace(text, 'merge', ''))) / 5
+              AS BIGINT) AS score
+    FROM documents
+  ) WHERE score > 0
+  ORDER BY score DESC, doc_id LIMIT 50
+),
+t(term) AS (SELECT unnest(['sort', 'merge', 'stream'])),
+stats AS (SELECT count(*) AS n, avg(length(text)) AS avgdl FROM documents),
+tf AS (
+  SELECT d.doc_id, t.term, length(d.text) AS dl,
+         CAST((length(lower(d.text)) - length(replace(lower(d.text), t.term, '')))
+              / length(t.term) AS BIGINT) AS tf
+  FROM documents d CROSS JOIN t
+),
+df AS (SELECT term, count(*) AS df FROM tf WHERE tf > 0 GROUP BY term),
+bms AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+         ), 4) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN stats
+  WHERE tf.tf > 0 GROUP BY tf.doc_id
+),
+bm AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM bms WHERE score > 0
+  ORDER BY score DESC, doc_id LIMIT 50
+)
+SELECT COALESCE(kw.doc_id, bm.doc_id) AS doc_id,
+       round(COALESCE(1.0 / (60 + kw.r), 0) + COALESCE(1.0 / (60 + bm.r), 0), 6)
+         AS rrf
+FROM kw FULL OUTER JOIN bm ON kw.doc_id = bm.doc_id
+ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
 def stratified_sample_events(sf_dir: str):
     """Deterministic stratified sampling of the event stream — keep 20%
     of clicks, 10% of views, 50% of purchases, 2% of everything else,
@@ -5162,6 +5325,7 @@ QUERIES = {
     "top_events_per_user": top_events_per_user,
     "search_docs": search_docs,
     "bm25_search_docs": bm25_search_docs,
+    "rrf_hybrid_search_docs": rrf_hybrid_search_docs,
     "median_price_by_priority": median_price_by_priority,
     "p90_event_value_by_type": p90_event_value_by_type,
     "lineitem_moments": lineitem_moments,
@@ -5198,6 +5362,7 @@ QUERIES = {
     "audience_overlap_events": audience_overlap_events,
     "iqr_outliers_by_type": iqr_outliers_by_type,
     "user_state_history": user_state_history,
+    "event_gap_stats": event_gap_stats,
     "bcubed_docs": bcubed_docs,
     "bucketed_join_revenue": bucketed_join_revenue,
     "quality_classifier_docs": quality_classifier_docs,
@@ -5323,6 +5488,7 @@ ORACLE_SQL = {
     "top_events_per_user": _TOP_PER_USER_SQL,
     "search_docs": _SEARCH_SQL,
     "bm25_search_docs": _BM25_SQL,
+    "rrf_hybrid_search_docs": _RRF_HYBRID_SQL,
     "median_price_by_priority": _MEDIAN_PRICE_SQL,
     "p90_event_value_by_type": _P90_EVENT_SQL,
     "lineitem_moments": _LINEITEM_MOMENTS_SQL,
@@ -5357,6 +5523,7 @@ ORACLE_SQL = {
     "audience_overlap_events": _AUDIENCE_OVERLAP_SQL,
     "iqr_outliers_by_type": _IQR_OUTLIERS_SQL,
     "user_state_history": _USER_STATE_HISTORY_SQL,
+    "event_gap_stats": _EVENT_GAP_STATS_SQL,
     "bcubed_docs": _BCUBED_DOCS_SQL,
     "bucketed_join_revenue": _BUCKETED_JOIN_REVENUE_SQL,
     "source_token_kl": _SOURCE_TOKEN_KL_SQL,

@@ -1718,3 +1718,41 @@ def test_clustering_agreement_matches_per_item(ray_session):
     got_s = clustering_agreement(ray.data.from_pandas(single), "pred", "gold")
     assert got_s.loc[0, "bcubed_precision"] == 1.0
     assert got_s.loc[0, "bcubed_recall"] < 0.1
+
+
+def test_scd2_compress_nulls_and_ties(ray_session):
+    """Null-safe state compare (NULL == NULL keeps the interval open)
+    and deterministic equal-timestamp ordering via the tiebreak col."""
+    import ray
+
+    from kgraft.relational import scd2_compress
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 2, 2, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-03",
+                 "2024-01-01", "2024-01-01", "2024-01-02"]
+            ).astype("datetime64[us]"),
+            "tb": [0, 1, 2, 3, 0, 1, 2],
+            "st": ["a", None, None, "b", "x", "y", "y"],
+        }
+    )
+    got = (
+        scd2_compress(
+            ray.data.from_pandas(df).repartition(3), "k", ["ts", "tb"], "st"
+        )
+        .to_pandas()
+        .sort_values(["k", "valid_from", "tb"] if "tb" in [] else ["k", "valid_from"],
+                     ignore_index=True)
+    )
+    # key 1: a | NULL (two rows collapse) | b ; key 2: x | y (two collapse)
+    k1 = got[got["k"] == 1].reset_index(drop=True)
+    assert list(k1["st"]) == ["a", None, "b"]
+    assert k1.loc[0, "valid_to"] == k1.loc[1, "valid_from"]
+    assert k1.loc[1, "valid_to"] == k1.loc[2, "valid_from"]
+    assert pd.isna(k1.loc[2, "valid_to"])
+    k2 = got[got["k"] == 2].reset_index(drop=True)
+    # equal-ts rows ordered by tiebreak: x (tb 0) then y (tb 1), y@01-02 collapses
+    assert list(k2["st"]) == ["x", "y"]
+    assert pd.isna(k2.loc[1, "valid_to"])
