@@ -251,3 +251,64 @@ def copartitioned_join(left_dir: str, right_dir: str, on, how: str = "inner"):
         return pd.concat(outs, ignore_index=True)
 
     return buckets.map_batches(join_bucket, batch_format="pandas")
+
+
+def bucket_lookup(layout_dir: str, key_values) -> pd.DataFrame:
+    """Point lookup against a :func:`write_bucketed` layout: hash the
+    probe keys with the layout's own join hash and read ONLY the
+    buckets they land in — the index-like read path the bucketed layout
+    buys besides shuffle-free joins (1/num_buckets of the table scanned
+    per probed bucket, no shuffle, no full scan). Probe sets are
+    point-lookup-scale by definition, so the result returns as pandas.
+
+    ``key_values``: list of scalars (single-column key) or tuples
+    (composite key), in manifest key order.
+    """
+    import base64
+    import glob
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .relational import join_key_hash
+
+    m = _load_bucket_manifest(layout_dir)
+    on_cols = m["key"]
+    schema = pa.ipc.read_schema(
+        pa.BufferReader(base64.b64decode(m["schema_b64"]))
+    )
+    rows = [
+        kv if isinstance(kv, (tuple, list)) else (kv,) for kv in key_values
+    ]
+    if not rows:
+        return schema.empty_table().to_pandas()
+    if any(len(r) != len(on_cols) for r in rows):
+        raise ValueError(
+            f"bucket_lookup: layout key is {on_cols}; every probe must "
+            f"have {len(on_cols)} value(s)"
+        )
+    probe = pa.table(
+        {
+            c: pa.array([r[i] for r in rows], schema.field(c).type)
+            for i, c in enumerate(on_cols)
+        }
+    )
+    h = join_key_hash(probe, on_cols, bool(m["int_keys"]))
+    buckets = np.unique((h % np.uint64(int(m["num_buckets"]))).astype(np.int64))
+    probe_d = pa.TableGroupBy(probe, on_cols).aggregate([]).select(on_cols)
+    outs = []
+    for b in buckets:
+        paths = sorted(
+            glob.glob(os.path.join(layout_dir, f"__bucket={b}", "*.parquet"))
+        )
+        if not paths:
+            continue
+        t = pa.concat_tables([pq.read_table(p, schema=schema) for p in paths])
+        j = t.join(probe_d, keys=on_cols, join_type="left semi")
+        if len(j):
+            outs.append(j.to_pandas())
+    if not outs:
+        return schema.empty_table().to_pandas()
+    return pd.concat(outs, ignore_index=True)

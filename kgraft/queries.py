@@ -3110,6 +3110,70 @@ FROM n, p, r
 """
 
 
+def mi_type_dow_events(sf_dir: str) -> pd.DataFrame:
+    """Mutual information (nats) between event type and ISO day-of-week
+    — the categorical feature-relevance score (is traffic mix
+    day-dependent?), with normalized MI = I/√(H(x)·H(y)). One map-side-
+    combined (type, dow) cell aggregate; both variables are bounded-
+    cardinality so the |types|×7 cell table is driver-safe (the
+    unbounded-key variant is `relational.grouped_entropy`'s shape)."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "dow": df["ts"].dt.dayofweek.astype("int64") + 1,  # ISO 1-7
+            }
+        )
+
+    ct = pre_aggregate(
+        ev.map_batches(cells, batch_format="pandas"),
+        ["event_type", "dow"],
+        {"n": (None, "count")},
+    )
+    n = float(ct["n"].sum())
+    pxy = ct["n"].astype("float64") / n
+    px = (ct.groupby("event_type")["n"].transform("sum").astype("float64") / n)
+    py = ct.groupby("dow")["n"].transform("sum").astype("float64") / n
+    mi = float((pxy * np.log(pxy / (px * py))).sum())
+    hx = float(-(pxy.groupby(ct["event_type"]).sum().pipe(lambda s: s * np.log(s))).sum())
+    hy = float(-(pxy.groupby(ct["dow"]).sum().pipe(lambda s: s * np.log(s))).sum())
+    return pd.DataFrame(
+        {
+            "n_events": [int(n)],
+            "mi_nats": [round(mi, 6)],
+            "nmi": [round(mi / np.sqrt(hx * hy), 6) if hx > 0 and hy > 0 else 0.0],
+        }
+    )
+
+
+_MI_TYPE_DOW_SQL = """
+WITH c AS (
+  SELECT event_type, isodow(ts) AS dow, count(*)::DOUBLE AS n
+  FROM events GROUP BY event_type, isodow(ts)
+), t AS (SELECT sum(n) AS total FROM c),
+j AS (
+  SELECT c.n / t.total AS pxy,
+         sum(c.n) OVER (PARTITION BY c.event_type) / t.total AS px,
+         sum(c.n) OVER (PARTITION BY c.dow) / t.total AS py
+  FROM c CROSS JOIN t
+), hx AS (
+  SELECT -sum(p * ln(p)) AS h FROM (
+    SELECT sum(n) / (SELECT total FROM t) AS p FROM c GROUP BY event_type)
+), hy AS (
+  SELECT -sum(p * ln(p)) AS h FROM (
+    SELECT sum(n) / (SELECT total FROM t) AS p FROM c GROUP BY dow)
+)
+SELECT CAST(t.total AS BIGINT) AS n_events,
+       round(sum(j.pxy * ln(j.pxy / (j.px * j.py))), 6) AS mi_nats,
+       round(sum(j.pxy * ln(j.pxy / (j.px * j.py))) / sqrt(hx.h * hy.h), 6)
+         AS nmi
+FROM j CROSS JOIN t CROSS JOIN hx CROSS JOIN hy
+GROUP BY t.total, hx.h, hy.h
+"""
+
+
 def event_gap_stats(sf_dir: str) -> pd.DataFrame:
     """Inter-event timing profile: per event TYPE, the mean/stddev and
     burstiness coefficient (Goh & Barabási 2008: (σ−μ)/(σ+μ)) of the
@@ -5363,6 +5427,7 @@ QUERIES = {
     "iqr_outliers_by_type": iqr_outliers_by_type,
     "user_state_history": user_state_history,
     "event_gap_stats": event_gap_stats,
+    "mi_type_dow_events": mi_type_dow_events,
     "bcubed_docs": bcubed_docs,
     "bucketed_join_revenue": bucketed_join_revenue,
     "quality_classifier_docs": quality_classifier_docs,
@@ -5524,6 +5589,7 @@ ORACLE_SQL = {
     "iqr_outliers_by_type": _IQR_OUTLIERS_SQL,
     "user_state_history": _USER_STATE_HISTORY_SQL,
     "event_gap_stats": _EVENT_GAP_STATS_SQL,
+    "mi_type_dow_events": _MI_TYPE_DOW_SQL,
     "bcubed_docs": _BCUBED_DOCS_SQL,
     "bucketed_join_revenue": _BUCKETED_JOIN_REVENUE_SQL,
     "source_token_kl": _SOURCE_TOKEN_KL_SQL,

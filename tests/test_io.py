@@ -144,3 +144,48 @@ def test_bucketed_layout_manifest_guards(ray_session, tmp_path):
     )
     with pytest.raises(ValueError, match="bucketed by"):
         copartitioned_join(d1, d3, "k")
+
+
+def test_bucket_lookup_point_reads(ray_session, tmp_path):
+    """bucket_lookup == full-scan filter, including composite keys,
+    missing keys, and the empty-probe edge."""
+    import ray
+
+    from kgraft.io import bucket_lookup, write_bucketed
+
+    rng = np.random.RandomState(47)
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 200, 500).astype("int64"),
+            "v": rng.rand(500),
+        }
+    )
+    d = str(tmp_path / "lkp")
+    write_bucketed(ray.data.from_pandas(df).repartition(4), d, "k", num_buckets=16)
+
+    probes = [3, 77, 150, 9999]  # 9999 absent
+    got = bucket_lookup(d, probes).sort_values(["k", "v"], ignore_index=True)
+    want = df[df["k"].isin(probes)].sort_values(["k", "v"], ignore_index=True)
+    pd.testing.assert_frame_equal(got[["k", "v"]], want[["k", "v"]], check_dtype=False)
+
+    assert bucket_lookup(d, []).empty
+
+    # composite string+int key
+    df2 = pd.DataFrame(
+        {
+            "s": rng.choice(["a", "b", "c"], 300),
+            "i": rng.randint(0, 10, 300).astype("int64"),
+            "v": rng.rand(300),
+        }
+    )
+    d2 = str(tmp_path / "lkp2")
+    write_bucketed(ray.data.from_pandas(df2), d2, ["s", "i"], num_buckets=8)
+    got2 = bucket_lookup(d2, [("a", 3), ("c", 7)]).sort_values(
+        ["s", "i", "v"], ignore_index=True
+    )
+    want2 = df2[
+        ((df2["s"] == "a") & (df2["i"] == 3)) | ((df2["s"] == "c") & (df2["i"] == 7))
+    ].sort_values(["s", "i", "v"], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got2[["s", "i", "v"]], want2[["s", "i", "v"]], check_dtype=False
+    )
