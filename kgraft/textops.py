@@ -2270,3 +2270,55 @@ def tokenize_docs(
     return ds.select_columns([id_col, text_col]).map_batches(
         encode, batch_format="pandas"
     )
+
+
+def build_token_vocab(
+    ds, vocab_size: int = 1000, text_col: str = "text",
+    token_re: str = r"[a-z0-9_]+",
+) -> pd.DataFrame:
+    """The tokenizer's vocabulary as data: (token, token_id, n) for the
+    top-``vocab_size`` tokens under the SAME deterministic cut
+    :func:`tokenize_docs` uses (count desc, token asc; id 0 reserved
+    for UNK) — persist it next to the encoded corpus so decode and
+    later incremental encodes share one mapping."""
+    pat = re.compile(token_re)
+    vocab, _ = _corpus_vocab(ds, vocab_size, text_col, pat)
+    vocab = vocab.reset_index(drop=True)
+    vocab["token_id"] = np.arange(1, len(vocab) + 1, dtype="int32")
+    return vocab[["token", "token_id", "n"]]
+
+
+def detokenize_docs(
+    tokenized, vocab: pd.DataFrame, id_col: str = "doc_id",
+    ids_col: str = "input_ids", out_col: str = "text", unk: str = "<unk>",
+):
+    """Decode id sequences back to space-joined token text using a
+    :func:`build_token_vocab` table — the round-trip check/debug tool
+    for the tokenize → pack path (id 0 and any out-of-vocab id render
+    as ``unk``). Shuffle-free: the id→token array broadcasts once, each
+    batch decodes with one vectorized ``take`` over Arrow offsets."""
+    lut = np.full(int(vocab["token_id"].max()) + 1 if len(vocab) else 1,
+                  unk, dtype=object)
+    lut[vocab["token_id"].to_numpy(dtype="int64")] = vocab["token"].to_numpy(
+        dtype=object
+    )
+    lut_ref = ray.put(lut)
+
+    def decode(t: pa.Table) -> pa.Table:
+        tab = ray.get(lut_ref)
+        col = t[ids_col]
+        if hasattr(col, "combine_chunks"):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        flat = np.where((flat > 0) & (flat < len(tab)), flat, 0)
+        words = pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32), pa.int32()),
+            pa.array(tab[flat], pa.string()),
+        )
+        import pyarrow.compute as pc
+
+        texts = pc.binary_join(words, " ")
+        return pa.table({id_col: t[id_col], out_col: texts})
+
+    return tokenized.map_batches(decode, batch_format="pyarrow")

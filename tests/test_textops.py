@@ -862,3 +862,44 @@ def test_canonicalize_urls(ray_session):
     assert c[urls[2]] == c[urls[3]] == "https://example.com/p?a=1&b=2"
     assert ":8443" in c[urls[4]]
     assert c[urls[5]] != c[urls[1]]
+
+
+def test_tokenize_detokenize_round_trip(ray_session):
+    """detokenize(tokenize(docs)) == space-joined tokens with OOV as
+    <unk> — the encode path's inverse under the shared vocab."""
+    import re
+
+    import ray
+
+    from kgraft.textops import build_token_vocab, detokenize_docs, tokenize_docs
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype="int64"),
+            "text": [
+                "alpha beta gamma alpha",
+                "beta beta RARE1 delta",
+                "ALPHA unseen2 beta",
+                "",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    vocab = build_token_vocab(ds, vocab_size=4)  # alpha/beta + 2 more
+    enc = tokenize_docs(ds, vocab_size=4)
+    dec = (
+        detokenize_docs(enc, vocab)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    kept = set(vocab["token"])
+    for _, row in df.iterrows():
+        toks = re.findall(r"[a-z0-9_]+", row["text"].lower())
+        want = " ".join(t if t in kept else "<unk>" for t in toks)
+        got_rows = dec[dec["doc_id"] == row["doc_id"]]
+        if not toks:
+            # zero-token docs round-trip as empty text (or no row if the
+            # encoder drops them) — accept either, but never garbage
+            assert got_rows.empty or got_rows.iloc[0]["text"] == ""
+        else:
+            assert got_rows.iloc[0]["text"] == want, row["text"]
