@@ -812,3 +812,77 @@ def mmr_rerank(
     return pd.DataFrame(
         out_rows, columns=["rank", "vec_id", "relevance", "mmr_score"]
     )
+
+
+def pca_fit(embeddings, n_components: int = 8) -> dict:
+    """Fit PCA over the embedding column in ONE streaming pass: every
+    block emits its (count, sum, X^T X) moment partial — d + d² floats
+    regardless of block rows — the driver assembles the covariance,
+    eigendecomposes (d is model-dimension-scale, never corpus-scale),
+    and returns ``{mean, components, explained_var, explained_ratio}``.
+    Deterministic sign convention: each component's largest-|coord|
+    entry is made positive, so results are invariant to LAPACK sign
+    flips across runs/BLAS builds."""
+
+    def moments(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"n": pa.array([], pa.int64()), "s": pa.array([], pa.binary()),
+                 "ss": pa.array([], pa.binary())}
+            )
+        mat = _batch_matrix(t)
+        return pa.table(
+            {
+                "n": pa.array([len(mat)], pa.int64()),
+                "s": pa.array([mat.sum(axis=0).tobytes()], pa.binary()),
+                "ss": pa.array([(mat.T @ mat).tobytes()], pa.binary()),
+            }
+        )
+
+    parts = embeddings.map_batches(moments, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    if n < 2:
+        raise ValueError("pca_fit: need at least 2 vectors")
+    d = int(np.sqrt(len(np.frombuffer(parts["ss"].iloc[0], dtype=np.float64))))
+    s = np.zeros(d)
+    ss = np.zeros((d, d))
+    for _, row in parts.iterrows():
+        s += np.frombuffer(row["s"], dtype=np.float64)
+        ss += np.frombuffer(row["ss"], dtype=np.float64).reshape(d, d)
+    mean = s / n
+    cov = (ss - np.outer(s, mean)) / (n - 1)
+    cov = (cov + cov.T) / 2.0  # symmetrize float residue before eigh
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:n_components]
+    comps = v[:, order].T
+    flip = np.sign(comps[np.arange(len(comps)), np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+    ev = w[order]
+    return {
+        "mean": mean,
+        "components": comps,
+        "explained_var": ev,
+        "explained_ratio": ev / w.sum() if w.sum() > 0 else ev,
+        "n": n,
+    }
+
+
+def pca_transform(embeddings, model: dict, out_col: str = "pca"):
+    """Shuffle-free projection onto the fitted components: broadcast
+    (mean, components) once, each batch is one centered matmul."""
+    ref = ray.put((model["mean"], model["components"]))
+
+    def project(t: pa.Table) -> pa.Table:
+        mean, comps = ray.get(ref)
+        mat = _batch_matrix(t)
+        proj = (mat - mean) @ comps.T
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                out_col: pa.array(
+                    [r.tolist() for r in proj], pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    return embeddings.map_batches(project, batch_format="pyarrow")

@@ -4482,6 +4482,23 @@ ORDER BY score DESC, e.vec_id LIMIT 10
 """
 
 
+def pca_embeddings(sf_dir: str) -> pd.DataFrame:
+    """PCA spectrum of the embedding corpus: per-component explained
+    variance/ratio from ONE streaming moment pass (d + d² floats per
+    block, driver-side eigh at model-dimension scale, deterministic
+    sign convention). See :func:`kgraft.embedops.pca_fit`. Rows-only;
+    the numpy-eigendecomposition oracle lives in tests/test_embedops.py."""
+    emb = read_table(sf_dir, "embeddings")
+    model = embedops.pca_fit(emb, n_components=8)
+    return pd.DataFrame(
+        {
+            "component": np.arange(1, len(model["explained_var"]) + 1, dtype="int64"),
+            "explained_var": np.round(model["explained_var"], 6),
+            "explained_ratio": np.round(model["explained_ratio"], 6),
+        }
+    )
+
+
 def mmr_diverse_neighbors(sf_dir: str) -> pd.DataFrame:
     """MMR-diversified top-10 neighbors of vec_id 0 (λ = 0.7, shortlist
     100) — the redundancy-suppressing re-rank retrieval stacks run after
@@ -5488,6 +5505,7 @@ QUERIES = {
     "fingerprint_docs": fingerprint_docs_q,
     "knn_cosine_topk": knn_cosine_topk,
     "mmr_diverse_neighbors": mmr_diverse_neighbors,
+    "pca_embeddings": pca_embeddings,
     "ivf_ann_topk": ivf_ann_topk,
     "pq_ann_topk": pq_ann_topk,
     "cluster_embeddings": cluster_embeddings,

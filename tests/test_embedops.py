@@ -333,3 +333,41 @@ def test_mmr_rerank_matches_serial(ray_session):
     got2 = mmr_rerank(ray.data.from_pandas(twin), q, k=3, shortlist=4, lam=0.3)
     assert got2.loc[0, "vec_id"] == 0
     assert got2.loc[1, "vec_id"] != 1  # diversity suppresses the twin
+
+
+def test_pca_matches_numpy(ray_session):
+    """Streaming-moment PCA == direct numpy eigendecomposition (same
+    sign convention), and the transform reproduces centered projections."""
+    import ray
+
+    from kgraft.embedops import pca_fit, pca_transform
+
+    rng = np.random.RandomState(17)
+    n, d = 500, 12
+    # anisotropic cloud so the spectrum is distinct
+    mat = rng.normal(size=(n, d)) * np.linspace(5, 0.5, d)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype="int64"), "embedding": [v.tolist() for v in mat]}
+    )
+    ds = ray.data.from_pandas(df).repartition(7)
+    model = pca_fit(ds, n_components=4)
+
+    mean = mat.mean(axis=0)
+    cov = np.cov(mat, rowvar=False, ddof=1)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:4]
+    comps = v[:, order].T
+    flip = np.sign(comps[np.arange(4), np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+
+    np.testing.assert_allclose(model["mean"], mean, atol=1e-9)
+    np.testing.assert_allclose(model["explained_var"], w[order], rtol=1e-9)
+    np.testing.assert_allclose(model["components"], comps, atol=1e-8)
+
+    out = (
+        pca_transform(ds, model)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    got = np.stack([np.asarray(r) for r in out["pca"]])
+    np.testing.assert_allclose(got, (mat - mean) @ comps.T, atol=1e-8)
