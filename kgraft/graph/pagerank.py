@@ -244,3 +244,80 @@ def pagerank_pregel(
         for s in shards:
             ray.kill(s)
     return pd.DataFrame({"node_id": ids, "rank": rank})
+
+
+def _weighted_partials(edges, ids_ref, src_col, dst_col, weight_col,
+                       rank_ref=None):
+    """One edge pass with PER-EDGE weights: keyed by SRC summing raw
+    edge weights when ``rank_ref`` is None (weighted out-degree), else
+    keyed by DST summing ``edge_w * rank_vec[src]`` (the weighted rank
+    contribution). Same sparse per-block partial shape as
+    :func:`_sparse_partials`."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"__i": pa.array([], pa.int64()), "__c": pa.array([], pa.float64())}
+            )
+        ids = ray.get(ids_ref)
+        s = _to_index(ids, t[src_col].to_numpy(zero_copy_only=False), src_col)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = np.maximum(np.nan_to_num(w, nan=0.0), 0.0)  # neg/NaN = absent
+        if rank_ref is None:
+            dense = np.bincount(s, weights=w, minlength=len(ids))
+        else:
+            d = _to_index(ids, t[dst_col].to_numpy(zero_copy_only=False), dst_col)
+            dense = np.bincount(
+                d, weights=w * ray.get(rank_ref)[s], minlength=len(ids)
+            )
+        nz = np.nonzero(dense)[0]
+        return pa.table(
+            {
+                "__i": pa.array(nz.astype(np.int64), pa.int64()),
+                "__c": pa.array(dense[nz], pa.float64()),
+            }
+        )
+
+    return edges.map_batches(fn, batch_format="pyarrow")
+
+
+def pagerank_weighted(
+    edges,
+    node_ids: np.ndarray,
+    weight_col: str,
+    damping: float = 0.85,
+    n_iter: int = 20,
+    src_col: str = "subj_id",
+    dst_col: str = "obj_id",
+) -> pd.DataFrame:
+    """Edge-weighted PageRank: transition probability out of a node is
+    proportional to EDGE WEIGHT (e.g. the KG's extraction-confidence
+    column), so low-confidence links leak less importance —
+    ``r' = (1-d)/N + d·(Σ_{(s,v)} w_sv · r_s / wout_s + dangling/N)``
+    with wout the weighted out-degree; zero/negative weights are
+    treated as absent edges. Same scale shape as :func:`pagerank`
+    (vocab-scale vectors broadcast per round, one shuffle-free edge
+    pass each). Returns ``(node_id, rank)``."""
+    ids = np.unique(np.asarray(node_ids, dtype=np.int64))
+    n = len(ids)
+    ids_ref = ray.put(ids)
+
+    wout = _fold(
+        _weighted_partials(edges, ids_ref, src_col, dst_col, weight_col).to_pandas(),
+        n,
+    )
+    wout = np.where(wout > 0, wout, 0.0)
+
+    rank = np.full(n, 1.0 / n, dtype=np.float64)
+    safe = np.where(wout > 0, wout, 1.0)
+    for _ in range(n_iter):
+        r_ref = ray.put(rank / safe)
+        agg = _fold(
+            _weighted_partials(
+                edges, ids_ref, src_col, dst_col, weight_col, rank_ref=r_ref
+            ).to_pandas(),
+            n,
+        )
+        dangling = rank[wout == 0].sum()
+        rank = (1.0 - damping) / n + damping * (agg + dangling / n)
+    return pd.DataFrame({"node_id": ids, "rank": rank})

@@ -4802,6 +4802,28 @@ def kg_communities(sf_dir: str) -> pd.DataFrame:
     ).head(20)
 
 
+def kg_pagerank_weighted(sf_dir: str) -> pd.DataFrame:
+    """Confidence-weighted PageRank over the KG: transition mass
+    proportional to the edge's extraction-confidence column, so
+    low-confidence links leak less importance — top-20. See
+    :func:`kgraft.graph.pagerank.pagerank_weighted`. Rows-only; the
+    dense weighted-power-iteration oracle lives in tests/test_graph.py."""
+    import pyarrow.parquet as pq
+
+    from .graph.pagerank import pagerank_weighted
+
+    m = _kg_outputs(sf_dir)
+    node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
+        "entity_id"
+    ].to_numpy()
+    edges = _read_kg_edges(m, columns=["subj_id", "obj_id", "conf"]).materialize()
+    pr = pagerank_weighted(edges, node_ids, "conf", n_iter=15)
+    pr["rank"] = pr["rank"].round(10)
+    return pr.sort_values(
+        ["rank", "node_id"], ascending=[False, True], ignore_index=True
+    ).head(20)
+
+
 def kg_smoothed_importance(sf_dir: str) -> pd.DataFrame:
     """GNN-style feature prep on the KG: PageRank scores smoothed by a
     1-hop undirected neighborhood mean (GraphSAGE pooling with self-
@@ -5520,6 +5542,7 @@ QUERIES = {
     "kg_link_prediction": kg_link_prediction,
     "kg_hits": kg_hits,
     "kg_smoothed_importance": kg_smoothed_importance,
+    "kg_pagerank_weighted": kg_pagerank_weighted,
     "kg_ppr": kg_ppr,
     "kg_khop": kg_khop,
     "canonical_url_dedup": canonical_url_dedup,

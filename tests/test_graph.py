@@ -497,3 +497,46 @@ def test_neighbor_aggregate_matches_dense(ray_session):
         src_col="src", dst_col="dst",
     )
     np.testing.assert_allclose(got3, dense(A + A.T, F, "mean", True, 1), atol=1e-12)
+
+
+def test_pagerank_weighted_matches_dense(ray_session):
+    """Edge-weighted PageRank == dense weighted power iteration; with
+    all weights 1 it must equal the unweighted operator exactly."""
+    import ray
+
+    from kgraft.graph.pagerank import pagerank, pagerank_weighted
+
+    rng = np.random.RandomState(29)
+    n, m = 25, 120
+    s = rng.randint(0, n, m).astype("int64")
+    d = rng.randint(0, n, m).astype("int64")
+    w = rng.uniform(0.1, 1.0, m)
+    w[:5] = 0.0  # absent edges
+    edges = ray.data.from_pandas(
+        pd.DataFrame({"subj_id": s, "obj_id": d, "conf": w})
+    ).repartition(4)
+    ids = np.arange(n, dtype="int64")
+    got = pagerank_weighted(edges, ids, "conf", n_iter=15)
+
+    W = np.zeros((n, n))
+    np.add.at(W, (s, d), w)
+    wout = W.sum(axis=1)
+    safe = np.where(wout > 0, wout, 1.0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(15):
+        agg = W.T @ (r / safe)
+        dang = r[wout == 0].sum()
+        r = 0.15 / n + 0.85 * (agg + dang / n)
+    np.testing.assert_allclose(got["rank"].to_numpy(), r, atol=1e-12)
+
+    ones = ray.data.from_pandas(
+        pd.DataFrame({"subj_id": s, "obj_id": d, "conf": np.ones(m)})
+    )
+    plain = pagerank(
+        ray.data.from_pandas(pd.DataFrame({"subj_id": s, "obj_id": d})), ids,
+        n_iter=10,
+    )
+    wtd = pagerank_weighted(ones, ids, "conf", n_iter=10)
+    np.testing.assert_allclose(
+        wtd["rank"].to_numpy(), plain["rank"].to_numpy(), atol=1e-12
+    )
