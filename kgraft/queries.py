@@ -3174,6 +3174,68 @@ GROUP BY t.total, hx.h, hy.h
 """
 
 
+def events_point_in_time(sf_dir: str) -> pd.DataFrame:
+    """Point-in-time dimension lookup end-to-end: each sampled user's
+    events probe their own SCD2 type history at (ts − 1 µs), returning
+    the state BEFORE the event — the AS-OF enrichment every warehouse
+    fact pipeline runs against an SCD2 dimension. Composes
+    :func:`kgraft.relational.scd2_compress` +
+    :func:`kgraft.relational.temporal_join` (one co-locating exchange
+    each; the change-compressed dim broadcasts)."""
+    from .relational import scd2_compress, temporal_join
+
+    ev = read_table(
+        sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"]
+    ).map_batches(
+        lambda df: df[df["user_id"] % 97 == 0], batch_format="pandas"
+    ).materialize()  # two consumers: dim build + fact probe
+    dim = (
+        scd2_compress(ev, "user_id", ["ts", "event_id"], "event_type")
+        .to_pandas()
+        .rename(columns={"event_type": "prev_state"})
+    )
+
+    def probe_ts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ts_probe"] = df["ts"] - pd.Timedelta(microseconds=1)
+        return df[["user_id", "event_id", "event_type", "ts_probe"]]
+
+    facts = ev.map_batches(probe_ts, batch_format="pandas")
+    out = temporal_join(facts, dim, "user_id", "ts_probe").to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["event_id"] = out["event_id"].astype("int64")
+    out["prev_state"] = out["prev_state"].where(out["prev_state"].notna(), None)
+    return out.sort_values(["user_id", "event_id"], ignore_index=True)[
+        ["user_id", "event_id", "event_type", "prev_state"]
+    ]
+
+
+_EVENTS_POINT_IN_TIME_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type FROM events WHERE user_id % 97 = 0
+), s AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+  FROM e
+), c AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id
+  FROM s WHERE p IS NULL OR p <> event_type
+), h AS (
+  SELECT user_id, event_type AS prev_state, valid_from,
+         lead(valid_from) OVER (
+           PARTITION BY user_id ORDER BY valid_from, event_id
+         ) AS valid_to
+  FROM c
+)
+SELECT e.user_id, e.event_id, e.event_type, h.prev_state
+FROM e LEFT JOIN h
+  ON h.user_id = e.user_id
+ AND h.valid_from <= e.ts - INTERVAL 1 MICROSECOND
+ AND (h.valid_to IS NULL OR e.ts - INTERVAL 1 MICROSECOND < h.valid_to)
+ORDER BY e.user_id, e.event_id
+"""
+
+
 def event_gap_stats(sf_dir: str) -> pd.DataFrame:
     """Inter-event timing profile: per event TYPE, the mean/stddev and
     burstiness coefficient (Goh & Barabási 2008: (σ−μ)/(σ+μ)) of the
@@ -5466,6 +5528,7 @@ QUERIES = {
     "iqr_outliers_by_type": iqr_outliers_by_type,
     "user_state_history": user_state_history,
     "event_gap_stats": event_gap_stats,
+    "events_point_in_time": events_point_in_time,
     "mi_type_dow_events": mi_type_dow_events,
     "bcubed_docs": bcubed_docs,
     "bucketed_join_revenue": bucketed_join_revenue,
@@ -5630,6 +5693,7 @@ ORACLE_SQL = {
     "iqr_outliers_by_type": _IQR_OUTLIERS_SQL,
     "user_state_history": _USER_STATE_HISTORY_SQL,
     "event_gap_stats": _EVENT_GAP_STATS_SQL,
+    "events_point_in_time": _EVENTS_POINT_IN_TIME_SQL,
     "mi_type_dow_events": _MI_TYPE_DOW_SQL,
     "bcubed_docs": _BCUBED_DOCS_SQL,
     "bucketed_join_revenue": _BUCKETED_JOIN_REVENUE_SQL,

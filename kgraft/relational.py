@@ -2044,6 +2044,52 @@ def clustering_agreement(ds, pred_col: str, gold_col: str,
     )
 
 
+def temporal_join(facts, dim: pd.DataFrame, key_col: str, ts_col: str,
+                  valid_from: str = "valid_from", valid_to: str = "valid_to",
+                  how: str = "left", num_buckets: int = 64):
+    """Point-in-time (temporal) join: attach to each fact row the
+    dimension version whose ``[valid_from, valid_to)`` interval contains
+    its timestamp — the AS-OF dimension lookup every SCD2 history
+    (:func:`scd2_compress`) exists to serve. NULL ``valid_to`` = open
+    current version. Facts whose key has no covering interval keep NULL
+    dim columns (``how='left'``) or drop (``'inner'``).
+
+    ``dim``: a pandas frame (dimension histories are key-scale —
+    change-compressed, broadcastable; for corpus-scale dims route both
+    sides through :func:`bucketed_groupby_apply` with the same in-bucket
+    body). One bucketed exchange co-locates facts by key; in-bucket the
+    lookup is a vectorized ``merge_asof`` + interval-end mask."""
+    if how not in ("left", "inner"):
+        raise PlanError(f"temporal_join: unsupported how={how!r}")
+    dim = dim.sort_values([valid_from, key_col], ignore_index=True)
+    dim_cols = [c for c in dim.columns if c not in (key_col, valid_from, valid_to)]
+    dim_ref = ray.put(dim)
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(dim_ref)
+        g = g.sort_values(ts_col, kind="mergesort", ignore_index=True)
+        # pandas block round-trips can widen us->ns; merge_asof demands
+        # identical key dtypes
+        if (
+            pd.api.types.is_datetime64_any_dtype(d[valid_from])
+            and g[ts_col].dtype != d[valid_from].dtype
+        ):
+            g[ts_col] = g[ts_col].astype(d[valid_from].dtype)
+        j = pd.merge_asof(
+            g, d, by=key_col, left_on=ts_col, right_on=valid_from,
+            direction="backward",
+        )
+        # merge_asof ignores interval ends: null out matches whose
+        # interval closed before the fact's timestamp
+        closed = j[valid_to].notna() & (j[ts_col] >= j[valid_to])
+        j.loc[closed, dim_cols + [valid_from, valid_to]] = None
+        if how == "inner":
+            j = j[j[valid_from].notna()]
+        return j.drop(columns=[valid_to])
+
+    return bucketed_groupby_apply(facts, [key_col], probe, num_buckets)
+
+
 def time_windowed(ds, part_col: str, ts_col: str, val_col: str, window: str,
                   kinds, out_prefix: str = "w_", num_buckets: int = 64):
     """Time-RANGE window aggregates (an operator Ray Data lacks): for

@@ -1756,3 +1756,62 @@ def test_scd2_compress_nulls_and_ties(ray_session):
     # equal-ts rows ordered by tiebreak: x (tb 0) then y (tb 1), y@01-02 collapses
     assert list(k2["st"]) == ["x", "y"]
     assert pd.isna(k2.loc[1, "valid_to"])
+
+
+def test_temporal_join_matches_direct(ray_session):
+    """Point-in-time join == direct per-row interval scan, with gaps
+    (closed intervals before the probe ts must NOT match), open current
+    versions, and keys absent from the dimension."""
+    import ray
+
+    from kgraft.relational import temporal_join
+
+    dim = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 3],
+            "state": ["a", "b", "c", "x", "z"],
+            "valid_from": pd.to_datetime(
+                ["2024-01-01", "2024-01-05", "2024-02-01",
+                 "2024-01-03", "2024-01-01"]
+            ).astype("datetime64[us]"),
+            "valid_to": pd.to_datetime(
+                ["2024-01-05", "2024-01-10", None, None, "2024-01-02"]
+            ).astype("datetime64[us]"),
+        }
+    )
+    rng = np.random.RandomState(61)
+    facts = pd.DataFrame(
+        {
+            "k": rng.choice([1, 2, 3, 4], 200).astype("int64"),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.randint(0, 60 * 24 * 3600, 200), unit="s"),
+            "v": rng.rand(200),
+        }
+    )
+    facts["ts"] = facts["ts"].astype("datetime64[us]")
+
+    got = (
+        temporal_join(
+            ray.data.from_pandas(facts).repartition(5), dim, "k", "ts",
+        )
+        .to_pandas()
+        .sort_values(["k", "ts", "v"], ignore_index=True)
+    )
+
+    def lookup(row):
+        m = dim[
+            (dim["k"] == row["k"])
+            & (dim["valid_from"] <= row["ts"])
+            & (dim["valid_to"].isna() | (row["ts"] < dim["valid_to"]))
+        ]
+        return m.iloc[-1]["state"] if len(m) else None
+
+    want = facts.sort_values(["k", "ts", "v"], ignore_index=True)
+    want_state = want.apply(lookup, axis=1)
+    got_state = got["state"].where(got["state"].notna(), None)
+    assert list(got_state) == list(want_state)
+
+    inner = temporal_join(
+        ray.data.from_pandas(facts), dim, "k", "ts", how="inner"
+    ).to_pandas()
+    assert len(inner) == want_state.notna().sum()
