@@ -3110,6 +3110,49 @@ FROM n, p, r
 """
 
 
+def debounced_events(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-burst suppression: drop events repeating the same
+    (user, type) within 10 minutes of the previous one — summarize
+    kept-row counts per type (raw kept rows are corpus-scale; the
+    per-type rollup is the dashboard view). See
+    :func:`kgraft.streamops.debounce`."""
+    from . import streamops
+
+    ev = read_table(
+        sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"]
+    )
+    kept = streamops.debounce(
+        ev, ["user_id", "event_type"], "ts", 600.0, tiebreak="event_id"
+    )
+    out = pre_aggregate(kept, ["event_type"], {"n_kept": (None, "count")})
+    tot = pre_aggregate(ev, ["event_type"], {"n_total": (None, "count")})
+    out = out.merge(tot, on="event_type")
+    out["n_kept"] = out["n_kept"].astype("int64")
+    out["n_total"] = out["n_total"].astype("int64")
+    out["kept_frac"] = (out["n_kept"] / out["n_total"]).round(6)
+    return out.sort_values("event_type", ignore_index=True)[
+        ["event_type", "n_total", "n_kept", "kept_frac"]
+    ]
+
+
+_DEBOUNCED_EVENTS_SQL = """
+WITH g AS (
+  SELECT event_type,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id, event_type ORDER BY ts, event_id
+          )) / 1e6 AS gap_s
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN gap_s IS NULL OR gap_s >= 600 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       round(sum(CASE WHEN gap_s IS NULL OR gap_s >= 600 THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS kept_frac
+FROM g GROUP BY event_type ORDER BY event_type
+"""
+
+
 def mi_type_dow_events(sf_dir: str) -> pd.DataFrame:
     """Mutual information (nats) between event type and ISO day-of-week
     — the categorical feature-relevance score (is traffic mix
@@ -5530,6 +5573,7 @@ QUERIES = {
     "event_gap_stats": event_gap_stats,
     "events_point_in_time": events_point_in_time,
     "mi_type_dow_events": mi_type_dow_events,
+    "debounced_events": debounced_events,
     "bcubed_docs": bcubed_docs,
     "bucketed_join_revenue": bucketed_join_revenue,
     "quality_classifier_docs": quality_classifier_docs,
@@ -5695,6 +5739,7 @@ ORACLE_SQL = {
     "event_gap_stats": _EVENT_GAP_STATS_SQL,
     "events_point_in_time": _EVENTS_POINT_IN_TIME_SQL,
     "mi_type_dow_events": _MI_TYPE_DOW_SQL,
+    "debounced_events": _DEBOUNCED_EVENTS_SQL,
     "bcubed_docs": _BCUBED_DOCS_SQL,
     "bucketed_join_revenue": _BUCKETED_JOIN_REVENUE_SQL,
     "source_token_kl": _SOURCE_TOKEN_KL_SQL,

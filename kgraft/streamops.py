@@ -238,3 +238,41 @@ def cusum_alarms(ds, part_col: str, order_col: str, val_col: str,
         return g
 
     return bucketed_groupby_apply(ds, [part_col], fn, num_buckets)
+
+
+def debounce(ds, key_cols, ts_col: str, window_s: float, tiebreak=None,
+             num_buckets: int = 64):
+    """Stream debounce dedup: keep a row iff it is its key's first, or
+    at least ``window_s`` seconds after the key's PREVIOUS row — the
+    duplicate-click / retry-storm suppressor. (This is the
+    lag-comparison variant every SQL engine can express; the
+    "vs last KEPT row" throttle variant is inherently sequential and
+    intentionally not offered — its output depends on scan order.)
+
+    One bucketed exchange co-locates each key's rows (keys hash
+    together via the first key column); in-bucket the gap test is one
+    vectorized sort + shift. ``tiebreak``: extra column(s) appended to
+    the per-key ordering so equal-timestamp rows order
+    deterministically."""
+    from .relational import bucketed_groupby_apply
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = key_cols + [ts_col] + (
+        [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or [])
+    )
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, ignore_index=True)
+        same = np.ones(len(g), dtype=bool)
+        for k in key_cols:
+            same &= g[k].eq(g[k].shift()).to_numpy()
+        gap = (
+            g[ts_col].astype("datetime64[us]").astype("int64")
+            .diff()
+            .to_numpy(dtype="float64")
+            / 1e6
+        )
+        keep = ~same | (gap >= window_s)
+        return g[keep]
+
+    return bucketed_groupby_apply(ds, [key_cols[0]], fn, num_buckets)
