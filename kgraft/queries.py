@@ -2483,6 +2483,20 @@ GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
 
 
+def cms_token_estimates(sf_dir: str) -> pd.DataFrame:
+    """Count-min-sketch frequency estimates for a probe token set —
+    the fixed-memory counting tier below Misra-Gries (which keeps the
+    head) and the exact vocab table (which is corpus-vocabulary-wide).
+    Rows-only (a sketch); the ε·N over-count bound and layout
+    invariance are pytest-verified. See
+    :func:`kgraft.textops.cms_token_counts`."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    return textops.cms_token_counts(
+        docs, ["data", "sort", "merge", "stream", "zzz_absent"],
+        width=4096, depth=4,
+    )
+
+
 def dup_rate_by_source(sf_dir: str) -> pd.DataFrame:
     """Curation dashboard view: per-source near-duplication rate —
     fraction of each source's documents whose near-dup group
@@ -5592,6 +5606,7 @@ QUERIES = {
     "cusum_event_alarms": cusum_event_alarms,
     "pmi_collocations_docs": pmi_collocations_docs,
     "dup_rate_by_source": dup_rate_by_source,
+    "cms_token_estimates": cms_token_estimates,
     "bpe_merges_docs": bpe_merges_docs,
     "near_dup_against_docs": near_dup_against_docs,
     "orders_by_dow": orders_by_dow,

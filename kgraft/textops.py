@@ -2322,3 +2322,56 @@ def detokenize_docs(
         return pa.table({id_col: t[id_col], out_col: texts})
 
     return tokenized.map_batches(decode, batch_format="pyarrow")
+
+
+def cms_token_counts(
+    ds,
+    query_tokens,
+    width: int = 2048,
+    depth: int = 4,
+    text_col: str = "text",
+    token_re: str = r"[a-z0-9_]+",
+) -> pd.DataFrame:
+    """Count-min sketch token frequencies (Cormode & Muthukrishnan
+    2005): estimate counts for ``query_tokens`` from a fixed
+    width×depth counter grid — the mergeable frequency sketch for when
+    even the vocab-scale exact count table is too wide to exchange
+    (guarantee: exact ≤ estimate ≤ exact + ε·N with ε = e/width, w.p.
+    1−(1/e)^depth). Scale shape: every block emits its own width×depth
+    grid as ONE fixed-size binary row — corpus vocabulary never crosses
+    the exchange, grids merge by elementwise sum on the driver
+    (depth·width ints, corpus-independent).
+
+    Returns (token, est_count, exact_bound_note-free) — pair with the
+    exact `top_tokens_docs` table in tests for the ε·N bound."""
+    pat = re.compile(token_re)
+    qtok = list(query_tokens)
+
+    def grid_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.lower().str.findall(pat).explode().dropna()
+        grid = np.zeros((depth, width), dtype=np.int64)
+        n = 0
+        if len(toks):
+            flat = toks.to_numpy(dtype=object)
+            n = len(flat)
+            for r in range(depth):
+                h = hash_strings(flat, seed=101 + r) % np.uint64(width)
+                np.add.at(grid[r], h.astype(np.int64), 1)
+        return pd.DataFrame({"g": [grid.tobytes()], "n": [np.int64(n)]})
+
+    parts = ds.map_batches(grid_partial, batch_format="pandas").to_pandas()
+    grid = np.zeros((depth, width), dtype=np.int64)
+    for blob in parts["g"]:
+        grid += np.frombuffer(blob, dtype=np.int64).reshape(depth, width)
+    total = int(parts["n"].sum())
+    ests = []
+    for t in qtok:
+        est = min(
+            int(grid[r, int(hash_strings([t], seed=101 + r)[0] % np.uint64(width))])
+            for r in range(depth)
+        )
+        ests.append(est)
+    return pd.DataFrame(
+        {"token": qtok, "est_count": pd.array(ests, dtype="int64"),
+         "total_tokens": np.int64(total)}
+    )

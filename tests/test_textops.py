@@ -903,3 +903,43 @@ def test_tokenize_detokenize_round_trip(ray_session):
             assert got_rows.empty or got_rows.iloc[0]["text"] == ""
         else:
             assert got_rows.iloc[0]["text"] == want, row["text"]
+
+
+def test_cms_token_counts_bounds(ray_session):
+    """CMS estimates: never below the exact count, within eps*N above
+    it (eps = e/width), and invariant to block layout (grids merge by
+    sum)."""
+    import re
+
+    import ray
+
+    from kgraft.textops import cms_token_counts
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(300)]
+    weights = 1.0 / np.arange(1, 301)  # Zipf
+    weights /= weights.sum()
+    texts = [
+        " ".join(rng.choice(vocab, 40, p=weights)) for _ in range(300)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(300, dtype="int64"), "text": texts})
+
+    exact = {}
+    for t in texts:
+        for w in re.findall(r"[a-z0-9_]+", t):
+            exact[w] = exact.get(w, 0) + 1
+    total = sum(exact.values())
+    probes = ["w0", "w1", "w50", "w299", "absent_token"]
+
+    got = cms_token_counts(
+        ray.data.from_pandas(df).repartition(6), probes, width=1024, depth=4
+    )
+    eps_n = np.e / 1024 * total
+    for _, row in got.iterrows():
+        true = exact.get(row["token"], 0)
+        assert row["est_count"] >= true
+        assert row["est_count"] <= true + eps_n
+    assert got["total_tokens"].iloc[0] == total
+
+    got2 = cms_token_counts(ray.data.from_pandas(df), probes, width=1024, depth=4)
+    assert got["est_count"].tolist() == got2["est_count"].tolist()
