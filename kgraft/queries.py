@@ -3124,6 +3124,71 @@ FROM n, p, r
 """
 
 
+def validate_orders(sf_dir: str) -> pd.DataFrame:
+    """Data-quality expectation report over the orders table — the
+    publish gate a production pipeline runs: null checks, range checks,
+    a format regex, an accepted-value set, and a distributed uniqueness
+    check (duplicate-key count reduces map-side, never collected). See
+    :func:`kgraft.relational.validate`."""
+    from .relational import validate
+
+    orders = read_table(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+                 "o_orderpriority"],
+    )
+    return validate(
+        orders,
+        [
+            {"kind": "not_null", "col": "o_custkey"},
+            {"kind": "in_range", "col": "o_totalprice", "lo": 0.0, "hi": 1e6},
+            {"kind": "regex", "col": "o_orderpriority", "pattern": r"\d-[A-Z ]+"},
+            {"kind": "accepted_values", "col": "o_orderstatus",
+             "values": ["O", "F", "P"]},
+            {"kind": "unique", "col": "o_orderkey"},
+        ],
+    )
+
+
+_VALIDATE_ORDERS_SQL = """
+WITH n AS (SELECT count(*) AS n_rows FROM orders),
+u AS (
+  SELECT 'accepted_values(o_orderstatus)' AS rule, 'accepted_values' AS kind,
+         'o_orderstatus' AS col, n.n_rows,
+         CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                        AND o_orderstatus NOT IN ('O','F','P')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+  FROM orders CROSS JOIN n GROUP BY n.n_rows
+  UNION ALL
+  SELECT 'in_range(o_totalprice)', 'in_range', 'o_totalprice', n.n_rows,
+         CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                        AND (o_totalprice < 0 OR o_totalprice > 1e6)
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders CROSS JOIN n GROUP BY n.n_rows
+  UNION ALL
+  SELECT 'not_null(o_custkey)', 'not_null', 'o_custkey', n.n_rows,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders CROSS JOIN n GROUP BY n.n_rows
+  UNION ALL
+  SELECT 'regex(o_orderpriority)', 'regex', 'o_orderpriority', n.n_rows,
+         CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                        AND NOT regexp_full_match(o_orderpriority, '\\d-[A-Z ]+')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders CROSS JOIN n GROUP BY n.n_rows
+  UNION ALL
+  SELECT 'unique(o_orderkey)', 'unique', 'o_orderkey', n.n_rows,
+         CAST(COALESCE((SELECT sum(c - 1) FROM
+               (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+               WHERE c > 1), 0) AS BIGINT)
+  FROM n
+)
+SELECT rule, kind, col, n_rows, n_violations,
+       CAST(n_violations = 0 AS BIGINT) AS passed
+FROM u ORDER BY rule
+"""
+
+
 def debounced_events(sf_dir: str) -> pd.DataFrame:
     """Duplicate-burst suppression: drop events repeating the same
     (user, type) within 10 minutes of the previous one — summarize
@@ -5588,6 +5653,7 @@ QUERIES = {
     "events_point_in_time": events_point_in_time,
     "mi_type_dow_events": mi_type_dow_events,
     "debounced_events": debounced_events,
+    "validate_orders": validate_orders,
     "bcubed_docs": bcubed_docs,
     "bucketed_join_revenue": bucketed_join_revenue,
     "quality_classifier_docs": quality_classifier_docs,
@@ -5755,6 +5821,7 @@ ORACLE_SQL = {
     "events_point_in_time": _EVENTS_POINT_IN_TIME_SQL,
     "mi_type_dow_events": _MI_TYPE_DOW_SQL,
     "debounced_events": _DEBOUNCED_EVENTS_SQL,
+    "validate_orders": _VALIDATE_ORDERS_SQL,
     "bcubed_docs": _BCUBED_DOCS_SQL,
     "bucketed_join_revenue": _BUCKETED_JOIN_REVENUE_SQL,
     "source_token_kl": _SOURCE_TOKEN_KL_SQL,

@@ -2678,3 +2678,67 @@ def robust_standardize(
         return out
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def validate(ds, rules, num_buckets: int = 64) -> pd.DataFrame:
+    """Data-quality assertion report (the expectations pass a pipeline
+    runs before publishing a table): one streaming scan evaluates every
+    row-local rule vectorized and emits per-rule violation-count
+    partials; ``unique`` rules reduce through a map-side-combined
+    key-count aggregate that STAYS a Dataset (duplicate keys are
+    corpus-scale in the failure case — only the violation COUNT reaches
+    the driver).
+
+    ``rules``: list of dicts —
+      {"kind": "not_null",        "col": c}
+      {"kind": "in_range",        "col": c, "lo": x, "hi": y}   (inclusive; NULL passes — pair with not_null)
+      {"kind": "regex",           "col": c, "pattern": p}        (full match; NULL passes)
+      {"kind": "accepted_values", "col": c, "values": [...]}     (NULL passes)
+      {"kind": "unique",          "col": c}                      (rows beyond the first per key violate)
+    Returns (rule, kind, col, n_rows, n_violations, passed)."""
+    import re as _re
+
+    row_rules = [r for r in rules if r["kind"] != "unique"]
+    uniq_rules = [r for r in rules if r["kind"] == "unique"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"__n": [np.int64(len(df))]}
+        for i, r in enumerate(row_rules):
+            col = df[r["col"]]
+            if r["kind"] == "not_null":
+                bad = col.isna()
+            elif r["kind"] == "in_range":
+                bad = col.notna() & ((col < r["lo"]) | (col > r["hi"]))
+            elif r["kind"] == "regex":
+                bad = col.notna() & ~col.astype(str).str.fullmatch(
+                    _re.compile(r["pattern"])
+                )
+            elif r["kind"] == "accepted_values":
+                bad = col.notna() & ~col.isin(r["values"])
+            else:
+                raise PlanError(f"validate: unknown rule kind {r['kind']!r}")
+            out[f"__v{i}"] = [np.int64(bad.sum())]
+        return pd.DataFrame(out)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    n_rows = int(parts["__n"].sum())
+    rows = []
+    for i, r in enumerate(row_rules):
+        v = int(parts[f"__v{i}"].sum())
+        rows.append((f"{r['kind']}({r['col']})", r["kind"], r["col"], v))
+    for r in uniq_rules:
+        per_key = pre_aggregate_ds(
+            ds, r["col"], {"__c": (None, "count")}, num_buckets
+        )
+        extras = per_key.map_batches(
+            lambda d: pd.DataFrame(
+                {"x": (d["__c"].astype("int64") - 1).clip(lower=0)}
+            ),
+            batch_format="pandas",
+        )
+        v = int(extras.sum("x") or 0)
+        rows.append((f"unique({r['col']})", "unique", r["col"], v))
+    out = pd.DataFrame(rows, columns=["rule", "kind", "col", "n_violations"])
+    out.insert(3, "n_rows", np.int64(n_rows))
+    out["passed"] = (out["n_violations"] == 0).astype("int64")
+    return out.sort_values("rule", ignore_index=True)

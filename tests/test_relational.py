@@ -1815,3 +1815,44 @@ def test_temporal_join_matches_direct(ray_session):
         ray.data.from_pandas(facts), dim, "k", "ts", how="inner"
     ).to_pandas()
     assert len(inner) == want_state.notna().sum()
+
+
+def test_validate_finds_planted_violations(ray_session):
+    """Every rule kind catches its planted violation with the exact
+    count; the clean table passes everything."""
+    import ray
+
+    from kgraft.relational import validate
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 2, 3, 3, 4],           # one duplicate key
+            "v": [0.5, -1.0, 2.0, 11.0, None],  # two out of [0, 10]
+            "s": ["ab", "cb", "zz", None, "ab"],  # one regex miss (zz)
+            "c": ["x", "y", "q", "x", None],      # one not accepted (q)
+        }
+    )
+    got = validate(
+        ray.data.from_pandas(df).repartition(3),
+        [
+            {"kind": "not_null", "col": "v"},
+            {"kind": "in_range", "col": "v", "lo": 0.0, "hi": 10.0},
+            {"kind": "regex", "col": "s", "pattern": r"[a-c]+"},
+            {"kind": "accepted_values", "col": "c", "values": ["x", "y"]},
+            {"kind": "unique", "col": "k"},
+        ],
+    ).set_index("rule")
+    assert got.loc["not_null(v)", "n_violations"] == 1
+    assert got.loc["in_range(v)", "n_violations"] == 2
+    assert got.loc["regex(s)", "n_violations"] == 1
+    assert got.loc["accepted_values(c)", "n_violations"] == 1
+    assert got.loc["unique(k)", "n_violations"] == 1
+    assert (got["n_rows"] == 5).all()
+    assert got["passed"].sum() == 0
+
+    clean = validate(
+        ray.data.from_pandas(pd.DataFrame({"k": [1, 2], "v": [1.0, 2.0]})),
+        [{"kind": "unique", "col": "k"}, {"kind": "in_range", "col": "v",
+                                          "lo": 0, "hi": 5}],
+    )
+    assert (clean["passed"] == 1).all()
