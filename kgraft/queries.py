@@ -3124,6 +3124,68 @@ FROM n, p, r
 """
 
 
+def cdc_orders_state(sf_dir: str) -> pd.DataFrame:
+    """MERGE-with-deletes end-to-end: a deterministic synthetic CDC
+    stream (keys %10==0 deleted, %10==1 repriced, %10==2 inserted as
+    new status-'N' orders) applies onto the orders snapshot through
+    :func:`kgraft.relational.apply_cdc`; the final state rolls up per
+    status. One tagged union + one key exchange — payload rides once."""
+    from .relational import apply_cdc
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    base = read_table(sf_dir, "orders", columns=cols)
+
+    def make_changes(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"]
+        d = df[k % 10 == 0].copy()
+        d["op"] = "D"
+        u = df[k % 10 == 1].copy()
+        u["o_totalprice"] = u["o_totalprice"] + 1000.0
+        u["op"] = "U"
+        i = df[k % 10 == 2].copy()
+        i["o_orderkey"] = i["o_orderkey"] + 10_000_000
+        i["o_orderstatus"] = "N"
+        i["o_totalprice"] = 42.0
+        i["op"] = "I"
+        out = pd.concat([d, u, i], ignore_index=True)
+        out["version"] = np.int64(1)
+        return out
+
+    changes = base.map_batches(make_changes, batch_format="pandas")
+    final = apply_cdc(base, changes, "o_orderkey", "version", "op")
+    out = pre_aggregate(
+        final,
+        ["o_orderstatus"],
+        {"n_orders": (None, "count"), "total": ("o_totalprice", "sum")},
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["total"] = out["total"].round(2)
+    return out.sort_values("o_orderstatus", ignore_index=True)[
+        ["o_orderstatus", "n_orders", "total"]
+    ]
+
+
+_CDC_ORDERS_STATE_SQL = """
+WITH ch AS (
+  SELECT o_orderkey AS k, 'D' AS op, o_orderstatus AS st, o_totalprice AS tp
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, 'U', o_orderstatus, o_totalprice + 1000
+  FROM orders WHERE o_orderkey % 10 = 1
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'I', 'N', 42.0
+  FROM orders WHERE o_orderkey % 10 = 2
+), final AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tp
+  FROM orders WHERE o_orderkey NOT IN (SELECT k FROM ch)
+  UNION ALL
+  SELECT k, st, tp FROM ch WHERE op <> 'D'
+)
+SELECT st AS o_orderstatus, count(*) AS n_orders, round(sum(tp), 2) AS total
+FROM final GROUP BY st ORDER BY st
+"""
+
+
 def validate_orders(sf_dir: str) -> pd.DataFrame:
     """Data-quality expectation report over the orders table — the
     publish gate a production pipeline runs: null checks, range checks,
@@ -5654,6 +5716,7 @@ QUERIES = {
     "mi_type_dow_events": mi_type_dow_events,
     "debounced_events": debounced_events,
     "validate_orders": validate_orders,
+    "cdc_orders_state": cdc_orders_state,
     "bcubed_docs": bcubed_docs,
     "bucketed_join_revenue": bucketed_join_revenue,
     "quality_classifier_docs": quality_classifier_docs,
@@ -5822,6 +5885,7 @@ ORACLE_SQL = {
     "mi_type_dow_events": _MI_TYPE_DOW_SQL,
     "debounced_events": _DEBOUNCED_EVENTS_SQL,
     "validate_orders": _VALIDATE_ORDERS_SQL,
+    "cdc_orders_state": _CDC_ORDERS_STATE_SQL,
     "bcubed_docs": _BCUBED_DOCS_SQL,
     "bucketed_join_revenue": _BUCKETED_JOIN_REVENUE_SQL,
     "source_token_kl": _SOURCE_TOKEN_KL_SQL,

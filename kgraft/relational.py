@@ -2742,3 +2742,54 @@ def validate(ds, rules, num_buckets: int = 64) -> pd.DataFrame:
     out.insert(3, "n_rows", np.int64(n_rows))
     out["passed"] = (out["n_violations"] == 0).astype("int64")
     return out.sort_values("rule", ignore_index=True)
+
+
+def apply_cdc(base, changes, key, version_col: str, op_col: str = "op",
+              num_buckets: int = 64, base_schema=None):
+    """Apply a change-data-capture stream WITH DELETES to a base
+    snapshot (the op-aware upgrade of :func:`upsert`): per key, the
+    highest-``version_col`` change wins — 'I'/'U' replace the base row,
+    'D' removes the key; untouched base rows pass through. Change rows
+    carry the base schema plus (version, op); base rows rank below
+    every change (version −∞ semantics via the side tag). Same
+    deterministic tie-breaks as upsert (changes over base, stable row
+    hash within a side — document-unique (key, version) changes
+    recommended).
+
+    One tagged union + ONE bucketed key exchange + a vectorized
+    per-bucket sort/keep-last/drop-deleted — payload rides the shuffle
+    once, the standard lakehouse MERGE-with-deletes maintenance pass.
+    """
+    key_list = [key] if isinstance(key, str) else list(key)
+    schema = base_schema if base_schema is not None else base.schema()
+    cols = list(schema.names)
+
+    def tag_base(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[cols].copy()
+        df["__side"] = np.int8(0)
+        df["__ver"] = np.float64(0.0)
+        df["__op"] = "U"
+        return df
+
+    def tag_changes(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[cols].copy()
+        out["__side"] = np.int8(1)
+        out["__ver"] = df[version_col].astype("float64")
+        out["__op"] = df[op_col].astype(str)
+        return out
+
+    both = base.map_batches(tag_base, batch_format="pandas").union(
+        changes.map_batches(tag_changes, batch_format="pandas")
+    )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(
+            __rh=pd.util.hash_pandas_object(g[cols], index=False).to_numpy()
+        )
+        g = g.sort_values(
+            key_list + ["__side", "__ver", "__rh"], kind="mergesort"
+        )
+        last = g.drop_duplicates(key_list, keep="last")
+        return last[last["__op"] != "D"][cols]
+
+    return bucketed_groupby_apply(both, key_list, resolve, num_buckets)
