@@ -3124,6 +3124,49 @@ FROM n, p, r
 """
 
 
+def rolling_median_value(sf_dir: str) -> pd.DataFrame:
+    """Trailing 5-row median of event value per user (ROWS BETWEEN 4
+    PRECEDING AND CURRENT ROW) — the robust smoothing window the
+    rolling MEAN family can't give you under spikes; linear
+    interpolation pinned to SQL ``quantile_cont``. Sampled users keep
+    the row-scale output bounded; one user-keyed bucket exchange."""
+    from .relational import windowed
+
+    ev = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "value"]
+    ).map_batches(lambda df: df[df["user_id"] % 97 == 0], batch_format="pandas")
+    win = windowed(
+        ev,
+        part_keys="user_id",
+        order_keys=["ts", "event_id"],
+        specs={"med5": ("rolling_median", "value", 5)},
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["user_id", "event_id"]].copy()
+        out["user_id"] = out["user_id"].astype("int64")
+        out["event_id"] = out["event_id"].astype("int64")
+        out["med5"] = df["med5"].round(6)
+        return out
+
+    return (
+        win.map_batches(fin, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["user_id", "event_id"], ignore_index=True)
+    )
+
+
+_ROLLING_MEDIAN_SQL = """
+SELECT user_id, event_id,
+       round(quantile_cont(value, 0.5) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+       ), 6) AS med5
+FROM events WHERE user_id % 97 = 0
+ORDER BY user_id, event_id
+"""
+
+
 def cdc_orders_state(sf_dir: str) -> pd.DataFrame:
     """MERGE-with-deletes end-to-end: a deterministic synthetic CDC
     stream (keys %10==0 deleted, %10==1 repriced, %10==2 inserted as
@@ -5717,6 +5760,7 @@ QUERIES = {
     "debounced_events": debounced_events,
     "validate_orders": validate_orders,
     "cdc_orders_state": cdc_orders_state,
+    "rolling_median_value": rolling_median_value,
     "bcubed_docs": bcubed_docs,
     "bucketed_join_revenue": bucketed_join_revenue,
     "quality_classifier_docs": quality_classifier_docs,
@@ -5886,6 +5930,7 @@ ORACLE_SQL = {
     "debounced_events": _DEBOUNCED_EVENTS_SQL,
     "validate_orders": _VALIDATE_ORDERS_SQL,
     "cdc_orders_state": _CDC_ORDERS_STATE_SQL,
+    "rolling_median_value": _ROLLING_MEDIAN_SQL,
     "bcubed_docs": _BCUBED_DOCS_SQL,
     "bucketed_join_revenue": _BUCKETED_JOIN_REVENUE_SQL,
     "source_token_kl": _SOURCE_TOKEN_KL_SQL,

@@ -1215,6 +1215,17 @@ def windowed(ds, part_keys, order_keys, specs, num_buckets: int = 64, tiebreak=N
                     .reset_index(drop=True)
                     .to_numpy()
                 )
+            elif kind == "rolling_median":
+                # linear interpolation == SQL windowed quantile_cont(0.5)
+                # over ROWS BETWEEN (w-1) PRECEDING AND CURRENT ROW
+                w = param or 3
+                out[out_col] = (
+                    grp[col]
+                    .rolling(w, min_periods=1)
+                    .quantile(0.5, interpolation="linear")
+                    .reset_index(drop=True)
+                    .to_numpy()
+                )
             else:  # pragma: no cover - spec validation
                 raise PlanError(f"unknown window kind {kind!r}")
         return out
