@@ -3124,6 +3124,60 @@ FROM n, p, r
 """
 
 
+def event_trigram_sequences(sf_dir: str) -> pd.DataFrame:
+    """Top-20 three-step behavior sequences (a → b → c over consecutive
+    same-user events) — the order-3 extension of the transition matrix
+    for funnel/recommendation mining. Same scale shape as
+    :func:`event_transitions`: one user-keyed exchange, in-bucket
+    double shift, |types|³-bounded count partials."""
+    from .relational import bucketed_groupby_apply, pre_aggregate_ds
+
+    ds = read_table(
+        sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        grp = g.groupby("user_id", sort=False)["event_type"]
+        d = pd.DataFrame(
+            {
+                "t1": grp.shift(2),
+                "t2": grp.shift(1),
+                "t3": g["event_type"],
+            }
+        ).dropna()
+        return (
+            d.groupby(["t1", "t2", "t3"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    parts = bucketed_groupby_apply(ds, "user_id", per_bucket)
+    agg = pre_aggregate_ds(parts, ["t1", "t2", "t3"], {"n": ("n", "sum")})
+    out = (
+        agg.sort(["n", "t1", "t2", "t3"], descending=[True, False, False, False])
+        .limit(20)
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out[["t1", "t2", "t3", "n"]].reset_index(drop=True)
+
+
+_EVENT_TRIGRAMS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS t3,
+         lag(event_type, 1) OVER w AS t2,
+         lag(event_type, 2) OVER w AS t1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+GROUP BY t1, t2, t3
+ORDER BY n DESC, t1, t2, t3 LIMIT 20
+"""
+
+
 def rolling_median_value(sf_dir: str) -> pd.DataFrame:
     """Trailing 5-row median of event value per user (ROWS BETWEEN 4
     PRECEDING AND CURRENT ROW) — the robust smoothing window the
@@ -3226,6 +3280,55 @@ WITH ch AS (
 )
 SELECT st AS o_orderstatus, count(*) AS n_orders, round(sum(tp), 2) AS total
 FROM final GROUP BY st ORDER BY st
+"""
+
+
+def profile_events(sf_dir: str) -> pd.DataFrame:
+    """Column-profile report over the events table (row/null counts,
+    exact distinct cardinality, numeric min/max/mean) — the catalog
+    statistics a pipeline publishes with every table. See
+    :func:`kgraft.relational.profile`."""
+    from .relational import profile
+
+    ev = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"]
+    )
+    return profile(ev, ["event_id", "user_id", "event_type", "value"])
+
+
+_PROFILE_EVENTS_SQL = """
+WITH s AS (SELECT count(*) AS n FROM events)
+SELECT * FROM (
+  SELECT 'event_id' AS "column", s.n AS n_rows,
+         CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+         round(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) * 1.0 / s.n, 6)
+           AS null_frac,
+         count(DISTINCT event_id) AS n_distinct,
+         round(min(event_id), 6) AS min_val, round(max(event_id), 6) AS max_val,
+         round(avg(event_id), 6) AS mean_val
+  FROM events CROSS JOIN s GROUP BY s.n
+  UNION ALL
+  SELECT 'event_type', s.n,
+         CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         round(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) * 1.0 / s.n, 6),
+         count(DISTINCT event_type), NULL, NULL, NULL
+  FROM events CROSS JOIN s GROUP BY s.n
+  UNION ALL
+  SELECT 'user_id', s.n,
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         round(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) * 1.0 / s.n, 6),
+         count(DISTINCT user_id),
+         round(min(user_id), 6), round(max(user_id), 6), round(avg(user_id), 6)
+  FROM events CROSS JOIN s GROUP BY s.n
+  UNION ALL
+  SELECT 'value', s.n,
+         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         round(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) * 1.0 / s.n, 6),
+         count(DISTINCT value),
+         round(min(value), 6), round(max(value), 6), round(avg(value), 6)
+  FROM events CROSS JOIN s GROUP BY s.n
+) ORDER BY "column"
 """
 
 
@@ -5759,8 +5862,10 @@ QUERIES = {
     "mi_type_dow_events": mi_type_dow_events,
     "debounced_events": debounced_events,
     "validate_orders": validate_orders,
+    "profile_events": profile_events,
     "cdc_orders_state": cdc_orders_state,
     "rolling_median_value": rolling_median_value,
+    "event_trigram_sequences": event_trigram_sequences,
     "bcubed_docs": bcubed_docs,
     "bucketed_join_revenue": bucketed_join_revenue,
     "quality_classifier_docs": quality_classifier_docs,
@@ -5929,8 +6034,10 @@ ORACLE_SQL = {
     "mi_type_dow_events": _MI_TYPE_DOW_SQL,
     "debounced_events": _DEBOUNCED_EVENTS_SQL,
     "validate_orders": _VALIDATE_ORDERS_SQL,
+    "profile_events": _PROFILE_EVENTS_SQL,
     "cdc_orders_state": _CDC_ORDERS_STATE_SQL,
     "rolling_median_value": _ROLLING_MEDIAN_SQL,
+    "event_trigram_sequences": _EVENT_TRIGRAMS_SQL,
     "bcubed_docs": _BCUBED_DOCS_SQL,
     "bucketed_join_revenue": _BUCKETED_JOIN_REVENUE_SQL,
     "source_token_kl": _SOURCE_TOKEN_KL_SQL,

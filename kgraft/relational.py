@@ -2804,3 +2804,61 @@ def apply_cdc(base, changes, key, version_col: str, op_col: str = "op",
         return last[last["__op"] != "D"][cols]
 
     return bucketed_groupby_apply(both, key_list, resolve, num_buckets)
+
+
+def profile(ds, columns, num_buckets: int = 64) -> pd.DataFrame:
+    """Column-profile summary (the data-catalog / pre-ingest statistics
+    pass): per column — row count, null count/fraction, exact distinct
+    count, and min/max/mean for numeric columns (NULL otherwise, so the
+    report schema is type-stable). One streaming scan computes every
+    per-column partial; each distinct count is its own map-side-reduced
+    exchange (column-bounded: one per profiled column, the distinct
+    sets themselves never collect — only their counts do)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"__n": [np.int64(len(df))]}
+        for i, c in enumerate(columns):
+            col = df[c]
+            out[f"__null{i}"] = [np.int64(col.isna().sum())]
+            if pd.api.types.is_numeric_dtype(col):
+                v = col.dropna().astype("float64")
+                out[f"__min{i}"] = [v.min() if len(v) else np.nan]
+                out[f"__max{i}"] = [v.max() if len(v) else np.nan]
+                out[f"__sum{i}"] = [v.sum() if len(v) else 0.0]
+                out[f"__cnt{i}"] = [np.int64(len(v))]
+            else:
+                out[f"__min{i}"] = [np.nan]
+                out[f"__max{i}"] = [np.nan]
+                out[f"__sum{i}"] = [0.0]
+                out[f"__cnt{i}"] = [np.int64(0)]
+        return pd.DataFrame(out)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    n_rows = int(parts["__n"].sum())
+    numeric_seen = {
+        c: bool(parts[f"__cnt{i}"].sum() > 0) for i, c in enumerate(columns)
+    }
+    rows = []
+    for i, c in enumerate(columns):
+        nd = int(distinct(ds, [c], num_buckets).count())
+        nulls = int(parts[f"__null{i}"].sum())
+        if nulls:  # SQL COUNT(DISTINCT) excludes NULL; distinct() keeps it
+            nd -= 1
+        if numeric_seen[c]:
+            mn = float(parts[f"__min{i}"].min())
+            mx = float(parts[f"__max{i}"].max())
+            cnt = int(parts[f"__cnt{i}"].sum())
+            mean = float(parts[f"__sum{i}"].sum()) / cnt if cnt else np.nan
+        else:
+            mn = mx = mean = np.nan
+        rows.append(
+            (c, n_rows, nulls, round(nulls / n_rows, 6) if n_rows else np.nan,
+             nd, round(mn, 6) if mn == mn else np.nan,
+             round(mx, 6) if mx == mx else np.nan,
+             round(mean, 6) if mean == mean else np.nan)
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["column", "n_rows", "n_nulls", "null_frac", "n_distinct",
+                 "min_val", "max_val", "mean_val"],
+    ).sort_values("column", ignore_index=True)
