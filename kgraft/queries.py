@@ -2497,6 +2497,51 @@ def cms_token_estimates(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def balanced_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Source-balanced corpus resampling: every source is deterministic-
+    hash-downsampled toward HALF the smallest source's size, flattening
+    domain dominance before training. The per-source rate derives from
+    the corpus itself (bps = min_count·5000 // count, INTEGER arithmetic
+    so the SQL twin reproduces the cut exactly), applied through the
+    shuffle-free :func:`kgraft.relational.stratified_sample` hash draw.
+    Output: per-source original vs kept counts."""
+    from .relational import stratified_sample
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    counts = pre_aggregate(docs, ["source"], {"n": (None, "count")})
+    mn = int(counts["n"].min())
+    bps = {
+        row["source"]: int(mn * 5000) // int(row["n"])
+        for _, row in counts.iterrows()
+    }
+    kept = stratified_sample(
+        docs, "source", "doc_id", {s: b / 10000.0 for s, b in bps.items()}
+    )
+    kc = pre_aggregate(kept, ["source"], {"n_kept": (None, "count")})
+    out = counts.rename(columns={"n": "n_orig"}).merge(kc, on="source", how="left")
+    out["n_orig"] = out["n_orig"].astype("int64")
+    out["n_kept"] = out["n_kept"].fillna(0).astype("int64")
+    return out.sort_values("source", ignore_index=True)[
+        ["source", "n_orig", "n_kept"]
+    ]
+
+
+_BALANCED_SAMPLE_SQL = """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+m AS (SELECT min(n) AS mn FROM c),
+r AS (SELECT c.source, (m.mn * 5000) // c.n AS bps FROM c CROSS JOIN m),
+k AS (
+  SELECT d.source
+  FROM documents d JOIN r USING (source)
+  WHERE (d.doc_id::HUGEINT * 2654435761) % 4294967296 % 10000 < r.bps
+)
+SELECT c.source, c.n AS n_orig,
+       CAST(COALESCE((SELECT count(*) FROM k WHERE k.source = c.source), 0)
+            AS BIGINT) AS n_kept
+FROM c ORDER BY c.source
+"""
+
+
 def dup_rate_by_source(sf_dir: str) -> pd.DataFrame:
     """Curation dashboard view: per-source near-duplication rate —
     fraction of each source's documents whose near-dup group
@@ -5885,6 +5930,7 @@ QUERIES = {
     "pmi_collocations_docs": pmi_collocations_docs,
     "dup_rate_by_source": dup_rate_by_source,
     "cms_token_estimates": cms_token_estimates,
+    "balanced_sample_docs": balanced_sample_docs,
     "bpe_merges_docs": bpe_merges_docs,
     "near_dup_against_docs": near_dup_against_docs,
     "orders_by_dow": orders_by_dow,
@@ -6036,6 +6082,7 @@ ORACLE_SQL = {
     "validate_orders": _VALIDATE_ORDERS_SQL,
     "profile_events": _PROFILE_EVENTS_SQL,
     "cdc_orders_state": _CDC_ORDERS_STATE_SQL,
+    "balanced_sample_docs": _BALANCED_SAMPLE_SQL,
     "rolling_median_value": _ROLLING_MEDIAN_SQL,
     "event_trigram_sequences": _EVENT_TRIGRAMS_SQL,
     "bcubed_docs": _BCUBED_DOCS_SQL,

@@ -1856,3 +1856,65 @@ def test_validate_finds_planted_violations(ray_session):
                                           "lo": 0, "hi": 5}],
     )
     assert (clean["passed"] == 1).all()
+
+
+def test_new_ops_invariant_to_block_layout(ray_session):
+    """scd2_compress, temporal_join, debounce and apply_cdc must give
+    identical results at any repartitioning (the co-location contract
+    of the bucket exchange)."""
+    import ray
+
+    from kgraft.relational import apply_cdc, scd2_compress, temporal_join
+    from kgraft.streamops import debounce
+
+    rng = np.random.RandomState(71)
+    n = 400
+    ev = pd.DataFrame(
+        {
+            "k": rng.randint(0, 25, n).astype("int64"),
+            "ts": (
+                pd.to_datetime("2024-03-01")
+                + pd.to_timedelta(rng.randint(0, 86400 * 10, n), unit="s")
+            ).astype("datetime64[us]"),
+            "tb": np.arange(n, dtype="int64"),
+            "st": rng.choice(["a", "b", "c"], n),
+        }
+    )
+
+    def run_all(num_blocks):
+        ds = ray.data.from_pandas(ev).repartition(num_blocks)
+        scd = (
+            scd2_compress(ds, "k", ["ts", "tb"], "st")
+            .to_pandas()
+            .sort_values(["k", "valid_from", "st"], ignore_index=True)
+        )
+        dim = scd.rename(columns={"st": "state"})
+        tj = (
+            temporal_join(ds, dim, "k", "ts")
+            .to_pandas()
+            .sort_values(["k", "ts", "tb"], ignore_index=True)[
+                ["k", "ts", "tb", "state"]
+            ]
+        )
+        db = (
+            debounce(ds, ["k"], "ts", 3600.0, tiebreak="tb")
+            .to_pandas()
+            .sort_values(["k", "ts", "tb"], ignore_index=True)
+        )
+        ch = ev.head(50).copy()
+        ch["op"] = np.where(ch["tb"] % 2 == 0, "D", "U")
+        ch["version"] = np.int64(1)
+        cdc = (
+            apply_cdc(
+                ds, ray.data.from_pandas(ch).repartition(3), "k", "version", "op",
+                base_schema=ray.data.from_pandas(ev).schema(),
+            )
+            .to_pandas()
+            .sort_values(["k", "ts", "tb"], ignore_index=True)
+        )
+        return scd, tj, db, cdc
+
+    a = run_all(1)
+    b = run_all(9)
+    for x, y in zip(a, b):
+        pd.testing.assert_frame_equal(x, y)
