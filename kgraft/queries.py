@@ -3328,6 +3328,50 @@ FROM final GROUP BY st ORDER BY st
 """
 
 
+def k_anonymous_events(sf_dir: str) -> pd.DataFrame:
+    """k-anonymity release gate: suppress events whose (type, day)
+    quasi-identifier group has fewer than 25 rows, report per-type
+    kept/suppressed counts — the privacy pass before publishing
+    event-level data. See :func:`kgraft.relational.k_anonymize`."""
+    from .relational import k_anonymize
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type", "ts"])
+
+    def add_day(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["day"] = df["ts"].dt.floor("D")
+        return df[["event_id", "event_type", "day"]]
+
+    days = ev.map_batches(add_day, batch_format="pandas")
+    kept = k_anonymize(days, ["event_type", "day"], 25)
+    kc = pre_aggregate(kept, ["event_type"], {"n_kept": (None, "count")})
+    tot = pre_aggregate(days, ["event_type"], {"n_orig": (None, "count")})
+    out = tot.merge(kc, on="event_type", how="left")
+    out["n_orig"] = out["n_orig"].astype("int64")
+    out["n_kept"] = out["n_kept"].fillna(0).astype("int64")
+    out["n_suppressed"] = out["n_orig"] - out["n_kept"]
+    return out.sort_values("event_type", ignore_index=True)[
+        ["event_type", "n_orig", "n_kept", "n_suppressed"]
+    ]
+
+
+_K_ANONYMOUS_SQL = """
+WITH e AS (
+  SELECT event_id, event_type, date_trunc('day', ts) AS day FROM events
+), sz AS (
+  SELECT event_type, day, count(*) AS c FROM e GROUP BY event_type, day
+), kept AS (
+  SELECT e.event_type FROM e JOIN sz USING (event_type, day) WHERE sz.c >= 25
+), t AS (SELECT event_type, count(*) AS n FROM e GROUP BY event_type),
+kk AS (SELECT event_type, count(*) AS n FROM kept GROUP BY event_type)
+SELECT t.event_type, t.n AS n_orig,
+       CAST(COALESCE(kk.n, 0) AS BIGINT) AS n_kept,
+       CAST(t.n - COALESCE(kk.n, 0) AS BIGINT) AS n_suppressed
+FROM t LEFT JOIN kk USING (event_type)
+ORDER BY t.event_type
+"""
+
+
 def profile_events(sf_dir: str) -> pd.DataFrame:
     """Column-profile report over the events table (row/null counts,
     exact distinct cardinality, numeric min/max/mean) — the catalog
@@ -5908,6 +5952,7 @@ QUERIES = {
     "debounced_events": debounced_events,
     "validate_orders": validate_orders,
     "profile_events": profile_events,
+    "k_anonymous_events": k_anonymous_events,
     "cdc_orders_state": cdc_orders_state,
     "rolling_median_value": rolling_median_value,
     "event_trigram_sequences": event_trigram_sequences,
@@ -6081,6 +6126,7 @@ ORACLE_SQL = {
     "debounced_events": _DEBOUNCED_EVENTS_SQL,
     "validate_orders": _VALIDATE_ORDERS_SQL,
     "profile_events": _PROFILE_EVENTS_SQL,
+    "k_anonymous_events": _K_ANONYMOUS_SQL,
     "cdc_orders_state": _CDC_ORDERS_STATE_SQL,
     "balanced_sample_docs": _BALANCED_SAMPLE_SQL,
     "rolling_median_value": _ROLLING_MEDIAN_SQL,

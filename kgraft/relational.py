@@ -2862,3 +2862,22 @@ def profile(ds, columns, num_buckets: int = 64) -> pd.DataFrame:
         columns=["column", "n_rows", "n_nulls", "null_frac", "n_distinct",
                  "min_val", "max_val", "mean_val"],
     ).sort_values("column", ignore_index=True)
+
+
+def k_anonymize(ds, quasi_cols, k: int, num_buckets: int = 64):
+    """k-anonymity suppression (Sweeney 2002): drop every row whose
+    quasi-identifier combination is shared by fewer than ``k`` rows —
+    the release gate before publishing event-level data. ONE bucketed
+    exchange co-locates each quasi-group (a group's rows all hash to
+    one bucket), the in-bucket filter is a vectorized group-size
+    transform; suppressed rows simply vanish (no suppression marker
+    survives, by design)."""
+    quasi_cols = [quasi_cols] if isinstance(quasi_cols, str) else list(quasi_cols)
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby(quasi_cols, sort=False, dropna=False)[
+            quasi_cols[0]
+        ].transform("size")
+        return g[sizes >= k]
+
+    return bucketed_groupby_apply(ds, quasi_cols, fn, num_buckets)
