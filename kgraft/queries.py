@@ -3328,6 +3328,49 @@ FROM final GROUP BY st ORDER BY st
 """
 
 
+def incremental_event_stats(sf_dir: str) -> pd.DataFrame:
+    """Incremental-model maintenance end-to-end: per-type event stats
+    built by folding the corpus in as TWO partitions (first half by
+    event_id, then the rest) through
+    :func:`kgraft.relational.incremental_aggregate` — the history is
+    never rescanned on the second fold, and the result must equal the
+    one-shot GROUP BY the SQL twin computes."""
+    from .relational import incremental_aggregate
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    mid = int(ev.count()) // 2
+    first = ev.map_batches(
+        lambda df: df[df["event_id"] <= mid], batch_format="pandas"
+    )
+    rest = ev.map_batches(
+        lambda df: df[df["event_id"] > mid], batch_format="pandas"
+    )
+    aggs = {
+        "n_events": (None, "count"),
+        "total_value": ("value", "sum"),
+        "avg_value": ("value", "mean"),
+        "min_value": ("value", "min"),
+        "max_value": ("value", "max"),
+    }
+    _, state = incremental_aggregate(None, first, ["event_type"], aggs)
+    out, _ = incremental_aggregate(state, rest, ["event_type"], aggs)
+    out["n_events"] = out["n_events"].astype("int64")
+    for c in ("total_value", "avg_value", "min_value", "max_value"):
+        out[c] = out[c].round(6)
+    return out.sort_values("event_type", ignore_index=True)
+
+
+_INCREMENTAL_EVENT_STATS_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value,
+       round(avg(value), 6) AS avg_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def k_anonymous_events(sf_dir: str) -> pd.DataFrame:
     """k-anonymity release gate: suppress events whose (type, day)
     quasi-identifier group has fewer than 25 rows, report per-type
@@ -5953,6 +5996,7 @@ QUERIES = {
     "validate_orders": validate_orders,
     "profile_events": profile_events,
     "k_anonymous_events": k_anonymous_events,
+    "incremental_event_stats": incremental_event_stats,
     "cdc_orders_state": cdc_orders_state,
     "rolling_median_value": rolling_median_value,
     "event_trigram_sequences": event_trigram_sequences,
@@ -6127,6 +6171,7 @@ ORACLE_SQL = {
     "validate_orders": _VALIDATE_ORDERS_SQL,
     "profile_events": _PROFILE_EVENTS_SQL,
     "k_anonymous_events": _K_ANONYMOUS_SQL,
+    "incremental_event_stats": _INCREMENTAL_EVENT_STATS_SQL,
     "cdc_orders_state": _CDC_ORDERS_STATE_SQL,
     "balanced_sample_docs": _BALANCED_SAMPLE_SQL,
     "rolling_median_value": _ROLLING_MEDIAN_SQL,

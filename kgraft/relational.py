@@ -2881,3 +2881,77 @@ def k_anonymize(ds, quasi_cols, k: int, num_buckets: int = 64):
         return g[sizes >= k]
 
     return bucketed_groupby_apply(ds, quasi_cols, fn, num_buckets)
+
+
+def incremental_aggregate(state, new_ds, keys, aggs, num_buckets: int = 64):
+    """Incremental aggregate maintenance (the dbt-incremental /
+    materialized-view pattern): fold a NEW data partition into a saved
+    PARTIAL-STATE table and return ``(result, new_state)`` — the full
+    history is never rescanned, only the new partition streams.
+
+    ``aggs``: out_col -> (in_col, kind), kinds ⊆ {sum, count, mean,
+    min, max} (the algebraic set; holistic aggregates can't maintain
+    incrementally by definition). ``state``: the ``new_state`` frame
+    from the previous call, or ``None`` for the first build — key-scale
+    (one row per key), the thing a pipeline persists between runs.
+    ``result`` equals a full re-aggregation over everything folded so
+    far (the pytest/oracle equivalence)."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    plan = {}
+    for out, (col, kind) in aggs.items():
+        if kind not in ("sum", "count", "mean", "min", "max"):
+            raise PlanError(
+                f"incremental_aggregate: kind {kind!r} is not algebraic"
+            )
+        plan[out] = (col, kind)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key_list, observed=True, sort=False, dropna=False)
+        parts = {"__n": g.size()}
+        for out, (col, kind) in plan.items():
+            if kind == "count":
+                continue
+            if kind in ("sum", "mean"):
+                parts[f"__s_{out}"] = g[col].sum()
+                parts[f"__c_{out}"] = g[col].count()
+            elif kind == "min":
+                parts[f"__mn_{out}"] = g[col].min()
+            else:
+                parts[f"__mx_{out}"] = g[col].max()
+        return pd.DataFrame(parts).reset_index()
+
+    fresh = (
+        new_ds.map_batches(partial, batch_format="pandas").to_pandas()
+        if new_ds is not None
+        else pd.DataFrame()
+    )
+    frames = [f for f in (state, fresh) if f is not None and len(f)]
+    if not frames:
+        raise PlanError("incremental_aggregate: no state and no new data")
+    both = pd.concat(frames, ignore_index=True)
+    merge_plan = {"__n": "sum"}
+    for out, (col, kind) in plan.items():
+        if kind in ("sum", "mean"):
+            merge_plan[f"__s_{out}"] = "sum"
+            merge_plan[f"__c_{out}"] = "sum"
+        elif kind == "min":
+            merge_plan[f"__mn_{out}"] = "min"
+        elif kind == "max":
+            merge_plan[f"__mx_{out}"] = "max"
+    new_state = both.groupby(key_list, as_index=False, observed=True,
+                             sort=False, dropna=False).agg(merge_plan)
+    result = new_state[key_list].copy()
+    for out, (col, kind) in plan.items():
+        if kind == "count":
+            result[out] = new_state["__n"].astype("int64")
+        elif kind == "sum":
+            result[out] = new_state[f"__s_{out}"].where(
+                new_state[f"__c_{out}"] > 0
+            )
+        elif kind == "mean":
+            result[out] = new_state[f"__s_{out}"] / new_state[f"__c_{out}"]
+        elif kind == "min":
+            result[out] = new_state[f"__mn_{out}"]
+        else:
+            result[out] = new_state[f"__mx_{out}"]
+    return result, new_state
