@@ -3328,6 +3328,73 @@ FROM final GROUP BY st ORDER BY st
 """
 
 
+def user_feature_snapshot(sf_dir: str) -> pd.DataFrame:
+    """ML feature-store build: per-user churn/engagement features —
+    event count, total value, recency in days vs the corpus watermark,
+    and the user's dominant event type (deterministic-tie mode). All
+    algebraic/histogram shapes: two map-side-combined aggregates + the
+    (user, type) count-histogram exchange; output is user-scale (the
+    feature table a trainer consumes — at 100 TB it writes partitioned,
+    never collected; driver-scale corpora compare whole)."""
+    from .relational import grouped_mode
+
+    ev = read_table(
+        sf_dir, "events", columns=["user_id", "event_type", "ts", "value"]
+    ).materialize()  # three consumers below
+    ref_us = int(
+        ev.map_batches(
+            lambda df: pd.DataFrame(
+                {"m": [df["ts"].astype("datetime64[us]").astype("int64").max()]}
+            ),
+            batch_format="pandas",
+        ).max("m")
+    )
+    base = pre_aggregate(
+        ev,
+        ["user_id"],
+        {
+            "n_events": (None, "count"),
+            "total_value": ("value", "sum"),
+            "last_us": ("ts", "max"),
+        },
+    )
+    mode = grouped_mode(ev, "user_id", "event_type", out_col="top_type")
+    mode = mode.to_pandas() if not isinstance(mode, pd.DataFrame) else mode
+    out = base.merge(mode, on="user_id")
+    last_us = out["last_us"].astype("datetime64[us]").astype("int64")
+    out["recency_days"] = ((ref_us - last_us) / 86400e6).round(6)
+    out["n_events"] = out["n_events"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    out["total_value"] = out["total_value"].round(6)
+    return out.sort_values("user_id", ignore_index=True)[
+        ["user_id", "n_events", "total_value", "recency_days", "top_type"]
+    ]
+
+
+_USER_FEATURE_SNAPSHOT_SQL = """
+WITH e AS (SELECT * FROM events),
+w AS (SELECT max(epoch_us(ts)) AS ref FROM e),
+base AS (
+  SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS total_value,
+         max(epoch_us(ts)) AS last_us
+  FROM e GROUP BY user_id
+), m AS (
+  SELECT user_id, event_type AS top_type FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (
+             PARTITION BY user_id ORDER BY count(*) DESC, event_type
+           ) AS rn
+    FROM e GROUP BY user_id, event_type
+  ) WHERE rn = 1
+)
+SELECT base.user_id, base.n_events, base.total_value,
+       round((w.ref - base.last_us) / 86400e6, 6) AS recency_days,
+       m.top_type
+FROM base JOIN m USING (user_id) CROSS JOIN w
+ORDER BY base.user_id
+"""
+
+
 def incremental_event_stats(sf_dir: str) -> pd.DataFrame:
     """Incremental-model maintenance end-to-end: per-type event stats
     built by folding the corpus in as TWO partitions (first half by
@@ -5997,6 +6064,7 @@ QUERIES = {
     "profile_events": profile_events,
     "k_anonymous_events": k_anonymous_events,
     "incremental_event_stats": incremental_event_stats,
+    "user_feature_snapshot": user_feature_snapshot,
     "cdc_orders_state": cdc_orders_state,
     "rolling_median_value": rolling_median_value,
     "event_trigram_sequences": event_trigram_sequences,
@@ -6172,6 +6240,7 @@ ORACLE_SQL = {
     "profile_events": _PROFILE_EVENTS_SQL,
     "k_anonymous_events": _K_ANONYMOUS_SQL,
     "incremental_event_stats": _INCREMENTAL_EVENT_STATS_SQL,
+    "user_feature_snapshot": _USER_FEATURE_SNAPSHOT_SQL,
     "cdc_orders_state": _CDC_ORDERS_STATE_SQL,
     "balanced_sample_docs": _BALANCED_SAMPLE_SQL,
     "rolling_median_value": _ROLLING_MEDIAN_SQL,
