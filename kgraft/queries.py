@@ -5737,6 +5737,19 @@ def image_features_q(sf_dir: str):
     return extract_image_features(pages)
 
 
+def image_resize_q(sf_dir: str):
+    """Multimodal image resize over the binary column (actor pool,
+    payload-aware batches; deterministic fake backend resizes metadata
+    + payload stub — the seam a PIL thumbnailer drops into). Completes
+    the image family next to ``image_features``."""
+    from .multimodal import resize_images
+    from .synth import corpus_dir, sharded_pages
+
+    d = corpus_dir(_pages_for(sf_dir))
+    pages = ray.data.read_parquet(sharded_pages(d), columns=["url", "html"])
+    return resize_images(pages)
+
+
 def video_frames_q(sf_dir: str):
     """Multimodal frame sampling: one exploded row per sampled frame
     (actor pool; the explode happens inside the actor — a video is one
@@ -6159,6 +6172,7 @@ QUERIES = {
     "page_tables": page_tables,
     "kg_extract_text": kg_extract_text,
     "image_features": image_features_q,
+    "image_resize": image_resize_q,
     "video_frames": video_frames_q,
     "audio_features": audio_features_q,
     **TPCH_QUERIES,
