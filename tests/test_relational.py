@@ -1918,3 +1918,63 @@ def test_new_ops_invariant_to_block_layout(ray_session):
     b = run_all(9)
     for x, y in zip(a, b):
         pd.testing.assert_frame_equal(x, y)
+
+
+def test_incremental_aggregate_three_folds_with_nulls(ray_session):
+    """Three-fold incremental build == one-shot DuckDB aggregate, with
+    nulls (SQL divisor semantics) and all five algebraic kinds."""
+    import ray
+
+    from kgraft.relational import incremental_aggregate
+
+    rng = np.random.RandomState(83)
+    n = 900
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], n),
+            "x": rng.normal(10, 3, n),
+        }
+    )
+    df.loc[rng.rand(n) < 0.15, "x"] = np.nan
+    aggs = {
+        "c": (None, "count"),
+        "s": ("x", "sum"),
+        "m": ("x", "mean"),
+        "mn": ("x", "min"),
+        "mx": ("x", "max"),
+    }
+    state = None
+    for lo, hi in ((0, 300), (300, 600), (600, 900)):
+        chunk = ray.data.from_pandas(df.iloc[lo:hi]).repartition(3)
+        result, state = incremental_aggregate(state, chunk, ["k"], aggs)
+    got = result.sort_values("k", ignore_index=True)
+    want = duckdb.sql(
+        "SELECT k, count(*) c, sum(x) s, avg(x) m, min(x) mn, max(x) mx "
+        "FROM df GROUP BY k ORDER BY k"
+    ).df()
+    assert got["c"].tolist() == want["c"].tolist()
+    for col in ("s", "m", "mn", "mx"):
+        np.testing.assert_allclose(got[col].to_numpy(), want[col].to_numpy(),
+                                   rtol=1e-9)
+
+
+def test_k_anonymize_planted_groups(ray_session):
+    import ray
+
+    from kgraft.relational import k_anonymize
+
+    df = pd.DataFrame(
+        {
+            "q1": ["a"] * 10 + ["b"] * 3 + ["c"] * 5,
+            "q2": [1] * 10 + [1] * 3 + [2] * 5,
+            "v": np.arange(18),
+        }
+    )
+    got = (
+        k_anonymize(ray.data.from_pandas(df).repartition(4), ["q1", "q2"], 5)
+        .to_pandas()
+        .sort_values("v", ignore_index=True)
+    )
+    # ('b', 1) has 3 < 5 rows -> suppressed; the other groups survive
+    assert len(got) == 15
+    assert set(got["q1"]) == {"a", "c"}
