@@ -38,7 +38,7 @@ def hits(
     appear; validated by the shared ``_to_index``). Multi-edges
     contribute multiplicity, matching the adjacency-matrix definition.
     """
-    ids = np.sort(np.asarray(node_ids, dtype=np.int64))
+    ids = np.unique(np.asarray(node_ids, dtype=np.int64))
     n = len(ids)
     if n == 0:
         return pd.DataFrame(

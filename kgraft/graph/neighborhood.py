@@ -50,6 +50,10 @@ def neighbor_aggregate(
     if direction not in ("out", "in", "both"):
         raise ValueError(f"neighbor_aggregate: unknown direction {direction!r}")
     ids = np.sort(np.asarray(node_ids, dtype=np.int64))
+    if len(ids) and (ids[1:] == ids[:-1]).any():
+        # a duplicate id would make the features-row alignment ambiguous
+        # and searchsorted would credit all mass to one slot
+        raise ValueError("neighbor_aggregate: node_ids contains duplicates")
     feats = np.ascontiguousarray(np.asarray(features, dtype=np.float64))
     n, d = feats.shape
     if n != len(ids):

@@ -306,7 +306,6 @@ def pagerank_weighted(
         _weighted_partials(edges, ids_ref, src_col, dst_col, weight_col).to_pandas(),
         n,
     )
-    wout = np.where(wout > 0, wout, 0.0)
 
     rank = np.full(n, 1.0 / n, dtype=np.float64)
     safe = np.where(wout > 0, wout, 1.0)

@@ -146,8 +146,17 @@ def write_bucketed(ds, out_dir: str, on, num_buckets: int = 64) -> None:
             pa.array((h % np.uint64(num_buckets)).astype(np.int64), pa.int64()),
         )
 
+    # atomic publish: write into a scratch dir, manifest last, one rename
+    # — an interrupted writer can never leave a half-layout at out_dir
+    # that a later retry would silently append into (double-counted rows)
+    import shutil
+
+    tmp = out_dir.rstrip("/") + ".inprogress"
+    for p in (tmp, out_dir):
+        if os.path.exists(p):
+            shutil.rmtree(p)
     ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
-        out_dir, partition_cols=["__bucket"]
+        tmp, partition_cols=["__bucket"]
     )
     arrow_schema = pa.schema([(n, types[n]) for n in schema.names])
     manifest = {
@@ -157,8 +166,9 @@ def write_bucketed(ds, out_dir: str, on, num_buckets: int = 64) -> None:
         "hash_version": 1,
         "schema_b64": base64.b64encode(arrow_schema.serialize().to_pybytes()).decode(),
     }
-    with open(os.path.join(out_dir, "_buckets.json"), "w") as f:
+    with open(os.path.join(tmp, "_buckets.json"), "w") as f:
         json.dump(manifest, f)
+    os.rename(tmp, out_dir)
 
 
 def _load_bucket_manifest(path: str) -> dict:

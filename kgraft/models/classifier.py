@@ -164,7 +164,15 @@ def pr_curve(ds, score_col: str, label_col: str, num_bins: int = 256) -> pd.Data
         y = df[label_col].to_numpy(dtype=np.int64)
         hp, _ = np.histogram(s[y == 1], bins=edges)
         hn, _ = np.histogram(s[y == 0], bins=edges)
-        return pd.DataFrame({"hp": [hp.tobytes()], "hn": [hn.tobytes()]})
+        # exact-1.0 scores counted separately: the histogram's last bin
+        # is right-closed, so threshold 1.0 would otherwise read as 0
+        # (saturated sigmoids DO emit exactly 1.0)
+        p1 = int(((s == 1.0) & (y == 1)).sum())
+        n1 = int(((s == 1.0) & (y == 0)).sum())
+        return pd.DataFrame(
+            {"hp": [hp.tobytes()], "hn": [hn.tobytes()],
+             "p1": [np.int64(p1)], "n1": [np.int64(n1)]}
+        )
 
     parts = ds.map_batches(hist_partial, batch_format="pandas").to_pandas()
     hp = np.zeros(num_bins, dtype=np.int64)
@@ -172,10 +180,12 @@ def pr_curve(ds, score_col: str, label_col: str, num_bins: int = 256) -> pd.Data
     for a, b in zip(parts["hp"], parts["hn"]):
         hp += np.frombuffer(a, dtype=np.int64)
         hn += np.frombuffer(b, dtype=np.int64)
+    p1, n1 = int(parts["p1"].sum()), int(parts["n1"].sum())
     n_pos = int(hp.sum())
-    # tp at threshold t_k = positives in bins >= k (score >= t_k)
-    tp = np.r_[hp[::-1].cumsum()[::-1], 0].astype(np.float64)
-    fp = np.r_[hn[::-1].cumsum()[::-1], 0].astype(np.float64)
+    # tp at threshold t_k = positives with score >= t_k; at t = 1.0 that
+    # is exactly the score == 1.0 mass
+    tp = np.r_[hp[::-1].cumsum()[::-1], p1].astype(np.float64)
+    fp = np.r_[hn[::-1].cumsum()[::-1], n1].astype(np.float64)
     kept = tp + fp
     with np.errstate(divide="ignore", invalid="ignore"):
         prec = tp / kept

@@ -1509,18 +1509,11 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
-def tfidf_top_terms_docs(sf_dir: str) -> pd.DataFrame:
-    """Top-3 TF-IDF terms per document (score = tf · ln(N/df)) — the
-    keyword-extraction pass of a search/labeling pipeline. Scale shape:
-    per-(doc, token) TF partials form in-batch (a document's text lives
-    in one row, so TF needs no exchange); document frequency is a
-    vocab-scale map-side-combined aggregate that STAYS a Dataset; DF
-    attaches back through the bucketed string-keyed :func:`hash_join`
-    (never a broadcast — web-corpus vocabularies are unbounded); the
-    per-doc top-3 cut runs in one doc-keyed bucket pass. Ties broken
-    (score desc, token asc) identically to the SQL twin's row_number."""
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    n_docs = float(docs.count())  # parquet metadata count, no scan
+def _doc_token_tf(docs):
+    """Shared TF/DF builder for the TF-IDF and inverted-index queries:
+    per-(doc, token) term frequencies form IN-BATCH (a document's text
+    lives in one row), the vocab-scale document-frequency aggregate
+    stays a Dataset. Returns ``(tf_ds, df_ds)``."""
 
     def tf_part(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].fillna("").str.lower().str.findall(r"[a-z0-9_]+")
@@ -1537,6 +1530,22 @@ def tfidf_top_terms_docs(sf_dir: str) -> pd.DataFrame:
 
     tf_ds = docs.map_batches(tf_part, batch_format="pandas")
     df_ds = pre_aggregate_ds(tf_ds, "token", {"df": (None, "count")})
+    return tf_ds, df_ds
+
+
+def tfidf_top_terms_docs(sf_dir: str) -> pd.DataFrame:
+    """Top-3 TF-IDF terms per document (score = tf · ln(N/df)) — the
+    keyword-extraction pass of a search/labeling pipeline. Scale shape:
+    per-(doc, token) TF partials form in-batch (a document's text lives
+    in one row, so TF needs no exchange); document frequency is a
+    vocab-scale map-side-combined aggregate that STAYS a Dataset; DF
+    attaches back through the bucketed string-keyed :func:`hash_join`
+    (never a broadcast — web-corpus vocabularies are unbounded); the
+    per-doc top-3 cut runs in one doc-keyed bucket pass. Ties broken
+    (score desc, token asc) identically to the SQL twin's row_number."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = float(docs.count())  # parquet metadata count, no scan
+    tf_ds, df_ds = _doc_token_tf(docs)
     joined = hash_join(
         tf_ds,
         df_ds,
@@ -1740,22 +1749,7 @@ def inverted_index_docs(sf_dir: str) -> pd.DataFrame:
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     n_docs = int(docs.count())  # parquet metadata count
     lo, hi = max(5, n_docs // 100), max(6, n_docs // 12)
-
-    def tf_part(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z0-9_]+")
-        ex = toks.explode()
-        f = pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].reindex(ex.index).to_numpy(),
-                "token": ex.to_numpy(),
-            }
-        ).dropna(subset=["token"])
-        g = f.groupby(["doc_id", "token"], sort=False).size().reset_index(name="tf")
-        g["tf"] = g["tf"].astype("int64")
-        return g
-
-    tf_ds = docs.map_batches(tf_part, batch_format="pandas")
-    df_ds = pre_aggregate_ds(tf_ds, "token", {"df": (None, "count")})
+    tf_ds, df_ds = _doc_token_tf(docs)
     band = df_ds.map_batches(
         lambda d: d[(d["df"] >= lo) & (d["df"] <= hi)], batch_format="pandas"
     )
@@ -3883,12 +3877,14 @@ def iqr_outliers_by_type(sf_dir: str) -> pd.DataFrame:
     them. Scale shape: the quantile histogram is distinct-value-scale
     (raw rows never shuffle), the |types|-scale fence table broadcasts
     into one shuffle-free counting scan."""
-    from .relational import grouped_quantile_disc
+    from .relational import grouped_quantiles_disc
 
     ev = read_table(sf_dir, "events", columns=["event_type", "value"])
-    q1 = grouped_quantile_disc(ev, "event_type", "value", q=0.25, out_col="q1")
-    q3 = grouped_quantile_disc(ev, "event_type", "value", q=0.75, out_col="q3")
-    fences = q1.to_pandas().merge(q3.to_pandas(), on="event_type")
+    # one histogram exchange serves both fences (review: the two
+    # separate grouped_quantile_disc passes doubled the dominant cost)
+    fences = grouped_quantiles_disc(
+        ev, "event_type", "value", {"q1": 0.25, "q3": 0.75}
+    ).to_pandas()
     fences["iqr"] = fences["q3"] - fences["q1"]
     fences["lo"] = fences["q1"] - 1.5 * fences["iqr"]
     fences["hi"] = fences["q3"] + 1.5 * fences["iqr"]

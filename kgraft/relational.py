@@ -1411,6 +1411,36 @@ def grouped_quantile_disc(ds, keys, col, q: float = 0.5, out_col=None, num_bucke
     return bucketed_groupby_apply(hist, keys, pick, num_buckets)
 
 
+def grouped_quantiles_disc(ds, keys, col, qs: dict, num_buckets: int = 64):
+    """Several exact discrete quantiles per group from ONE histogram:
+    ``qs`` maps out_col -> q. Same semantics as
+    :func:`grouped_quantile_disc`, but the (keys, value) count histogram
+    builds and shuffles once and the in-bucket walk extracts every
+    requested quantile — the shape IQR/fence computations need (q1 and
+    q3 off a single exchange instead of two full scans)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    hist = pre_aggregate_ds(ds, keys + [col], {"__n": (None, "count")}, num_buckets)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + [col], kind="mergesort")
+        grp = g.groupby(keys, sort=False)
+        cum = grp["__n"].cumsum()
+        total = grp["__n"].transform("sum")
+        out = None
+        for out_col, q in qs.items():
+            rank = np.ceil(total * q)
+            hit = (
+                g[cum >= rank]
+                .groupby(keys, sort=False, as_index=False)
+                .first()[keys + [col]]
+                .rename(columns={col: out_col})
+            )
+            out = hit if out is None else out.merge(hit, on=keys)
+        return out
+
+    return bucketed_groupby_apply(hist, keys, pick, num_buckets)
+
+
 def grouped_quantile_cont(ds, keys, col, q: float = 0.5, out_col=None, num_buckets: int = 64):
     """Exact INTERPOLATED quantile per group (DuckDB ``quantile_cont`` /
     SQL ``percentile_cont``: linear interpolation between the order

@@ -159,3 +159,18 @@ def test_pr_curve_matches_direct(ray_session):
         assert row["n_kept"] == int(keep.sum())
         assert abs(row["precision"] - tp / keep.sum()) < 1e-6
         assert abs(row["recall"] - tp / (y == 1).sum()) < 1e-6
+
+
+def test_pr_curve_threshold_one_exact_scores(ray_session):
+    """Scores of exactly 1.0 must be counted at the 1.0 threshold (the
+    saturated-sigmoid case the histogram's right-closed last bin hid)."""
+    import ray
+
+    from kgraft.models.classifier import pr_curve
+
+    df = pd.DataFrame({"p": [1.0, 1.0, 0.9, 0.2], "y": [1, 0, 1, 0]})
+    got = pr_curve(ray.data.from_pandas(df), "p", "y", num_bins=4)
+    row = got[got["threshold"] == 1.0]
+    assert len(row) == 1
+    assert row.iloc[0]["n_kept"] == 2
+    assert abs(row.iloc[0]["precision"] - 0.5) < 1e-9
