@@ -3476,6 +3476,59 @@ ORDER BY t.event_type
 """
 
 
+def validate_lineitem_fk(sf_dir: str) -> pd.DataFrame:
+    """Cross-table referential-integrity expectations: every lineitem
+    order key must exist in orders (clean corpus → 0 orphans), and —
+    the planted-violation twin — against only the 'F'-status orders
+    (→ many orphans). Distinct child keys meet distinct parent keys in
+    ONE bucketed LEFT join per rule; only orphan counts reach the
+    driver. See the ``fk`` rule kind of :func:`kgraft.relational.validate`."""
+    from .relational import validate
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    f_orders = orders.map_batches(
+        lambda df: df[df["o_orderstatus"] == "F"][["o_orderkey"]],
+        batch_format="pandas",
+    )
+    return validate(
+        li,
+        [
+            {"kind": "fk", "col": "l_orderkey", "ref": orders,
+             "ref_col": "o_orderkey"},
+        ],
+    ).assign(
+        n_orphans_vs_f_only=validate(
+            li,
+            [{"kind": "fk", "col": "l_orderkey", "ref": f_orders,
+              "ref_col": "o_orderkey"}],
+        )["n_violations"].to_numpy()
+    )
+
+
+_VALIDATE_LINEITEM_FK_SQL = """
+WITH c AS (SELECT count(*) AS n_rows FROM lineitem),
+all_orphans AS (
+  SELECT count(*) AS v FROM (
+    SELECT DISTINCT l_orderkey FROM lineitem
+    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+  )
+), f_orphans AS (
+  SELECT count(*) AS v FROM (
+    SELECT DISTINCT l_orderkey FROM lineitem
+    WHERE l_orderkey NOT IN
+      (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+  )
+)
+SELECT 'fk(l_orderkey->o_orderkey)' AS rule, 'fk' AS kind,
+       'l_orderkey' AS col, c.n_rows,
+       CAST(all_orphans.v AS BIGINT) AS n_violations,
+       CAST(all_orphans.v = 0 AS BIGINT) AS passed,
+       CAST(f_orphans.v AS BIGINT) AS n_orphans_vs_f_only
+FROM c, all_orphans, f_orphans
+"""
+
+
 def profile_events(sf_dir: str) -> pd.DataFrame:
     """Column-profile report over the events table (row/null counts,
     exact distinct cardinality, numeric min/max/mean) — the catalog
@@ -6071,6 +6124,7 @@ QUERIES = {
     "debounced_events": debounced_events,
     "validate_orders": validate_orders,
     "profile_events": profile_events,
+    "validate_lineitem_fk": validate_lineitem_fk,
     "k_anonymous_events": k_anonymous_events,
     "incremental_event_stats": incremental_event_stats,
     "user_feature_snapshot": user_feature_snapshot,
@@ -6248,6 +6302,7 @@ ORACLE_SQL = {
     "debounced_events": _DEBOUNCED_EVENTS_SQL,
     "validate_orders": _VALIDATE_ORDERS_SQL,
     "profile_events": _PROFILE_EVENTS_SQL,
+    "validate_lineitem_fk": _VALIDATE_LINEITEM_FK_SQL,
     "k_anonymous_events": _K_ANONYMOUS_SQL,
     "incremental_event_stats": _INCREMENTAL_EVENT_STATS_SQL,
     "user_feature_snapshot": _USER_FEATURE_SNAPSHOT_SQL,

@@ -2736,11 +2736,13 @@ def validate(ds, rules, num_buckets: int = 64) -> pd.DataFrame:
       {"kind": "regex",           "col": c, "pattern": p}        (full match; NULL passes)
       {"kind": "accepted_values", "col": c, "values": [...]}     (NULL passes)
       {"kind": "unique",          "col": c}                      (rows beyond the first per key violate)
+      {"kind": "fk", "col": c, "ref": other_ds, "ref_col": rc}   (DISTINCT child keys with no parent violate)
     Returns (rule, kind, col, n_rows, n_violations, passed)."""
     import re as _re
 
-    row_rules = [r for r in rules if r["kind"] != "unique"]
+    row_rules = [r for r in rules if r["kind"] not in ("unique", "fk")]
     uniq_rules = [r for r in rules if r["kind"] == "unique"]
+    fk_rules = [r for r in rules if r["kind"] == "fk"]
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         out = {"__n": [np.int64(len(df))]}
@@ -2779,6 +2781,47 @@ def validate(ds, rules, num_buckets: int = 64) -> pd.DataFrame:
         )
         v = int(extras.sum("x") or 0)
         rows.append((f"unique({r['col']})", "unique", r["col"], v))
+    for r in fk_rules:
+        # referential integrity: child keys with no parent — distinct
+        # child keys join the distinct parent keys through ONE bucketed
+        # LEFT join; only the orphan COUNT reaches the driver
+        child_keys = distinct(ds, [r["col"]], num_buckets)
+        parent_keys = distinct(r["ref"], [r["ref_col"]], num_buckets)
+        marked = parent_keys.map_batches(
+            lambda d, c=r["ref_col"], cc=r["col"]: pd.DataFrame(
+                {cc: d[c], "__hit": np.int8(1)}
+            ),
+            batch_format="pandas",
+        )
+        j = hash_join(
+            child_keys,
+            marked,
+            on=r["col"],
+            how="left",
+            num_buckets=num_buckets,
+            left_schema=pa.schema([(r["col"], pa.int64())]),
+            right_schema=pa.schema(
+                [(r["col"], pa.int64()), ("__hit", pa.int8())]
+            ),
+        )
+        import pyarrow.compute as _pc
+
+        orphan_keys = j.map_batches(
+            lambda t: pa.table(
+                {
+                    "o": pa.array(
+                        _pc.is_null(t["__hit"]).to_numpy(zero_copy_only=False)
+                        .astype(np.int64),
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        v = int(orphan_keys.sum("o") or 0)
+        rows.append(
+            (f"fk({r['col']}->{r['ref_col']})", "fk", r["col"], v)
+        )
     out = pd.DataFrame(rows, columns=["rule", "kind", "col", "n_violations"])
     out.insert(3, "n_rows", np.int64(n_rows))
     out["passed"] = (out["n_violations"] == 0).astype("int64")
