@@ -2565,6 +2565,60 @@ def dup_rate_by_source(sf_dir: str) -> pd.DataFrame:
     ]
 
 
+def zipf_alpha_docs(sf_dir: str) -> pd.DataFrame:
+    """Zipf-law fit of the corpus vocabulary: OLS slope of ln(freq) on
+    ln(rank) over the top-200 tokens (natural text ≈ −1; synthetic or
+    boilerplate-heavy corpora drift) — a one-number corpus-health
+    diagnostic. The vocab counts reduce map-side, the top-200 cut is
+    distributed, and the regression runs on the 200-row head."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(r"[a-z0-9_]+").explode()
+        vc = toks.value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.astype(str), "n": vc.to_numpy(dtype="int64")}
+        )
+
+    agg = pre_aggregate_ds(
+        docs.map_batches(counts, batch_format="pandas"), "token", {"n": ("n", "sum")}
+    )
+    head = (
+        agg.sort(["n", "token"], descending=[True, False]).limit(200).to_pandas()
+    )
+    rank = np.arange(1, len(head) + 1, dtype="float64")
+    x = np.log(rank)
+    y = np.log(head["n"].to_numpy(dtype="float64"))
+    n = float(len(x))
+    sx, sy, sxx, sxy = x.sum(), y.sum(), (x * x).sum(), (x * y).sum()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pd.DataFrame(
+        {
+            "n_tokens_fit": [np.int64(n)],
+            "zipf_alpha": [round(-slope, 6)],
+            "log_intercept": [round(intercept, 6)],
+        }
+    )
+
+
+_ZIPF_ALPHA_SQL = """
+WITH tok AS (
+  SELECT t AS token, count(*)::DOUBLE AS n
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+        FROM documents)
+  GROUP BY t
+), head AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank
+  FROM tok ORDER BY n DESC, token LIMIT 200
+)
+SELECT CAST(count(*) AS BIGINT) AS n_tokens_fit,
+       round(-regr_slope(ln(n), ln(rank)), 6) AS zipf_alpha,
+       round(regr_intercept(ln(n), ln(rank)), 6) AS log_intercept
+FROM head
+"""
+
+
 def pmi_collocations_docs(sf_dir: str) -> pd.DataFrame:
     """Top-20 collocations by pointwise mutual information (Church &
     Hanks 1990): PMI = ln(p(w1 w2) / (p(w1) p(w2))), bigram probability
@@ -6148,6 +6202,7 @@ QUERIES = {
     "ewma_user_value": ewma_user_value,
     "cusum_event_alarms": cusum_event_alarms,
     "pmi_collocations_docs": pmi_collocations_docs,
+    "zipf_alpha_docs": zipf_alpha_docs,
     "dup_rate_by_source": dup_rate_by_source,
     "cms_token_estimates": cms_token_estimates,
     "balanced_sample_docs": balanced_sample_docs,
@@ -6325,6 +6380,7 @@ ORACLE_SQL = {
     "fuzzy_name_pairs": _FUZZY_PAIRS_SQL,
     "gopher_rules_docs": _GOPHER_RULES_SQL,
     "pmi_collocations_docs": _PMI_SQL,
+    "zipf_alpha_docs": _ZIPF_ALPHA_SQL,
     "orders_by_dow": _ORDERS_DOW_SQL,
     "event_value_histogram": _EVENT_HIST_SQL,
     "intersect_orders": _INTERSECT_SQL,
