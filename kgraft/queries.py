@@ -2565,6 +2565,109 @@ def dup_rate_by_source(sf_dir: str) -> pd.DataFrame:
     ]
 
 
+def lexical_diversity_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-source lexical diversity: mean type-token ratio (distinct
+    tokens / tokens per document) — the vocabulary-richness quality
+    signal (template spam scores low, natural prose high). Entirely
+    in-batch per document (a doc's text lives in one row), per-source
+    means reduce map-side; zero-token docs are excluded like SQL's
+    NULL-skipping AVG."""
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def ttr(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z0-9_]+")
+        n = toks.str.len().to_numpy(dtype="float64")
+        nd = toks.map(lambda t: len(set(t))).to_numpy(dtype="float64")
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = np.where(n > 0, nd / n, np.nan)
+        return pd.DataFrame({"source": df["source"], "ttr": r})
+
+    out = pre_aggregate(
+        docs.map_batches(ttr, batch_format="pandas"),
+        ["source"],
+        {"n_docs": (None, "count"), "mean_ttr": ("ttr", "mean")},
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["mean_ttr"] = out["mean_ttr"].round(6)
+    return out.sort_values("source", ignore_index=True)[
+        ["source", "n_docs", "mean_ttr"]
+    ]
+
+
+_LEXICAL_DIVERSITY_SQL = """
+WITH t AS (
+  SELECT source,
+         regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(CASE WHEN len(ts) > 0
+                      THEN len(list_distinct(ts)) * 1.0 / len(ts) END), 6)
+         AS mean_ttr
+FROM t GROUP BY source ORDER BY source
+"""
+
+
+def readability_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-source readability proxies: mean words-per-sentence and
+    chars-per-word (the syllable-free terms of Flesch-style scores —
+    long sentences of long words read hard; token-soup spam shows
+    degenerate values). One shuffle-free vectorized pass; sentence =
+    a run of [.!?], floored at 1 per non-empty doc on both sides."""
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        txt = df["text"].fillna("")
+        toks = txt.str.lower().str.findall(r"[a-z0-9_]+")
+        n_words = toks.str.len().to_numpy(dtype="float64")
+        n_chars = toks.map(lambda t: sum(len(w) for w in t)).to_numpy(
+            dtype="float64"
+        )
+        n_sent = txt.str.count(r"[.!?]+").to_numpy(dtype="float64")
+        n_sent = np.maximum(n_sent, 1.0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            wps = np.where(n_words > 0, n_words / n_sent, np.nan)
+            cpw = np.where(n_words > 0, n_chars / n_words, np.nan)
+        return pd.DataFrame(
+            {"source": df["source"], "wps": wps, "cpw": cpw}
+        )
+
+    out = pre_aggregate(
+        docs.map_batches(feats, batch_format="pandas"),
+        ["source"],
+        {
+            "n_docs": (None, "count"),
+            "words_per_sentence": ("wps", "mean"),
+            "chars_per_word": ("cpw", "mean"),
+        },
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["words_per_sentence"] = out["words_per_sentence"].round(6)
+    out["chars_per_word"] = out["chars_per_word"].round(6)
+    return out.sort_values("source", ignore_index=True)[
+        ["source", "n_docs", "words_per_sentence", "chars_per_word"]
+    ]
+
+
+_READABILITY_SQL = """
+WITH t AS (
+  SELECT source,
+         regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sent
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(CASE WHEN len(ts) > 0
+                      THEN len(ts) * 1.0 / n_sent END), 6)
+         AS words_per_sentence,
+       round(avg(CASE WHEN len(ts) > 0
+                      THEN list_sum(list_transform(ts, w -> length(w))) * 1.0
+                           / len(ts) END), 6)
+         AS chars_per_word
+FROM t GROUP BY source ORDER BY source
+"""
+
+
 def zipf_alpha_docs(sf_dir: str) -> pd.DataFrame:
     """Zipf-law fit of the corpus vocabulary: OLS slope of ln(freq) on
     ln(rank) over the top-200 tokens (natural text ≈ −1; synthetic or
@@ -6203,6 +6306,8 @@ QUERIES = {
     "cusum_event_alarms": cusum_event_alarms,
     "pmi_collocations_docs": pmi_collocations_docs,
     "zipf_alpha_docs": zipf_alpha_docs,
+    "lexical_diversity_docs": lexical_diversity_docs,
+    "readability_docs": readability_docs,
     "dup_rate_by_source": dup_rate_by_source,
     "cms_token_estimates": cms_token_estimates,
     "balanced_sample_docs": balanced_sample_docs,
@@ -6381,6 +6486,8 @@ ORACLE_SQL = {
     "gopher_rules_docs": _GOPHER_RULES_SQL,
     "pmi_collocations_docs": _PMI_SQL,
     "zipf_alpha_docs": _ZIPF_ALPHA_SQL,
+    "lexical_diversity_docs": _LEXICAL_DIVERSITY_SQL,
+    "readability_docs": _READABILITY_SQL,
     "orders_by_dow": _ORDERS_DOW_SQL,
     "event_value_histogram": _EVENT_HIST_SQL,
     "intersect_orders": _INTERSECT_SQL,
