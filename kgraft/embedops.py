@@ -886,3 +886,88 @@ def pca_transform(embeddings, model: dict, out_col: str = "pca"):
         )
 
     return embeddings.map_batches(project, batch_format="pyarrow")
+
+
+def hard_negatives(
+    embeddings,
+    n_cells: int = 16,
+    sample_limit: int = 4096,
+    round_dp: int = 6,
+):
+    """Hard-negative mining for metric learning: for every vector, the
+    most cosine-similar vector with a DIFFERENT label inside its k-means
+    cell — the contrastive-pair feed (most-confusable negatives teach
+    the most). Requires columns (vec_id, embedding, label).
+
+    Scale shape — the SemDeDup contract: centroids train on the
+    deterministic hash sample and broadcast; vectors ride ONE
+    cluster-keyed exchange; in-cell the search is a tiled masked matmul
+    (no corpus×corpus pass — recall is cluster-local by design, the
+    published trade of every clustered mining scheme). Vectors whose
+    cell holds no other label emit no row. Returns Dataset
+    (vec_id, neg_id, neg_label, cos_sim)."""
+    from .relational import bucketed_groupby_apply
+
+    sample = _hash_sample_matrix(embeddings, sample_limit)
+    cents = kmeans_centroids(sample, n_cells)
+    cref = ray.put(cents)
+
+    def tag(t: pa.Table) -> pd.DataFrame:
+        mat = _batch_matrix(t)
+        c = ray.get(cref)
+        d2 = (
+            (mat**2).sum(axis=1)[:, None]
+            - 2.0 * (mat @ c.T)
+            + (c**2).sum(axis=1)[None, :]
+        )
+        return pd.DataFrame(
+            {
+                "vec_id": t["vec_id"].to_numpy(zero_copy_only=False),
+                "label": t["label"].to_pandas(),
+                "cell": d2.argmin(axis=1).astype("int64"),
+                "embedding": [r.tolist() for r in mat],
+            }
+        )
+
+    tagged = embeddings.map_batches(tag, batch_format="pyarrow")
+
+    def mine(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, cell in g.groupby("cell", sort=False):
+            # vec_id order pins argmax tie-breaks (arrival order would
+            # make equal-similarity negatives nondeterministic)
+            cell = cell.sort_values("vec_id")
+            m = np.stack([np.asarray(v) for v in cell["embedding"]])
+            norms = np.linalg.norm(m, axis=1)
+            unit = m / np.where(norms == 0, 1.0, norms)[:, None]
+            labels = cell["label"].to_numpy()
+            ids = cell["vec_id"].to_numpy(dtype="int64")
+            sims = unit @ unit.T
+            diff = labels[:, None] != labels[None, :]
+            sims = np.where(diff, sims, -np.inf)
+            best = sims.argmax(axis=1)
+            has = np.isfinite(sims[np.arange(len(ids)), best])
+            out.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": ids[has],
+                        "neg_id": ids[best[has]],
+                        "neg_label": labels[best[has]],
+                        "cos_sim": np.round(
+                            sims[np.arange(len(ids)), best][has], round_dp
+                        ),
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "neg_id": pd.Series([], dtype="int64"),
+                    "neg_label": pd.Series([], dtype=object),
+                    "cos_sim": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_groupby_apply(tagged, ["cell"], mine)

@@ -5279,6 +5279,19 @@ ORDER BY score DESC, e.vec_id LIMIT 10
 """
 
 
+def hard_negatives_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Contrastive hard-negative pairs over the embeddings table: each
+    vector's most-similar DIFFERENT-label neighbor within its k-means
+    cell (metric-learning pair mining; cluster-local by design). See
+    :func:`kgraft.embedops.hard_negatives`. Rows-only; the same-
+    assignment brute-force oracle lives in tests/test_embedops.py."""
+    emb = read_table(sf_dir, "embeddings")
+    out = embedops.hard_negatives(emb, n_cells=8).to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["neg_id"] = out["neg_id"].astype("int64")
+    return out.sort_values("vec_id", ignore_index=True).head(200)
+
+
 def pca_embeddings(sf_dir: str) -> pd.DataFrame:
     """PCA spectrum of the embedding corpus: per-component explained
     variance/ratio from ONE streaming moment pass (d + d² floats per
@@ -6354,6 +6367,7 @@ QUERIES = {
     "knn_cosine_topk": knn_cosine_topk,
     "mmr_diverse_neighbors": mmr_diverse_neighbors,
     "pca_embeddings": pca_embeddings,
+    "hard_negatives_embeddings": hard_negatives_embeddings,
     "ivf_ann_topk": ivf_ann_topk,
     "pq_ann_topk": pq_ann_topk,
     "cluster_embeddings": cluster_embeddings,

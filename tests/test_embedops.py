@@ -371,3 +371,54 @@ def test_pca_matches_numpy(ray_session):
     )
     got = np.stack([np.asarray(r) for r in out["pca"]])
     np.testing.assert_allclose(got, (mat - mean) @ comps.T, atol=1e-8)
+
+
+def test_hard_negatives_matches_bruteforce(ray_session):
+    """Cluster-local hard negatives == brute force restricted to the
+    SAME deterministic cell assignment; each mined negative has a
+    different label and is its cell's most similar such vector."""
+    import ray
+
+    from kgraft import embedops
+
+    rng = np.random.RandomState(37)
+    blob_a = rng.randn(15, 8) + 30.0
+    blob_b = rng.randn(15, 8) - 30.0
+    vecs = np.vstack([blob_a, blob_b])
+    labels = np.array((["x"] * 8 + ["y"] * 7) * 2, dtype=object)
+    ids = np.arange(30, dtype="int64")
+    df = pd.DataFrame(
+        {"vec_id": ids, "embedding": [v.tolist() for v in vecs], "label": labels}
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = (
+        embedops.hard_negatives(ds, n_cells=2)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+
+    # oracle: same deterministic centroids/assignment
+    sample = embedops._hash_sample_matrix(ds, 4096)
+    cents = embedops.kmeans_centroids(sample, 2)
+    d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cell = d2.argmin(axis=1)
+    unit = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    sims = unit @ unit.T
+    want = {}
+    for i in range(30):
+        cand = [
+            j for j in range(30)
+            if cell[j] == cell[i] and labels[j] != labels[i]
+        ]
+        if cand:
+            # ties -> lowest vec_id (stable argmax over id-sorted order)
+            best = max(cand, key=lambda j: (round(sims[i, j], 12), -j))
+            want[i] = best
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        i = row["vec_id"]
+        assert labels[row["neg_id"]] != labels[i]
+        assert cell[row["neg_id"]] == cell[i]
+        np.testing.assert_allclose(
+            row["cos_sim"], round(sims[i, want[i]], 6), atol=1e-6
+        )
