@@ -5670,6 +5670,35 @@ def kg_smoothed_importance(sf_dir: str) -> pd.DataFrame:
     ).head(20)
 
 
+def kg_pred_stats(sf_dir: str) -> pd.DataFrame:
+    """KG schema profile: per predicate — edge count, distinct
+    subjects/objects, mean confidence — the relation-level health
+    report (a predicate whose object cardinality collapses signals an
+    extraction bug). Predicate vocabulary is bounded, so the grouped
+    partials and two distinct-count exchanges are tiny. Rows-only."""
+    from .relational import grouped_count_distinct, pre_aggregate
+
+    m = _kg_outputs(sf_dir)
+    edges = _read_kg_edges(
+        m, columns=["pred", "subj_id", "obj_id", "conf"]
+    ).materialize()
+    base = pre_aggregate(
+        edges, ["pred"], {"n_edges": (None, "count"), "mean_conf": ("conf", "mean")}
+    )
+    ns = grouped_count_distinct(edges, ["pred"], "subj_id", out_col="n_subjects")
+    no = grouped_count_distinct(edges, ["pred"], "obj_id", out_col="n_objects")
+    ns = ns.to_pandas() if not isinstance(ns, pd.DataFrame) else ns
+    no = no.to_pandas() if not isinstance(no, pd.DataFrame) else no
+    out = base.merge(ns, on="pred").merge(no, on="pred")
+    out["n_edges"] = out["n_edges"].astype("int64")
+    out["n_subjects"] = out["n_subjects"].astype("int64")
+    out["n_objects"] = out["n_objects"].astype("int64")
+    out["mean_conf"] = out["mean_conf"].round(6)
+    return out.sort_values("pred", ignore_index=True)[
+        ["pred", "n_edges", "n_subjects", "n_objects", "mean_conf"]
+    ]
+
+
 def kg_hits(sf_dir: str) -> pd.DataFrame:
     """Top-20 entities by HITS authority over the materialized KG (hub
     score alongside) — separates well-referenced canonical entities from
@@ -6383,6 +6412,7 @@ QUERIES = {
     "kg_hits": kg_hits,
     "kg_smoothed_importance": kg_smoothed_importance,
     "kg_pagerank_weighted": kg_pagerank_weighted,
+    "kg_pred_stats": kg_pred_stats,
     "kg_ppr": kg_ppr,
     "kg_khop": kg_khop,
     "canonical_url_dedup": canonical_url_dedup,
