@@ -5699,6 +5699,39 @@ def kg_pred_stats(sf_dir: str) -> pd.DataFrame:
     ]
 
 
+def kg_random_walks(sf_dir: str) -> pd.DataFrame:
+    """DeepWalk-style walk-corpus generation over the materialized KG
+    (2 walks x 8 steps from every entity): per-position walk survival
+    and node coverage — the graph-embedding training-data prep — see
+    :func:`kgraft.graph.walks.random_walks`. Deterministic (seeded
+    splitmix64 choice streams). Rows-only; the serial-oracle and
+    bucket-invariance pytests live in tests/test_graph.py."""
+    import pyarrow.parquet as pq
+
+    from .graph.walks import random_walks
+    from .relational import grouped_count_distinct, pre_aggregate_ds
+
+    m = _kg_outputs(sf_dir)
+    node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
+        "entity_id"
+    ].to_numpy()
+    edges = _read_kg_edges(m, columns=["subj_id", "obj_id"])
+    walks = random_walks(
+        edges, node_ids, walk_length=8, walks_per_node=2, seed=42
+    )
+    n_walks = pre_aggregate_ds(
+        walks.select_columns(["pos"]), ["pos"], {"n_walks": (None, "count")}
+    ).to_pandas()
+    cov = grouped_count_distinct(walks, ["pos"], "node", out_col="n_nodes")
+    cov = cov.to_pandas() if not isinstance(cov, pd.DataFrame) else cov
+    out = n_walks.merge(cov, on="pos")
+    out["n_walks"] = out["n_walks"].astype("int64")
+    out["n_nodes"] = out["n_nodes"].astype("int64")
+    return out.sort_values("pos", ignore_index=True)[
+        ["pos", "n_walks", "n_nodes"]
+    ]
+
+
 def kg_hits(sf_dir: str) -> pd.DataFrame:
     """Top-20 entities by HITS authority over the materialized KG (hub
     score alongside) — separates well-referenced canonical entities from
@@ -6413,6 +6446,7 @@ QUERIES = {
     "kg_smoothed_importance": kg_smoothed_importance,
     "kg_pagerank_weighted": kg_pagerank_weighted,
     "kg_pred_stats": kg_pred_stats,
+    "kg_random_walks": kg_random_walks,
     "kg_ppr": kg_ppr,
     "kg_khop": kg_khop,
     "canonical_url_dedup": canonical_url_dedup,

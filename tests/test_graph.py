@@ -540,3 +540,103 @@ def test_pagerank_weighted_matches_dense(ray_session):
     np.testing.assert_allclose(
         wtd["rank"].to_numpy(), plain["rank"].to_numpy(), atol=1e-12
     )
+
+
+def _serial_walks(pairs, starts, walk_length, walks_per_node, seed,
+                  undirected=True):
+    """Straight-line oracle for random_walks: same choice rule
+    (splitmix64 stream over sorted-deduped neighbor runs), serial
+    Python walk loop."""
+    from kgraft.graph.walks import _walk_choice
+
+    adj = {}
+    all_pairs = list(pairs) + ([(b, a) for a, b in pairs] if undirected else [])
+    for a, b in sorted(set(all_pairs)):
+        adj.setdefault(a, []).append(b)
+    starts = np.unique(np.asarray(starts, dtype=np.int64))
+    rows = []
+    for i, s in enumerate(starts):
+        for j in range(walks_per_node):
+            wid = i * walks_per_node + j
+            cur = int(s)
+            rows.append((wid, int(s), 0, cur))
+            for pos in range(walk_length):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                r = _walk_choice(np.array([wid], dtype=np.int64), pos, seed)[0]
+                cur = nbrs[int(r % np.uint64(len(nbrs)))]
+                rows.append((wid, int(s), pos + 1, cur))
+    return pd.DataFrame(rows, columns=["walk_id", "start", "pos", "node"]).astype(
+        "int64"
+    )
+
+
+def test_random_walks_match_serial_oracle(ray_session):
+    """Distributed walk corpus == serial same-choice-rule oracle, and
+    is invariant to the bucket count (partitioning never leaks into the
+    output)."""
+    import ray
+
+    from kgraft.graph.walks import random_walks
+
+    rng = np.random.RandomState(11)
+    pairs = list(
+        {
+            (int(a), int(b))
+            for a, b in zip(rng.randint(0, 30, 200), rng.randint(0, 30, 200))
+            if a != b
+        }
+    )
+    starts = np.arange(30, dtype=np.int64)
+    want = _serial_walks(pairs, starts, walk_length=6, walks_per_node=2, seed=7)
+
+    def run(num_buckets):
+        got = random_walks(
+            _edges_ds(ray, pairs).map_batches(
+                lambda df: df.rename(columns={"src": "subj_id", "dst": "obj_id"}),
+                batch_format="pandas",
+            ),
+            starts,
+            walk_length=6,
+            walks_per_node=2,
+            seed=7,
+            num_buckets=num_buckets,
+        ).to_pandas()
+        return got.sort_values(["walk_id", "pos"], ignore_index=True).astype("int64")
+
+    a = run(4)
+    pd.testing.assert_frame_equal(a, want.sort_values(["walk_id", "pos"], ignore_index=True))
+    pd.testing.assert_frame_equal(a, run(9))
+
+
+def test_random_walks_edges_and_sinks(ray_session):
+    """Every consecutive (node, next) pair is a real (undirected) edge;
+    a sink-only directed node ends its walk at pos 0."""
+    import ray
+
+    from kgraft.graph.walks import random_walks
+
+    pairs = [(1, 2), (2, 3), (3, 1), (9, 1)]  # 9 -> 1, nothing back to 9
+    got = random_walks(
+        _edges_ds(ray, pairs).map_batches(
+            lambda df: df.rename(columns={"src": "subj_id", "dst": "obj_id"}),
+            batch_format="pandas",
+        ),
+        np.array([1, 2, 3, 9, 50]),  # 50: isolated, not in any edge
+        walk_length=5,
+        walks_per_node=3,
+        seed=1,
+        undirected=False,
+        num_buckets=3,
+    ).to_pandas()
+    eset = set(pairs)
+    g = got.sort_values(["walk_id", "pos"])
+    for _, w in g.groupby("walk_id"):
+        nodes = w["node"].tolist()
+        assert w["pos"].tolist() == list(range(len(nodes)))
+        for a, b in zip(nodes, nodes[1:]):
+            assert (a, b) in eset
+    # directed: node 9 has out-edge (walks move), node 50 is isolated
+    iso = g[g["start"] == 50]
+    assert set(iso["pos"]) == {0} and set(iso["node"]) == {50}
