@@ -2520,6 +2520,92 @@ def balanced_sample_docs(sf_dir: str) -> pd.DataFrame:
     ]
 
 
+def token_budget_mixture_docs(sf_dir: str) -> pd.DataFrame:
+    """Temperature-scaled data-mixing under a hard char budget: each
+    source gets ``budget_s = (B * sqrt(c_s)) // sum(sqrt(c))`` of the
+    half-corpus budget B (alpha=0.5 source upsampling, the multilingual
+    sampling temperature idiom — sqrt flattens head sources), then docs
+    are admitted in deterministic hash-priority order until the
+    source's cumulative chars exceed its budget — exact budget
+    satisfaction, unlike a rate-based downsample (contrast
+    :func:`balanced_sample_docs`).
+
+    Realization: per-source char totals via map-side partials (the
+    weight/budget table is source-scale, driver-held like stratified
+    rates), then ONE bucketed shuffle keyed on source; the in-bucket
+    cut is a vectorized argsort + cumsum. INTEGER arithmetic end to end
+    (floor-sqrt weights, floor-divide budgets, int64 cumsum) so the
+    DuckDB twin reproduces the cut bit-exactly. At corpus scale a
+    Zipf-head source serializes its bucket; the fix is the usual
+    two-phase split (sorted priority histogram to locate the cut,
+    then a shuffle-free filter) — documented, not needed at test scale.
+    Output: per-source kept docs/chars vs budget."""
+    from .relational import bucketed_groupby_apply
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    totals = pre_aggregate(docs, ["source"], {"c": ("n_chars", "sum")})
+    budget_total = int(totals["c"].sum()) // 2
+    w = {
+        r["source"]: int(np.floor(np.sqrt(float(r["c"]))))
+        for _, r in totals.iterrows()
+    }
+    wsum = sum(w.values())
+    budgets = {s: (budget_total * wv) // wsum for s, wv in w.items()}
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for src, d in g.groupby("source", sort=False):
+            ids = d["doc_id"].to_numpy(dtype=np.int64)
+            p = (ids * 2654435761) % 4294967296
+            order = np.lexsort((ids, p))
+            nc = d["n_chars"].to_numpy(dtype=np.int64)[order]
+            keep = np.cumsum(nc) <= budgets[src]
+            outs.append(
+                {
+                    "source": src,
+                    "n_docs": np.int64(keep.sum()),
+                    "chars_kept": np.int64(nc[keep].sum()),
+                    "budget": np.int64(budgets[src]),
+                }
+            )
+        return pd.DataFrame(
+            outs, columns=["source", "n_docs", "chars_kept", "budget"]
+        )
+
+    out = bucketed_groupby_apply(docs, "source", cut, num_buckets=16).to_pandas()
+    for c in ("n_docs", "chars_kept", "budget"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source", ignore_index=True)
+
+
+_TOKEN_BUDGET_MIXTURE_SQL = """
+WITH c AS (SELECT source, sum(n_chars) AS c FROM documents GROUP BY source),
+w AS (SELECT source, CAST(floor(sqrt(c)) AS BIGINT) AS w FROM c),
+b AS (
+  SELECT w.source,
+         ((SELECT sum(c) FROM c) // 2) * w.w // (SELECT sum(w) FROM w) AS budget
+  FROM w
+),
+s AS (
+  SELECT d.source, d.n_chars,
+         sum(d.n_chars) OVER (
+           PARTITION BY d.source
+           ORDER BY (d.doc_id::HUGEINT * 2654435761) % 4294967296, d.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM documents d
+)
+SELECT b.source,
+       CAST(count(s.source) FILTER (WHERE s.cum <= b.budget) AS BIGINT) AS n_docs,
+       CAST(COALESCE(sum(s.n_chars) FILTER (WHERE s.cum <= b.budget), 0) AS BIGINT)
+         AS chars_kept,
+       CAST(b.budget AS BIGINT) AS budget
+FROM b LEFT JOIN s ON s.source = b.source
+GROUP BY b.source, b.budget
+ORDER BY b.source
+"""
+
+
 _BALANCED_SAMPLE_SQL = """
 WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
 m AS (SELECT min(n) AS mn FROM c),
@@ -6386,6 +6472,7 @@ QUERIES = {
     "dup_rate_by_source": dup_rate_by_source,
     "cms_token_estimates": cms_token_estimates,
     "balanced_sample_docs": balanced_sample_docs,
+    "token_budget_mixture_docs": token_budget_mixture_docs,
     "bpe_merges_docs": bpe_merges_docs,
     "near_dup_against_docs": near_dup_against_docs,
     "orders_by_dow": orders_by_dow,
@@ -6546,6 +6633,7 @@ ORACLE_SQL = {
     "user_feature_snapshot": _USER_FEATURE_SNAPSHOT_SQL,
     "cdc_orders_state": _CDC_ORDERS_STATE_SQL,
     "balanced_sample_docs": _BALANCED_SAMPLE_SQL,
+    "token_budget_mixture_docs": _TOKEN_BUDGET_MIXTURE_SQL,
     "rolling_median_value": _ROLLING_MEDIAN_SQL,
     "event_trigram_sequences": _EVENT_TRIGRAMS_SQL,
     "bcubed_docs": _BCUBED_DOCS_SQL,
