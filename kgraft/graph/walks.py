@@ -243,3 +243,67 @@ def random_walks(
     finally:
         if own_scratch:
             shutil.rmtree(scratch_dir, ignore_errors=True)
+
+
+def walk_skipgram_pairs(walks, window: int = 2, num_buckets: int = 32):
+    """Skip-gram co-occurrence pairs from a walk corpus — the training
+    examples a skip-gram embedder consumes (Mikolov et al. 2013 over
+    DeepWalk sentences): unordered node pairs within ``window``
+    positions of each other on the same walk, with multiplicity ->
+    Dataset ``(u, v, n)`` with ``u <= v``.
+
+    Realization: one bucketed shuffle co-locates each walk's rows
+    (``walk_id`` key); inside a bucket the pair sweep is VECTORIZED —
+    sort by (walk_id, pos) once, then for each offset d<=window a
+    single shifted comparison ``walk_id[:-d] == walk_id[d:]`` yields
+    every distance-d pair (walk positions are contiguous by
+    construction, so array adjacency IS walk adjacency). Buckets emit
+    pre-counted partials; a final vocab-pair-scale grouped sum merges
+    them (map-side combine before the wide exchange)."""
+    from ..relational import bucketed_groupby_apply, pre_aggregate_ds
+
+    def _empty_pairs() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "u": pd.Series([], dtype="int64"),
+                "v": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return _empty_pairs()
+        g = g.sort_values(["walk_id", "pos"], kind="mergesort")
+        w = g["walk_id"].to_numpy(dtype=np.int64)
+        nd = g["node"].to_numpy(dtype=np.int64)
+        us, vs = [], []
+        for d in range(1, window + 1):
+            if d >= len(w):
+                break
+            m = w[:-d] == w[d:]
+            us.append(nd[:-d][m])
+            vs.append(nd[d:][m])
+        if not us:
+            return _empty_pairs()
+        a = np.concatenate(us)
+        b = np.concatenate(vs)
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        part = (
+            pd.DataFrame({"u": u, "v": v})
+            .groupby(["u", "v"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        part["n"] = part["n"].astype("int64")
+        return part
+
+    partials = bucketed_groupby_apply(
+        walks.select_columns(["walk_id", "pos", "node"]),
+        "walk_id",
+        pairs_in_bucket,
+        num_buckets=num_buckets,
+    )
+    return pre_aggregate_ds(partials, ["u", "v"], {"n": ("n", "sum")})

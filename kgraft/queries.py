@@ -5818,6 +5818,31 @@ def kg_random_walks(sf_dir: str) -> pd.DataFrame:
     ]
 
 
+def kg_walk_pairs(sf_dir: str) -> pd.DataFrame:
+    """Skip-gram training pairs from the KG walk corpus (window 2 over
+    the :func:`kg_random_walks` corpus): top-20 co-occurring entity
+    pairs — the examples a DeepWalk/node2vec embedder trains on. See
+    :func:`kgraft.graph.walks.walk_skipgram_pairs`. Rows-only; the
+    brute-force window-scan oracle lives in tests/test_graph.py."""
+    import pyarrow.parquet as pq
+
+    from .graph.walks import random_walks, walk_skipgram_pairs
+
+    m = _kg_outputs(sf_dir)
+    node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
+        "entity_id"
+    ].to_numpy()
+    edges = _read_kg_edges(m, columns=["subj_id", "obj_id"])
+    walks = random_walks(
+        edges, node_ids, walk_length=8, walks_per_node=2, seed=42
+    )
+    out = walk_skipgram_pairs(walks, window=2).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(
+        ["n", "u", "v"], ascending=[False, True, True], ignore_index=True
+    ).head(20)
+
+
 def kg_hits(sf_dir: str) -> pd.DataFrame:
     """Top-20 entities by HITS authority over the materialized KG (hub
     score alongside) — separates well-referenced canonical entities from
@@ -6534,6 +6559,7 @@ QUERIES = {
     "kg_pagerank_weighted": kg_pagerank_weighted,
     "kg_pred_stats": kg_pred_stats,
     "kg_random_walks": kg_random_walks,
+    "kg_walk_pairs": kg_walk_pairs,
     "kg_ppr": kg_ppr,
     "kg_khop": kg_khop,
     "canonical_url_dedup": canonical_url_dedup,

@@ -640,3 +640,37 @@ def test_random_walks_edges_and_sinks(ray_session):
     # directed: node 9 has out-edge (walks move), node 50 is isolated
     iso = g[g["start"] == 50]
     assert set(iso["pos"]) == {0} and set(iso["node"]) == {50}
+
+
+def test_walk_skipgram_pairs_match_bruteforce(ray_session):
+    """Vectorized shifted-pair sweep == brute-force window scan, across
+    bucket counts."""
+    import ray
+
+    from kgraft.graph.walks import walk_skipgram_pairs
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for wid in range(40):
+        L = rng.randint(1, 9)
+        for pos, node in enumerate(rng.randint(0, 12, L)):
+            rows.append((wid, -1, pos, int(node)))
+    walks = pd.DataFrame(rows, columns=["walk_id", "start", "pos", "node"]).astype(
+        "int64"
+    )
+
+    from collections import Counter
+
+    want = Counter()
+    for _, w in walks.groupby("walk_id"):
+        nd = w.sort_values("pos")["node"].tolist()
+        for i in range(len(nd)):
+            for j in range(i + 1, min(i + 3, len(nd))):  # window=2
+                want[(min(nd[i], nd[j]), max(nd[i], nd[j]))] += 1
+
+    for nb in (3, 7):
+        got = walk_skipgram_pairs(
+            ray.data.from_pandas(walks), window=2, num_buckets=nb
+        ).to_pandas()
+        got_c = {(int(r.u), int(r.v)): int(r.n) for r in got.itertuples()}
+        assert got_c == dict(want)
