@@ -5843,6 +5843,32 @@ def kg_walk_pairs(sf_dir: str) -> pd.DataFrame:
     ).head(20)
 
 
+def kg_scc(sf_dir: str) -> pd.DataFrame:
+    """Directed-cycle structure of the KG: SCC size histogram
+    (scc_size, n_sccs). Non-trivial SCCs flag extraction
+    contradictions (mutual ``acquired``, ``subsidiary_of`` cycles) that
+    the undirected components pass cannot see — see
+    :func:`kgraft.graph.scc.strongly_connected_components`. Rows-only;
+    the Tarjan oracle lives in tests/test_graph.py."""
+    import pyarrow.parquet as pq
+
+    from .graph.scc import strongly_connected_components
+
+    m = _kg_outputs(sf_dir)
+    node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
+        "entity_id"
+    ].to_numpy()
+    edges = _read_kg_edges(m, columns=["subj_id", "obj_id"]).materialize()
+    lab = strongly_connected_components(edges, node_ids)
+    sizes = lab.groupby("scc_id").size().rename("scc_size").reset_index()
+    out = (
+        sizes.groupby("scc_size").size().rename("n_sccs").reset_index()
+    )
+    out["scc_size"] = out["scc_size"].astype("int64")
+    out["n_sccs"] = out["n_sccs"].astype("int64")
+    return out.sort_values("scc_size", ignore_index=True)
+
+
 def kg_hits(sf_dir: str) -> pd.DataFrame:
     """Top-20 entities by HITS authority over the materialized KG (hub
     score alongside) — separates well-referenced canonical entities from
@@ -6560,6 +6586,7 @@ QUERIES = {
     "kg_pred_stats": kg_pred_stats,
     "kg_random_walks": kg_random_walks,
     "kg_walk_pairs": kg_walk_pairs,
+    "kg_scc": kg_scc,
     "kg_ppr": kg_ppr,
     "kg_khop": kg_khop,
     "canonical_url_dedup": canonical_url_dedup,

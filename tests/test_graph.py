@@ -674,3 +674,98 @@ def test_walk_skipgram_pairs_match_bruteforce(ray_session):
         ).to_pandas()
         got_c = {(int(r.u), int(r.v)): int(r.n) for r in got.itertuples()}
         assert got_c == dict(want)
+
+
+def _tarjan_scc(nodes, pairs):
+    """Iterative Tarjan oracle -> {node: frozenset(scc_members)}."""
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    sccs = []
+    counter = [0]
+
+    for root in nodes:
+        if root in index:
+            continue
+        work = [(root, iter(adj.get(root, [])))]
+        index[root] = low[root] = counter[0]
+        counter[0] += 1
+        stack.append(root)
+        on_stack.add(root)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stack.append(w)
+                    on_stack.add(w)
+                    work.append((w, iter(adj.get(w, []))))
+                    advanced = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                sccs.append(frozenset(comp))
+    return {n: s for s in sccs for n in s}
+
+
+def test_scc_matches_tarjan(ray_session):
+    """BSP trim+coloring SCC == serial Tarjan, labels = max id per SCC,
+    on a known graph and on random directed graphs (incl. negative
+    ids, self-loops, nested cycles)."""
+    import ray
+
+    from kgraft.graph.scc import strongly_connected_components
+
+    def check(nodes, pairs):
+        got = strongly_connected_components(
+            _edges_ds(ray, pairs).map_batches(
+                lambda df: df.rename(columns={"src": "subj_id", "dst": "obj_id"}),
+                batch_format="pandas",
+            ).materialize() if pairs else ray.data.from_pandas(
+                pd.DataFrame({"subj_id": [], "obj_id": []}).astype("int64")
+            ),
+            np.asarray(nodes, dtype=np.int64),
+        )
+        want = _tarjan_scc(sorted(set(nodes)), pairs)
+        lab = dict(zip(got["node_id"], got["scc_id"]))
+        for n in set(nodes):
+            assert lab[n] == max(want[n]), (n, lab[n], want[n])
+
+    # hand case: 2-cycle, 3-cycle sharing a bridge, self-loop, chain,
+    # negative ids
+    check(
+        [1, 2, 3, 4, 5, 6, 7, -9, -8, 50],
+        [(1, 2), (2, 1), (3, 4), (4, 5), (5, 3), (2, 3), (6, 6), (6, 7),
+         (-9, -8), (-8, -9), (7, -9)],
+    )
+    rng = np.random.RandomState(4)
+    for trial in range(3):
+        n = 40
+        m = rng.randint(30, 140)
+        pairs = list(
+            {
+                (int(a) - 20, int(b) - 20)
+                for a, b in zip(rng.randint(0, n, m), rng.randint(0, n, m))
+            }
+        )
+        check(list(range(-20, 20)), pairs)
