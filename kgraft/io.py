@@ -263,6 +263,112 @@ def copartitioned_join(left_dir: str, right_dir: str, on, how: str = "inner"):
     return buckets.map_batches(join_bucket, batch_format="pandas")
 
 
+def write_sorted(ds, out_dir: str, on: str) -> None:
+    """Write a Dataset as a RANGE-CLUSTERED Parquet layout: one global
+    sort on ``on`` (Ray's range shuffle), blocks written in key order so
+    every file covers a narrow key range. The zone maps are FREE — the
+    Parquet footer's column statistics — so :func:`range_scan` later
+    prunes at file granularity with no index structure to maintain
+    (the Iceberg/Delta sort-clustering trade: one shuffle at write time
+    buys every future range predicate a 1/num_files-scale read).
+    Published atomically like :func:`write_bucketed` (scratch dir +
+    rename); ``_sorted.json`` pins the cluster key."""
+    import json
+    import os
+    import shutil
+
+    tmp = out_dir.rstrip("/") + ".inprogress"
+    for p in (tmp, out_dir):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    ds.sort(on).write_parquet(tmp)
+    with open(os.path.join(tmp, "_sorted.json"), "w") as f:
+        json.dump({"key": on}, f)
+    os.rename(tmp, out_dir)
+
+
+def prune_range_files(layout_dir: str, lo=None, hi=None):
+    """Zone-map pruning over a :func:`write_sorted` layout: return
+    ``(kept_files, total_files)`` where kept files are those whose
+    footer min/max range for the cluster key overlaps ``[lo, hi]``
+    (either bound may be None = unbounded). Footer reads only — no row
+    data is touched."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(layout_dir, "_sorted.json")) as f:
+        key = json.load(f)["key"]
+    files = sorted(glob.glob(os.path.join(layout_dir, "*.parquet")))
+    kept = []
+    for path in files:
+        md = pq.ParquetFile(path).metadata
+        fmin = fmax = None
+        for rg in range(md.num_row_groups):
+            col = None
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == key:
+                    col = c
+                    break
+            st = col.statistics if col is not None else None
+            if st is None or not st.has_min_max:
+                fmin = fmax = None  # no stats -> cannot prune this file
+                break
+            fmin = st.min if fmin is None else min(fmin, st.min)
+            fmax = st.max if fmax is None else max(fmax, st.max)
+        if fmin is None:  # stat-less file: keep (correctness over pruning)
+            kept.append(path)
+            continue
+        if (lo is None or fmax >= lo) and (hi is None or fmin <= hi):
+            kept.append(path)
+    return kept, len(files)
+
+
+def range_scan(layout_dir: str, lo=None, hi=None, columns=None):
+    """Range read over a :func:`write_sorted` layout: zone-map-prune to
+    the overlapping files, then apply the EXACT bound filter map-side
+    (file granularity is coarse; the residual filter closes it).
+    Returns a streaming Dataset; ``columns`` prunes at the read."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    with open(os.path.join(layout_dir, "_sorted.json")) as f:
+        key = json.load(f)["key"]
+    kept, _total = prune_range_files(layout_dir, lo, hi)
+    if not kept:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        any_file = sorted(glob.glob(os.path.join(layout_dir, "*.parquet")))[0]
+        schema = pq.read_schema(any_file)
+        if columns:
+            schema = pa.schema([schema.field(c) for c in columns])
+        return ray.data.from_arrow(schema.empty_table())
+    read_cols = columns
+    if columns and key not in columns:
+        read_cols = list(columns) + [key]
+    ds = ray.data.read_parquet(kept, columns=read_cols)
+
+    def exact(t: "pa.Table") -> "pa.Table":
+        m = None
+        if lo is not None:
+            m = pc.greater_equal(t[key], lo)
+        if hi is not None:
+            mh = pc.less_equal(t[key], hi)
+            m = mh if m is None else pc.and_(m, mh)
+        out = t.filter(m) if m is not None else t
+        return out.select(columns) if columns and key not in columns else out
+
+    return ds.map_batches(exact, batch_format="pyarrow")
+
+
 def bucket_lookup(layout_dir: str, key_values) -> pd.DataFrame:
     """Point lookup against a :func:`write_bucketed` layout: hash the
     probe keys with the layout's own join hash and read ONLY the

@@ -728,6 +728,43 @@ FROM events WHERE event_type = 'click'
 """
 
 
+def range_scan_events(sf_dir: str) -> pd.DataFrame:
+    """Sort-clustered storage + zone-map range read: events are written
+    ONCE as a value-sorted Parquet layout
+    (:func:`kgraft.io.write_sorted` — Parquet footer stats are the zone
+    maps), then the [50, 150] value window is answered by
+    :func:`kgraft.io.range_scan`, which reads ONLY the overlapping
+    files plus an exact map-side residual filter. The oracle proves the
+    pruned read returns exactly the predicate's rows; the
+    pruning-effectiveness pytest lives in tests/test_io.py. Per-type
+    count/mean over the window."""
+    from .io import range_scan, write_sorted
+
+    layout = f"/tmp/kgraft_layout/events_value_{os.path.basename(sf_dir.rstrip('/'))}"
+    write_sorted(
+        read_table(sf_dir, "events", columns=["event_type", "value"]),
+        layout,
+        "value",
+    )
+    win = range_scan(layout, 50.0, 150.0)
+    out = pre_aggregate(
+        win, ["event_type"], {"n": (None, "count"), "mean_value": ("value", "mean")}
+    )
+    out["n"] = out["n"].astype("int64")
+    out["mean_value"] = out["mean_value"].round(4)
+    return out.sort_values("event_type", ignore_index=True)[
+        ["event_type", "n", "mean_value"]
+    ]
+
+
+_RANGE_SCAN_EVENTS_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(avg(value), 4) AS mean_value
+FROM events WHERE value >= 50.0 AND value <= 150.0
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def topk_users_by_value(sf_dir: str) -> pd.DataFrame:
     """Per-user aggregate stays a Dataset; distributed top-k cuts to 20."""
     ds = read_table(sf_dir, "events", columns=["user_id", "value"])
@@ -6429,6 +6466,7 @@ QUERIES = {
     "asof_last_order": asof_last_order,
     "range_join_events": range_join_events,
     "filter_project_events": filter_project_events,
+    "range_scan_events": range_scan_events,
     "topk_users_by_value": topk_users_by_value,
     "distinct_mktsegment": distinct_mktsegment,
     "union_orders": union_orders,
@@ -6618,6 +6656,7 @@ ORACLE_SQL = {
     "asof_last_order": _ASOF_SQL,
     "range_join_events": _RANGE_JOIN_SQL,
     "filter_project_events": _FILTER_PROJECT_SQL,
+    "range_scan_events": _RANGE_SCAN_EVENTS_SQL,
     "topk_users_by_value": _TOPK_USERS_SQL,
     "distinct_mktsegment": _DISTINCT_SQL,
     "union_orders": _UNION_SQL,

@@ -189,3 +189,50 @@ def test_bucket_lookup_point_reads(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got2[["s", "i", "v"]], want2[["s", "i", "v"]], check_dtype=False
     )
+
+
+def test_sorted_layout_range_scan(ray_session, tmp_path):
+    """write_sorted + range_scan: exact bounds vs brute-force filter,
+    zone maps actually prune files, column projection works, and an
+    out-of-range scan returns a typed empty dataset."""
+    import ray
+
+    from kgraft.io import prune_range_files, range_scan, write_sorted
+
+    rng = np.random.RandomState(8)
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 100_000, 20_000).astype("int64"),
+            "v": rng.rand(20_000),
+            "tag": rng.choice(["x", "y"], 20_000),
+        }
+    )
+    d = str(tmp_path / "sorted_k")
+    write_sorted(
+        ray.data.from_pandas(df).repartition(16), d, "k"
+    )
+
+    kept, total = prune_range_files(d, 40_000, 45_000)
+    assert total >= 8 and len(kept) < total  # zone maps pruned something
+
+    got = (
+        range_scan(d, 40_000, 45_000)
+        .to_pandas()
+        .sort_values(["k", "v"], ignore_index=True)
+    )
+    want = (
+        df[(df.k >= 40_000) & (df.k <= 45_000)]
+        .sort_values(["k", "v"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["k", "v", "tag"]], want[["k", "v", "tag"]]
+    )
+
+    # one-sided + projection (key not in the projected columns)
+    got2 = range_scan(d, lo=99_000, columns=["v"]).to_pandas()
+    assert len(got2) == int((df.k >= 99_000).sum())
+    assert list(got2.columns) == ["v"]
+
+    # fully out of range -> typed empty
+    got3 = range_scan(d, lo=200_000).to_pandas()
+    assert len(got3) == 0
