@@ -83,6 +83,8 @@ def random_walks(
     undirected: bool = True,
     num_buckets: int = 32,
     scratch_dir: str | None = None,
+    method: str = "auto",
+    max_driver_pairs: int = 5_000_000,
 ):
     """Generate ``walks_per_node`` random walks of up to ``walk_length``
     steps from every node in ``start_nodes`` -> Dataset of
@@ -98,6 +100,22 @@ def random_walks(
     documented partitioning assumption (same contract as
     ``pagerank(node_ids=...)``); at corpus scale the caller builds the
     pos-0 frontier from the nodes Dataset instead.
+
+    ``method`` — the pagerank streaming-vs-pregel tier split, applied
+    to walks:
+    * ``"driver"``: one distributed distinct-pair reduction, then the
+      DEDUPED adjacency (vocabulary-scale — the same bound
+      ``components.py``'s contracted union-find already relies on)
+      advances all walks in vectorized numpy on the driver. No
+      per-step Dataset job; the right tier whenever the distinct edge
+      set fits one machine.
+    * ``"bucketed"``: the frontier-shuffle machinery documented above —
+      the 10^12-edge tier, where even distinct adjacency cannot land
+      on the driver.
+    * ``"auto"`` (default): driver tier iff the distinct-pair count is
+      <= ``max_driver_pairs``. Both tiers emit BIT-IDENTICAL corpora
+      (same choice rule over the same sorted-deduped neighbor runs) —
+      equivalence-tested in tests/test_graph.py.
     """
     import shutil
     import tempfile
@@ -135,6 +153,21 @@ def random_walks(
     pairs = to_pairs(False)
     if undirected:
         pairs = pairs.union(to_pairs(True))
+
+    if method not in ("auto", "driver", "bucketed"):
+        raise ValueError(f"random_walks: unknown method {method!r}")
+    if method != "bucketed":
+        from ..relational import pre_aggregate_ds
+
+        dpairs = pre_aggregate_ds(
+            pairs, ["node", "nbr"], {"__n": (None, "count")}
+        ).materialize()
+        if method == "driver" or dpairs.count() <= max_driver_pairs:
+            return _driver_walks(
+                dpairs.to_pandas(), starts, k, walk_length, seed
+            )
+        # auto fallback: distinct adjacency exceeds the driver bound —
+        # use the frontier-shuffle tier below
 
     own_scratch = scratch_dir is None
     if own_scratch:
@@ -243,6 +276,62 @@ def random_walks(
     finally:
         if own_scratch:
             shutil.rmtree(scratch_dir, ignore_errors=True)
+
+
+def _driver_walks(
+    dpairs: pd.DataFrame,
+    starts: np.ndarray,
+    k: int,
+    walk_length: int,
+    seed: int,
+):
+    """Driver-tier advance over the DEDUPED (vocab-scale) adjacency:
+    same sorted-run CSR, same choice rule, all walks advanced per step
+    in one vectorized pass — bit-identical to the bucketed tier."""
+    s = dpairs["node"].to_numpy(dtype=np.int64)
+    d = dpairs["nbr"].to_numpy(dtype=np.int64)
+    order = np.lexsort((d, s))
+    s, d = s[order], d[order]
+    nodes, offsets, deg = np.unique(s, return_index=True, return_counts=True)
+
+    n_walks = len(starts) * k
+    wid_all = np.arange(n_walks, dtype=np.int64)
+    start_all = np.repeat(starts, k)
+    cur = start_all.copy()
+    alive = np.ones(n_walks, dtype=bool)
+    out_w = [wid_all]
+    out_s = [start_all]
+    out_p = [np.zeros(n_walks, dtype=np.int64)]
+    out_n = [cur.copy()]
+    for pos in range(walk_length):
+        if len(nodes) == 0 or not alive.any():
+            break
+        idx = np.searchsorted(nodes, cur)
+        ok = (
+            alive
+            & (idx < len(nodes))
+            & (nodes[np.minimum(idx, len(nodes) - 1)] == cur)
+        )
+        if not ok.any():
+            break
+        i = idx[ok]
+        choice = _walk_choice(wid_all[ok], pos, seed) % deg[i].astype(np.uint64)
+        cur[ok] = d[offsets[i] + choice.astype(np.int64)]
+        alive = ok
+        out_w.append(wid_all[ok])
+        out_s.append(start_all[ok])
+        out_p.append(np.full(int(ok.sum()), pos + 1, dtype=np.int64))
+        out_n.append(cur[ok])
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "walk_id": pa.array(np.concatenate(out_w), pa.int64()),
+                "start": pa.array(np.concatenate(out_s), pa.int64()),
+                "pos": pa.array(np.concatenate(out_p), pa.int64()),
+                "node": pa.array(np.concatenate(out_n), pa.int64()),
+            }
+        )
+    )
 
 
 def walk_skipgram_pairs(walks, window: int = 2, num_buckets: int = 32):

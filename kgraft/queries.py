@@ -5822,18 +5822,21 @@ def kg_pred_stats(sf_dir: str) -> pd.DataFrame:
     ]
 
 
-def kg_random_walks(sf_dir: str) -> pd.DataFrame:
-    """DeepWalk-style walk-corpus generation over the materialized KG
-    (2 walks x 8 steps from every entity): per-position walk survival
-    and node coverage — the graph-embedding training-data prep — see
-    :func:`kgraft.graph.walks.random_walks`. Deterministic (seeded
-    splitmix64 choice streams). Rows-only; the serial-oracle and
-    bucket-invariance pytests live in tests/test_graph.py."""
+_WALKS_CACHE: dict = {}
+
+
+def _kg_walks(sf_dir: str):
+    """Walk corpus for this scale (2 walks x 8 steps from every
+    entity), memoized per process so kg_random_walks / kg_walk_pairs
+    share one generation — the corpus is an input both consume, like
+    ``_kg_outputs`` itself."""
     import pyarrow.parquet as pq
 
     from .graph.walks import random_walks
-    from .relational import grouped_count_distinct, pre_aggregate_ds
 
+    n = _pages_for(sf_dir)
+    if n in _WALKS_CACHE:
+        return _WALKS_CACHE[n]
     m = _kg_outputs(sf_dir)
     node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
         "entity_id"
@@ -5841,7 +5844,22 @@ def kg_random_walks(sf_dir: str) -> pd.DataFrame:
     edges = _read_kg_edges(m, columns=["subj_id", "obj_id"])
     walks = random_walks(
         edges, node_ids, walk_length=8, walks_per_node=2, seed=42
-    )
+    ).materialize()
+    _WALKS_CACHE[n] = walks
+    return walks
+
+
+def kg_random_walks(sf_dir: str) -> pd.DataFrame:
+    """DeepWalk-style walk-corpus generation over the materialized KG
+    (2 walks x 8 steps from every entity): per-position walk survival
+    and node coverage — the graph-embedding training-data prep — see
+    :func:`kgraft.graph.walks.random_walks`. Deterministic (seeded
+    splitmix64 choice streams). Rows-only; the serial-oracle,
+    bucket-invariance and tier-equivalence pytests live in
+    tests/test_graph.py."""
+    from .relational import grouped_count_distinct, pre_aggregate_ds
+
+    walks = _kg_walks(sf_dir)
     n_walks = pre_aggregate_ds(
         walks.select_columns(["pos"]), ["pos"], {"n_walks": (None, "count")}
     ).to_pandas()
@@ -5861,19 +5879,9 @@ def kg_walk_pairs(sf_dir: str) -> pd.DataFrame:
     pairs — the examples a DeepWalk/node2vec embedder trains on. See
     :func:`kgraft.graph.walks.walk_skipgram_pairs`. Rows-only; the
     brute-force window-scan oracle lives in tests/test_graph.py."""
-    import pyarrow.parquet as pq
+    from .graph.walks import walk_skipgram_pairs
 
-    from .graph.walks import random_walks, walk_skipgram_pairs
-
-    m = _kg_outputs(sf_dir)
-    node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
-        "entity_id"
-    ].to_numpy()
-    edges = _read_kg_edges(m, columns=["subj_id", "obj_id"])
-    walks = random_walks(
-        edges, node_ids, walk_length=8, walks_per_node=2, seed=42
-    )
-    out = walk_skipgram_pairs(walks, window=2).to_pandas()
+    out = walk_skipgram_pairs(_kg_walks(sf_dir), window=2).to_pandas()
     out["n"] = out["n"].astype("int64")
     return out.sort_values(
         ["n", "u", "v"], ascending=[False, True, True], ignore_index=True

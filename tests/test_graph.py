@@ -591,7 +591,7 @@ def test_random_walks_match_serial_oracle(ray_session):
     starts = np.arange(30, dtype=np.int64)
     want = _serial_walks(pairs, starts, walk_length=6, walks_per_node=2, seed=7)
 
-    def run(num_buckets):
+    def run(num_buckets, method):
         got = random_walks(
             _edges_ds(ray, pairs).map_batches(
                 lambda df: df.rename(columns={"src": "subj_id", "dst": "obj_id"}),
@@ -602,12 +602,16 @@ def test_random_walks_match_serial_oracle(ray_session):
             walks_per_node=2,
             seed=7,
             num_buckets=num_buckets,
+            method=method,
         ).to_pandas()
         return got.sort_values(["walk_id", "pos"], ignore_index=True).astype("int64")
 
-    a = run(4)
-    pd.testing.assert_frame_equal(a, want.sort_values(["walk_id", "pos"], ignore_index=True))
-    pd.testing.assert_frame_equal(a, run(9))
+    want = want.sort_values(["walk_id", "pos"], ignore_index=True)
+    a = run(4, "bucketed")
+    pd.testing.assert_frame_equal(a, want)
+    # bucket-count invariance + driver-tier equivalence (bit-identical)
+    pd.testing.assert_frame_equal(a, run(9, "bucketed"))
+    pd.testing.assert_frame_equal(run(3, "driver"), want)
 
 
 def test_random_walks_edges_and_sinks(ray_session):
