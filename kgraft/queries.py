@@ -765,6 +765,94 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def psi_event_drift(sf_dir: str) -> pd.DataFrame:
+    """Population-stability-index drift monitor: per event type, PSI of
+    the value distribution between the first and second half of the
+    month (fixed split 2024-01-16, 10 fixed-width buckets of 50,
+    add-one smoothing) — the standard production check that a feature's
+    distribution hasn't shifted between snapshots (PSI > 0.2 = alarm).
+    Realization: ONE map-side-combined grouped count on
+    (type, half, bucket) — the exchanged table is
+    types x 2 x 10 rows — then group-scale PSI math on the driver.
+    Types missing a half are dropped (inner semantics, same as the
+    SQL twin)."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+    split = pd.Timestamp("2024-01-16")
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "half": (df["ts"] >= split).astype("int64"),
+                "bucket": np.floor(
+                    df["value"].to_numpy(dtype=np.float64) / 50.0
+                ).astype("int64"),
+            }
+        )
+
+    counts = pre_aggregate(
+        ev.map_batches(bucketize, batch_format="pandas"),
+        ["event_type", "half", "bucket"],
+        {"n": (None, "count")},
+    )
+    out = []
+    for et, g in counts.groupby("event_type"):
+        halves = {}
+        for h in (0, 1):
+            gh = g[g["half"] == h]
+            if gh.empty:
+                break
+            # total over ALL buckets, grid restricted to 0..9 — same
+            # semantics as the SQL twin's tot/grid split, so an
+            # out-of-grid value (>=500) shifts mass identically
+            dense = np.zeros(10, dtype=np.float64)
+            bk = gh["bucket"].to_numpy(dtype=np.int64)
+            nn = gh["n"].to_numpy(dtype=np.float64)
+            m = (bk >= 0) & (bk < 10)
+            dense[bk[m]] = nn[m]
+            halves[h] = (dense + 1.0) / (nn.sum() + 10.0)
+        if len(halves) < 2:
+            continue
+        p, q = halves[0], halves[1]
+        out.append(
+            {"event_type": et, "psi": round(float(np.sum((p - q) * np.log(p / q))), 6)}
+        )
+    return pd.DataFrame(out, columns=["event_type", "psi"]).sort_values(
+        "event_type", ignore_index=True
+    )
+
+
+_PSI_EVENT_DRIFT_SQL = """
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS half,
+         CAST(floor(value / 50.0) AS BIGINT) AS bucket
+  FROM events
+),
+c AS (SELECT event_type, half, bucket, count(*) AS n FROM b GROUP BY 1, 2, 3),
+tot AS (SELECT event_type, half, sum(n) AS tot FROM c GROUP BY 1, 2),
+grid AS (
+  SELECT t.event_type, g.bucket
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT bucket FROM range(10) r(bucket)) g
+),
+pq AS (
+  SELECT grid.event_type,
+         (COALESCE(c0.n, 0) + 1.0) / (t0.tot + 10.0) AS p,
+         (COALESCE(c1.n, 0) + 1.0) / (t1.tot + 10.0) AS q
+  FROM grid
+  LEFT JOIN c c0 ON c0.event_type = grid.event_type
+                AND c0.bucket = grid.bucket AND c0.half = 0
+  LEFT JOIN c c1 ON c1.event_type = grid.event_type
+                AND c1.bucket = grid.bucket AND c1.half = 1
+  JOIN tot t0 ON t0.event_type = grid.event_type AND t0.half = 0
+  JOIN tot t1 ON t1.event_type = grid.event_type AND t1.half = 1
+)
+SELECT event_type, round(sum((p - q) * ln(p / q)), 6) AS psi
+FROM pq GROUP BY event_type ORDER BY event_type
+"""
+
+
 def topk_users_by_value(sf_dir: str) -> pd.DataFrame:
     """Per-user aggregate stays a Dataset; distributed top-k cuts to 20."""
     ds = read_table(sf_dir, "events", columns=["user_id", "value"])
@@ -6475,6 +6563,7 @@ QUERIES = {
     "range_join_events": range_join_events,
     "filter_project_events": filter_project_events,
     "range_scan_events": range_scan_events,
+    "psi_event_drift": psi_event_drift,
     "topk_users_by_value": topk_users_by_value,
     "distinct_mktsegment": distinct_mktsegment,
     "union_orders": union_orders,
@@ -6665,6 +6754,7 @@ ORACLE_SQL = {
     "range_join_events": _RANGE_JOIN_SQL,
     "filter_project_events": _FILTER_PROJECT_SQL,
     "range_scan_events": _RANGE_SCAN_EVENTS_SQL,
+    "psi_event_drift": _PSI_EVENT_DRIFT_SQL,
     "topk_users_by_value": _TOPK_USERS_SQL,
     "distinct_mktsegment": _DISTINCT_SQL,
     "union_orders": _UNION_SQL,
