@@ -6002,6 +6002,61 @@ def kg_scc(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("scc_size", ignore_index=True)
 
 
+def kg_node_embeddings(sf_dir: str) -> pd.DataFrame:
+    """End-to-end graph representation learning on the engine: SGNS
+    node embeddings trained over the walk-corpus skip-gram pairs
+    (walks -> pairs -> distributed full-batch AdaGrad — see
+    :func:`kgraft.graph.embed_train.train_node_embeddings`), evaluated
+    by score separation: weighted mean sigmoid(w_u . c_v) on observed
+    pairs vs on deterministic random entity pairs. One summary row.
+    Rows-only; the planted-communities pytest lives in
+    tests/test_graph.py."""
+    from .graph.embed_train import _sigmoid, train_node_embeddings
+    from .graph.walks import walk_skipgram_pairs
+    from .hashing import splitmix64 as _sm
+
+    pairs = walk_skipgram_pairs(_kg_walks(sf_dir), window=2).materialize()
+    ids = np.unique(
+        np.concatenate(
+            [
+                pairs.select_columns(["u"]).to_pandas()["u"].to_numpy(np.int64),
+                pairs.select_columns(["v"]).to_pandas()["v"].to_numpy(np.int64),
+            ]
+        )
+    )
+    model = train_node_embeddings(
+        pairs, ids, dim=16, n_iter=25, lr=0.2, negatives=5, seed=7
+    )
+    W, C = model["W"], model["C"]
+    mids = model["ids"]
+
+    def fold_scores(df: pd.DataFrame) -> pd.DataFrame:
+        iu = np.searchsorted(mids, df["u"].to_numpy(np.int64))
+        iv = np.searchsorted(mids, df["v"].to_numpy(np.int64))
+        wt = df["n"].to_numpy(np.float64)
+        sc = _sigmoid(np.einsum("ij,ij->i", W[iu], C[iv]))
+        return pd.DataFrame({"s": [float((wt * sc).sum())], "w": [float(wt.sum())]})
+
+    part = pairs.map_batches(fold_scores, batch_format="pandas").to_pandas()
+    pos_score = part["s"].sum() / part["w"].sum()
+    n = len(mids)
+    ru = (_sm(np.arange(4096, dtype=np.uint64)) % np.uint64(n)).astype(np.int64)
+    rv = (
+        _sm(np.arange(4096, dtype=np.uint64) + np.uint64(13)) % np.uint64(n)
+    ).astype(np.int64)
+    rand_score = float(
+        _sigmoid(np.einsum("ij,ij->i", W[ru], C[rv])).mean()
+    )
+    return pd.DataFrame(
+        {
+            "n_nodes": [np.int64(n)],
+            "final_loss": [round(model["losses"][-1], 3)],
+            "pos_score": [round(float(pos_score), 3)],
+            "rand_score": [round(rand_score, 3)],
+        }
+    )
+
+
 def kg_hits(sf_dir: str) -> pd.DataFrame:
     """Top-20 entities by HITS authority over the materialized KG (hub
     score alongside) — separates well-referenced canonical entities from
@@ -6722,6 +6777,7 @@ QUERIES = {
     "kg_random_walks": kg_random_walks,
     "kg_walk_pairs": kg_walk_pairs,
     "kg_scc": kg_scc,
+    "kg_node_embeddings": kg_node_embeddings,
     "kg_ppr": kg_ppr,
     "kg_khop": kg_khop,
     "canonical_url_dedup": canonical_url_dedup,

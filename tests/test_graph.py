@@ -773,3 +773,52 @@ def test_scc_matches_tarjan(ray_session):
             }
         )
         check(list(range(-20, 20)), pairs)
+
+
+def test_sgns_embeddings_separate_planted_communities(ray_session):
+    """SGNS training over co-occurrence pairs: loss decreases and
+    within-clique similarity beats cross-clique similarity on a planted
+    two-clique graph — and the result is invariant to pair-table block
+    layout (full-batch updates)."""
+    import ray
+
+    from kgraft.graph.embed_train import train_node_embeddings
+
+    # two 8-cliques (0-7, 10-17) with heavy intra-clique co-occurrence
+    # and one weak bridge pair
+    rows = []
+    for base in (0, 10):
+        for a in range(8):
+            for b in range(a + 1, 8):
+                rows.append((base + a, base + b, 20))
+    rows.append((7, 10, 1))
+    pairs = pd.DataFrame(rows, columns=["u", "v", "n"]).astype("int64")
+    ids = np.array(sorted(set(pairs.u) | set(pairs.v)), dtype=np.int64)
+
+    model = train_node_embeddings(
+        ray.data.from_pandas(pairs).repartition(4),
+        ids,
+        dim=16,
+        n_iter=25,
+        lr=0.1,
+        negatives=5,
+        seed=3,
+    )
+    assert model["losses"][-1] < model["losses"][0] * 0.8
+
+    W = model["W"]
+    idx = {int(v): i for i, v in enumerate(model["ids"])}
+    Wn = W / np.linalg.norm(W, axis=1, keepdims=True)
+
+    def mean_cos(ps):
+        return float(
+            np.mean([Wn[idx[a]] @ Wn[idx[b]] for a, b in ps])
+        )
+
+    intra = [(a, b) for a in range(8) for b in range(a + 1, 8)]
+    intra += [(10 + a, 10 + b) for a in range(8) for b in range(a + 1, 8)]
+    cross = [(a, 10 + b) for a in range(8) for b in range(8) if (a, 10 + b) != (7, 10)]
+    assert mean_cos(intra) > mean_cos(cross) + 0.2, (
+        mean_cos(intra),
+        mean_cos(cross),
+    )
