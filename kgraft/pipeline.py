@@ -521,7 +521,16 @@ def build_graph_from_triples(
             return ds
 
     else:
-        triples = ray.data.read_parquet(triples_paths)
+        # prune to the RAW triple columns at the read: snapshot-merge
+        # callers feed CHECKPOINTED (pre-resolved) triple files here, and
+        # the resolve pass below appends subj_norm/obj_norm/ids itself —
+        # re-reading the baked ones would duplicate fields (and bake in
+        # per-snapshot link decisions instead of re-deriving them over
+        # the union)
+        triples = ray.data.read_parquet(
+            triples_paths,
+            columns=["url", "seg_idx", "subj", "pred", "obj", "conf", "warc_ts"],
+        )
         linked0, recovered = link_triples(triples, alias_ds, cfg.link_threshold)
 
         def linked_ds():
@@ -1282,3 +1291,37 @@ def run_kg_pipeline(
     metrics["nodes_dir"] = stage_b["nodes_dir"]
     metrics["edges_dir"] = stage_b["edges_dir"]
     return metrics
+
+
+def merge_kg_snapshots(
+    snapshot_dirs, alias_path: str, out_dir: str, cfg: PipelineConfig | None = None
+) -> dict:
+    """Incremental ingestion / snapshot compaction: rebuild ONE graph
+    from the checkpointed triples of several pipeline snapshots.
+
+    The delta pattern a growing crawl needs: run ``run_kg_pipeline`` on
+    each new page batch into its own snapshot dir (immutable, resumable
+    as usual), then merge. Extraction — the expensive stages (HTML
+    parse, segmentation, NER/LLM triple extraction) — is NEVER redone;
+    linking, canonicalization, connected components and graph
+    materialization re-derive over the UNION of checkpointed raw
+    triples, so the merged graph is BIT-IDENTICAL to a fresh
+    full-corpus run (equivalence-tested in tests/test_pipeline.py —
+    link recovery and canonical-name election are corpus-dependent, so
+    they must re-run over the union rather than paste per-snapshot
+    decisions together).
+    """
+    import glob as _glob
+
+    from .errors import ConfigError
+
+    cfg = cfg or PipelineConfig()
+    paths = []
+    for d in snapshot_dirs:
+        fs = sorted(_glob.glob(os.path.join(d, "triples", "part-*", "*.parquet")))
+        if not fs:
+            raise ConfigError(
+                f"merge_kg_snapshots: no checkpointed triples under {d}"
+            )
+        paths.extend(fs)
+    return build_graph_from_triples(paths, alias_path, out_dir, cfg, store=None)

@@ -331,3 +331,53 @@ def test_run_config_guard_refuses_legacy_checkpoint(tmp_path):
     # a truly fresh out_dir still records the config normally
     fresh = ManifestStore(str(tmp_path / "fresh"))
     fresh.check_run_config({"n_partitions": 16, "lang_filter": None})
+
+
+def test_merge_snapshots_equals_full_run(ray_session, tmp_path):
+    """Incremental ingestion: KG merged from two half-corpus snapshots
+    is BIT-IDENTICAL (nodes + edges) to the single full-corpus run —
+    extraction is reused from the checkpoints, link/canonicalize/
+    components re-derive over the union."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from kgraft.pipeline import (
+        PipelineConfig,
+        merge_kg_snapshots,
+        run_kg_pipeline,
+    )
+    from kgraft.synth import corpus_dir, sharded_pages
+
+    d = corpus_dir(200)
+    files = sorted(glob.glob(os.path.join(sharded_pages(d), "*.parquet")))
+    alias = os.path.join(d, "alias_dict.parquet")
+    cfg = PipelineConfig()
+    full = run_kg_pipeline(files, alias, str(tmp_path / "full"), cfg)
+    half = len(files) // 2
+    run_kg_pipeline(files[:half], alias, str(tmp_path / "a"), cfg)
+    run_kg_pipeline(files[half:], alias, str(tmp_path / "b"), cfg)
+    merged = merge_kg_snapshots(
+        [str(tmp_path / "a"), str(tmp_path / "b")],
+        alias,
+        str(tmp_path / "merged"),
+        cfg,
+    )
+    assert merged["n_nodes"] == full["n_nodes"]
+    assert merged["n_edges"] == full["n_edges"]
+
+    def tbl(o, what):
+        t = pq.read_table(os.path.join(o, what)).to_pandas()
+        for c in t.columns:
+            if t[c].dtype == object:
+                t[c] = t[c].map(
+                    lambda x: tuple(x)
+                    if hasattr(x, "__iter__") and not isinstance(x, str)
+                    else x
+                )
+        return t.sort_values(list(t.columns), ignore_index=True)
+
+    for what in ("nodes", "edges"):
+        a = tbl(str(tmp_path / "full"), what)
+        b = tbl(str(tmp_path / "merged"), what)
+        pd.testing.assert_frame_equal(a, b)
