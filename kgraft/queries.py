@@ -765,6 +765,137 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def ab_test_events(sf_dir: str) -> pd.DataFrame:
+    """Welch two-sample t-test on the engine: does the 'click' cohort's
+    value differ from the 'view' cohort's? t statistic +
+    Welch-Satterthwaite dof from the SAME algebraic moment partials the
+    var aggregate uses (sum, sum-of-squares, non-null count per
+    cohort) — ONE map-side-combined grouped aggregate, two rows reach
+    the driver, formula math at group scale. The experimentation-
+    readout shape every event pipeline ends in."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"]).map_batches(
+        lambda df: df[df["event_type"].isin(["view", "click"])],
+        batch_format="pandas",
+    )
+    g = pre_aggregate(
+        ev,
+        ["event_type"],
+        {"n": (None, "count"), "mean": ("value", "mean"), "var": ("value", "var")},
+    ).set_index("event_type")
+    n1, m1, v1 = (float(g.loc["view", c]) for c in ("n", "mean", "var"))
+    n2, m2, v2 = (float(g.loc["click", c]) for c in ("n", "mean", "var"))
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / np.sqrt(se2)
+    df_w = se2**2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
+    return pd.DataFrame(
+        {
+            "mean_view": [round(m1, 4)],
+            "mean_click": [round(m2, 4)],
+            "t_stat": [round(float(t), 4)],
+            "dof": [round(float(df_w), 2)],
+        }
+    )
+
+
+_AB_TEST_SQL = """
+WITH s AS (
+  SELECT event_type, count(value) AS n, avg(value) AS m, var_samp(value) AS v
+  FROM events WHERE event_type IN ('view', 'click') GROUP BY event_type
+),
+a AS (SELECT n, m, v FROM s WHERE event_type = 'view'),
+b AS (SELECT n, m, v FROM s WHERE event_type = 'click')
+SELECT round(a.m, 4) AS mean_view,
+       round(b.m, 4) AS mean_click,
+       round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
+       round(pow(a.v / a.n + b.v / b.n, 2)
+             / (pow(a.v / a.n, 2) / (a.n - 1) + pow(b.v / b.n, 2) / (b.n - 1)),
+             2) AS dof
+FROM a, b
+"""
+
+
+def user_active_coverage(sf_dir: str) -> pd.DataFrame:
+    """Interval-union sweep: each event opens a 5-minute activity
+    window; a user's ACTIVE TIME is the union length of their
+    (overlapping) windows — the classic gaps-and-islands shape that
+    plain sums over-count. One user-keyed bucketed exchange; in-bucket
+    the merge is vectorized (per-user cummax of window ends, island
+    boundaries where a window starts past the running max, per-island
+    span sum). INTEGER microsecond arithmetic end to end so the SQL
+    islands twin matches bit-exactly. Top-10 users by covered
+    seconds."""
+    from .relational import bucketed_groupby_apply
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    win_us = 300_000_000  # 5 minutes
+
+    def cover(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "covered_sec": pd.Series([], dtype="int64"),
+                }
+            )
+        d = pd.DataFrame(
+            {
+                "u": g["user_id"].to_numpy(dtype=np.int64),
+                "s": g["ts"].to_numpy(dtype="datetime64[us]").view("int64"),
+            }
+        )
+        d["e"] = d["s"] + win_us
+        d = d.sort_values(["u", "s", "e"], kind="mergesort", ignore_index=True)
+        gb = d.groupby("u", sort=False)
+        prev_e = gb["e"].cummax().shift()
+        first = gb.cumcount() == 0
+        new_island = first | (d["s"] > prev_e)
+        d["isl"] = new_island.cumsum()
+        spans = d.groupby(["u", "isl"], sort=False).agg(
+            s=("s", "min"), e=("e", "max")
+        )
+        cov = (spans["e"] - spans["s"]).groupby(level=0).sum()
+        return pd.DataFrame(
+            {
+                "user_id": cov.index.to_numpy(dtype=np.int64),
+                "covered_sec": (cov.to_numpy(dtype=np.int64) // 1_000_000),
+            }
+        )
+
+    out = bucketed_groupby_apply(ev, "user_id", cover, num_buckets=32).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["covered_sec"] = out["covered_sec"].astype("int64")
+    return out.sort_values(
+        ["covered_sec", "user_id"], ascending=[False, True], ignore_index=True
+    ).head(10)
+
+
+_USER_ACTIVE_COVERAGE_SQL = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e FROM events
+),
+o AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+  FROM iv
+),
+g AS (
+  SELECT user_id, s, e,
+         sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS UNBOUNDED PRECEDING) AS isl
+  FROM o
+),
+sp AS (
+  SELECT user_id, isl, max(e) - min(s) AS span_us
+  FROM g GROUP BY user_id, isl
+)
+SELECT user_id, CAST(sum(span_us) // 1000000 AS BIGINT) AS covered_sec
+FROM sp GROUP BY user_id
+ORDER BY covered_sec DESC, user_id LIMIT 10
+"""
+
+
 def psi_event_drift(sf_dir: str) -> pd.DataFrame:
     """Population-stability-index drift monitor: per event type, PSI of
     the value distribution between the first and second half of the
@@ -6619,6 +6750,8 @@ QUERIES = {
     "filter_project_events": filter_project_events,
     "range_scan_events": range_scan_events,
     "psi_event_drift": psi_event_drift,
+    "ab_test_events": ab_test_events,
+    "user_active_coverage": user_active_coverage,
     "topk_users_by_value": topk_users_by_value,
     "distinct_mktsegment": distinct_mktsegment,
     "union_orders": union_orders,
@@ -6811,6 +6944,8 @@ ORACLE_SQL = {
     "filter_project_events": _FILTER_PROJECT_SQL,
     "range_scan_events": _RANGE_SCAN_EVENTS_SQL,
     "psi_event_drift": _PSI_EVENT_DRIFT_SQL,
+    "ab_test_events": _AB_TEST_SQL,
+    "user_active_coverage": _USER_ACTIVE_COVERAGE_SQL,
     "topk_users_by_value": _TOPK_USERS_SQL,
     "distinct_mktsegment": _DISTINCT_SQL,
     "union_orders": _UNION_SQL,
