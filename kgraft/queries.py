@@ -6092,6 +6092,74 @@ def kg_random_walks(sf_dir: str) -> pd.DataFrame:
     ]
 
 
+def kg_triple_pr(sf_dir: str) -> pd.DataFrame:
+    """THE north-star correctness metric as a driver query: precision /
+    recall of the engine's extracted triples against the corpus's
+    golden triple set, on the normalized (url, seg_idx, subj, pred,
+    obj) key — the BASELINE.json bar is P/R >= 0.95 (pytest enforces
+    it; this surfaces the number in the driver artifacts every round).
+    Realization: both sides collapse to distinct 64-bit triple-key
+    hash pairs map-side (raw surfaces never shuffle), the intersection
+    is one bucketed inner join on the key — the dedup_against shape."""
+    from .hashing import hash_strings
+    from .relational import hash_join, pre_aggregate_ds
+    from .synth import corpus_dir, norm_surface
+
+    m = _kg_outputs(sf_dir)
+    golden_path = os.path.join(corpus_dir(_pages_for(sf_dir)), "golden_triples.parquet")
+
+    def keyed(df: pd.DataFrame, col: str) -> pd.DataFrame:
+        k = (
+            df["url"].astype(str)
+            + "\x1f"
+            + df["seg_idx"].astype(str)
+            + "\x1f"
+            + df["subj"].map(norm_surface)
+            + "\x1f"
+            + df["pred"].astype(str)
+            + "\x1f"
+            + df["obj"].map(norm_surface)
+        )
+        h1 = hash_strings(k.tolist(), seed=5)
+        h2 = hash_strings(k.tolist(), seed=9)  # 128-bit: collision-safe key
+        return pd.DataFrame(
+            {
+                "k1": h1.astype(np.int64),
+                "k2": h2.astype(np.int64),
+                col: np.ones(len(df), dtype=np.int64),
+            }
+        )
+
+    mine = pre_aggregate_ds(
+        ray.data.read_parquet(
+            m["triples_paths"], columns=["url", "seg_idx", "subj", "pred", "obj"]
+        ).map_batches(lambda df: keyed(df, "m"), batch_format="pandas"),
+        ["k1", "k2"],
+        {"m": (None, "count")},
+    )
+    gold = pre_aggregate_ds(
+        ray.data.read_parquet(golden_path).map_batches(
+            lambda df: keyed(df, "g"), batch_format="pandas"
+        ),
+        ["k1", "k2"],
+        {"g": (None, "count")},
+    )
+    n_mine = int(mine.count())
+    n_gold = int(gold.count())
+    inter = int(
+        hash_join(mine, gold, on=["k1", "k2"], num_buckets=16).count()
+    )
+    return pd.DataFrame(
+        {
+            "n_extracted": [np.int64(n_mine)],
+            "n_golden": [np.int64(n_gold)],
+            "n_matched": [np.int64(inter)],
+            "precision": [round(inter / max(n_mine, 1), 4)],
+            "recall": [round(inter / max(n_gold, 1), 4)],
+        }
+    )
+
+
 def kg_walk_pairs(sf_dir: str) -> pd.DataFrame:
     """Skip-gram training pairs from the KG walk corpus (window 2 over
     the :func:`kg_random_walks` corpus): top-20 co-occurring entity
@@ -6908,6 +6976,7 @@ QUERIES = {
     "kg_pagerank_weighted": kg_pagerank_weighted,
     "kg_pred_stats": kg_pred_stats,
     "kg_random_walks": kg_random_walks,
+    "kg_triple_pr": kg_triple_pr,
     "kg_walk_pairs": kg_walk_pairs,
     "kg_scc": kg_scc,
     "kg_node_embeddings": kg_node_embeddings,
