@@ -111,6 +111,40 @@ def run_headline(
         cfg,
     )
     wall = time.time() - t0
+    # the OTHER half of the BASELINE.json metric ("docs/sec ... + triple
+    # P/R >= 0.95 vs golden triples"): computed AFTER the timed region,
+    # from this run's own checkpointed triples vs the corpus golden set
+    # (normalized (url, seg_idx, subj, pred, obj) key — the pytest
+    # definition in tests/test_pipeline.py)
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from kgraft.synth import norm_surface
+
+    golden = pq.read_table(os.path.join(d, "golden_triples.parquet")).to_pandas()
+    mine = pd.concat(
+        [
+            pq.read_table(
+                p, columns=["url", "seg_idx", "subj", "pred", "obj"]
+            ).to_pandas()
+            for p in res["triples_paths"]
+        ],
+        ignore_index=True,
+    )
+
+    def tset(df):
+        return set(
+            zip(
+                df["url"],
+                df["seg_idx"],
+                df["subj"].map(norm_surface),
+                df["pred"],
+                df["obj"].map(norm_surface),
+            )
+        )
+
+    g, m = tset(golden), tset(mine)
+    inter = len(g & m)
     return {
         "n_pages": n_pages,
         "wall_sec": wall,
@@ -120,6 +154,8 @@ def run_headline(
         "triples_written": res["triples_written"],
         "n_nodes": res["n_nodes"],
         "n_edges": res["n_edges"],
+        "triple_precision": round(inter / max(len(m), 1), 4),
+        "triple_recall": round(inter / max(len(g), 1), 4),
     }
 
 
