@@ -6160,6 +6160,69 @@ def kg_triple_pr(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def kg_incremental_merge(sf_dir: str) -> pd.DataFrame:
+    """Incremental-ingestion demo on a fixed 400-page corpus: the KG
+    merged from two half-corpus snapshots
+    (:func:`kgraft.pipeline.merge_kg_snapshots` — extraction reused
+    from checkpoints, link/canonicalize/components re-derived over the
+    union) vs the single full-corpus run. ``identical`` asserts the
+    node and edge TABLES match row-for-row — the bit-identity the
+    pytest enforces, surfaced in the driver artifacts. Corpus size is
+    fixed (not sf-scaled): the demo proves a semantics, not a
+    throughput."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from .pipeline import PipelineConfig, merge_kg_snapshots, run_kg_pipeline
+    from .synth import SYNTH_VERSION, corpus_dir, sharded_pages
+
+    d = corpus_dir(400)
+    files = sorted(_glob.glob(os.path.join(sharded_pages(d), "*.parquet")))
+    alias = os.path.join(d, "alias_dict.parquet")
+    cfg = PipelineConfig()
+    root = f"/tmp/kgraft_out/incr_v{SYNTH_VERSION}_n400"
+    full = run_kg_pipeline(files, alias, os.path.join(root, "full"), cfg)
+    half = len(files) // 2
+    run_kg_pipeline(files[:half], alias, os.path.join(root, "a"), cfg)
+    run_kg_pipeline(files[half:], alias, os.path.join(root, "b"), cfg)
+    import shutil
+
+    # the merge target is not a resumable checkpoint dir — a stale one
+    # would accumulate parquet fragments across invocations
+    shutil.rmtree(os.path.join(root, "merged"), ignore_errors=True)
+    merged = merge_kg_snapshots(
+        [os.path.join(root, "a"), os.path.join(root, "b")],
+        alias,
+        os.path.join(root, "merged"),
+        cfg,
+    )
+
+    def tbl(o, what):
+        t = pq.read_table(os.path.join(root, o, what)).to_pandas()
+        for c in t.columns:
+            if t[c].dtype == object:
+                t[c] = t[c].map(
+                    lambda x: tuple(x)
+                    if hasattr(x, "__iter__") and not isinstance(x, str)
+                    else x
+                )
+        return t.sort_values(list(t.columns), ignore_index=True)
+
+    identical = all(
+        tbl("full", w).equals(tbl("merged", w)) for w in ("nodes", "edges")
+    )
+    return pd.DataFrame(
+        {
+            "full_nodes": [np.int64(full["n_nodes"])],
+            "merged_nodes": [np.int64(merged["n_nodes"])],
+            "full_edges": [np.int64(full["n_edges"])],
+            "merged_edges": [np.int64(merged["n_edges"])],
+            "identical": [bool(identical)],
+        }
+    )
+
+
 def kg_walk_pairs(sf_dir: str) -> pd.DataFrame:
     """Skip-gram training pairs from the KG walk corpus (window 2 over
     the :func:`kg_random_walks` corpus): top-20 co-occurring entity
@@ -6977,6 +7040,7 @@ QUERIES = {
     "kg_pred_stats": kg_pred_stats,
     "kg_random_walks": kg_random_walks,
     "kg_triple_pr": kg_triple_pr,
+    "kg_incremental_merge": kg_incremental_merge,
     "kg_walk_pairs": kg_walk_pairs,
     "kg_scc": kg_scc,
     "kg_node_embeddings": kg_node_embeddings,
