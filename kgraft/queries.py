@@ -5954,6 +5954,40 @@ def kg_communities(sf_dir: str) -> pd.DataFrame:
     ).head(20)
 
 
+def kg_assortativity(sf_dir: str) -> pd.DataFrame:
+    """Degree assortativity of the constructed KG (Newman 2002): do
+    hubs link to hubs? One row — the fourth graph-quality scalar next
+    to clustering/coreness/modularity. See
+    :func:`kgraft.graph.metrics.degree_assortativity`. Rows-only driver
+    check; the serial-oracle pytest lives in tests/test_graph.py."""
+    from .graph.metrics import degree_assortativity
+
+    m = _kg_outputs(sf_dir)
+    edges = _read_kg_edges(m, ["subj_id", "obj_id"])
+    return degree_assortativity(edges, src="subj_id", dst="obj_id")
+
+
+def kg_modularity(sf_dir: str) -> pd.DataFrame:
+    """Newman-Girvan modularity of the label-propagation communities
+    over the constructed KG — the one-number answer to "did LPA find
+    real structure?". See :func:`kgraft.graph.metrics.modularity`.
+    Rows-only driver check; serial-oracle pytest in tests/test_graph.py."""
+    import pyarrow.parquet as pq
+
+    from .graph.communities import label_propagation_communities
+    from .graph.metrics import modularity
+
+    m = _kg_outputs(sf_dir)
+    node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
+        "entity_id"
+    ].to_numpy()
+    edges = _read_kg_edges(m, ["subj_id", "obj_id"])
+    comm = label_propagation_communities(
+        edges, node_ids, n_iter=5, src_col="subj_id", dst_col="obj_id"
+    )
+    return modularity(edges, comm, src="subj_id", dst="obj_id")
+
+
 def kg_pagerank_weighted(sf_dir: str) -> pd.DataFrame:
     """Confidence-weighted PageRank over the KG: transition mass
     proportional to the edge's extraction-confidence column, so
@@ -7033,6 +7067,8 @@ QUERIES = {
     "kg_edges": kg_edges,
     "kg_pagerank": kg_pagerank,
     "kg_communities": kg_communities,
+    "kg_assortativity": kg_assortativity,
+    "kg_modularity": kg_modularity,
     "kg_link_prediction": kg_link_prediction,
     "kg_hits": kg_hits,
     "kg_smoothed_importance": kg_smoothed_importance,

@@ -822,3 +822,107 @@ def test_sgns_embeddings_separate_planted_communities(ray_session):
         mean_cos(intra),
         mean_cos(cross),
     )
+
+
+def test_degree_assortativity_matches_serial(ray_session):
+    import ray
+    from kgraft.graph.metrics import degree_assortativity
+
+    rng = np.random.default_rng(11)
+    for n, p in [(20, 0.3), (40, 0.1)]:
+        pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+        mask = rng.random(len(pairs)) < p
+        und = [e for e, m in zip(pairs, mask) if m]
+        rows = list(und) + [(v, u) for (u, v) in und if rng.random() < 0.4]
+        rows += [(i, i) for i in range(0, n, 5)]  # self loops dropped
+        df = pd.DataFrame(rows, columns=["src", "dst"])
+
+        got = degree_assortativity(ray.data.from_pandas(df), num_buckets=4).iloc[0]
+
+        deg = {}
+        for u, v in und:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        xs = np.array(
+            [deg[u] for u, v in und] + [deg[v] for u, v in und], dtype=float
+        )
+        ys = np.array(
+            [deg[v] for u, v in und] + [deg[u] for u, v in und], dtype=float
+        )
+        want = np.corrcoef(xs, ys)[0, 1]
+        assert got["n_edges"] == len(und)
+        assert got["n_nodes"] == len(deg)
+        assert abs(got["assortativity"] - want) < 1e-9, (got["assortativity"], want)
+
+
+def test_degree_assortativity_regular_graph_nan(ray_session):
+    import ray
+    from kgraft.graph.metrics import degree_assortativity
+
+    # a cycle is degree-regular -> zero variance -> NaN by definition
+    n = 10
+    df = pd.DataFrame(
+        [(i, (i + 1) % n) for i in range(n)], columns=["src", "dst"]
+    )
+    got = degree_assortativity(ray.data.from_pandas(df), num_buckets=2).iloc[0]
+    assert np.isnan(got["assortativity"])
+
+
+def test_modularity_matches_serial(ray_session):
+    import ray
+    from kgraft.graph.metrics import modularity
+
+    rng = np.random.default_rng(13)
+    # two planted cliques plus sparse noise edges between them
+    blocks = [list(range(0, 8)), list(range(8, 15))]
+    und = set()
+    for b in blocks:
+        for i in b:
+            for j in b:
+                if i < j:
+                    und.add((i, j))
+    for _ in range(4):
+        u = int(rng.integers(0, 8))
+        v = int(rng.integers(8, 15))
+        und.add((u, v))
+    und = sorted(und)
+    rows = list(und) + [(v, u) for (u, v) in und[::3]]  # reverse dups
+    df = pd.DataFrame(rows, columns=["src", "dst"])
+    comm = pd.DataFrame(
+        {
+            "node_id": list(range(15)),
+            "community": [0] * 8 + [1] * 7,
+        }
+    )
+    got = modularity(ray.data.from_pandas(df), comm, num_buckets=4).iloc[0]
+
+    deg = {}
+    for u, v in und:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    m = len(und)
+    lab = dict(zip(comm["node_id"], comm["community"]))
+    q = 0.0
+    for c in (0, 1):
+        l_c = sum(1 for u, v in und if lab[u] == c and lab[v] == c)
+        k_c = sum(d for nd, d in deg.items() if lab[nd] == c)
+        q += l_c / m - (k_c / (2 * m)) ** 2
+    assert got["n_edges"] == m
+    assert got["n_communities"] == 2
+    assert abs(got["modularity"] - q) < 1e-12
+    assert got["modularity"] > 0.3  # planted structure is found
+
+
+def test_modularity_unassigned_nodes_are_singletons(ray_session):
+    import ray
+    from kgraft.graph.metrics import modularity
+
+    df = pd.DataFrame([(0, 1), (1, 2), (3, 4)], columns=["src", "dst"])
+    # only nodes 0,1,2 assigned; 3,4 become singletons of their own id
+    comm = pd.DataFrame({"node_id": [0, 1, 2], "community": [7, 7, 7]})
+    got = modularity(ray.data.from_pandas(df), comm, num_buckets=2).iloc[0]
+    # serial: communities {0,1,2}=7, {3}, {4}; m=3
+    # L_7=2, K_7=4; L_3=0,K_3=1; L_4=0,K_4=1
+    want = (2 / 3 - (4 / 6) ** 2) + 2 * (0 / 3 - (1 / 6) ** 2)
+    assert got["n_communities"] == 3
+    assert abs(got["modularity"] - want) < 1e-12
