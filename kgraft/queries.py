@@ -1233,6 +1233,113 @@ SELECT user_id, count(*) AS n_sessions FROM (
 """
 
 
+def event_type_islands(sf_dir: str) -> pd.DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive SAME-TYPE events
+    per user -> one row per island with its span and length — the
+    classic warehouse sequence shape (SQL solves it with the
+    row_number-difference trick; see the oracle).
+
+    Realization: ONE bucketed shuffle co-locates each user's events;
+    inside a bucket the segmentation is a vectorized sort +
+    change-flag cumsum + groupby — no per-user Python. Ties in ``ts``
+    are broken by ``event_id`` on BOTH sides, so island boundaries are
+    deterministic."""
+    from .relational import bucketed_groupby_apply
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def islands_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        change = g["user_id"].ne(g["user_id"].shift()) | g["event_type"].ne(
+            g["event_type"].shift()
+        )
+        out = (
+            g.groupby(change.cumsum(), sort=False)
+            .agg(
+                user_id=("user_id", "first"),
+                event_type=("event_type", "first"),
+                start_ts=("ts", "min"),
+                end_ts=("ts", "max"),
+                n_events=("event_id", "count"),
+            )
+            .reset_index(drop=True)
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    out = bucketed_groupby_apply(ds, "user_id", islands_bucket).to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(
+        ["user_id", "start_ts", "event_type"], ignore_index=True
+    )
+
+
+_ISLANDS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rnt
+  FROM events
+)
+SELECT user_id, event_type, min(ts) AS start_ts, max(ts) AS end_ts,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, event_type, rn - rnt
+ORDER BY user_id, start_ts, event_type
+"""
+
+
+def monthly_revenue_growth(sf_dir: str) -> pd.DataFrame:
+    """Month-over-month revenue growth: the aggregate -> ordered-window
+    composition (sum per month, then LAG percent change). The corpus
+    aggregate is partial-combined and distributed; the LAG runs on the
+    month-cardinality series (driver-bounded by the calendar, not the
+    corpus)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def add_month(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "month_epoch": df["o_orderdate"]
+                .dt.to_period("M")
+                .dt.to_timestamp()
+                .astype("int64")
+                // 1_000_000_000,
+                "o_totalprice": df["o_totalprice"],
+            }
+        )
+
+    out = pre_aggregate(
+        ds.map_batches(add_month, batch_format="pandas"),
+        ["month_epoch"],
+        {"revenue": ("o_totalprice", "sum")},
+    ).sort_values("month_epoch", ignore_index=True)
+    prev = out["revenue"].shift()
+    out["growth_pct"] = (
+        ((out["revenue"] - prev) / prev * 100).round(4).fillna(0.0)
+    )
+    out["month_epoch"] = out["month_epoch"].astype("int64")
+    out["revenue"] = out["revenue"].round(4)
+    return out
+
+
+_MONTHLY_GROWTH_SQL = """
+WITH m AS (
+  SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_epoch,
+         sum(o_totalprice) AS raw_rev
+  FROM orders GROUP BY 1
+)
+SELECT month_epoch, round(raw_rev, 4) AS revenue,
+       coalesce(round((raw_rev - lag(raw_rev) OVER (ORDER BY month_epoch))
+                      / lag(raw_rev) OVER (ORDER BY month_epoch) * 100, 4),
+                0) AS growth_pct
+FROM m ORDER BY month_epoch
+"""
+
+
 def event_transitions(sf_dir: str) -> pd.DataFrame:
     """Event-type transition matrix (sequence mining): per
     (prev_type, next_type), how many consecutive same-user event pairs
@@ -5415,6 +5522,34 @@ def normalize_docs(sf_dir: str):
     return textops.normalize_text(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def chunk_docs(sf_dir: str):
+    """Fixed-window 500-char chunks at 400-char stride (100-char
+    overlap) over the documents table — RAG/long-doc splitting as a
+    shuffle-free vectorized explode; see
+    :func:`kgraft.textops.chunk_documents`."""
+    out = textops.chunk_documents(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        size=500,
+        stride=400,
+    ).to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"], ignore_index=True)
+
+
+_CHUNK_DOCS_SQL = """
+WITH k AS (
+  SELECT doc_id, text,
+         unnest(generate_series(
+             0, CAST(ceil(length(text) / 400.0) AS BIGINT) - 1)) AS chunk_idx
+  FROM documents
+)
+SELECT doc_id, chunk_idx,
+       substr(text, CAST(chunk_idx * 400 + 1 AS BIGINT), 500) AS chunk_text,
+       CAST(length(substr(text, CAST(chunk_idx * 400 + 1 AS BIGINT), 500))
+            AS BIGINT) AS n_chars
+FROM k ORDER BY doc_id, chunk_idx
+"""
+
+
 def repetition_docs(sf_dir: str):
     """Gopher-style repetition quality signals (dup-line fraction,
     dup-line char fraction, top-2-gram char fraction, dup-3-gram char
@@ -6926,6 +7061,8 @@ QUERIES = {
     "hourly_event_stats": hourly_event_stats,
     "hopping_event_stats": hopping_event_stats,
     "user_sessions": user_sessions,
+    "event_type_islands": event_type_islands,
+    "monthly_revenue_growth": monthly_revenue_growth,
     "user_event_windows": user_event_windows,
     "user_value_extrema": user_value_extrema,
     "event_rank_ntile": event_rank_ntile,
@@ -7020,6 +7157,7 @@ QUERIES = {
     "except_orders": except_orders,
     "sample_events_per_user": sample_events_per_user,
     "normalize_docs": normalize_docs,
+    "chunk_docs": chunk_docs,
     "repetition_docs": repetition_docs,
     "redact_pii_docs": redact_pii_docs,
     "dedup_incremental_docs": dedup_incremental_docs,
@@ -7124,6 +7262,8 @@ ORACLE_SQL = {
     "hourly_event_stats": _HOURLY_SQL,
     "hopping_event_stats": _HOPPING_SQL,
     "user_sessions": _SESSIONS_SQL,
+    "event_type_islands": _ISLANDS_SQL,
+    "monthly_revenue_growth": _MONTHLY_GROWTH_SQL,
     "user_event_windows": _WINDOWS_SQL,
     "user_value_extrema": _VALUE_EXTREMA_SQL,
     "event_rank_ntile": _RANK_NTILE_SQL,
@@ -7210,6 +7350,7 @@ ORACLE_SQL = {
     "except_orders": _EXCEPT_SQL,
     "sample_events_per_user": _SAMPLE_PER_USER_SQL,
     "normalize_docs": _NORMALIZE_SQL,
+    "chunk_docs": _CHUNK_DOCS_SQL,
     "repetition_docs": _REPETITION_SQL,
     "redact_pii_docs": _REDACT_PII_SQL,
     "dedup_incremental_docs": _DEDUP_INCREMENTAL_SQL,

@@ -2209,6 +2209,72 @@ def repetition_signals(docs, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def chunk_documents(
+    ds,
+    size: int = 500,
+    stride: int = 400,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Fixed-window document chunking with overlap (the RAG / long-doc
+    training split): chunk ``k`` covers characters ``[k*stride,
+    k*stride + size)``, so consecutive chunks overlap by
+    ``size - stride`` characters; a doc of ``n`` chars emits
+    ``ceil(n / stride)`` chunks (empty docs emit none).
+
+    Shuffle-free one-pass explode; vectorized ACROSS documents — the
+    only Python loop is over the chunk INDEX within a batch (bounded by
+    the longest doc in the batch, not the row count), each step one
+    pandas ``str.slice`` over the still-long rows. Character (codepoint)
+    offsets, matching SQL ``substr``/``length`` semantics exactly.
+
+    Reference: n/a — forsummer/Gondar feeds whole sections to the LLM
+    (modules/PubMedFlow.py:233); chunking is the scale-path equivalent
+    for documents longer than a context window.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype="int64"),
+                "chunk_idx": pd.Series([], dtype="int64"),
+                "chunk_text": pd.Series([], dtype="object"),
+                "n_chars": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(df):
+            return empty
+        n = df[text_col].str.len().fillna(0).to_numpy(dtype=np.int64)
+        max_k = int(-(-int(n.max()) // stride)) if n.max() > 0 else 0
+        outs = []
+        for k in range(max_k):
+            m = n > k * stride
+            if not m.any():
+                break
+            sub = df.loc[m]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        id_col: sub[id_col].to_numpy(),
+                        "chunk_idx": np.int64(k),
+                        "chunk_text": sub[text_col]
+                        .str.slice(k * stride, k * stride + size)
+                        .to_numpy(),
+                    }
+                )
+            )
+        if not outs:
+            return empty
+        out = pd.concat(outs, ignore_index=True)
+        out["chunk_idx"] = out["chunk_idx"].astype("int64")
+        out["n_chars"] = out["chunk_text"].str.len().astype("int64")
+        return out
+
+    return ds.map_batches(explode, batch_format="pandas")
+
+
 def tokenize_docs(
     ds,
     vocab_size: int = 1000,

@@ -943,3 +943,36 @@ def test_cms_token_counts_bounds(ray_session):
 
     got2 = cms_token_counts(ray.data.from_pandas(df), probes, width=1024, depth=4)
     assert got["est_count"].tolist() == got2["est_count"].tolist()
+
+
+def test_chunk_documents_overlap_and_edges(ray_session):
+    import ray
+    import pandas as pd
+    from kgraft.textops import chunk_documents
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a" * 1000, "b" * 400, "", "xy"],
+        }
+    )
+    out = (
+        chunk_documents(ray.data.from_pandas(df), size=500, stride=400)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"], ignore_index=True)
+    )
+    # doc 1: ceil(1000/400)=3 chunks at offsets 0/400/800 (lens 500/500/200)
+    # doc 2: 1 chunk (len 400); doc 3: none; doc 4: 1 chunk (len 2)
+    got = out.groupby("doc_id")["chunk_idx"].count().to_dict()
+    assert got == {1: 3, 2: 1, 4: 1}
+    d1 = out[out["doc_id"] == 1]
+    assert list(d1["n_chars"]) == [500, 500, 200]
+    # consecutive chunks overlap by size - stride = 100 chars
+    full = "a" * 1000
+    for _, r in d1.iterrows():
+        k = r["chunk_idx"]
+        assert r["chunk_text"] == full[k * 400 : k * 400 + 500]
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(ray.data.from_pandas(df), size=0, stride=400)
