@@ -64,6 +64,33 @@ def _sigmoid(z):
     return 1.0 / (1.0 + np.exp(-np.clip(z, -35.0, 35.0)))
 
 
+def _pair_grads(W, C, u, v, wt, it, seed, negatives):
+    """One full SGNS gradient pass over a pair slice -> dense
+    (dW, dC, loss). Shared by the distributed per-block partial and the
+    driver tier so both tiers run the SAME math (gather -> sigmoid ->
+    scatter-add; deterministic splitmix64 negatives keyed per pair)."""
+    dW = np.zeros_like(W)
+    dC = np.zeros_like(C)
+    # positive term: push sigma(Wu . Cv) -> 1
+    Wu, Cv = W[u], C[v]
+    p = _sigmoid(np.einsum("ij,ij->i", Wu, Cv))
+    g = wt * (p - 1.0)
+    np.add.at(dW, u, g[:, None] * Cv)
+    np.add.at(dC, v, g[:, None] * Wu)
+    loss = float(-(wt * np.log(np.clip(p, 1e-12, None))).sum())
+    # negative term: push sigma(Wu . Cneg) -> 0
+    neg = _neg_draws(u, v, negatives, it, seed, len(W))
+    for kk in range(negatives):
+        nv = neg[:, kk]
+        Cn = C[nv]
+        pn = _sigmoid(np.einsum("ij,ij->i", Wu, Cn))
+        gn = wt * pn
+        np.add.at(dW, u, gn[:, None] * Cn)
+        np.add.at(dC, nv, gn[:, None] * Wu)
+        loss += float(-(wt * np.log(np.clip(1.0 - pn, 1e-12, None))).sum())
+    return dW, dC, loss
+
+
 def train_node_embeddings(
     pairs,
     node_ids: np.ndarray,
@@ -75,24 +102,52 @@ def train_node_embeddings(
     u_col: str = "u",
     v_col: str = "v",
     weight_col: str = "n",
+    driver_tier_max_pairs: int = 2_000_000,
 ) -> dict:
     """Fit SGNS embeddings over a weighted co-occurrence pair Dataset
     -> ``{ids, W, C, losses}`` (W = input vectors aligned to sorted
     ``ids``; ``losses`` = per-iteration mean weighted log-loss for
-    convergence monitoring/tests)."""
+    convergence monitoring/tests).
+
+    Two tiers (the ``graph/walks.py`` split): when the deduped pair
+    table fits (``<= driver_tier_max_pairs``), iterations run over ONE
+    locally-pinned index array — n_iter Dataset execution rounds at
+    ~0.25 s of fixed scheduling cost each are the whole runtime at KG
+    vocab scale, for matrices that are already driver-resident by
+    design. Beyond the threshold the per-block sparse-partial path
+    streams the pairs. Same math in both tiers (``_pair_grads``);
+    results agree up to float summation order across blocks."""
     ids = np.unique(np.asarray(node_ids, dtype=np.int64))
     n = len(ids)
     if n == 0:
         raise ValueError("train_node_embeddings: empty vocabulary")
-    ids_ref = ray.put(ids)
     pairs = pairs.materialize()  # every GD iteration re-reads the pairs
 
     W = _init_matrix(n, dim, seed)
     C = np.zeros((n, dim), dtype=np.float64)
     GW = np.zeros_like(W)  # AdaGrad accumulators
     GC = np.zeros_like(C)
-    wsum = None
     losses = []
+
+    if pairs.count() <= driver_tier_max_pairs:
+        df = pairs.select_columns([u_col, v_col, weight_col]).to_pandas()
+        u = _to_index(ids, df[u_col].to_numpy(dtype=np.int64), u_col)
+        v = _to_index(ids, df[v_col].to_numpy(dtype=np.int64), v_col)
+        wt = df[weight_col].to_numpy(dtype=np.float64)
+        wsum = float(wt.sum())
+        if wsum == 0.0:
+            raise ValueError("train_node_embeddings: no pairs")
+        for it in range(n_iter):
+            dW, dC, loss = _pair_grads(W, C, u, v, wt, it, seed, negatives)
+            GW += dW * dW
+            GC += dC * dC
+            W = W - lr * dW / np.sqrt(GW + 1e-10)
+            C = C - lr * dC / np.sqrt(GC + 1e-10)
+            losses.append(loss / (wsum * (1 + negatives)))
+        return {"ids": ids, "W": W, "C": C, "losses": losses}
+
+    ids_ref = ray.put(ids)
+    wsum = None
     for it in range(n_iter):
         wc_ref = ray.put((W, C))
 
@@ -106,25 +161,7 @@ def train_node_embeddings(
             u = _to_index(ids_l, df[u_col].to_numpy(dtype=np.int64), u_col)
             v = _to_index(ids_l, df[v_col].to_numpy(dtype=np.int64), v_col)
             wt = df[weight_col].to_numpy(dtype=np.float64)
-            dW = np.zeros_like(Wl)
-            dC = np.zeros_like(Cl)
-            # positive term: push sigma(Wu . Cv) -> 1
-            Wu, Cv = Wl[u], Cl[v]
-            p = _sigmoid(np.einsum("ij,ij->i", Wu, Cv))
-            g = wt * (p - 1.0)
-            np.add.at(dW, u, g[:, None] * Cv)
-            np.add.at(dC, v, g[:, None] * Wu)
-            loss = float(-(wt * np.log(np.clip(p, 1e-12, None))).sum())
-            # negative term: push sigma(Wu . Cneg) -> 0
-            neg = _neg_draws(u, v, negatives, it, seed, len(ids_l))
-            for kk in range(negatives):
-                nv = neg[:, kk]
-                Cn = Cl[nv]
-                pn = _sigmoid(np.einsum("ij,ij->i", Wu, Cn))
-                gn = wt * pn
-                np.add.at(dW, u, gn[:, None] * Cn)
-                np.add.at(dC, nv, gn[:, None] * Wu)
-                loss += float(-(wt * np.log(np.clip(1.0 - pn, 1e-12, None))).sum())
+            dW, dC, loss = _pair_grads(Wl, Cl, u, v, wt, it, seed, negatives)
             # sparse partial: touched rows only
             touched_w = np.nonzero(np.any(dW != 0.0, axis=1))[0]
             touched_c = np.nonzero(np.any(dC != 0.0, axis=1))[0]

@@ -926,3 +926,29 @@ def test_modularity_unassigned_nodes_are_singletons(ray_session):
     want = (2 / 3 - (4 / 6) ** 2) + 2 * (0 / 3 - (1 / 6) ** 2)
     assert got["n_communities"] == 3
     assert abs(got["modularity"] - want) < 1e-12
+
+
+def test_sgns_driver_tier_matches_distributed(ray_session):
+    import ray
+    from kgraft.graph.embed_train import train_node_embeddings
+
+    rng = np.random.default_rng(3)
+    n_nodes = 12
+    pairs = pd.DataFrame(
+        {
+            "u": rng.integers(0, n_nodes, 80),
+            "v": rng.integers(0, n_nodes, 80),
+            "n": rng.integers(1, 4, 80).astype("int64"),
+        }
+    )
+    ids = np.arange(n_nodes)
+    ds = ray.data.from_pandas(pairs)
+    a = train_node_embeddings(ds, ids, dim=8, n_iter=6, seed=5)
+    b = train_node_embeddings(
+        ds, ids, dim=8, n_iter=6, seed=5, driver_tier_max_pairs=0
+    )
+    # same math either side of the tier split; float summation order is
+    # the only permitted difference
+    np.testing.assert_allclose(a["W"], b["W"], rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(a["C"], b["C"], rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(a["losses"], b["losses"], rtol=1e-9)
