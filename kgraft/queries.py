@@ -6123,6 +6123,23 @@ def kg_modularity(sf_dir: str) -> pd.DataFrame:
     return modularity(edges, comm, src="subj_id", dst="obj_id")
 
 
+def kg_betweenness(sf_dir: str) -> pd.DataFrame:
+    """Approximate betweenness centrality over the constructed KG
+    (Brandes-Pich sampled sources, 64 deterministic sources): top-20
+    bridge entities — see
+    :func:`kgraft.graph.betweenness.approx_betweenness`. Rows-only;
+    the exact-Brandes-equivalence pytests live in tests/test_graph.py."""
+    from .graph.betweenness import approx_betweenness
+
+    m = _kg_outputs(sf_dir)
+    edges = _read_kg_edges(m, ["subj_id", "obj_id"])
+    out = approx_betweenness(
+        edges, n_sources=64, src="subj_id", dst="obj_id", top_k=20
+    )
+    out["betweenness"] = out["betweenness"].round(4)
+    return out
+
+
 def kg_pagerank_weighted(sf_dir: str) -> pd.DataFrame:
     """Confidence-weighted PageRank over the KG: transition mass
     proportional to the edge's extraction-confidence column, so
@@ -7216,6 +7233,7 @@ QUERIES = {
     "kg_pagerank": kg_pagerank,
     "kg_communities": kg_communities,
     "kg_assortativity": kg_assortativity,
+    "kg_betweenness": kg_betweenness,
     "kg_modularity": kg_modularity,
     "kg_link_prediction": kg_link_prediction,
     "kg_hits": kg_hits,

@@ -952,3 +952,89 @@ def test_sgns_driver_tier_matches_distributed(ray_session):
     np.testing.assert_allclose(a["W"], b["W"], rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(a["C"], b["C"], rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(a["losses"], b["losses"], rtol=1e-9)
+
+
+def _brandes_exact_py(und_edges, nodes):
+    """Textbook serial Brandes (queue + stack) for the test oracle."""
+    from collections import deque
+
+    adj = {u: [] for u in nodes}
+    for u, v in und_edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    bc = {u: 0.0 for u in nodes}
+    for s in nodes:
+        stack, preds = [], {u: [] for u in nodes}
+        sigma = {u: 0.0 for u in nodes}
+        dist = {u: -1 for u in nodes}
+        sigma[s], dist[s] = 1.0, 0
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            stack.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = {u: 0.0 for u in nodes}
+        while stack:
+            w = stack.pop()
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return {u: b / 2.0 for u, b in bc.items()}  # undirected halving
+
+
+def test_betweenness_all_sources_is_exact(ray_session):
+    import ray
+    from kgraft.graph.betweenness import approx_betweenness
+
+    rng = np.random.default_rng(7)
+    for n, p in [(14, 0.25), (25, 0.12)]:
+        pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+        mask = rng.random(len(pairs)) < p
+        und = [e for e, m in zip(pairs, mask) if m]
+        rows = list(und) + [(v, u) for (u, v) in und[::2]] + [(3, 3)]
+        df = pd.DataFrame(rows, columns=["src", "dst"])
+        touched = sorted({x for e in und for x in e} | {3})
+
+        got = approx_betweenness(
+            ray.data.from_pandas(df), n_sources=10**9, num_buckets=4
+        )
+        want = _brandes_exact_py(und, touched)
+        got_map = dict(zip(got["node_id"], got["betweenness"]))
+        # node 3 only had a self loop -> dropped by canonicalization
+        want = {u: b for u, b in want.items() if u in got_map}
+        assert set(got_map) == set(want)
+        for u in want:
+            assert abs(got_map[u] - want[u]) < 1e-9, (u, got_map[u], want[u])
+
+
+def test_betweenness_path_graph_known_values(ray_session):
+    import ray
+    from kgraft.graph.betweenness import approx_betweenness
+
+    # path 0-1-2-3-4: interior node i sits on (i)(n-1-i) shortest paths
+    df = pd.DataFrame([(i, i + 1) for i in range(4)], columns=["src", "dst"])
+    got = approx_betweenness(ray.data.from_pandas(df), n_sources=10**9, num_buckets=2)
+    want = {0: 0.0, 1: 3.0, 2: 4.0, 3: 3.0, 4: 0.0}
+    for _, r in got.iterrows():
+        assert abs(r["betweenness"] - want[r["node_id"]]) < 1e-12
+
+
+def test_betweenness_sampled_sources_reasonable(ray_session):
+    import ray
+    from kgraft.graph.betweenness import approx_betweenness
+
+    # star graph: the hub carries ALL shortest paths; any source sample
+    # must still rank the hub far above every leaf
+    n = 30
+    df = pd.DataFrame([(0, i) for i in range(1, n)], columns=["src", "dst"])
+    got = approx_betweenness(ray.data.from_pandas(df), n_sources=8, num_buckets=2)
+    hub = got.loc[got["node_id"] == 0, "betweenness"].iloc[0]
+    leaf_max = got.loc[got["node_id"] != 0, "betweenness"].max()
+    assert hub > 10 * max(leaf_max, 1e-9)
