@@ -971,3 +971,105 @@ def hard_negatives(
         return pd.concat(out, ignore_index=True)
 
     return bucketed_groupby_apply(tagged, ["cell"], mine)
+
+
+def cluster_quality(
+    embeddings,
+    n_cells: int = 16,
+    n_iter: int = 10,
+    sample_limit: int = 4096,
+    seed: int = 7,
+    centroids: np.ndarray | None = None,
+):
+    """Clustering-quality readout for the k-means family: per-cluster
+    size / inertia / mean-distance scatter plus the Davies-Bouldin
+    index (Davies & Bouldin 1979 — lower is better-separated) ->
+    ``(per_cluster_df, db_index)``.
+
+    Scale shape: centroids train exactly like :func:`kmeans_assign`
+    (deterministic hash sample, driver Lloyd) and broadcast once; the
+    quality pass is ONE shuffle-free scan emitting per-(cluster, batch)
+    partials (count, sum dist, sum dist^2 — 3 floats per touched
+    cluster), folded at cells-scale on the driver where the K x K
+    centroid-distance matrix lives. Empty clusters report zero rows and
+    are excluded from the DB index (standard convention).
+    """
+    if centroids is None:
+        sample = _hash_sample_matrix(embeddings, sample_limit)
+        centroids = kmeans_centroids(sample, n_cells, n_iter=n_iter, seed=seed)
+    cents = np.asarray(centroids, dtype=np.float64)
+    cref = ray.put(cents)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "c": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "sd": pd.Series([], dtype="float64"),
+                "sd2": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        mat = _batch_matrix(t)
+        c = ray.get(cref)
+        d2 = (
+            (mat**2).sum(axis=1)[:, None]
+            - 2.0 * (mat @ c.T)
+            + (c**2).sum(axis=1)[None, :]
+        )
+        a = d2.argmin(axis=1)
+        best2 = np.maximum(d2[np.arange(len(a)), a], 0.0)
+        best = np.sqrt(best2)
+        ks, inv = np.unique(a, return_inverse=True)
+        return pd.DataFrame(
+            {
+                "c": ks.astype(np.int64),
+                "n": np.bincount(inv).astype(np.int64),
+                "sd": np.bincount(inv, weights=best),
+                "sd2": np.bincount(inv, weights=best2),
+            }
+        )
+
+    parts = embeddings.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (
+        parts.groupby("c", as_index=False)[["n", "sd", "sd2"]].sum()
+        if len(parts)
+        else parts
+    )
+    k = len(cents)
+    n = np.zeros(k, dtype=np.int64)
+    sd = np.zeros(k)
+    sd2 = np.zeros(k)
+    if len(agg):
+        idx = agg["c"].to_numpy(np.int64)
+        n[idx] = agg["n"].to_numpy(np.int64)
+        sd[idx] = agg["sd"].to_numpy(np.float64)
+        sd2[idx] = agg["sd2"].to_numpy(np.float64)
+    scatter = np.divide(sd, n, out=np.zeros(k), where=n > 0)
+    per_cluster = pd.DataFrame(
+        {
+            "cluster_id": pd.Series(np.arange(k), dtype="int64"),
+            "n_vecs": pd.Series(n, dtype="int64"),
+            "inertia": pd.Series(sd2, dtype="float64"),
+            "scatter": pd.Series(scatter, dtype="float64"),
+        }
+    )
+    live = np.nonzero(n > 0)[0]
+    if len(live) < 2:
+        return per_cluster, float("nan")
+    cl = cents[live]
+    s = scatter[live]
+    dc = np.sqrt(
+        np.maximum(
+            (cl**2).sum(axis=1)[:, None]
+            - 2.0 * (cl @ cl.T)
+            + (cl**2).sum(axis=1)[None, :],
+            0.0,
+        )
+    )
+    with np.errstate(divide="ignore"):
+        r = (s[:, None] + s[None, :]) / dc
+    np.fill_diagonal(r, -np.inf)
+    db_index = float(np.max(r, axis=1).mean())
+    return per_cluster, db_index

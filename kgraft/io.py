@@ -428,3 +428,52 @@ def bucket_lookup(layout_dir: str, key_values) -> pd.DataFrame:
     if not outs:
         return schema.empty_table().to_pandas()
     return pd.concat(outs, ignore_index=True)
+
+
+def compact(in_dir: str, out_dir: str, target_mb: int = 128) -> dict:
+    """Small-file compaction (lakehouse table maintenance): rewrite a
+    directory of Parquet fragments into ~``target_mb``-sized files,
+    preserving the row multiset exactly -> stats dict
+    ``{n_files_in, n_files_out, n_rows, bytes_in}``.
+
+    The checkpoint writer (and any incremental ingest) legitimately
+    emits one small fragment per (task, partition); after enough
+    increments a reader pays per-file open/footer costs and Ray's
+    default splitting shreds the table into tiny blocks (the measured
+    `_read_kg_edges` effect). Compaction is the standard maintenance
+    pass: one streaming read -> ``repartition(n_out)`` (a split/coalesce
+    plan, NOT an all-to-all shuffle — row order inside fragments is
+    already meaningless to the engine's order-insensitive semantics) ->
+    atomic publish (scratch dir + rename, the :func:`write_bucketed`
+    discipline), so an interrupted compaction never leaves a
+    half-written table.
+    """
+    import glob as _glob
+    import math
+    import os
+    import shutil
+
+    import ray
+
+    files = sorted(_glob.glob(os.path.join(in_dir, "*.parquet")))
+    if not files:
+        raise ValueError(f"compact: no parquet fragments under {in_dir!r}")
+    if os.path.abspath(in_dir) == os.path.abspath(out_dir):
+        raise ValueError("compact: out_dir must differ from in_dir")
+    bytes_in = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(bytes_in / (target_mb << 20)))
+
+    ds = ray.data.read_parquet(files)
+    tmp = out_dir.rstrip("/") + ".inprogress"
+    for p in (tmp, out_dir):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    n_rows = ds.count()
+    ds.repartition(n_out).write_parquet(tmp)
+    os.rename(tmp, out_dir)
+    return {
+        "n_files_in": len(files),
+        "n_files_out": len(_glob.glob(os.path.join(out_dir, "*.parquet"))),
+        "n_rows": int(n_rows),
+        "bytes_in": int(bytes_in),
+    }

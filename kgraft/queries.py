@@ -5741,6 +5741,20 @@ def cluster_embeddings(sf_dir: str):
     return embedops.kmeans_assign(emb, n_cells=16)
 
 
+def cluster_quality_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Clustering-quality readout over the k-means cells (per-cluster
+    size/inertia/scatter + Davies-Bouldin index as a constant column) —
+    the monitoring pass run after every corpus clustering; see
+    :func:`kgraft.embedops.cluster_quality`. Rows-only; the serial
+    oracle lives in tests/test_embedops.py."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    per, db = embedops.cluster_quality(emb, n_cells=16)
+    per["inertia"] = per["inertia"].round(4)
+    per["scatter"] = per["scatter"].round(4)
+    per["db_index"] = round(db, 4)
+    return per
+
+
 def knn_cosine_topk(sf_dir: str) -> pd.DataFrame:
     emb = read_table(sf_dir, "embeddings")
     q = embedops.get_query_vector(emb, vec_id=0)
@@ -7224,6 +7238,7 @@ QUERIES = {
     "ivf_ann_topk": ivf_ann_topk,
     "pq_ann_topk": pq_ann_topk,
     "cluster_embeddings": cluster_embeddings,
+    "cluster_quality_embeddings": cluster_quality_embeddings,
     "label_norms": label_norms,
     "label_centroids": label_centroids_q,
     "unnest_embeddings": unnest_embeddings,

@@ -422,3 +422,69 @@ def test_hard_negatives_matches_bruteforce(ray_session):
         np.testing.assert_allclose(
             row["cos_sim"], round(sims[i, want[i]], 6), atol=1e-6
         )
+
+
+def test_cluster_quality_matches_serial(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+    from kgraft.embedops import cluster_quality
+
+    rng = np.random.default_rng(17)
+    # three well-separated blobs + fixed centroids so the serial oracle
+    # shares the exact assignment
+    blobs = [
+        rng.normal([0, 0, 0], 0.2, (30, 3)),
+        rng.normal([5, 5, 0], 0.2, (20, 3)),
+        rng.normal([0, 5, 5], 0.2, (10, 3)),
+    ]
+    X = np.concatenate(blobs)
+    cents = np.array([[0.1, 0, 0], [5, 5, 0.1], [0, 5, 5], [99, 99, 99]])
+    df = pd.DataFrame(
+        {"vec_id": np.arange(len(X), dtype=np.int64), "embedding": list(X)}
+    )
+    per, db = cluster_quality(
+        ray.data.from_pandas(df).repartition(4), centroids=cents
+    )
+
+    d = np.linalg.norm(X[:, None, :] - cents[None, :, :], axis=2)
+    a = d.argmin(axis=1)
+    best = d[np.arange(len(a)), a]
+    want_s = []
+    for c in range(4):
+        m = a == c
+        assert per.loc[c, "n_vecs"] == m.sum()
+        if m.any():
+            assert abs(per.loc[c, "inertia"] - (best[m] ** 2).sum()) < 1e-8
+            want_s.append(best[m].mean())
+            assert abs(per.loc[c, "scatter"] - best[m].mean()) < 1e-10
+        else:
+            assert per.loc[c, "scatter"] == 0.0
+    # serial Davies-Bouldin over the 3 live clusters
+    live = [c for c in range(4) if (a == c).any()]
+    cd = np.linalg.norm(cents[live][:, None] - cents[live][None, :], axis=2)
+    r = np.zeros((len(live), len(live)))
+    for i in range(len(live)):
+        for j in range(len(live)):
+            if i != j:
+                r[i, j] = (want_s[i] + want_s[j]) / cd[i, j]
+    want_db = r.max(axis=1).mean()
+    assert abs(db - want_db) < 1e-10
+    assert db < 0.2  # well-separated blobs score near zero
+
+
+def test_cluster_quality_single_live_cluster_nan(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+    from kgraft.embedops import cluster_quality
+
+    X = np.zeros((5, 2)) + 1.0
+    df = pd.DataFrame(
+        {"vec_id": np.arange(5, dtype=np.int64), "embedding": list(X)}
+    )
+    per, db = cluster_quality(
+        ray.data.from_pandas(df), centroids=np.array([[1.0, 1.0], [50.0, 50.0]])
+    )
+    assert per["n_vecs"].tolist() == [5, 0]
+    assert np.isnan(db)

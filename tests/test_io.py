@@ -236,3 +236,42 @@ def test_sorted_layout_range_scan(ray_session, tmp_path):
     # fully out of range -> typed empty
     got3 = range_scan(d, lo=200_000).to_pandas()
     assert len(got3) == 0
+
+
+def test_compact_preserves_rows_and_reduces_files(ray_session, tmp_path):
+    import glob
+
+    import numpy as np
+    import pandas as pd
+    import ray
+    from kgraft.io import compact
+
+    df = pd.DataFrame(
+        {
+            "k": np.arange(5000, dtype=np.int64),
+            "s": [f"row-{i}" for i in range(5000)],
+        }
+    )
+    frag_dir = str(tmp_path / "frags")
+    ray.data.from_pandas(df).repartition(40).write_parquet(frag_dir)
+    assert len(glob.glob(frag_dir + "/*.parquet")) >= 30
+
+    out_dir = str(tmp_path / "compacted")
+    stats = compact(frag_dir, out_dir, target_mb=128)
+    assert stats["n_rows"] == 5000
+    assert stats["n_files_out"] < stats["n_files_in"]
+    assert stats["n_files_out"] <= 2
+
+    got = (
+        ray.data.read_parquet(out_dir)
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, df)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        compact(frag_dir, frag_dir)
+    with pytest.raises(ValueError):
+        compact(str(tmp_path / "nope"), out_dir)
