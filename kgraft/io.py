@@ -477,3 +477,56 @@ def compact(in_dir: str, out_dir: str, target_mb: int = 128) -> dict:
         "n_rows": int(n_rows),
         "bytes_in": int(bytes_in),
     }
+
+
+def write_partitioned(ds, out_dir: str, by: str) -> None:
+    """Hive-style VALUE-partitioned Parquet layout: rows land under
+    ``<by>=<value>/`` directories (Ray's native ``partition_cols``
+    write), published atomically (scratch dir + rename, the
+    :func:`write_bucketed` discipline). The complement of the hash
+    layout: :func:`write_bucketed` co-partitions for joins,
+    this co-locates for PRUNED SCANS — a downstream filter on the
+    partition column reads only its directories
+    (:func:`read_partition`), the standard lake layout for
+    low-cardinality scan keys (lang, source, date)."""
+    import os
+    import shutil
+
+    tmp = out_dir.rstrip("/") + ".inprogress"
+    for p in (tmp, out_dir):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    ds.write_parquet(tmp, partition_cols=[by])
+    os.rename(tmp, out_dir)
+
+
+def read_partition(layout_dir: str, by: str, values, columns=None):
+    """Pruned read of a :func:`write_partitioned` layout: only the
+    ``<by>=<value>/`` directories of the requested ``values`` are
+    listed and scanned — 1/cardinality of the table per value, no
+    post-read filter needed. Missing values are simply absent (no
+    error), matching SQL filter semantics. The partition column comes
+    back as a regular column (Ray's hive read restores it from the
+    directory names)."""
+    import os
+
+    import ray
+
+    if isinstance(values, str):
+        values = [values]
+    dirs = [
+        d
+        for d in (os.path.join(layout_dir, f"{by}={v}") for v in values)
+        if os.path.isdir(d)
+    ]
+    if not dirs:
+        raise ValueError(
+            f"read_partition: no partitions for {values!r} under {layout_dir!r}"
+        )
+    # one read per directory (a path LIST disables pyarrow's directory
+    # expansion); hive inference restores the partition column per dir
+    pieces = [ray.data.read_parquet(d, columns=columns) for d in dirs]
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.union(p)
+    return out

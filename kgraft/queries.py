@@ -6241,6 +6241,57 @@ def kg_pred_stats(sf_dir: str) -> pd.DataFrame:
     ]
 
 
+def kg_functional_violations(sf_dir: str) -> pd.DataFrame:
+    """Functional-predicate constraint check: per predicate, how many
+    subjects assert MORE than one distinct object — the KG-quality
+    pass that catches both extraction bugs (a functional relation like
+    "capital_of" fanning out) and genuinely multi-valued predicates
+    (so downstream consumers know which is which). Per predicate:
+    n_subjects, n_multi_subjects, violation_rate, max_fanout.
+
+    Scale shape: edges collapse map-side to distinct (pred, subj, obj)
+    and ONE bucketed exchange on (pred, subj) computes per-subject
+    object fanout; the per-predicate fold is predicate-vocabulary
+    scale. Rows-only (the KG is engine-derived, not a driver view)."""
+    from .relational import bucketed_groupby_apply, pre_aggregate
+
+    m = _kg_outputs(sf_dir)
+    edges = _read_kg_edges(m, columns=["pred", "subj_id", "obj_id"])
+
+    def fanout_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["pred", "subj_id", "obj_id"])
+        f = (
+            d.groupby(["pred", "subj_id"], sort=False, as_index=False)["obj_id"]
+            .count()
+            .rename(columns={"obj_id": "fanout"})
+        )
+        return f
+
+    fan = bucketed_groupby_apply(
+        edges, ["pred", "subj_id"], fanout_bucket
+    ).to_pandas()
+    fan["is_multi"] = (fan["fanout"] > 1).astype("int64")
+    out = (
+        fan.groupby("pred", as_index=False)
+        .agg(
+            n_subjects=("subj_id", "count"),
+            n_multi_subjects=("is_multi", "sum"),
+            max_fanout=("fanout", "max"),
+        )
+        .astype(
+            {
+                "n_subjects": "int64",
+                "n_multi_subjects": "int64",
+                "max_fanout": "int64",
+            }
+        )
+    )
+    out["violation_rate"] = (
+        out["n_multi_subjects"] / out["n_subjects"]
+    ).round(4)
+    return out.sort_values("pred", ignore_index=True)
+
+
 _WALKS_CACHE: dict = {}
 
 
@@ -7249,6 +7300,7 @@ QUERIES = {
     "kg_communities": kg_communities,
     "kg_assortativity": kg_assortativity,
     "kg_betweenness": kg_betweenness,
+    "kg_functional_violations": kg_functional_violations,
     "kg_modularity": kg_modularity,
     "kg_link_prediction": kg_link_prediction,
     "kg_hits": kg_hits,

@@ -275,3 +275,48 @@ def test_compact_preserves_rows_and_reduces_files(ray_session, tmp_path):
         compact(frag_dir, frag_dir)
     with pytest.raises(ValueError):
         compact(str(tmp_path / "nope"), out_dir)
+
+
+def test_write_partitioned_pruned_read(ray_session, tmp_path):
+    import glob
+
+    import numpy as np
+    import pandas as pd
+    import ray
+    from kgraft.io import read_partition, write_partitioned
+
+    df = pd.DataFrame(
+        {
+            "k": np.arange(900, dtype=np.int64),
+            "lang": np.array(["en", "de", "fr"])[np.arange(900) % 3],
+            "v": np.arange(900, dtype=np.float64) * 0.5,
+        }
+    )
+    out = str(tmp_path / "by_lang")
+    write_partitioned(ray.data.from_pandas(df).repartition(4), out, by="lang")
+    assert sorted(glob.glob(out + "/lang=*")) == [
+        out + "/lang=de",
+        out + "/lang=en",
+        out + "/lang=fr",
+    ]
+
+    got = (
+        read_partition(out, "lang", ["de", "fr"])
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    want = (
+        df[df["lang"].isin(["de", "fr"])]
+        .sort_values("k", ignore_index=True)[got.columns]
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+    # column pruning without the partition column
+    got2 = read_partition(out, "lang", "en", columns=["k", "v"]).to_pandas()
+    assert sorted(got2.columns) == ["k", "v"]
+    assert len(got2) == 300
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_partition(out, "lang", ["zz"])
