@@ -530,3 +530,75 @@ def read_partition(layout_dir: str, by: str, values, columns=None):
     for p in pieces[1:]:
         out = out.union(p)
     return out
+
+
+def read_evolved(snapshot_dirs, columns=None):
+    """Schema-evolution read: union several Parquet snapshots whose
+    schemas differ by ADDED (or dropped) columns — every row comes back
+    under the UNION schema, with columns a snapshot lacks filled as
+    typed nulls. The incremental-ingest reality at 100 TB: a crawl adds
+    a field in March and the January snapshot must still scan.
+
+    Column order follows first appearance across ``snapshot_dirs``;
+    a column whose Arrow type CONFLICTS across snapshots fails fast
+    with the two types named (silent casts corrupt downstream typed
+    operators). Alignment is map-side (``pa.nulls`` append — no copy of
+    existing buffers); the union is a zero-shuffle plan concatenation.
+    """
+    import glob as _glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    if isinstance(snapshot_dirs, str):
+        snapshot_dirs = [snapshot_dirs]
+    groups = []
+    union: dict[str, pa.DataType] = {}
+    for d in snapshot_dirs:
+        files = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+        if not files:
+            raise ValueError(f"read_evolved: no parquet files under {d!r}")
+        sch = pq.read_schema(files[0])
+        for name, typ in zip(sch.names, sch.types):
+            if name in union and union[name] != typ:
+                raise ValueError(
+                    f"read_evolved: column {name!r} type conflict — "
+                    f"{union[name]} vs {typ} (in {d!r})"
+                )
+            union.setdefault(name, typ)
+        groups.append((files, set(sch.names)))
+    if columns is not None:
+        missing = [c for c in columns if c not in union]
+        if missing:
+            raise ValueError(f"read_evolved: unknown column(s) {missing}")
+        out_names = list(columns)
+    else:
+        out_names = list(union)
+
+    pieces = []
+    for files, have in groups:
+        cols_here = [c for c in out_names if c in have]
+        # a snapshot with NONE of the requested columns still contributes
+        # its row count (all-null rows) — read one narrow column for length
+        read_cols = cols_here or [sorted(have)[0]]
+
+        def align(t: pa.Table, _have=tuple(cols_here)) -> pa.Table:
+            arrays = []
+            for name in out_names:
+                if name in _have:
+                    arrays.append(t[name])
+                else:
+                    arrays.append(pa.nulls(len(t), union[name]))
+            return pa.table(dict(zip(out_names, arrays)))
+
+        pieces.append(
+            ray.data.read_parquet(files, columns=read_cols).map_batches(
+                align, batch_format="pyarrow"
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.union(p)
+    return out

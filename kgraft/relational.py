@@ -3028,3 +3028,32 @@ def incremental_aggregate(state, new_ds, keys, aggs, num_buckets: int = 64):
         else:
             result[out] = new_state[f"__mx_{out}"]
     return result, new_state
+
+
+def apply_once_per_key(ds, key_cols, fn, num_buckets: int = 64, how: str = "left"):
+    """Run an expensive transform ONCE per distinct key and fan results
+    back to every row — inference dedup. On a web corpus the same
+    boilerplate segment appears on millions of pages; an LLM/model
+    stage that pays per COPY instead of per distinct input burns its
+    budget on duplicates — this is the compose-around for any actor-pool
+    stage (LLM extraction, scoring, embedding) fed repetitive inputs.
+
+    ``fn``: Dataset -> Dataset over the DISTINCT-key table; must
+    preserve ``key_cols`` and may add result columns. Plan: the
+    engine's map-side-combined :func:`distinct` -> ``fn`` over the
+    (much smaller) distinct table -> ONE bucketed :func:`hash_join`
+    back to the full corpus. Key by a content HASH column (128-bit,
+    the exact-dedup contract) rather than raw text so the join moves
+    16 bytes per row, not documents.
+
+    Determinism contract: with ``fn`` deterministic, output equals
+    applying ``fn`` rowwise — pinned by pytest, including a call-count
+    assertion that the expensive path ran once per distinct key.
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    uniq = distinct(ds, key_cols, num_buckets)
+    # pinned: the join plan consumes its build side more than once, and a
+    # lazy `enriched` would re-run the EXPENSIVE fn per consumer — the
+    # call-count pytest catches exactly this. Distinct-key scale.
+    enriched = fn(uniq).materialize()
+    return hash_join(ds, enriched, on=key_cols, how=how, num_buckets=num_buckets)

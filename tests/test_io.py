@@ -320,3 +320,54 @@ def test_write_partitioned_pruned_read(ray_session, tmp_path):
 
     with pytest.raises(ValueError):
         read_partition(out, "lang", ["zz"])
+
+
+def test_read_evolved_union_schema(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    from kgraft.io import read_evolved
+
+    old = pd.DataFrame(
+        {"k": np.arange(5, dtype=np.int64), "a": ["x"] * 5}
+    )
+    new = pd.DataFrame(
+        {
+            "k": np.arange(5, 9, dtype=np.int64),
+            "a": ["y"] * 4,
+            "b": np.arange(4, dtype=np.float64),
+        }
+    )
+    d_old, d_new = str(tmp_path / "old"), str(tmp_path / "new")
+    ray.data.from_pandas(old).write_parquet(d_old)
+    ray.data.from_pandas(new).write_parquet(d_new)
+
+    got = (
+        read_evolved([d_old, d_new])
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    assert list(got.columns) == ["k", "a", "b"]
+    assert got["b"].isna().sum() == 5  # old snapshot's rows are null
+    assert got.loc[got["k"] >= 5, "b"].tolist() == [0.0, 1.0, 2.0, 3.0]
+
+    # column projection incl. a column one snapshot lacks
+    got2 = read_evolved([d_old, d_new], columns=["k", "b"]).to_pandas()
+    assert sorted(got2.columns) == ["b", "k"]
+    assert len(got2) == 9
+
+    # requesting only a column the old snapshot lacks still yields its rows
+    got3 = read_evolved([d_old, d_new], columns=["b"]).to_pandas()
+    assert len(got3) == 9 and got3["b"].isna().sum() == 5
+
+    # type conflict fails fast
+    bad = pd.DataFrame({"k": ["s1", "s2"], "a": ["z"] * 2})
+    d_bad = str(tmp_path / "bad")
+    ray.data.from_pandas(bad).write_parquet(d_bad)
+    import pytest
+
+    with pytest.raises(ValueError, match="type conflict"):
+        read_evolved([d_old, d_bad])
+    with pytest.raises(ValueError, match="unknown column"):
+        read_evolved([d_old, d_new], columns=["zzz"])

@@ -1978,3 +1978,50 @@ def test_k_anonymize_planted_groups(ray_session):
     # ('b', 1) has 3 < 5 rows -> suppressed; the other groups survive
     assert len(got) == 15
     assert set(got["q1"]) == {"a", "c"}
+
+
+def test_apply_once_per_key_runs_fn_once_per_distinct(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+    from kgraft.relational import apply_once_per_key
+
+    @ray.remote
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def add(self, k):
+            self.n += k
+
+        def get(self):
+            return self.n
+
+    counter = Counter.remote()
+    # 600 rows over 7 distinct content keys (heavy duplication)
+    rng = np.random.default_rng(23)
+    h = rng.integers(100, 107, 600).astype(np.int64)
+    df = pd.DataFrame(
+        {
+            "row_id": np.arange(600, dtype=np.int64),
+            "h": h,
+        }
+    )
+
+    def fn(uniq):
+        def work(b: pd.DataFrame) -> pd.DataFrame:
+            ray.get(counter.add.remote(len(b)))
+            b = b.copy()
+            b["score"] = b["h"] * 2  # deterministic function of the key
+            return b
+
+        return uniq.map_batches(work, batch_format="pandas")
+
+    out = (
+        apply_once_per_key(ray.data.from_pandas(df).repartition(8), "h", fn)
+        .to_pandas()
+        .sort_values("row_id", ignore_index=True)
+    )
+    assert len(out) == 600
+    assert (out["score"] == out["h"] * 2).all()  # == rowwise application
+    assert ray.get(counter.get.remote()) == 7  # once per distinct key
