@@ -1340,6 +1340,54 @@ FROM m ORDER BY month_epoch
 """
 
 
+def pairwise_agreement_events(sf_dir: str) -> pd.DataFrame:
+    """Pairwise clustering-agreement metrics (pair P/R/F1 + Adjusted
+    Rand Index) between the event-type partition and the day-of-week
+    partition of the events table — the entity-resolution eval shape
+    (:func:`kgraft.relational.clustering_pairwise`) with a full DuckDB
+    combinatorics twin; near-zero ARI expected (type is independent of
+    weekday), which is exactly what the oracle certifies."""
+    from .relational import clustering_pairwise
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def lab(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "pred": df["event_type"],
+                "gold": (df["ts"].dt.dayofweek.astype("int64") + 1),
+            }
+        )
+
+    return clustering_pairwise(
+        ds.map_batches(lab, batch_format="pandas"), "pred", "gold"
+    )
+
+
+_PAIRWISE_AGREEMENT_SQL = """
+WITH base AS (
+  SELECT event_type AS pred, CAST(isodow(ts) AS BIGINT) AS gold FROM events
+), cells AS (
+  SELECT pred, gold, count(*) AS c FROM base GROUP BY 1, 2
+), tot AS (
+  SELECT sum(c * (c - 1) / 2.0) AS tp, sum(c) AS n FROM cells
+), pm AS (
+  SELECT sum(s * (s - 1) / 2.0) AS pp
+  FROM (SELECT sum(c) AS s FROM cells GROUP BY pred)
+), gm AS (
+  SELECT sum(s * (s - 1) / 2.0) AS gp
+  FROM (SELECT sum(c) AS s FROM cells GROUP BY gold)
+)
+SELECT CAST(n AS BIGINT) AS n_items,
+       round(tp / pp, 6) AS pair_precision,
+       round(tp / gp, 6) AS pair_recall,
+       round(2 * (tp / pp) * (tp / gp) / (tp / pp + tp / gp), 6) AS pair_f1,
+       round((tp - pp * gp / (n * (n - 1) / 2.0))
+             / ((pp + gp) / 2.0 - pp * gp / (n * (n - 1) / 2.0)), 6) AS ari
+FROM tot, pm, gm
+"""
+
+
 def event_transitions(sf_dir: str) -> pd.DataFrame:
     """Event-type transition matrix (sequence mining): per
     (prev_type, next_type), how many consecutive same-user event pairs
@@ -7155,6 +7203,7 @@ QUERIES = {
     "user_sessions": user_sessions,
     "event_type_islands": event_type_islands,
     "monthly_revenue_growth": monthly_revenue_growth,
+    "pairwise_agreement_events": pairwise_agreement_events,
     "user_event_windows": user_event_windows,
     "user_value_extrema": user_value_extrema,
     "event_rank_ntile": event_rank_ntile,
@@ -7359,6 +7408,7 @@ ORACLE_SQL = {
     "user_sessions": _SESSIONS_SQL,
     "event_type_islands": _ISLANDS_SQL,
     "monthly_revenue_growth": _MONTHLY_GROWTH_SQL,
+    "pairwise_agreement_events": _PAIRWISE_AGREEMENT_SQL,
     "user_event_windows": _WINDOWS_SQL,
     "user_value_extrema": _VALUE_EXTREMA_SQL,
     "event_rank_ntile": _RANK_NTILE_SQL,

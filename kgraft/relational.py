@@ -3057,3 +3057,94 @@ def apply_once_per_key(ds, key_cols, fn, num_buckets: int = 64, how: str = "left
     # call-count pytest catches exactly this. Distinct-key scale.
     enriched = fn(uniq).materialize()
     return hash_join(ds, enriched, on=key_cols, how=how, num_buckets=num_buckets)
+
+
+def clustering_pairwise(ds, pred_col: str, gold_col: str,
+                        num_buckets: int = 64) -> pd.DataFrame:
+    """Pairwise clustering-agreement metrics (pair precision / recall /
+    F1 + Adjusted Rand Index, Hubert & Arabie 1985) — the
+    same-cluster-pair view of entity-resolution quality next to the
+    item-averaged :func:`clustering_agreement`: a pair of items counts
+    as TP when BOTH clusterings co-locate it. NULL rows excluded
+    (pairwise-null, like corr).
+
+    Scale shape: identical to B-cubed — rows reduce through ONE
+    map-side-combined (pred, gold) contingency aggregate that stays a
+    Dataset; the three pair sums (Σ C(cell,2), Σ C(cluster,2),
+    Σ C(class,2)) each fold a partial-combined aggregate to ONE scalar.
+    ARI's expected-index correction uses only those scalars and n.
+    """
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[pred_col, gold_col]]
+        return out[out[pred_col].notna() & out[gold_col].notna()]
+
+    cells = pre_aggregate_ds(
+        ds.map_batches(slim, batch_format="pandas"),
+        [pred_col, gold_col],
+        {"c": (None, "count")},
+        num_buckets=num_buckets,
+    ).materialize()  # three consumers below
+
+    def _choose2(s: pd.Series) -> pd.Series:
+        f = s.astype("float64")
+        return f * (f - 1.0) / 2.0
+
+    tp = float(
+        cells.map_batches(
+            lambda d: pd.DataFrame({"p": _choose2(d["c"])}),
+            batch_format="pandas",
+        ).sum("p")
+        or 0.0
+    )
+    n = float(
+        cells.map_batches(
+            lambda d: pd.DataFrame({"n": d["c"].astype("float64")}),
+            batch_format="pandas",
+        ).sum("n")
+        or 0.0
+    )
+
+    def marginal_pairs(key_col: str) -> float:
+        per_key = pre_aggregate_ds(
+            cells, key_col, {"s1": ("c", "sum")}, num_buckets=num_buckets
+        )
+        return float(
+            per_key.map_batches(
+                lambda d: pd.DataFrame({"p": _choose2(d["s1"])}),
+                batch_format="pandas",
+            ).sum("p")
+            or 0.0
+        )
+
+    if n < 2:
+        return pd.DataFrame(
+            {"n_items": [int(n)], "pair_precision": [np.nan],
+             "pair_recall": [np.nan], "pair_f1": [np.nan], "ari": [np.nan]}
+        )
+    p_pairs = marginal_pairs(pred_col)
+    g_pairs = marginal_pairs(gold_col)
+    prec = tp / p_pairs if p_pairs > 0 else np.nan
+    rec = tp / g_pairs if g_pairs > 0 else np.nan
+    f1 = (
+        2 * prec * rec / (prec + rec)
+        if p_pairs > 0 and g_pairs > 0 and (prec + rec) > 0
+        else (0.0 if p_pairs > 0 and g_pairs > 0 else np.nan)
+    )
+    total = n * (n - 1.0) / 2.0
+    expected = p_pairs * g_pairs / total
+    max_index = (p_pairs + g_pairs) / 2.0
+    ari = (
+        (tp - expected) / (max_index - expected)
+        if max_index != expected
+        else 1.0  # degenerate: both clusterings trivial -> perfect agreement
+    )
+    return pd.DataFrame(
+        {
+            "n_items": [int(n)],
+            "pair_precision": [round(prec, 6) if prec == prec else np.nan],
+            "pair_recall": [round(rec, 6) if rec == rec else np.nan],
+            "pair_f1": [round(f1, 6) if f1 == f1 else np.nan],
+            "ari": [round(ari, 6)],
+        }
+    )

@@ -2025,3 +2025,63 @@ def test_apply_once_per_key_runs_fn_once_per_distinct(ray_session):
     assert len(out) == 600
     assert (out["score"] == out["h"] * 2).all()  # == rowwise application
     assert ray.get(counter.get.remote()) == 7  # once per distinct key
+
+
+def test_clustering_pairwise_matches_bruteforce(ray_session):
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import ray
+    from kgraft.relational import clustering_pairwise
+
+    rng = np.random.default_rng(31)
+    n = 120
+    df = pd.DataFrame(
+        {
+            "pred": rng.integers(0, 6, n),
+            "gold": rng.integers(0, 5, n),
+        }
+    )
+    # some nulls excluded pairwise
+    df.loc[::17, "pred"] = None
+    got = clustering_pairwise(
+        ray.data.from_pandas(df).repartition(5), "pred", "gold", num_buckets=4
+    ).iloc[0]
+
+    kept = df.dropna().reset_index(drop=True)
+    tp = fp = fn_ = tn = 0
+    for i, j in itertools.combinations(range(len(kept)), 2):
+        sp = kept.loc[i, "pred"] == kept.loc[j, "pred"]
+        sg = kept.loc[i, "gold"] == kept.loc[j, "gold"]
+        tp += sp and sg
+        fp += sp and not sg
+        fn_ += (not sp) and sg
+        tn += (not sp) and (not sg)
+    prec = tp / (tp + fp)
+    rec = tp / (tp + fn_)
+    f1 = 2 * prec * rec / (prec + rec)
+    total = tp + fp + fn_ + tn
+    expected = (tp + fp) * (tp + fn_) / total
+    ari = (tp - expected) / ((2 * tp + fp + fn_) / 2 - expected)
+    assert got["n_items"] == len(kept)
+    assert abs(got["pair_precision"] - prec) < 1e-6
+    assert abs(got["pair_recall"] - rec) < 1e-6
+    assert abs(got["pair_f1"] - f1) < 1e-6
+    assert abs(got["ari"] - ari) < 1e-6
+
+
+def test_clustering_pairwise_perfect_and_degenerate(ray_session):
+    import pandas as pd
+    import ray
+    from kgraft.relational import clustering_pairwise
+
+    df = pd.DataFrame({"pred": [1, 1, 2, 2, 3], "gold": [9, 9, 8, 8, 7]})
+    got = clustering_pairwise(ray.data.from_pandas(df), "pred", "gold").iloc[0]
+    assert got["pair_f1"] == 1.0 and got["ari"] == 1.0
+
+    # all-singletons on both sides: no pairs anywhere -> NaN P/R, ARI 1
+    df2 = pd.DataFrame({"pred": [1, 2, 3], "gold": [7, 8, 9]})
+    got2 = clustering_pairwise(ray.data.from_pandas(df2), "pred", "gold").iloc[0]
+    assert got2["ari"] == 1.0
+    assert pd.isna(got2["pair_precision"])
