@@ -1233,6 +1233,67 @@ SELECT user_id, count(*) AS n_sessions FROM (
 """
 
 
+def session_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-session aggregate rows (30-min-gap sessionization, one row
+    per session with span/size/value) — the materialized-session twin
+    of ``user_sessions``'s count-only output. One bucketed shuffle
+    co-locates each user's events; gap flags, session ids (cumsum) and
+    the per-session aggregate are all vectorized in-bucket. Ties in
+    ``ts`` break by ``event_id`` on both sides."""
+    from .relational import bucketed_groupby_apply
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        gaps = g.groupby("user_id", sort=False)["ts"].diff().dt.total_seconds()
+        starts = gaps.isna() | (gaps > 1800)
+        g = g.assign(__sid=starts.groupby(g["user_id"], sort=False).cumsum())
+        out = g.groupby(["user_id", "__sid"], sort=False, as_index=False).agg(
+            start_ts=("ts", "min"),
+            end_ts=("ts", "max"),
+            n_events=("event_id", "count"),
+            total_value=("value", "sum"),
+        )
+        out = out.rename(columns={"__sid": "session_idx"})
+        out["session_idx"] = out["session_idx"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        out["total_value"] = out["total_value"].round(4)
+        return out
+
+    out = bucketed_groupby_apply(ds, "user_id", sessions_bucket).to_pandas()
+    out["session_idx"] = out["session_idx"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(
+        ["user_id", "session_idx"], ignore_index=True
+    )[["user_id", "session_idx", "start_ts", "end_ts", "n_events", "total_value"]]
+
+
+_SESSION_STATS_SQL = """
+WITH s AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT user_id, ts, value,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+       min(ts) AS start_ts, max(ts) AS end_ts,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM g GROUP BY user_id, sid
+ORDER BY user_id, session_idx
+"""
+
+
 def event_type_islands(sf_dir: str) -> pd.DataFrame:
     """Gaps-and-islands: maximal runs of consecutive SAME-TYPE events
     per user -> one row per island with its span and length — the
@@ -7202,6 +7263,7 @@ QUERIES = {
     "hopping_event_stats": hopping_event_stats,
     "user_sessions": user_sessions,
     "event_type_islands": event_type_islands,
+    "session_stats": session_stats,
     "monthly_revenue_growth": monthly_revenue_growth,
     "pairwise_agreement_events": pairwise_agreement_events,
     "user_event_windows": user_event_windows,
@@ -7407,6 +7469,7 @@ ORACLE_SQL = {
     "hopping_event_stats": _HOPPING_SQL,
     "user_sessions": _SESSIONS_SQL,
     "event_type_islands": _ISLANDS_SQL,
+    "session_stats": _SESSION_STATS_SQL,
     "monthly_revenue_growth": _MONTHLY_GROWTH_SQL,
     "pairwise_agreement_events": _PAIRWISE_AGREEMENT_SQL,
     "user_event_windows": _WINDOWS_SQL,
