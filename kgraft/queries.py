@@ -1294,6 +1294,90 @@ ORDER BY user_id, session_idx
 """
 
 
+def rfm_segments(sf_dir: str) -> pd.DataFrame:
+    """RFM customer segmentation: per user recency (last event time),
+    frequency (event count) and monetary (value sum) each quartiled by
+    the engine's ties-share-buckets quantile binning, then users counted
+    per (r, f, m) cell — the classic marketing composition proving
+    aggregate -> repeated quantile_bucketize chaining. Monetary rounds
+    to 4 decimals BEFORE binning on both sides (float sum order must
+    not flip a cut comparison)."""
+    from .relational import pre_aggregate, pre_aggregate_ds, quantile_bucketize
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def to_epoch(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "ts_epoch": df["ts"].astype("int64") // 1_000_000,
+                "value": df["value"],
+            }
+        )
+
+    pu = pre_aggregate_ds(
+        ev.map_batches(to_epoch, batch_format="pandas"),
+        ["user_id"],
+        {
+            "last_ts": ("ts_epoch", "max"),
+            "freq": (None, "count"),
+            "mon": ("value", "sum"),
+        },
+    ).map_batches(
+        lambda df: df.assign(mon=df["mon"].round(4)), batch_format="pandas"
+    )
+
+    def renamed(ds, old: str, new: str):
+        return ds.map_batches(
+            lambda df: df.rename(columns={old: new}), batch_format="pandas"
+        )
+
+    b = renamed(
+        quantile_bucketize(pu, "last_ts", 4, ["user_id", "freq", "mon"]),
+        "bucket",
+        "r_score",
+    )
+    b = renamed(
+        quantile_bucketize(b, "freq", 4, ["user_id", "mon", "r_score"]),
+        "bucket",
+        "f_score",
+    )
+    b = renamed(
+        quantile_bucketize(b, "mon", 4, ["user_id", "r_score", "f_score"]),
+        "bucket",
+        "m_score",
+    )
+    out = pre_aggregate(
+        b, ["r_score", "f_score", "m_score"], {"n_users": (None, "count")}
+    )
+    for c in ("r_score", "f_score", "m_score", "n_users"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(
+        ["r_score", "f_score", "m_score"], ignore_index=True
+    )
+
+
+_RFM_SQL = """
+WITH pu AS (
+  SELECT user_id,
+         CAST(epoch(max(ts)) AS BIGINT) AS last_ts,
+         count(*) AS freq,
+         round(sum(value), 4) AS mon
+  FROM events GROUP BY 1
+), c AS (
+  SELECT quantile_disc(last_ts, [0.25, 0.5, 0.75]) AS cr,
+         quantile_disc(freq, [0.25, 0.5, 0.75]) AS cf,
+         quantile_disc(mon, [0.25, 0.5, 0.75]) AS cm
+  FROM pu
+)
+SELECT CAST(1 + len(list_filter(cr, x -> last_ts > x)) AS BIGINT) AS r_score,
+       CAST(1 + len(list_filter(cf, x -> freq > x)) AS BIGINT) AS f_score,
+       CAST(1 + len(list_filter(cm, x -> mon > x)) AS BIGINT) AS m_score,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM pu, c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 def event_type_islands(sf_dir: str) -> pd.DataFrame:
     """Gaps-and-islands: maximal runs of consecutive SAME-TYPE events
     per user -> one row per island with its span and length — the
@@ -7264,6 +7348,7 @@ QUERIES = {
     "user_sessions": user_sessions,
     "event_type_islands": event_type_islands,
     "session_stats": session_stats,
+    "rfm_segments": rfm_segments,
     "monthly_revenue_growth": monthly_revenue_growth,
     "pairwise_agreement_events": pairwise_agreement_events,
     "user_event_windows": user_event_windows,
@@ -7470,6 +7555,7 @@ ORACLE_SQL = {
     "user_sessions": _SESSIONS_SQL,
     "event_type_islands": _ISLANDS_SQL,
     "session_stats": _SESSION_STATS_SQL,
+    "rfm_segments": _RFM_SQL,
     "monthly_revenue_growth": _MONTHLY_GROWTH_SQL,
     "pairwise_agreement_events": _PAIRWISE_AGREEMENT_SQL,
     "user_event_windows": _WINDOWS_SQL,
