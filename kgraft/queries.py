@@ -3827,6 +3827,79 @@ GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 20
 """
 
 
+def cc_co_ordered_parts(sf_dir: str) -> pd.DataFrame:
+    """Connected components over the co-order graph (parts linked when
+    >= 2 orders contain both): per component (labelled by its MIN part
+    id, the engine's component convention) how many parts — the first
+    SQL-ORACLED exercise of the engine's contracted Dataset union-find
+    (:func:`kgraft.graph.components.connected_components`; everywhere
+    else it is pytest-checked). The DuckDB twin computes the same
+    components via a WITH RECURSIVE transitive closure — the recursive
+    CTE shape — which is exactly why the edge set is thresholded to
+    stay closure-bounded."""
+    from .graph.components import connected_components
+    from .relational import bucketed_groupby_apply
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    op = distinct(li, ["l_orderkey", "l_partkey"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame(
+            {"part_a": m["l_partkey_x"], "part_b": m["l_partkey_y"]}
+        )
+
+    pr = bucketed_groupby_apply(op, ["l_orderkey"], pairs, num_buckets=32)
+    counts = pre_aggregate_ds(
+        pr, ["part_a", "part_b"], {"n_orders": (None, "count")}
+    )
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["n_orders"] >= 2]
+        return pd.DataFrame(
+            {
+                "src": keep["part_a"].astype("int64"),
+                "dst": keep["part_b"].astype("int64"),
+            }
+        )
+
+    comp = connected_components(
+        counts.map_batches(to_edges, batch_format="pandas")
+    )
+    out = (
+        comp.groupby("component_id", as_index=False)
+        .size()
+        .rename(columns={"size": "n_parts"})
+    )
+    out["component_id"] = out["component_id"].astype("int64")
+    out["n_parts"] = out["n_parts"].astype("int64")
+    return out.sort_values(
+        ["n_parts", "component_id"], ascending=[False, True], ignore_index=True
+    )
+
+
+_CC_CO_ORDERED_SQL = """
+WITH RECURSIVE
+op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+und AS (SELECT pa AS s, pb AS d FROM e0 UNION ALL SELECT pb, pa FROM e0),
+reach(a, b) AS (
+  SELECT s, d FROM und
+  UNION
+  SELECT r.a, u.d FROM reach r JOIN und u ON u.s = r.b
+)
+SELECT component_id, CAST(count(*) AS BIGINT) AS n_parts FROM (
+  SELECT a, least(a, min(b)) AS component_id FROM reach GROUP BY a
+) GROUP BY 1 ORDER BY n_parts DESC, component_id
+"""
+
+
 def bucketed_join_revenue(sf_dir: str) -> pd.DataFrame:
     """Customer-order revenue per nation through the HASH-BUCKETED
     STORAGE LAYOUT: both tables are written once as co-partitioned
@@ -7349,6 +7422,7 @@ QUERIES = {
     "event_type_islands": event_type_islands,
     "session_stats": session_stats,
     "rfm_segments": rfm_segments,
+    "cc_co_ordered_parts": cc_co_ordered_parts,
     "monthly_revenue_growth": monthly_revenue_growth,
     "pairwise_agreement_events": pairwise_agreement_events,
     "user_event_windows": user_event_windows,
@@ -7556,6 +7630,7 @@ ORACLE_SQL = {
     "event_type_islands": _ISLANDS_SQL,
     "session_stats": _SESSION_STATS_SQL,
     "rfm_segments": _RFM_SQL,
+    "cc_co_ordered_parts": _CC_CO_ORDERED_SQL,
     "monthly_revenue_growth": _MONTHLY_GROWTH_SQL,
     "pairwise_agreement_events": _PAIRWISE_AGREEMENT_SQL,
     "user_event_windows": _WINDOWS_SQL,
