@@ -3829,7 +3829,7 @@ GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 20
 
 def cc_co_ordered_parts(sf_dir: str) -> pd.DataFrame:
     """Connected components over the co-order graph (parts linked when
-    >= 2 orders contain both): per component (labelled by its MIN part
+    >= 3 orders contain both): per component (labelled by its MIN part
     id, the engine's component convention) how many parts — the first
     SQL-ORACLED exercise of the engine's contracted Dataset union-find
     (:func:`kgraft.graph.components.connected_components`; everywhere
@@ -3856,7 +3856,7 @@ def cc_co_ordered_parts(sf_dir: str) -> pd.DataFrame:
     )
 
     def to_edges(df: pd.DataFrame) -> pd.DataFrame:
-        keep = df[df["n_orders"] >= 2]
+        keep = df[df["n_orders"] >= 3]
         return pd.DataFrame(
             {
                 "src": keep["part_a"].astype("int64"),
@@ -3886,7 +3886,7 @@ e0 AS (
   SELECT a.l_partkey AS pa, b.l_partkey AS pb
   FROM op a JOIN op b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2 HAVING count(*) >= 2
+  GROUP BY 1, 2 HAVING count(*) >= 3
 ),
 und AS (SELECT pa AS s, pb AS d FROM e0 UNION ALL SELECT pb, pa FROM e0),
 reach(a, b) AS (
