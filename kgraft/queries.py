@@ -3900,6 +3900,106 @@ SELECT component_id, CAST(count(*) AS BIGINT) AS n_parts FROM (
 """
 
 
+def assoc_rules_parts(sf_dir: str) -> pd.DataFrame:
+    """Association-rule mining over order baskets (top-20 rules A -> B
+    by lift, min pair support 3 orders): support / confidence / lift
+    computed distributed — pair counts ride ONE bucketed exchange on
+    the order key (in-bucket vectorized self-merge, map-side combine),
+    single-item counts pre-aggregate to a vocab-bounded table that
+    attaches to the thresholded pairs via a sorted-id searchsorted LUT
+    (broadcast once; no second shuffle). The frequent-pair tier of
+    Apriori/FP-growth re-expressed as Dataset exchanges."""
+    from .relational import bucketed_groupby_apply
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    op = distinct(li, ["l_orderkey", "l_partkey"])
+    n_total = distinct(op, ["l_orderkey"]).count()
+    item = pre_aggregate_ds(
+        op, ["l_partkey"], {"n_i": (None, "count")}
+    ).to_pandas()  # vocab-bounded: one row per distinct part
+    ids = np.sort(item["l_partkey"].to_numpy(np.int64))
+    n_i = item.set_index("l_partkey").loc[ids, "n_i"].to_numpy(np.int64)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame(
+            {"part_a": m["l_partkey_x"], "part_b": m["l_partkey_y"]}
+        )
+
+    pr = bucketed_groupby_apply(op, ["l_orderkey"], pairs, num_buckets=32)
+    counts = pre_aggregate_ds(pr, ["part_a", "part_b"], {"n_both": (None, "count")})
+
+    def to_rules(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n_both"] >= 3]
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "antecedent": pd.Series(dtype="int64"),
+                    "consequent": pd.Series(dtype="int64"),
+                    "n_both": pd.Series(dtype="int64"),
+                    "support": pd.Series(dtype="float64"),
+                    "confidence": pd.Series(dtype="float64"),
+                    "lift": pd.Series(dtype="float64"),
+                }
+            )
+        # each unordered frequent pair yields both directed rules
+        ante = np.concatenate([df["part_a"].to_numpy(np.int64),
+                               df["part_b"].to_numpy(np.int64)])
+        cons = np.concatenate([df["part_b"].to_numpy(np.int64),
+                               df["part_a"].to_numpy(np.int64)])
+        nb = np.concatenate([df["n_both"].to_numpy(np.int64)] * 2)
+        na = n_i[np.searchsorted(ids, ante)]
+        nc = n_i[np.searchsorted(ids, cons)]
+        return pd.DataFrame(
+            {
+                "antecedent": ante,
+                "consequent": cons,
+                "n_both": nb,
+                "support": np.round(nb / float(n_total), 6),
+                "confidence": np.round(nb / na.astype(np.float64), 6),
+                "lift": np.round(nb * float(n_total) / (na * nc.astype(np.float64)), 4),
+            }
+        )
+
+    rules = counts.map_batches(to_rules, batch_format="pandas")
+    out = (
+        rules.sort(
+            ["lift", "antecedent", "consequent"], descending=[True, False, False]
+        )
+        .limit(20)
+        .to_pandas()
+    )
+    return out.reset_index(drop=True)
+
+
+_ASSOC_RULES_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+tot AS (SELECT count(DISTINCT l_orderkey) AS n FROM op),
+item AS (SELECT l_partkey, count(*) AS n_i FROM op GROUP BY 1),
+pr AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+rules AS (
+  SELECT pa AS antecedent, pb AS consequent, n_ab FROM pr
+  UNION ALL
+  SELECT pb, pa, n_ab FROM pr
+)
+SELECT r.antecedent, r.consequent, CAST(r.n_ab AS BIGINT) AS n_both,
+       round(r.n_ab / CAST(t.n AS DOUBLE), 6) AS support,
+       round(r.n_ab / CAST(ia.n_i AS DOUBLE), 6) AS confidence,
+       round(r.n_ab * CAST(t.n AS DOUBLE) / (ia.n_i * CAST(ib.n_i AS DOUBLE)), 4) AS lift
+FROM rules r
+CROSS JOIN tot t
+JOIN item ia ON ia.l_partkey = r.antecedent
+JOIN item ib ON ib.l_partkey = r.consequent
+ORDER BY lift DESC, antecedent, consequent LIMIT 20
+"""
+
+
 def bucketed_join_revenue(sf_dir: str) -> pd.DataFrame:
     """Customer-order revenue per nation through the HASH-BUCKETED
     STORAGE LAYOUT: both tables are written once as co-partitioned
@@ -7423,6 +7523,7 @@ QUERIES = {
     "session_stats": session_stats,
     "rfm_segments": rfm_segments,
     "cc_co_ordered_parts": cc_co_ordered_parts,
+    "assoc_rules_parts": assoc_rules_parts,
     "monthly_revenue_growth": monthly_revenue_growth,
     "pairwise_agreement_events": pairwise_agreement_events,
     "user_event_windows": user_event_windows,
@@ -7631,6 +7732,7 @@ ORACLE_SQL = {
     "session_stats": _SESSION_STATS_SQL,
     "rfm_segments": _RFM_SQL,
     "cc_co_ordered_parts": _CC_CO_ORDERED_SQL,
+    "assoc_rules_parts": _ASSOC_RULES_SQL,
     "monthly_revenue_growth": _MONTHLY_GROWTH_SQL,
     "pairwise_agreement_events": _PAIRWISE_AGREEMENT_SQL,
     "user_event_windows": _WINDOWS_SQL,
