@@ -3605,6 +3605,47 @@ def regr_price_by_flag(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("l_returnflag", ignore_index=True)
 
 
+def corr_matrix_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Per-group Pearson correlation MATRIX (all 6 pairs of 4 numeric
+    columns) in ONE distributed pass: every pairwise ``corr`` kind of
+    ``pre_aggregate`` shares the same map-side cross-moment partials,
+    so the exchange still moves one partial row per (flag, batch) —
+    k^2 statistics for the price of one shuffle, the shape a feature-
+    engineering profiler runs over a 100 TB table."""
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_tax"],
+    )
+    pairs = {
+        "qty_price": ("l_quantity", "l_extendedprice"),
+        "qty_disc": ("l_quantity", "l_discount"),
+        "qty_tax": ("l_quantity", "l_tax"),
+        "price_disc": ("l_extendedprice", "l_discount"),
+        "price_tax": ("l_extendedprice", "l_tax"),
+        "disc_tax": ("l_discount", "l_tax"),
+    }
+    out = pre_aggregate(
+        li, ["l_returnflag"], {k: (v, "corr") for k, v in pairs.items()}
+    )
+    for k in pairs:
+        out[k] = out[k].round(6)
+    return out.sort_values("l_returnflag", ignore_index=True)
+
+
+_CORR_MATRIX_SQL = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price,
+       round(corr(l_quantity, l_discount), 6) AS qty_disc,
+       round(corr(l_quantity, l_tax), 6) AS qty_tax,
+       round(corr(l_extendedprice, l_discount), 6) AS price_disc,
+       round(corr(l_extendedprice, l_tax), 6) AS price_tax,
+       round(corr(l_discount, l_tax), 6) AS disc_tax
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 _REGR_SQL = """
 SELECT l_returnflag,
        round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
@@ -7524,6 +7565,7 @@ QUERIES = {
     "rfm_segments": rfm_segments,
     "cc_co_ordered_parts": cc_co_ordered_parts,
     "assoc_rules_parts": assoc_rules_parts,
+    "corr_matrix_lineitem": corr_matrix_lineitem,
     "monthly_revenue_growth": monthly_revenue_growth,
     "pairwise_agreement_events": pairwise_agreement_events,
     "user_event_windows": user_event_windows,
@@ -7733,6 +7775,7 @@ ORACLE_SQL = {
     "rfm_segments": _RFM_SQL,
     "cc_co_ordered_parts": _CC_CO_ORDERED_SQL,
     "assoc_rules_parts": _ASSOC_RULES_SQL,
+    "corr_matrix_lineitem": _CORR_MATRIX_SQL,
     "monthly_revenue_growth": _MONTHLY_GROWTH_SQL,
     "pairwise_agreement_events": _PAIRWISE_AGREEMENT_SQL,
     "user_event_windows": _WINDOWS_SQL,
