@@ -3634,6 +3634,55 @@ def corr_matrix_lineitem(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("l_returnflag", ignore_index=True)
 
 
+def ols_price_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Grouped MULTIVARIATE least-squares: fit price = b0 +
+    b1*quantity + b2*discount per returnflag with
+    :func:`kgraft.relational.ols_fit` — map-side X'X / X'y moment
+    partials over one exchange, (k+1)-dim solve per group on the
+    driver. The DuckDB twin is the closed-form 2-feature normal-
+    equation solution written in var_pop/covar_pop algebra."""
+    from .relational import ols_fit
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity", "l_discount"],
+    )
+    out = ols_fit(
+        li, ["l_returnflag"], "l_extendedprice", ["l_quantity", "l_discount"]
+    )
+    out["icept"] = out["icept"].round(4)
+    out["coef_l_quantity"] = out["coef_l_quantity"].round(4)
+    out["coef_l_discount"] = out["coef_l_discount"].round(4)
+    out["r2"] = out["r2"].round(6)
+    return out.sort_values("l_returnflag", ignore_index=True)
+
+
+_OLS_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         avg(l_extendedprice) AS my, avg(l_quantity) AS m1, avg(l_discount) AS m2,
+         var_pop(l_quantity) AS v1, var_pop(l_discount) AS v2,
+         var_pop(l_extendedprice) AS vy,
+         covar_pop(l_quantity, l_discount) AS c12,
+         covar_pop(l_quantity, l_extendedprice) AS c1y,
+         covar_pop(l_discount, l_extendedprice) AS c2y
+  FROM lineitem GROUP BY l_returnflag
+), s AS (
+  SELECT l_returnflag, my, m1, m2, vy, c1y, c2y,
+         (c1y * v2 - c2y * c12) / (v1 * v2 - c12 * c12) AS b1,
+         (c2y * v1 - c1y * c12) / (v1 * v2 - c12 * c12) AS b2
+  FROM m
+)
+SELECT l_returnflag,
+       round(my - b1 * m1 - b2 * m2, 4) AS icept,
+       round(b1, 4) AS coef_l_quantity,
+       round(b2, 4) AS coef_l_discount,
+       round((b1 * c1y + b2 * c2y) / vy, 6) AS r2
+FROM s ORDER BY l_returnflag
+"""
+
+
 _CORR_MATRIX_SQL = """
 SELECT l_returnflag,
        round(corr(l_quantity, l_extendedprice), 6) AS qty_price,
@@ -7566,6 +7615,7 @@ QUERIES = {
     "cc_co_ordered_parts": cc_co_ordered_parts,
     "assoc_rules_parts": assoc_rules_parts,
     "corr_matrix_lineitem": corr_matrix_lineitem,
+    "ols_price_by_flag": ols_price_by_flag,
     "monthly_revenue_growth": monthly_revenue_growth,
     "pairwise_agreement_events": pairwise_agreement_events,
     "user_event_windows": user_event_windows,
@@ -7776,6 +7826,7 @@ ORACLE_SQL = {
     "cc_co_ordered_parts": _CC_CO_ORDERED_SQL,
     "assoc_rules_parts": _ASSOC_RULES_SQL,
     "corr_matrix_lineitem": _CORR_MATRIX_SQL,
+    "ols_price_by_flag": _OLS_SQL,
     "monthly_revenue_growth": _MONTHLY_GROWTH_SQL,
     "pairwise_agreement_events": _PAIRWISE_AGREEMENT_SQL,
     "user_event_windows": _WINDOWS_SQL,

@@ -404,6 +404,80 @@ def pre_aggregate(ds, keys, aggs):
     return merged
 
 
+def ols_fit(ds, keys, y_col, x_cols):
+    """Grouped MULTIVARIATE ordinary-least-squares fit via normal
+    equations: y = b0 + b1*x1 + ... + bk*xk per group, plus R^2.
+
+    The 100 TB shape: each batch contributes ONE partial row per group
+    holding the (k+1)x(k+1) design cross-moment sums (X'X upper
+    triangle), the X'y vector and sum(y^2) — all map-side vectorized
+    products riding :func:`pre_aggregate`'s single exchange — and the
+    driver solves a tiny (k+1)-dim linear system per group. Data size
+    never touches the solve; only group-count x k^2 floats do.
+
+    Returns a pandas frame: keys + ``icept`` + ``coef_<x>`` per feature
+    + ``r2``. Singular groups (collinear features) yield the minimum-
+    norm least-squares solution (numpy lstsq fallback).
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    xs = list(x_cols)
+    k = len(xs)
+    if k == 0:
+        raise PlanError("ols_fit needs at least one feature column")
+
+    mom_cols = [f"__m{i}{j}" for i in range(k) for j in range(i, k)]
+    xy_cols = [f"__xy{i}" for i in range(k)]
+
+    def products(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[key_list].copy()
+        X = [df[c].to_numpy(np.float64) for c in xs]
+        y = df[y_col].to_numpy(np.float64)
+        for i in range(k):
+            out[f"__sx{i}"] = X[i]
+            out[f"__xy{i}"] = X[i] * y
+            for j in range(i, k):
+                out[f"__m{i}{j}"] = X[i] * X[j]
+        out["__sy"] = y
+        out["__yy"] = y * y
+        return out
+
+    aug = ds.map_batches(products, batch_format="pandas")
+    plan = {c: (c, "sum") for c in mom_cols + xy_cols}
+    plan.update({f"__sx{i}": (f"__sx{i}", "sum") for i in range(k)})
+    plan.update({"__sy": ("__sy", "sum"), "__yy": ("__yy", "sum"),
+                 "__n": (None, "count")})
+    agg = pre_aggregate(aug, key_list, plan)
+
+    coefs = np.empty((len(agg), k + 1), dtype=np.float64)
+    r2 = np.empty(len(agg), dtype=np.float64)
+    for r in range(len(agg)):
+        row = agg.iloc[r]
+        n = float(row["__n"])
+        A = np.empty((k + 1, k + 1))
+        b = np.empty(k + 1)
+        A[0, 0] = n
+        b[0] = row["__sy"]
+        for i in range(k):
+            A[0, i + 1] = A[i + 1, 0] = row[f"__sx{i}"]
+            b[i + 1] = row[f"__xy{i}"]
+            for j in range(i, k):
+                A[i + 1, j + 1] = A[j + 1, i + 1] = row[f"__m{i}{j}"]
+        try:
+            c = np.linalg.solve(A, b)
+        except np.linalg.LinAlgError:
+            c = np.linalg.lstsq(A, b, rcond=None)[0]
+        coefs[r] = c
+        sst = row["__yy"] - row["__sy"] ** 2 / n
+        sse = row["__yy"] - float(c @ b)
+        r2[r] = 1.0 - sse / sst if sst > 0 else np.nan
+    out = agg[key_list].copy()
+    out["icept"] = coefs[:, 0]
+    for i, x in enumerate(xs):
+        out[f"coef_{x}"] = coefs[:, i + 1]
+    out["r2"] = r2
+    return out
+
+
 # ---------------------------------------------------------------------------
 # joins
 

@@ -2085,3 +2085,43 @@ def test_clustering_pairwise_perfect_and_degenerate(ray_session):
     got2 = clustering_pairwise(ray.data.from_pandas(df2), "pred", "gold").iloc[0]
     assert got2["ari"] == 1.0
     assert pd.isna(got2["pair_precision"])
+
+
+def test_ols_fit_recovers_planted_coefficients(ray_session):
+    import ray
+
+    from kgraft.relational import ols_fit
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    g = np.repeat(np.array(["a", "b"]), n // 2)
+    x1 = rng.randn(n)
+    x2 = rng.randn(n)
+    # group a: y = 2 + 3*x1 - 1*x2 (exact); group b: different plane
+    y = np.where(g == "a", 2 + 3 * x1 - x2, -1 + 0.5 * x1 + 4 * x2)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"g": g, "x1": x1, "x2": x2, "y": y})
+    ).repartition(8)
+    out = ols_fit(ds, ["g"], "y", ["x1", "x2"]).sort_values("g")
+    np.testing.assert_allclose(
+        out[["icept", "coef_x1", "coef_x2"]].to_numpy(),
+        [[2.0, 3.0, -1.0], [-1.0, 0.5, 4.0]],
+        atol=1e-9,
+    )
+    np.testing.assert_allclose(out["r2"].to_numpy(), [1.0, 1.0], atol=1e-9)
+
+
+def test_ols_fit_collinear_falls_back_to_lstsq(ray_session):
+    import ray
+
+    from kgraft.relational import ols_fit
+
+    rng = np.random.RandomState(3)
+    x1 = rng.randn(1000)
+    df = pd.DataFrame({"g": "a", "x1": x1, "x2": 2 * x1, "y": 1 + 4 * x1})
+    out = ols_fit(ray.data.from_pandas(df).repartition(4), ["g"], "y", ["x1", "x2"])
+    # x2 = 2*x1 is singular; minimum-norm solution still predicts exactly
+    row = out.iloc[0]
+    pred_slope = row["coef_x1"] + 2 * row["coef_x2"]
+    np.testing.assert_allclose(pred_slope, 4.0, atol=1e-6)
+    np.testing.assert_allclose(row["r2"], 1.0, atol=1e-9)
