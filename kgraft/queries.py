@@ -7173,6 +7173,31 @@ def kg_kcore(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def kg_truss(sf_dir: str) -> pd.DataFrame:
+    """4-truss of the constructed KG: the maximal subgraph where every
+    edge closes >= 2 triangles — a strictly stronger cohesion filter
+    than coreness (hub-and-spoke regions dissolve). BSP support
+    peeling: each round recounts per-edge triangle support over the
+    survivor Dataset via the oriented-wedge join and drops edges below
+    k-2; edge state never lands on the driver
+    (kgraft/graph/truss.py). Rows-only (iterative peeling is not
+    SQL-expressible); brute-force equivalence lives in
+    tests/test_graph.py."""
+    from .graph.truss import k_truss
+
+    m = _kg_outputs(sf_dir)
+    edges = _read_kg_edges(m, ["subj_id", "obj_id"])
+    _, info = k_truss(edges, 4, src="subj_id", dst="obj_id")
+    return pd.DataFrame(
+        {
+            "k": [np.int64(4)],
+            "n_edges_in": [np.int64(info["n_edges_in"])],
+            "n_edges_truss": [np.int64(info["n_edges_truss"])],
+            "rounds": [np.int64(info["rounds"])],
+        }
+    )
+
+
 def page_domain_stats(sf_dir: str) -> pd.DataFrame:
     """Per-domain rollup over the pages corpus (the Common-Crawl
     curation view: which hosts dominate the crawl and how much text
@@ -7782,6 +7807,7 @@ QUERIES = {
     "kg_degree_stats": kg_degree_stats,
     "kg_triangles": kg_triangles,
     "kg_kcore": kg_kcore,
+    "kg_truss": kg_truss,
     "page_domain_stats": page_domain_stats,
     "kg_mentions": kg_mentions,
     "kg_triples_llm": kg_triples_llm,

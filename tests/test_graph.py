@@ -1038,3 +1038,55 @@ def test_betweenness_sampled_sources_reasonable(ray_session):
     hub = got.loc[got["node_id"] == 0, "betweenness"].iloc[0]
     leaf_max = got.loc[got["node_id"] != 0, "betweenness"].max()
     assert hub > 10 * max(leaf_max, 1e-9)
+
+
+def _brute_truss(edge_list, k):
+    E = {(min(u, v), max(u, v)) for u, v in edge_list if u != v}
+    changed = True
+    while changed:
+        adj = {}
+        for u, v in E:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        drop = {(u, v) for (u, v) in E if len(adj[u] & adj[v]) < k - 2}
+        changed = bool(drop)
+        E -= drop
+    return E
+
+
+def test_k_truss_matches_bruteforce(ray_session):
+    import ray
+
+    from kgraft.graph.truss import k_truss
+
+    rng = np.random.RandomState(11)
+    # planted 6-clique (ids 0-5) + sparse random noise + a chain
+    edges = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    edges += [(100 + i, 100 + i + 1) for i in range(20)]
+    m = rng.randint(0, 60, size=(120, 2))
+    edges += [tuple(r) for r in m]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    # duplicates + reversed duplicates + self-loops must be tolerated
+    df = pd.concat([df, df.rename(columns={"src": "dst", "dst": "src"}),
+                    pd.DataFrame({"src": [3, 7], "dst": [3, 7]})])
+    ds = ray.data.from_pandas(df.reset_index(drop=True)).repartition(6)
+    for k in (3, 4, 5):
+        got, info = k_truss(ds, k, num_buckets=4)
+        got_set = {
+            (int(r["lo"]), int(r["hi"])) for r in got.to_pandas().to_dict("records")
+        }
+        assert got_set == _brute_truss(edges, k), f"k={k}"
+        assert info["n_edges_truss"] == len(got_set)
+
+
+def test_k_truss_clique_is_its_own_truss(ray_session):
+    import ray
+
+    from kgraft.graph.truss import k_truss
+
+    clique = [(i, j) for i in range(7) for j in range(i + 1, 7)]
+    ds = ray.data.from_pandas(pd.DataFrame(clique, columns=["src", "dst"]))
+    got, info = k_truss(ds, 7, num_buckets=2)
+    assert got.count() == len(clique)
+    got8, info8 = k_truss(ds, 8, num_buckets=2)
+    assert got8.count() == 0
