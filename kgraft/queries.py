@@ -3658,6 +3658,39 @@ def ols_price_by_flag(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("l_returnflag", ignore_index=True)
 
 
+def skyline_parts(sf_dir: str) -> pd.DataFrame:
+    """Pareto frontier of the part catalog — the distinct
+    (retailprice, size) points where no other part is both cheaper-or-
+    equal AND bigger-or-equal with one strict: the classic SKYLINE
+    operator. Distributed as a pure map pass: skyline is an exact
+    combiner, so each batch emits only its local frontier (vectorized
+    sort-sweep) and the driver sweeps the tiny union once
+    (:func:`kgraft.relational.skyline2d`). The DuckDB twin is the
+    NOT EXISTS dominance anti-join."""
+    from .relational import skyline2d
+
+    part = read_table(sf_dir, "part", columns=["p_retailprice", "p_size"])
+    out = skyline2d(part, "p_retailprice", "p_size",
+                    minimize_x=True, maximize_y=True)
+    out["p_retailprice"] = out["p_retailprice"].round(2)
+    out["p_size"] = out["p_size"].astype("int64")
+    return out
+
+
+_SKYLINE_SQL = """
+WITH d AS (SELECT DISTINCT p_retailprice, p_size FROM part)
+SELECT round(p.p_retailprice, 2) AS p_retailprice,
+       CAST(p.p_size AS BIGINT) AS p_size
+FROM d p
+WHERE NOT EXISTS (
+  SELECT 1 FROM d q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+ORDER BY p_retailprice, p_size
+"""
+
+
 _OLS_SQL = """
 WITH m AS (
   SELECT l_returnflag,
@@ -7641,6 +7674,7 @@ QUERIES = {
     "assoc_rules_parts": assoc_rules_parts,
     "corr_matrix_lineitem": corr_matrix_lineitem,
     "ols_price_by_flag": ols_price_by_flag,
+    "skyline_parts": skyline_parts,
     "monthly_revenue_growth": monthly_revenue_growth,
     "pairwise_agreement_events": pairwise_agreement_events,
     "user_event_windows": user_event_windows,
@@ -7853,6 +7887,7 @@ ORACLE_SQL = {
     "assoc_rules_parts": _ASSOC_RULES_SQL,
     "corr_matrix_lineitem": _CORR_MATRIX_SQL,
     "ols_price_by_flag": _OLS_SQL,
+    "skyline_parts": _SKYLINE_SQL,
     "monthly_revenue_growth": _MONTHLY_GROWTH_SQL,
     "pairwise_agreement_events": _PAIRWISE_AGREEMENT_SQL,
     "user_event_windows": _WINDOWS_SQL,

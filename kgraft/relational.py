@@ -478,6 +478,66 @@ def ols_fit(ds, keys, y_col, x_cols):
     return out
 
 
+def skyline2d(ds, x_col, y_col, minimize_x: bool = True,
+              maximize_y: bool = True):
+    """2-D skyline (Pareto frontier): the distinct (x, y) pairs not
+    DOMINATED by any other row — q dominates p when q is at least as
+    good on both dims and strictly better on one.
+
+    Skyline is an exact combiner (skyline(A ∪ B) =
+    skyline(skyline(A) ∪ skyline(B))), so each batch reduces to its
+    local frontier with one vectorized sort-sweep (sort x-best-first
+    with y best-first inside ties; keep rows that strictly improve the
+    running best y) and only the per-batch frontiers — O(log n) points
+    each for continuous data — reach the driver for the same sweep
+    once more. No shuffle at all; the 100 TB skyline costs one map
+    pass."""
+
+    def _frontier(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        # canonical form: minimize both (flip signs for max dims)
+        cx = x if minimize_x else -x
+        cy = -y if maximize_y else y
+        pairs = np.unique(np.stack([cx, cy], axis=1), axis=0)
+        px, py = pairs[:, 0], pairs[:, 1]
+        order = np.lexsort((py, px))  # x asc, y asc within ties
+        px, py = px[order], py[order]
+        # first row per x-group has that group's best y; a row is on
+        # the frontier iff its y strictly improves the best seen at
+        # any strictly-smaller x (ties on x keep only the group's best)
+        first_of_x = np.r_[True, px[1:] != px[:-1]]
+        best = np.minimum.accumulate(py)
+        keep = first_of_x & (py <= best)
+        # equal-y at larger x is dominated (strict on x): enforce strict
+        # improvement vs the previous kept frontier point
+        ky = py[keep]
+        strict = np.r_[True, ky[1:] < ky[:-1]]
+        out = pairs[order][keep][strict]
+        return out
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {x_col: pd.Series(dtype="float64"),
+                 y_col: pd.Series(dtype="float64")}
+            )
+        f = _frontier(df[x_col].to_numpy(np.float64),
+                      df[y_col].to_numpy(np.float64))
+        return pd.DataFrame({x_col: f[:, 0] * (1 if minimize_x else -1),
+                             y_col: f[:, 1] * (-1 if maximize_y else 1)})
+
+    cand = ds.select_columns([x_col, y_col]).map_batches(
+        local, batch_format="pandas"
+    ).to_pandas()  # frontier-scale: O(batches * log batch) points
+    if not len(cand):
+        return cand
+    f = _frontier(cand[x_col].to_numpy(np.float64),
+                  cand[y_col].to_numpy(np.float64))
+    return pd.DataFrame(
+        {x_col: f[:, 0] * (1 if minimize_x else -1),
+         y_col: f[:, 1] * (-1 if maximize_y else 1)}
+    ).sort_values([x_col, y_col], ignore_index=True)
+
+
 # ---------------------------------------------------------------------------
 # joins
 

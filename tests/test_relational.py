@@ -2125,3 +2125,41 @@ def test_ols_fit_collinear_falls_back_to_lstsq(ray_session):
     pred_slope = row["coef_x1"] + 2 * row["coef_x2"]
     np.testing.assert_allclose(pred_slope, 4.0, atol=1e-6)
     np.testing.assert_allclose(row["r2"], 1.0, atol=1e-9)
+
+
+def test_skyline2d_matches_bruteforce(ray_session):
+    import ray
+
+    from kgraft.relational import skyline2d
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame(
+        {
+            "x": rng.randint(0, 30, 400).astype("float64"),
+            "y": rng.randint(0, 30, 400).astype("float64"),
+        }
+    )
+
+    def brute(df, min_x, max_y):
+        pts = set(zip(df["x"], df["y"]))
+        out = []
+        for p in pts:
+            dominated = False
+            for q in pts:
+                if q == p:
+                    continue
+                bx = q[0] <= p[0] if min_x else q[0] >= p[0]
+                by = q[1] >= p[1] if max_y else q[1] <= p[1]
+                sx = q[0] < p[0] if min_x else q[0] > p[0]
+                sy = q[1] > p[1] if max_y else q[1] < p[1]
+                if bx and by and (sx or sy):
+                    dominated = True
+                    break
+            if not dominated:
+                out.append(p)
+        return sorted(out)
+
+    ds = ray.data.from_pandas(df).repartition(7)
+    for min_x, max_y in [(True, True), (True, False), (False, True)]:
+        got = skyline2d(ds, "x", "y", minimize_x=min_x, maximize_y=max_y)
+        assert sorted(zip(got["x"], got["y"])) == brute(df, min_x, max_y)
