@@ -7231,6 +7231,34 @@ def kg_truss(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def kg_densest(sf_dir: str) -> pd.DataFrame:
+    """Densest subgraph of the constructed KG (Bahmani et al.'s
+    (2+2eps) greedy peel, eps=0.05): the topical core of the entity
+    co-mention graph — density, size and peel rounds. Per-node alive
+    state broadcast per round; edges stay pinned in the k-core shard
+    pool (kgraft/graph/densest.py). Rows-only (iterative peeling is
+    not SQL-expressible); the published approximation guarantee and a
+    planted-clique recovery test live in tests/test_graph.py."""
+    import pyarrow.parquet as pq
+
+    from .graph.densest import densest_subgraph
+
+    m = _kg_outputs(sf_dir)
+    node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
+        "entity_id"
+    ].to_numpy()
+    edges = _read_kg_edges(m, ["subj_id", "obj_id"])
+    _, info = densest_subgraph(edges, node_ids)
+    return pd.DataFrame(
+        {
+            "density": [round(float(info["density"]), 6)],
+            "n_nodes": [np.int64(info["n_nodes"])],
+            "n_edges": [np.int64(info["n_edges"])],
+            "rounds": [np.int64(info["rounds"])],
+        }
+    )
+
+
 def page_domain_stats(sf_dir: str) -> pd.DataFrame:
     """Per-domain rollup over the pages corpus (the Common-Crawl
     curation view: which hosts dominate the crawl and how much text
@@ -7842,6 +7870,7 @@ QUERIES = {
     "kg_triangles": kg_triangles,
     "kg_kcore": kg_kcore,
     "kg_truss": kg_truss,
+    "kg_densest": kg_densest,
     "page_domain_stats": page_domain_stats,
     "kg_mentions": kg_mentions,
     "kg_triples_llm": kg_triples_llm,

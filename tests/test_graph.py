@@ -1090,3 +1090,38 @@ def test_k_truss_clique_is_its_own_truss(ray_session):
     assert got.count() == len(clique)
     got8, info8 = k_truss(ds, 8, num_buckets=2)
     assert got8.count() == 0
+
+
+def test_densest_subgraph_finds_planted_clique(ray_session):
+    import ray
+
+    from kgraft.graph.densest import densest_subgraph
+
+    rng = np.random.RandomState(23)
+    # K20 planted (density 9.5) inside sparse noise over 400 nodes
+    clique = [(i, j) for i in range(20) for j in range(i + 1, 20)]
+    noise = [tuple(r) for r in rng.randint(0, 400, size=(300, 2)) if r[0] != r[1]]
+    df = pd.DataFrame(clique + noise, columns=["src", "dst"])
+    ds = ray.data.from_pandas(df).repartition(5)
+    ids = np.arange(400)
+    members, info = densest_subgraph(ds, ids, epsilon=0.05,
+                                     src_col="src", dst_col="dst")
+    # the published guarantee: density >= optimal / (2*(1+eps));
+    # optimal >= K20's 9.5
+    assert info["density"] >= 9.5 / (2 * 1.05)
+    # the clique core must survive into the reported subgraph
+    assert set(range(20)) <= set(members["node_id"])
+
+
+def test_densest_subgraph_pure_clique_exact(ray_session):
+    import ray
+
+    from kgraft.graph.densest import densest_subgraph
+
+    clique = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+    ds = ray.data.from_pandas(pd.DataFrame(clique, columns=["src", "dst"]))
+    members, info = densest_subgraph(ds, np.arange(8), src_col="src",
+                                     dst_col="dst")
+    assert info["n_nodes"] == 8 and info["n_edges"] == 28
+    assert abs(info["density"] - 3.5) < 1e-12
+    assert sorted(members["node_id"]) == list(range(8))
