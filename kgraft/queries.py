@@ -7259,6 +7259,35 @@ def kg_densest(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def kg_diameter(sf_dir: str) -> pd.DataFrame:
+    """Neighborhood function + effective diameter of the constructed KG
+    via HyperBall (per-node HLL counters unioned along edges each BSP
+    round; kgraft/graph/anf.py): one row per radius t with the
+    estimated reachable-pair count N(t), plus the interpolated
+    90%-effective diameter on every row. Rows-only (iterative counter
+    propagation is not SQL-expressible); the estimator is validated
+    against the exact-bitset twin and per-node BFS in
+    tests/test_graph.py."""
+    import pyarrow.parquet as pq
+
+    from .graph.anf import effective_diameter, neighborhood_function
+
+    m = _kg_outputs(sf_dir)
+    node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
+        "entity_id"
+    ].to_numpy()
+    edges = _read_kg_edges(m, ["subj_id", "obj_id"])
+    nf, _ = neighborhood_function(edges, node_ids)
+    ed = effective_diameter(nf)
+    return pd.DataFrame(
+        {
+            "t": np.arange(len(nf), dtype=np.int64),
+            "n_reachable_pairs": np.round(np.asarray(nf), 1),
+            "effective_diameter": np.full(len(nf), ed),
+        }
+    )
+
+
 def page_domain_stats(sf_dir: str) -> pd.DataFrame:
     """Per-domain rollup over the pages corpus (the Common-Crawl
     curation view: which hosts dominate the crawl and how much text
@@ -7871,6 +7900,7 @@ QUERIES = {
     "kg_kcore": kg_kcore,
     "kg_truss": kg_truss,
     "kg_densest": kg_densest,
+    "kg_diameter": kg_diameter,
     "page_domain_stats": page_domain_stats,
     "kg_mentions": kg_mentions,
     "kg_triples_llm": kg_triples_llm,

@@ -1125,3 +1125,80 @@ def test_densest_subgraph_pure_clique_exact(ray_session):
     assert info["n_nodes"] == 8 and info["n_edges"] == 28
     assert abs(info["density"] - 3.5) < 1e-12
     assert sorted(members["node_id"]) == list(range(8))
+
+
+def _bfs_nf(edge_list, n):
+    """Exact neighborhood function via per-node BFS."""
+    adj = {i: set() for i in range(n)}
+    for u, v in edge_list:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    counts = {}
+    maxd = 0
+    for s in range(n):
+        dist = {s: 0}
+        frontier = [s]
+        d = 0
+        while frontier:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = d
+                        nxt.append(w)
+            frontier = nxt
+        for node, dd in dist.items():
+            counts.setdefault(dd, 0)
+            counts[dd] += 1
+            maxd = max(maxd, dd)
+    nf = []
+    run = 0
+    for t in range(maxd + 1):
+        run += counts.get(t, 0)
+        nf.append(run)
+    return nf
+
+
+def test_anf_exact_bitset_matches_bfs(ray_session):
+    import ray
+
+    from kgraft.graph.anf import effective_diameter, neighborhood_function
+
+    rng = np.random.RandomState(31)
+    n = 120
+    edges = [tuple(r) for r in rng.randint(0, n, size=(200, 2)) if r[0] != r[1]]
+    ds = ray.data.from_pandas(
+        pd.DataFrame(edges, columns=["src", "dst"])
+    ).repartition(5)
+    nf, _ = neighborhood_function(
+        ds, np.arange(n), src_col="src", dst_col="dst", mode="exact"
+    )
+    expect = _bfs_nf(edges, n)
+    assert nf == [float(x) for x in expect]
+    # effective diameter from the exact NF is within the true diameter
+    ed = effective_diameter(nf)
+    assert 0 <= ed <= len(expect) - 1
+
+
+def test_anf_hll_tracks_exact_within_tolerance(ray_session):
+    import ray
+
+    from kgraft.graph.anf import neighborhood_function
+
+    rng = np.random.RandomState(77)
+    n = 300
+    edges = [tuple(r) for r in rng.randint(0, n, size=(600, 2)) if r[0] != r[1]]
+    ds = ray.data.from_pandas(
+        pd.DataFrame(edges, columns=["src", "dst"])
+    ).repartition(5)
+    exact, _ = neighborhood_function(
+        ds, np.arange(n), src_col="src", dst_col="dst", mode="exact"
+    )
+    approx, _ = neighborhood_function(
+        ds, np.arange(n), src_col="src", dst_col="dst", mode="hll"
+    )
+    # HLL(p=8) standard error ~6.5%; summed over nodes it concentrates
+    t = min(len(exact), len(approx)) - 1
+    assert abs(approx[t] - exact[t]) / exact[t] < 0.10
