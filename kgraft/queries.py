@@ -7288,6 +7288,33 @@ def kg_diameter(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def kg_mis(sf_dir: str) -> pd.DataFrame:
+    """Maximal independent set of the constructed KG via Luby's
+    algorithm (deterministic splitmix64 priorities, BSP rounds with the
+    vocab-scale alive vector broadcast and one shuffle-free scatter-max
+    edge pass per round; kgraft/graph/mis.py) — a spread-out,
+    pairwise-non-adjacent entity seed set. One summary row: MIS size,
+    graph size. Rows-only (iterative symmetry breaking is not
+    SQL-expressible); independence/maximality/determinism proofs live
+    in tests/test_graph.py."""
+    import pyarrow.parquet as pq
+
+    from .graph.mis import maximal_independent_set
+
+    m = _kg_outputs(sf_dir)
+    node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
+        "entity_id"
+    ].to_numpy()
+    edges = _read_kg_edges(m, ["subj_id", "obj_id"])
+    out = maximal_independent_set(edges, node_ids)
+    return pd.DataFrame(
+        {
+            "n_nodes": [np.int64(len(out))],
+            "mis_size": [np.int64(int(out["in_mis"].sum()))],
+        }
+    )
+
+
 def page_domain_stats(sf_dir: str) -> pd.DataFrame:
     """Per-domain rollup over the pages corpus (the Common-Crawl
     curation view: which hosts dominate the crawl and how much text
@@ -7901,6 +7928,7 @@ QUERIES = {
     "kg_truss": kg_truss,
     "kg_densest": kg_densest,
     "kg_diameter": kg_diameter,
+    "kg_mis": kg_mis,
     "page_domain_stats": page_domain_stats,
     "kg_mentions": kg_mentions,
     "kg_triples_llm": kg_triples_llm,

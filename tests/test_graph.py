@@ -1202,3 +1202,37 @@ def test_anf_hll_tracks_exact_within_tolerance(ray_session):
     # HLL(p=8) standard error ~6.5%; summed over nodes it concentrates
     t = min(len(exact), len(approx)) - 1
     assert abs(approx[t] - exact[t]) / exact[t] < 0.10
+
+
+def test_luby_mis_independent_maximal_deterministic(ray_session):
+    import ray
+
+    from kgraft.graph.mis import maximal_independent_set
+
+    rng = np.random.RandomState(41)
+    n = 200
+    edges = [tuple(r) for r in rng.randint(0, n, size=(500, 2)) if r[0] != r[1]]
+    # include isolated nodes (ids 200-209) that must all join the MIS
+    ids = np.arange(210)
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    out1 = maximal_independent_set(
+        ray.data.from_pandas(df).repartition(6), ids, src_col="src", dst_col="dst"
+    )
+    mis = set(out1.loc[out1["in_mis"], "node_id"])
+    adj = {i: set() for i in range(210)}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    # independence: no edge inside the MIS
+    assert all(not (u in mis and v in mis) for u, v in edges)
+    # maximality: every outside node has a MIS neighbor
+    for i in range(210):
+        if i not in mis:
+            assert adj[i] & mis, i
+    # isolated nodes always join
+    assert set(range(200, 210)) <= mis
+    # deterministic across partitionings
+    out2 = maximal_independent_set(
+        ray.data.from_pandas(df).repartition(2), ids, src_col="src", dst_col="dst"
+    )
+    pd.testing.assert_frame_equal(out1, out2)
