@@ -165,6 +165,82 @@ def edge_support(pairs, num_buckets: int = 32):
     )
 
 
+def local_clustering(pairs, num_buckets: int = 32) -> "ray.data.Dataset":
+    """Per-node local clustering coefficient over an undirected distinct
+    pair Dataset (lo < hi): lcc(v) = triangles(v) / C(deg(v), 2).
+
+    Per-node triangle counts fall out of :func:`edge_support` for free:
+    every triangle at v contributes support to exactly TWO of v's
+    incident edges, so sum(support over v's edges) = 2 * triangles(v).
+    One explode + count exchange turns edge supports into node sums;
+    degrees come from the same endpoints pass. Nodes with deg < 2 get
+    lcc 0. Returns a Dataset (node, deg, triangles, lcc)."""
+    sup = edge_support(pairs, num_buckets=num_buckets)
+
+    def explode(t: pa.Table) -> pa.Table:
+        lo = t["lo"].to_numpy(zero_copy_only=False)
+        hi = t["hi"].to_numpy(zero_copy_only=False)
+        s = t["support"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([lo, hi]), pa.int64()),
+                "s": pa.array(np.concatenate([s, s]), pa.int64()),
+            }
+        )
+
+    tri2 = pre_aggregate_ds(
+        sup.map_batches(explode, batch_format="pyarrow"),
+        "node",
+        {"tri2": ("s", "sum")},
+    )
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.array(
+                    np.concatenate(
+                        [
+                            t["lo"].to_numpy(zero_copy_only=False),
+                            t["hi"].to_numpy(zero_copy_only=False),
+                        ]
+                    ),
+                    pa.int64(),
+                )
+            }
+        )
+
+    deg = pre_aggregate_ds(
+        pairs.map_batches(endpoints, batch_format="pyarrow"),
+        "node",
+        {"deg": (None, "count")},
+    )
+    joined = hash_join(
+        deg,
+        tri2,
+        on="node",
+        how="left",
+        num_buckets=num_buckets,
+        left_schema=pa.schema([("node", pa.int64()), ("deg", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64()), ("tri2", pa.float64())]),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        deg_v = df["deg"].to_numpy(np.int64)
+        tri = df["tri2"].fillna(0).to_numpy(np.float64) / 2.0
+        wedges = deg_v * (deg_v - 1) / 2.0
+        lcc = np.where(wedges > 0, tri / np.maximum(wedges, 1.0), 0.0)
+        return pd.DataFrame(
+            {
+                "node": df["node"].to_numpy(np.int64),
+                "deg": deg_v,
+                "triangles": tri.astype("int64"),
+                "lcc": np.round(lcc, 6),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 def k_truss(
     edges,
     k: int,

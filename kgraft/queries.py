@@ -7315,6 +7315,45 @@ def kg_mis(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def kg_local_clustering(sf_dir: str) -> pd.DataFrame:
+    """Per-entity local clustering coefficient distribution over the
+    constructed KG: per-node triangle counts fall out of the edge-
+    support pass (each triangle feeds exactly two incident edges), one
+    explode+count exchange and a bucketed degree join finish it
+    (kgraft/graph/truss.py local_clustering). Output: coefficient
+    histogram (10 fixed bins over deg>=2 nodes) — stable across
+    partitionings. Rows-only; brute-force equivalence in
+    tests/test_graph.py."""
+    from .graph.kcore import simple_pairs
+    from .graph.truss import local_clustering
+
+    m = _kg_outputs(sf_dir)
+    edges = _read_kg_edges(m, ["subj_id", "obj_id"])
+    pairs = simple_pairs(edges).map_batches(
+        lambda df: pd.DataFrame(
+            {"lo": df["lo"].astype("int64"), "hi": df["hi"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+    lcc = local_clustering(pairs)
+
+    def binify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["deg"] >= 2]
+        b = np.clip((df["lcc"].to_numpy() * 10).astype(np.int64), 0, 9)
+        return pd.DataFrame({"bin": b, "n": np.ones(len(b), dtype=np.int64)})
+
+    out = pre_aggregate(
+        lcc.map_batches(binify, batch_format="pandas"), ["bin"], {"n_nodes": ("n", "sum")}
+    )
+    out["bin_lo"] = (out["bin"] / 10.0).round(1)
+    out["n_nodes"] = out["n_nodes"].astype("int64")
+    return (
+        out[["bin", "bin_lo", "n_nodes"]]
+        .sort_values("bin", ignore_index=True)
+        .astype({"bin": "int64"})
+    )
+
+
 def page_domain_stats(sf_dir: str) -> pd.DataFrame:
     """Per-domain rollup over the pages corpus (the Common-Crawl
     curation view: which hosts dominate the crawl and how much text
@@ -7929,6 +7968,7 @@ QUERIES = {
     "kg_densest": kg_densest,
     "kg_diameter": kg_diameter,
     "kg_mis": kg_mis,
+    "kg_local_clustering": kg_local_clustering,
     "page_domain_stats": page_domain_stats,
     "kg_mentions": kg_mentions,
     "kg_triples_llm": kg_triples_llm,

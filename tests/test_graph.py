@@ -1236,3 +1236,45 @@ def test_luby_mis_independent_maximal_deterministic(ray_session):
         ray.data.from_pandas(df).repartition(2), ids, src_col="src", dst_col="dst"
     )
     pd.testing.assert_frame_equal(out1, out2)
+
+
+def test_local_clustering_matches_bruteforce(ray_session):
+    import ray
+
+    from kgraft.graph.kcore import simple_pairs
+    from kgraft.graph.truss import local_clustering
+
+    rng = np.random.RandomState(9)
+    n = 60
+    edges = [tuple(r) for r in rng.randint(0, n, size=(250, 2)) if r[0] != r[1]]
+    ds = ray.data.from_pandas(
+        pd.DataFrame(edges, columns=["src", "dst"])
+    ).repartition(5)
+    pairs = simple_pairs(ds, src_col="src", dst_col="dst")
+
+    def lohi(df):
+        return pd.DataFrame(
+            {"lo": df["lo"].astype("int64"), "hi": df["hi"].astype("int64")}
+        )
+
+    got = (
+        local_clustering(pairs.map_batches(lohi, batch_format="pandas"),
+                         num_buckets=4)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    adj = {}
+    for u, v in edges:
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    for _, row in got.iterrows():
+        nb = adj[row["node"]]
+        assert row["deg"] == len(nb)
+        tri = sum(len(adj[a] & nb) for a in nb) // 2
+        assert row["triangles"] == tri
+        w = len(nb) * (len(nb) - 1) / 2
+        expect = round(tri / w, 6) if w else 0.0
+        assert abs(row["lcc"] - expect) < 1e-9
+    assert set(got["node"]) == set(adj)
