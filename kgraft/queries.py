@@ -3716,6 +3716,187 @@ FROM s ORDER BY l_returnflag
 """
 
 
+def nb_source_logodds(sf_dir: str) -> pd.DataFrame:
+    """Multinomial Naive Bayes trained AND scored distributed, with a
+    full DuckDB twin — the count-based sibling of the GD-trained
+    logistic filter (`quality_classifier_docs`, which is rows-only):
+    labels are the deterministic even-suffix source split, per-(label,
+    token) counts reduce map-side through one token exchange, Laplace
+    log-odds weights attach back to per-doc token counts via the
+    bucketed STRING-key join (web vocab never broadcasts), per-doc
+    scores reduce on the doc key, and the bounded source rollup reports
+    mean posterior log-odds. Every arithmetic step is SQL-replayable."""
+    from .relational import hash_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def label_of(src: pd.Series) -> pd.Series:
+        suffix = src.str.extract(r"(\d+)$", expand=False).fillna("1")
+        return (suffix.astype("int64") % 2 == 0).astype("int64")
+
+    def tok_counts(df: pd.DataFrame) -> pd.DataFrame:
+        lab = label_of(df["source"])
+        ex = pd.DataFrame(
+            {
+                "label": lab,
+                "t": df["text"].str.lower().str.findall(r"[a-z0-9_]+"),
+            }
+        ).explode("t")
+        ex = ex.dropna(subset=["t"])
+        g = ex.groupby(["t", "label"], sort=False).size().reset_index(name="c")
+        p = g.pivot_table(index="t", columns="label", values="c",
+                          aggfunc="sum", fill_value=0).reset_index()
+        for col in (0, 1):
+            if col not in p.columns:
+                p[col] = 0
+        return pd.DataFrame(
+            {"t": p["t"].astype(str), "n0": p[0].astype("int64"),
+             "n1": p[1].astype("int64")}
+        )
+
+    vocab = pre_aggregate_ds(
+        docs.map_batches(tok_counts, batch_format="pandas"),
+        "t",
+        {"n0": ("n0", "sum"), "n1": ("n1", "sum")},
+    ).materialize()  # two consumers: totals pass + weight join
+    tots = pre_aggregate(
+        vocab.map_batches(
+            lambda df: pd.DataFrame(
+                {"k": np.zeros(len(df), dtype=np.int64),
+                 "n0": df["n0"], "n1": df["n1"]}
+            ),
+            batch_format="pandas",
+        ),
+        ["k"],
+        {"N0": ("n0", "sum"), "N1": ("n1", "sum"), "V": (None, "count")},
+    )
+    n0_tot, n1_tot, v = (float(tots["N0"][0]), float(tots["N1"][0]),
+                         float(tots["V"][0]))
+
+    weights = vocab.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "t": df["t"].astype(str),
+                "w": np.log((df["n1"].to_numpy(np.float64) + 1.0) / (n1_tot + v))
+                - np.log((df["n0"].to_numpy(np.float64) + 1.0) / (n0_tot + v)),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    # prior log-odds from per-label doc counts (bounded: 2 rows)
+    lab_counts = pre_aggregate(
+        docs.map_batches(
+            lambda df: pd.DataFrame({"label": label_of(df["source"])}),
+            batch_format="pandas",
+        ),
+        ["label"],
+        {"n": (None, "count")},
+    ).set_index("label")["n"]
+    prior = float(np.log(lab_counts.get(1, 1) / lab_counts.get(0, 1)))
+
+    def doc_tokens(df: pd.DataFrame) -> pd.DataFrame:
+        ex = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "t": df["text"].str.lower().str.findall(r"[a-z0-9_]+"),
+            }
+        ).explode("t")
+        ex = ex.dropna(subset=["t"])
+        g = ex.groupby(["doc_id", "t"], sort=False).size().reset_index(name="c")
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"].astype("int64"), "t": g["t"].astype(str),
+             "c": g["c"].astype("int64")}
+        )
+
+    scored = hash_join(
+        docs.map_batches(doc_tokens, batch_format="pandas"),
+        weights,
+        on="t",
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("t", pa.string()), ("c", pa.int64())]
+        ),
+        right_schema=pa.schema([("t", pa.string()), ("w", pa.float64())]),
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["doc_id"],
+             "s": df["c"].to_numpy(np.float64) * df["w"].to_numpy(np.float64)}
+        ),
+        batch_format="pandas",
+    )
+    doc_scores = pre_aggregate_ds(scored, "doc_id", {"s": ("s", "sum")})
+
+    spine = docs.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "source": df["source"].astype(str)}
+        ),
+        batch_format="pandas",
+    )
+    both = hash_join(
+        spine,
+        doc_scores,
+        on="doc_id",
+        how="left",
+        left_schema=pa.schema([("doc_id", pa.int64()), ("source", pa.string())]),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("s", pa.float64())]),
+    )
+    out = pre_aggregate(
+        both.map_batches(
+            lambda df: pd.DataFrame(
+                {"source": df["source"],
+                 "lo": prior + df["s"].fillna(0.0).to_numpy(np.float64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["source"],
+        {"mean_logodds": ("lo", "mean"), "n_docs": (None, "count")},
+    )
+    out["mean_logodds"] = out["mean_logodds"].round(6)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("source", ignore_index=True)
+
+
+_NB_SQL = """
+WITH lab AS (
+  SELECT doc_id, source,
+         CASE WHEN CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) % 2 = 0
+              THEN 1 ELSE 0 END AS label,
+         lower(text) AS lt
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, label, unnest(regexp_extract_all(lt, '[a-z0-9_]+')) AS t
+  FROM lab
+),
+cnt AS (
+  SELECT t,
+         sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS n0
+  FROM tok GROUP BY t
+),
+tot AS (SELECT sum(n1) AS big_n1, sum(n0) AS big_n0, count(*) AS v FROM cnt),
+w AS (
+  SELECT t, ln((n1 + 1.0) / (big_n1 + v)) - ln((n0 + 1.0) / (big_n0 + v)) AS w
+  FROM cnt CROSS JOIN tot
+),
+prior AS (
+  SELECT ln(sum(CASE WHEN label = 1 THEN 1.0 ELSE 0 END)
+            / sum(CASE WHEN label = 0 THEN 1.0 ELSE 0 END)) AS pd
+  FROM lab
+),
+docsum AS (
+  SELECT tok.doc_id, sum(w.w) AS s FROM tok JOIN w ON tok.t = w.t
+  GROUP BY tok.doc_id
+)
+SELECT lab.source,
+       round(avg(prior.pd + coalesce(docsum.s, 0.0)), 6) AS mean_logodds,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM lab CROSS JOIN prior LEFT JOIN docsum ON lab.doc_id = docsum.doc_id
+GROUP BY lab.source ORDER BY lab.source
+"""
+
+
 _CORR_MATRIX_SQL = """
 SELECT l_returnflag,
        round(corr(l_quantity, l_extendedprice), 6) AS qty_price,
@@ -7798,6 +7979,7 @@ QUERIES = {
     "corr_matrix_lineitem": corr_matrix_lineitem,
     "ols_price_by_flag": ols_price_by_flag,
     "skyline_parts": skyline_parts,
+    "nb_source_logodds": nb_source_logodds,
     "monthly_revenue_growth": monthly_revenue_growth,
     "pairwise_agreement_events": pairwise_agreement_events,
     "user_event_windows": user_event_windows,
@@ -8015,6 +8197,7 @@ ORACLE_SQL = {
     "corr_matrix_lineitem": _CORR_MATRIX_SQL,
     "ols_price_by_flag": _OLS_SQL,
     "skyline_parts": _SKYLINE_SQL,
+    "nb_source_logodds": _NB_SQL,
     "monthly_revenue_growth": _MONTHLY_GROWTH_SQL,
     "pairwise_agreement_events": _PAIRWISE_AGREEMENT_SQL,
     "user_event_windows": _WINDOWS_SQL,
