@@ -3716,6 +3716,198 @@ FROM s ORDER BY l_returnflag
 """
 
 
+def benford_order_totals(sf_dir: str) -> pd.DataFrame:
+    """Benford first-digit audit of order totals — the forensic
+    data-quality check (fabricated or unit-mixed monetary columns break
+    the log-uniform leading-digit law). One map-side (digit, count)
+    partial per batch (leading digit by exact integer halving, no
+    string round-trip), a 9-row reduce, then the chi-square divergence
+    statistic against log10(1 + 1/d) on the driver. DuckDB twin takes
+    the digit via substr of the BIGINT cast — identical by
+    construction."""
+    orders = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def digits(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["o_totalprice"].to_numpy(np.float64)
+        d = x[x >= 1.0].astype(np.int64)
+        while (d >= 10).any():
+            big = d >= 10
+            d[big] //= 10
+        return pd.DataFrame({"digit": d, "n": np.ones(len(d), dtype=np.int64)})
+
+    out = pre_aggregate(
+        orders.map_batches(digits, batch_format="pandas"),
+        ["digit"],
+        {"n": ("n", "sum")},
+    ).sort_values("digit", ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    total = float(out["n"].sum())
+    exp = np.log10(1.0 + 1.0 / out["digit"].to_numpy(np.float64))
+    out["observed"] = (out["n"] / total).round(6)
+    out["expected"] = exp.round(6)
+    chi2 = float((((out["n"] - total * exp) ** 2) / (total * exp)).sum())
+    out["chi2"] = round(chi2, 4)
+    out["digit"] = out["digit"].astype("int64")
+    return out[["digit", "n", "observed", "expected", "chi2"]]
+
+
+_BENFORD_SQL = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+cnt AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+tot AS (SELECT sum(n) AS total FROM cnt),
+st AS (
+  SELECT sum(pow(n - total * log10(1 + 1.0 / digit), 2)
+             / (total * log10(1 + 1.0 / digit))) AS chi2
+  FROM cnt CROSS JOIN tot
+)
+SELECT CAST(cnt.digit AS BIGINT) AS digit, CAST(cnt.n AS BIGINT) AS n,
+       round(cnt.n / tot.total, 6) AS observed,
+       round(log10(1 + 1.0 / cnt.digit), 6) AS expected,
+       round(st.chi2, 4) AS chi2
+FROM cnt CROSS JOIN tot CROSS JOIN st ORDER BY digit
+"""
+
+
+def keyword_assoc_docs(sf_dir: str) -> pd.DataFrame:
+    """Dunning log-likelihood (G^2, 1993) keyword association with the
+    even-suffix source label — the feature-selection pass that ranks
+    which tokens most separate two corpora. Presence/absence doc counts
+    per token reduce map-side through one token exchange (a doc
+    counts once per distinct token), label doc totals are a bounded
+    2-row aggregate, and G^2 is computed vectorized over the
+    vocab-scale count table; top-20 by G^2. Full DuckDB twin."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def presence(df: pd.DataFrame) -> pd.DataFrame:
+        suffix = df["source"].str.extract(r"(\d+)$", expand=False).fillna("1")
+        lab = (suffix.astype("int64") % 2 == 0).astype("int64")
+        ex = pd.DataFrame(
+            {
+                "label": lab,
+                "t": df["text"].str.lower().str.findall(r"[a-z0-9_]+").map(
+                    lambda ts: list(set(ts))
+                ),
+            }
+        ).explode("t")
+        ex = ex.dropna(subset=["t"])
+        g = ex.groupby(["t", "label"], sort=False).size().reset_index(name="c")
+        p = g.pivot_table(index="t", columns="label", values="c",
+                          aggfunc="sum", fill_value=0).reset_index()
+        for col in (0, 1):
+            if col not in p.columns:
+                p[col] = 0
+        return pd.DataFrame(
+            {"t": p["t"].astype(str), "a1": p[1].astype("int64"),
+             "a0": p[0].astype("int64")}
+        )
+
+    vocab = pre_aggregate_ds(
+        docs.map_batches(presence, batch_format="pandas"),
+        "t",
+        {"a1": ("a1", "sum"), "a0": ("a0", "sum")},
+    )
+    lab_counts = pre_aggregate(
+        docs.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "label": (
+                        df["source"]
+                        .str.extract(r"(\d+)$", expand=False)
+                        .fillna("1")
+                        .astype("int64")
+                        % 2
+                        == 0
+                    ).astype("int64")
+                }
+            ),
+            batch_format="pandas",
+        ),
+        ["label"],
+        {"n": (None, "count")},
+    ).set_index("label")["n"]
+    n1, n0 = float(lab_counts.get(1, 0)), float(lab_counts.get(0, 0))
+
+    def g2(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a1"].to_numpy(np.float64)  # docs with t, label 1
+        b = df["a0"].to_numpy(np.float64)  # docs with t, label 0
+        c = n1 - a
+        d = n0 - b
+        n = n1 + n0
+
+        def xlx(x):
+            return np.where(x > 0, x * np.log(np.maximum(x, 1e-300)), 0.0)
+
+        ll = 2.0 * (
+            xlx(a) + xlx(b) + xlx(c) + xlx(d) + xlx(n)
+            - xlx(a + b) - xlx(c + d) - xlx(a + c) - xlx(b + d)
+        )
+        return pd.DataFrame(
+            {
+                "token": df["t"].astype(str),
+                "n_docs_even": df["a1"].astype("int64"),
+                "n_docs_odd": df["a0"].astype("int64"),
+                "g2": np.round(ll, 6),
+            }
+        )
+
+    out = (
+        vocab.map_batches(g2, batch_format="pandas")
+        .sort(["g2", "token"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    return out.reset_index(drop=True)
+
+
+_KEYWORD_ASSOC_SQL = """
+WITH lab AS (
+  SELECT doc_id,
+         CASE WHEN CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) % 2 = 0
+              THEN 1 ELSE 0 END AS label,
+         lower(text) AS lt
+  FROM documents
+),
+tok AS (
+  SELECT DISTINCT doc_id, label,
+         unnest(regexp_extract_all(lt, '[a-z0-9_]+')) AS t
+  FROM lab
+),
+tots AS (
+  SELECT sum(CASE WHEN label = 1 THEN 1.0 ELSE 0 END) AS n1,
+         sum(CASE WHEN label = 0 THEN 1.0 ELSE 0 END) AS n0
+  FROM lab
+),
+cnt AS (
+  SELECT t,
+         sum(CASE WHEN label = 1 THEN 1.0 ELSE 0 END) AS a,
+         sum(CASE WHEN label = 0 THEN 1.0 ELSE 0 END) AS b
+  FROM tok GROUP BY t
+),
+g AS (
+  SELECT t, CAST(a AS BIGINT) AS n_docs_even, CAST(b AS BIGINT) AS n_docs_odd,
+         2.0 * (
+           (CASE WHEN a > 0 THEN a * ln(a) ELSE 0 END)
+           + (CASE WHEN b > 0 THEN b * ln(b) ELSE 0 END)
+           + (CASE WHEN n1 - a > 0 THEN (n1 - a) * ln(n1 - a) ELSE 0 END)
+           + (CASE WHEN n0 - b > 0 THEN (n0 - b) * ln(n0 - b) ELSE 0 END)
+           + (n1 + n0) * ln(n1 + n0)
+           - (CASE WHEN a + b > 0 THEN (a + b) * ln(a + b) ELSE 0 END)
+           - (CASE WHEN n1 + n0 - a - b > 0
+                   THEN (n1 + n0 - a - b) * ln(n1 + n0 - a - b) ELSE 0 END)
+           - (CASE WHEN n1 > 0 THEN n1 * ln(n1) ELSE 0 END)
+           - (CASE WHEN n0 > 0 THEN n0 * ln(n0) ELSE 0 END)
+         ) AS g2
+  FROM cnt CROSS JOIN tots
+)
+SELECT t AS token, n_docs_even, n_docs_odd, round(g2, 6) AS g2
+FROM g ORDER BY round(g2, 6) DESC, token LIMIT 20
+"""
+
+
 def nb_source_logodds(sf_dir: str) -> pd.DataFrame:
     """Multinomial Naive Bayes trained AND scored distributed, with a
     full DuckDB twin — the count-based sibling of the GD-trained
@@ -7980,6 +8172,8 @@ QUERIES = {
     "ols_price_by_flag": ols_price_by_flag,
     "skyline_parts": skyline_parts,
     "nb_source_logodds": nb_source_logodds,
+    "benford_order_totals": benford_order_totals,
+    "keyword_assoc_docs": keyword_assoc_docs,
     "monthly_revenue_growth": monthly_revenue_growth,
     "pairwise_agreement_events": pairwise_agreement_events,
     "user_event_windows": user_event_windows,
@@ -8198,6 +8392,8 @@ ORACLE_SQL = {
     "ols_price_by_flag": _OLS_SQL,
     "skyline_parts": _SKYLINE_SQL,
     "nb_source_logodds": _NB_SQL,
+    "benford_order_totals": _BENFORD_SQL,
+    "keyword_assoc_docs": _KEYWORD_ASSOC_SQL,
     "monthly_revenue_growth": _MONTHLY_GROWTH_SQL,
     "pairwise_agreement_events": _PAIRWISE_AGREEMENT_SQL,
     "user_event_windows": _WINDOWS_SQL,
