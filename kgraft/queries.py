@@ -7727,6 +7727,33 @@ def kg_local_clustering(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def kg_centralities(sf_dir: str) -> pd.DataFrame:
+    """Top-10 KG entities by HARMONIC centrality (with closeness
+    alongside) via HyperBall's per-round ball increments
+    (kgraft/graph/anf.py geometric_centralities) — the geometric
+    centralities that, unlike degree or PageRank, reward being CLOSE to
+    everything rather than being pointed at. Deterministic (splitmix64
+    registers). Rows-only; the exact-bitset twin is BFS-verified in
+    tests/test_graph.py."""
+    import pyarrow.parquet as pq
+
+    from .graph.anf import geometric_centralities
+
+    m = _kg_outputs(sf_dir)
+    node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
+        "entity_id"
+    ].to_numpy()
+    edges = _read_kg_edges(m, ["subj_id", "obj_id"])
+    out = geometric_centralities(edges, node_ids)
+    return (
+        out.sort_values(
+            ["harmonic", "node_id"], ascending=[False, True], ignore_index=True
+        )
+        .head(10)
+        .astype({"node_id": "int64"})
+    )
+
+
 def page_domain_stats(sf_dir: str) -> pd.DataFrame:
     """Per-domain rollup over the pages corpus (the Common-Crawl
     curation view: which hosts dominate the crawl and how much text
@@ -8345,6 +8372,7 @@ QUERIES = {
     "kg_diameter": kg_diameter,
     "kg_mis": kg_mis,
     "kg_local_clustering": kg_local_clustering,
+    "kg_centralities": kg_centralities,
     "page_domain_stats": page_domain_stats,
     "kg_mentions": kg_mentions,
     "kg_triples_llm": kg_triples_llm,

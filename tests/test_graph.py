@@ -1278,3 +1278,41 @@ def test_local_clustering_matches_bruteforce(ray_session):
         expect = round(tri / w, 6) if w else 0.0
         assert abs(row["lcc"] - expect) < 1e-9
     assert set(got["node"]) == set(adj)
+
+
+def test_geometric_centralities_exact_match_bfs(ray_session):
+    import ray
+
+    from kgraft.graph.anf import geometric_centralities
+
+    rng = np.random.RandomState(13)
+    n = 80
+    edges = [tuple(r) for r in rng.randint(0, n, size=(140, 2)) if r[0] != r[1]]
+    ds = ray.data.from_pandas(
+        pd.DataFrame(edges, columns=["src", "dst"])
+    ).repartition(4)
+    got = geometric_centralities(
+        ds, np.arange(n), src_col="src", dst_col="dst", mode="exact"
+    ).set_index("node_id")
+    adj = {i: set() for i in range(n)}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    for s in range(n):
+        dist = {s: 0}
+        frontier = [s]
+        d = 0
+        while frontier:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = d
+                        nxt.append(w)
+            frontier = nxt
+        harm = sum(1.0 / dd for nd, dd in dist.items() if dd > 0)
+        tot = sum(dd for dd in dist.values())
+        close = (len(dist) - 1) / tot if tot else 0.0
+        assert abs(got.loc[s, "harmonic"] - round(harm, 6)) < 1e-6, s
+        assert abs(got.loc[s, "closeness"] - round(close, 6)) < 1e-6, s
