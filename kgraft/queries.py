@@ -7754,6 +7754,47 @@ def kg_centralities(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def url_blocklist_pages(sf_dir: str) -> pd.DataFrame:
+    """Crawl blocklist pass over the pages corpus: block every
+    site{k}.example domain with k % 10 == 7 (a deterministic stand-in
+    for a UT1-style adult/malware domain list) via the broadcast
+    per-depth searchsorted suffix match
+    (:func:`kgraft.textops.filter_blocked_hosts`) and report kept vs
+    blocked page/char counts per language. Rows-only; exact
+    suffix-vs-substring semantics are pinned in
+    tests/test_textops.py."""
+    from .synth import corpus_dir, sharded_pages
+    from .textops import filter_blocked_hosts
+
+    d = corpus_dir(_pages_for(sf_dir))
+    pages = ray.data.read_parquet(sharded_pages(d), columns=["url", "text", "lang"])
+    blocked_domains = [f"site{k}.example" for k in range(7, 5000, 10)]
+
+    rows = []
+    for tag, keep_blocked in (("kept", False), ("blocked", True)):
+        sub = filter_blocked_hosts(pages, blocked_domains,
+                                   keep_blocked=keep_blocked)
+        agg = pre_aggregate(
+            sub.map_batches(
+                lambda df: pd.DataFrame(
+                    {"lang": df["lang"],
+                     "n_chars": df["text"].str.len().astype("int64")}
+                ),
+                batch_format="pandas",
+            ),
+            ["lang"],
+            {"n_pages": (None, "count"), "n_chars": ("n_chars", "sum")},
+        )
+        agg["verdict"] = tag
+        rows.append(agg)
+    out = pd.concat(rows, ignore_index=True)
+    out["n_pages"] = out["n_pages"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out[["verdict", "lang", "n_pages", "n_chars"]].sort_values(
+        ["verdict", "lang"], ignore_index=True
+    )
+
+
 def page_domain_stats(sf_dir: str) -> pd.DataFrame:
     """Per-domain rollup over the pages corpus (the Common-Crawl
     curation view: which hosts dominate the crawl and how much text
@@ -8373,6 +8414,7 @@ QUERIES = {
     "kg_mis": kg_mis,
     "kg_local_clustering": kg_local_clustering,
     "kg_centralities": kg_centralities,
+    "url_blocklist_pages": url_blocklist_pages,
     "page_domain_stats": page_domain_stats,
     "kg_mentions": kg_mentions,
     "kg_triples_llm": kg_triples_llm,

@@ -1043,6 +1043,53 @@ def dedup_spans_global(
     return joined.map_batches(rebuild, batch_format="pandas")
 
 
+def filter_blocked_hosts(ds, blocked_domains, url_col: str = "url",
+                         keep_blocked: bool = False):
+    """UT1-style crawl blocklist filter: drop rows whose URL host
+    EQUALS a blocked domain or is a SUBDOMAIN of one (host endswith
+    '.' + domain) — never a substring match, so 'notsite3.example'
+    survives a 'site3.example' block.
+
+    Scale shape: the blocklist is vocab-bounded (UT1 is a few million
+    registered domains) — normalized once on the driver into per-LABEL-
+    DEPTH sorted arrays and broadcast; each batch extracts the host
+    with one vectorized regex and membership-tests its depth-k label
+    suffix against the depth-k array via searchsorted — exact at every
+    depth, no per-row Python, no shuffle. ``keep_blocked=True`` inverts
+    the filter (audit mode)."""
+    import ray
+
+    by_depth: dict[int, np.ndarray] = {}
+    for d in {str(x).lower().strip(".") for x in blocked_domains if x}:
+        by_depth.setdefault(d.count(".") + 1, []).append(d)
+    depth_arrays = {k: np.sort(np.array(v, dtype=object))
+                    for k, v in by_depth.items()}
+    bl_ref = ray.put(depth_arrays)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        bl = ray.get(bl_ref)
+        host = (
+            df[url_col]
+            .str.extract(r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", expand=False)
+            .str.lower()
+            .fillna("")
+        )
+        blocked = np.zeros(len(df), dtype=bool)
+        for k, arr in bl.items():
+            # the depth-k label suffix of each host, one vectorized
+            # regex per depth (hosts shorter than k labels don't match)
+            pat = r"((?:[^.]+\.){%d}[^.]+)$" % (k - 1)
+            suf = host.str.extract(pat, expand=False).fillna("").to_numpy(
+                dtype=object
+            )
+            pos = np.searchsorted(arr, suf)
+            pos = np.clip(pos, 0, len(arr) - 1)
+            blocked |= arr[pos] == suf
+        return df[blocked] if keep_blocked else df[~blocked]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 _TRACKING_PARAMS = ("utm_", "gclid", "fbclid", "msclkid", "ref")
 
 

@@ -976,3 +976,42 @@ def test_chunk_documents_overlap_and_edges(ray_session):
 
     with pytest.raises(ValueError):
         chunk_documents(ray.data.from_pandas(df), size=0, stride=400)
+
+
+def test_filter_blocked_hosts_suffix_semantics(ray_session):
+    import ray
+
+    from kgraft.textops import filter_blocked_hosts
+
+    urls = [
+        "https://site3.example/page/1",       # exact host block
+        "https://a.site3.example/x",          # subdomain of blocked
+        "https://notsite3.example/x",         # lookalike must SURVIVE
+        "https://site4.example/x",            # unblocked
+        "http://BLOCKED.org/y",               # case-insensitive host
+        "https://deep.sub.blocked.org/z",     # deep subdomain
+        "https://blocked.org.evil.com/z",     # suffix trick must SURVIVE
+        "https://other.org/ok",
+    ]
+    df = pd.DataFrame({"url": urls, "i": range(len(urls))})
+    ds = ray.data.from_pandas(df).repartition(3)
+    kept = (
+        filter_blocked_hosts(ds, ["site3.example", "blocked.org"])
+        .to_pandas()["url"]
+        .tolist()
+    )
+    assert sorted(kept) == sorted(
+        [
+            "https://notsite3.example/x",
+            "https://site4.example/x",
+            "https://blocked.org.evil.com/z",
+            "https://other.org/ok",
+        ]
+    )
+    audit = (
+        filter_blocked_hosts(ds, ["site3.example", "blocked.org"],
+                             keep_blocked=True)
+        .to_pandas()["url"]
+        .tolist()
+    )
+    assert len(audit) == 4 and "https://site3.example/page/1" in audit
