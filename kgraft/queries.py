@@ -7754,6 +7754,76 @@ def kg_centralities(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def blocking_quality_aliases(sf_dir: str) -> pd.DataFrame:
+    """Entity-resolution BLOCKING-QUALITY evaluation of the MinHash-LSH
+    candidate stage over the alias universe: pair completeness (share
+    of true same-entity alias pairs that the blocker co-blocks) and
+    reduction ratio (1 - candidates / all-pairs) — the two standard ER
+    blocking metrics. Candidates come from the same band-shuffle path
+    the linker uses (`textops.minhash_candidate_pairs`); truth pairs
+    need no materialization (sum of C(k_e, 2) over the vocab-bounded
+    entity sizes), and candidate truthfulness is a broadcast
+    entity-label lookup inside the pair stream. Rows-only (LSH banding
+    is not SQL-expressible); the recall bar is pinned by pytest on the
+    linker itself (tests/test_linking.py)."""
+    from .synth import corpus_dir
+    from .textops import minhash_candidate_pairs
+
+    alias_path = os.path.join(
+        corpus_dir(_pages_for(sf_dir)), "alias_dict.parquet"
+    )
+    al = (
+        pd.read_parquet(alias_path)[["alias", "entity_id"]]
+        .drop_duplicates("alias")
+        .sort_values("alias", ignore_index=True)
+    )  # alias dict is vocab-bounded by construction
+    n = len(al)
+    ent = al["entity_id"].to_numpy(np.int64)
+    sizes = pd.Series(ent).value_counts().to_numpy(np.int64)
+    n_truth = int((sizes * (sizes - 1) // 2).sum())
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                      "text": al["alias"].astype(str)})
+    ).repartition(8)
+    cand = minhash_candidate_pairs(docs, num_perm=64, num_bands=16)
+    ent_ref = ray.put(ent)
+
+    def judge(df: pd.DataFrame) -> pd.DataFrame:
+        e = ray.get(ent_ref)
+        a = df["doc_a"].to_numpy(np.int64)
+        b = df["doc_b"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "k": np.zeros(len(df), dtype=np.int64),
+                "hit": (e[a] == e[b]).astype("int64"),
+            }
+        )
+
+    agg = pre_aggregate(
+        cand.map_batches(judge, batch_format="pandas"),
+        ["k"],
+        {"n_candidates": (None, "count"), "n_true": ("hit", "sum")},
+    )
+    n_cand = int(agg["n_candidates"][0]) if len(agg) else 0
+    n_true = int(agg["n_true"][0]) if len(agg) else 0
+    all_pairs = n * (n - 1) // 2
+    return pd.DataFrame(
+        {
+            "n_aliases": [np.int64(n)],
+            "n_truth_pairs": [np.int64(n_truth)],
+            "n_candidates": [np.int64(n_cand)],
+            "n_true_candidates": [np.int64(n_true)],
+            "pair_completeness": [
+                round(n_true / n_truth, 6) if n_truth else 1.0
+            ],
+            "reduction_ratio": [
+                round(1.0 - n_cand / all_pairs, 6) if all_pairs else 1.0
+            ],
+        }
+    )
+
+
 def url_blocklist_pages(sf_dir: str) -> pd.DataFrame:
     """Crawl blocklist pass over the pages corpus: block every
     site{k}.example domain with k % 10 == 7 (a deterministic stand-in
@@ -8415,6 +8485,7 @@ QUERIES = {
     "kg_local_clustering": kg_local_clustering,
     "kg_centralities": kg_centralities,
     "url_blocklist_pages": url_blocklist_pages,
+    "blocking_quality_aliases": blocking_quality_aliases,
     "page_domain_stats": page_domain_stats,
     "kg_mentions": kg_mentions,
     "kg_triples_llm": kg_triples_llm,
