@@ -7754,6 +7754,57 @@ def kg_centralities(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def twap_user_value(sf_dir: str) -> pd.DataFrame:
+    """Time-weighted average value per user (the TWAP shape: each
+    observation holds until the next one, so its weight is the interval
+    length) — ONE bucketed shuffle on the user key, in-bucket
+    vectorized sort + shift (no per-user Python), last events (no next
+    interval) drop exactly like SQL's NULL lead. Zero-total-duration
+    users are excluded on both sides."""
+    from .relational import bucketed_groupby_apply
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value",
+                                               "event_id"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        nxt = g.groupby("user_id", sort=False)["ts"].shift(-1)
+        dt = (nxt - g["ts"]).dt.total_seconds()
+        keep = dt.notna()
+        num = (g.loc[keep, "value"] * dt[keep]).groupby(
+            g.loc[keep, "user_id"], sort=False
+        ).sum()
+        den = dt[keep].groupby(g.loc[keep, "user_id"], sort=False).sum()
+        cnt = dt[keep].groupby(g.loc[keep, "user_id"], sort=False).size()
+        out = pd.DataFrame(
+            {"user_id": num.index.to_numpy(np.int64),
+             "twap": (num / den).to_numpy(),
+             "n_intervals": cnt.to_numpy(np.int64)}
+        )
+        return out[den.to_numpy() > 0]
+
+    out = bucketed_groupby_apply(ev, ["user_id"], per_bucket, num_buckets=32)
+    df = out.to_pandas()
+    df["twap"] = df["twap"].round(6)
+    df["n_intervals"] = df["n_intervals"].astype("int64")
+    return df.sort_values("user_id", ignore_index=True)
+
+
+_TWAP_SQL = """
+WITH w AS (
+  SELECT user_id, value, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts
+  FROM events
+)
+SELECT user_id,
+       round(sum(value * epoch(nts - ts)) / sum(epoch(nts - ts)), 6) AS twap,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM w WHERE nts IS NOT NULL
+GROUP BY user_id HAVING sum(epoch(nts - ts)) > 0
+ORDER BY user_id
+"""
+
+
 def blocking_quality_aliases(sf_dir: str) -> pd.DataFrame:
     """Entity-resolution BLOCKING-QUALITY evaluation of the MinHash-LSH
     candidate stage over the alias universe: pair completeness (share
@@ -8486,6 +8537,7 @@ QUERIES = {
     "kg_centralities": kg_centralities,
     "url_blocklist_pages": url_blocklist_pages,
     "blocking_quality_aliases": blocking_quality_aliases,
+    "twap_user_value": twap_user_value,
     "page_domain_stats": page_domain_stats,
     "kg_mentions": kg_mentions,
     "kg_triples_llm": kg_triples_llm,
@@ -8535,6 +8587,7 @@ ORACLE_SQL = {
     "nb_source_logodds": _NB_SQL,
     "benford_order_totals": _BENFORD_SQL,
     "keyword_assoc_docs": _KEYWORD_ASSOC_SQL,
+    "twap_user_value": _TWAP_SQL,
     "monthly_revenue_growth": _MONTHLY_GROWTH_SQL,
     "pairwise_agreement_events": _PAIRWISE_AGREEMENT_SQL,
     "user_event_windows": _WINDOWS_SQL,
