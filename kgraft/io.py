@@ -22,7 +22,9 @@ engine-contract territory.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 
 
@@ -285,6 +287,145 @@ def write_sorted(ds, out_dir: str, on: str) -> None:
     with open(os.path.join(tmp, "_sorted.json"), "w") as f:
         json.dump({"key": on}, f)
     os.rename(tmp, out_dir)
+
+
+def _morton2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Interleave the low 32 bits of two non-negative int64 columns into
+    one 64-bit Morton (Z-order) code — vectorized bit spreading."""
+
+    def spread(x: np.ndarray) -> np.ndarray:
+        x = x.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+        x = (x | (x << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+        x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+        x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+        x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+        return x
+
+    return (spread(a) | (spread(b) << np.uint64(1))).astype(np.int64)
+
+
+def write_zorder(ds, out_dir: str, on: tuple, quantize=None) -> None:
+    """Write a Dataset as a Z-ORDER-CLUSTERED Parquet layout: rows are
+    globally sorted by the Morton interleave of TWO key columns, so
+    every file covers a small rectangle in (key1, key2) space and the
+    Parquet footer min/max of EACH key column prunes 2-D range
+    predicates — the Delta/Iceberg OPTIMIZE ZORDER trade (a linear sort
+    clusters one dimension perfectly and the other not at all; the
+    Morton curve splits the locality between both).
+
+    ``quantize``: optional (q1, q2) divisors applied before
+    interleaving (floats/wide ranges quantize to curve cells; pruning
+    correctness never depends on it — footer stats are exact either
+    way). Published atomically; ``_zorder.json`` pins the keys."""
+    import json
+    import os
+    import shutil
+
+    c1, c2 = on
+    q1, q2 = quantize if quantize is not None else (1, 1)
+
+    def add_code(df):
+        a = (df[c1].to_numpy(np.float64) / q1).astype(np.int64)
+        b = (df[c2].to_numpy(np.float64) / q2).astype(np.int64)
+        out = df.copy()
+        out["__z"] = _morton2(np.maximum(a, 0), np.maximum(b, 0))
+        return out
+
+    tmp = out_dir.rstrip("/") + ".inprogress"
+    for p in (tmp, out_dir):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    (
+        ds.map_batches(add_code, batch_format="pandas")
+        .sort("__z")
+        .drop_columns(["__z"])
+        .write_parquet(tmp)
+    )
+    with open(os.path.join(tmp, "_zorder.json"), "w") as f:
+        json.dump({"keys": [c1, c2]}, f)
+    os.rename(tmp, out_dir)
+
+
+def _file_minmax(path: str, key: str):
+    """(min, max) of ``key`` across a file's row groups from footer
+    statistics only; (None, None) when any group lacks stats."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    fmin = fmax = None
+    for rg in range(md.num_row_groups):
+        col = None
+        for ci in range(md.num_columns):
+            c = md.row_group(rg).column(ci)
+            if c.path_in_schema == key:
+                col = c
+                break
+        st = col.statistics if col is not None else None
+        if st is None or not st.has_min_max:
+            return None, None
+        fmin = st.min if fmin is None else min(fmin, st.min)
+        fmax = st.max if fmax is None else max(fmax, st.max)
+    return fmin, fmax
+
+
+def zorder_scan(layout_dir: str, bounds: dict, columns=None):
+    """2-D (or 1-D) range read over a :func:`write_zorder` layout:
+    prune files whose footer rectangle misses ANY requested bound
+    (``bounds`` maps key -> (lo, hi), either end None), then close the
+    coarse file granularity with an exact map-side filter. Returns
+    ``(dataset, kept_files, total_files)`` so callers can assert the
+    pruning actually happened."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(layout_dir, "_zorder.json")) as f:
+        keys = json.load(f)["keys"]
+    for k in bounds:
+        if k not in keys:
+            raise ValueError(f"{k!r} is not a zorder key of this layout")
+    files = sorted(glob.glob(os.path.join(layout_dir, "*.parquet")))
+    kept = []
+    for path in files:
+        ok = True
+        for k, (lo, hi) in bounds.items():
+            fmin, fmax = _file_minmax(path, k)
+            if fmin is None:
+                continue  # stat-less: cannot prune on this key
+            if (lo is not None and fmax < lo) or (hi is not None and fmin > hi):
+                ok = False
+                break
+        if ok:
+            kept.append(path)
+    if not kept:
+        schema = pq.read_schema(files[0])
+        if columns:
+            schema = pa.schema([schema.field(c) for c in columns])
+        return ray.data.from_arrow(schema.empty_table()), 0, len(files)
+    read_cols = columns
+    if columns:
+        read_cols = list(dict.fromkeys(list(columns) + list(bounds)))
+    ds = ray.data.read_parquet(kept, columns=read_cols)
+
+    def exact(t: "pa.Table") -> "pa.Table":
+        m = None
+        for k, (lo, hi) in bounds.items():
+            if lo is not None:
+                c = pc.greater_equal(t[k], lo)
+                m = c if m is None else pc.and_(m, c)
+            if hi is not None:
+                c = pc.less_equal(t[k], hi)
+                m = c if m is None else pc.and_(m, c)
+        out = t.filter(m) if m is not None else t
+        if columns:
+            out = out.select(list(columns))
+        return out
+
+    return ds.map_batches(exact, batch_format="pyarrow"), len(kept), len(files)
 
 
 def prune_range_files(layout_dir: str, lo=None, hi=None):

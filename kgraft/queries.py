@@ -765,6 +765,50 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def zorder_scan_events(sf_dir: str) -> pd.DataFrame:
+    """Z-ORDER-clustered storage + 2-D zone-map read: events are written
+    ONCE sorted by the Morton interleave of (user_id, value)
+    (:func:`kgraft.io.write_zorder` — every file covers a small
+    rectangle, so BOTH columns' footer stats prune), then the
+    user_id in [2, 9] x value in [20, 80] box is answered by
+    :func:`kgraft.io.zorder_scan` reading only the overlapping files
+    plus an exact residual filter. The oracle proves the pruned 2-D
+    read returns exactly the predicate's rows; pruning effectiveness
+    is asserted in tests/test_io.py. Per-type count/mean over the box."""
+    from .io import write_zorder, zorder_scan
+
+    layout = (
+        f"/tmp/kgraft_layout/events_zorder_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    write_zorder(
+        read_table(sf_dir, "events", columns=["event_type", "user_id", "value"]),
+        layout,
+        on=("user_id", "value"),
+    )
+    win, _kept, _total = zorder_scan(
+        layout,
+        {"user_id": (2, 9), "value": (20.0, 80.0)},
+        columns=["event_type", "value"],
+    )
+    out = pre_aggregate(
+        win, ["event_type"], {"n": (None, "count"), "mean_value": ("value", "mean")}
+    )
+    out["n"] = out["n"].astype("int64")
+    out["mean_value"] = out["mean_value"].round(4)
+    return out.sort_values("event_type", ignore_index=True)[
+        ["event_type", "n", "mean_value"]
+    ]
+
+
+_ZORDER_SCAN_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(avg(value), 4) AS mean_value
+FROM events
+WHERE user_id BETWEEN 2 AND 9 AND value >= 20.0 AND value <= 80.0
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def ab_test_events(sf_dir: str) -> pd.DataFrame:
     """Welch two-sample t-test on the engine: does the 'click' cohort's
     value differ from the 'view' cohort's? t statistic +
@@ -8340,6 +8384,7 @@ QUERIES = {
     "range_join_events": range_join_events,
     "filter_project_events": filter_project_events,
     "range_scan_events": range_scan_events,
+    "zorder_scan_events": zorder_scan_events,
     "psi_event_drift": psi_event_drift,
     "ab_test_events": ab_test_events,
     "user_active_coverage": user_active_coverage,
@@ -8564,6 +8609,7 @@ ORACLE_SQL = {
     "range_join_events": _RANGE_JOIN_SQL,
     "filter_project_events": _FILTER_PROJECT_SQL,
     "range_scan_events": _RANGE_SCAN_EVENTS_SQL,
+    "zorder_scan_events": _ZORDER_SCAN_SQL,
     "psi_event_drift": _PSI_EVENT_DRIFT_SQL,
     "ab_test_events": _AB_TEST_SQL,
     "user_active_coverage": _USER_ACTIVE_COVERAGE_SQL,

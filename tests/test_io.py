@@ -371,3 +371,38 @@ def test_read_evolved_union_schema(ray_session, tmp_path):
         read_evolved([d_old, d_bad])
     with pytest.raises(ValueError, match="unknown column"):
         read_evolved([d_old, d_new], columns=["zzz"])
+
+
+def test_zorder_layout_prunes_both_dims_and_scans_exact(ray_session, tmp_path):
+    import ray
+
+    from kgraft.io import write_zorder, zorder_scan
+
+    rng = np.random.RandomState(17)
+    n = 40_000
+    df = pd.DataFrame(
+        {
+            "x": rng.randint(0, 1000, n).astype("int64"),
+            "y": rng.randint(0, 1000, n).astype("int64"),
+            "v": rng.rand(n),
+        }
+    )
+    out = str(tmp_path / "zl")
+    write_zorder(
+        ray.data.from_pandas(df).repartition(16), out, on=("x", "y")
+    )
+    ds, kept, total = zorder_scan(
+        out, {"x": (100, 199), "y": (300, 399)}, columns=["x", "y", "v"]
+    )
+    got = ds.to_pandas().sort_values(["x", "y", "v"], ignore_index=True)
+    want = (
+        df[(df.x >= 100) & (df.x <= 199) & (df.y >= 300) & (df.y <= 399)]
+        .sort_values(["x", "y", "v"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # a 1% rectangle must not read the whole layout: BOTH dims prune
+    assert total >= 8 and kept < total, (kept, total)
+    # half-open bounds and single-dim prune also work
+    ds2, kept2, _ = zorder_scan(out, {"y": (None, 49)}, columns=["y"])
+    assert ds2.to_pandas()["y"].max() <= 49
+    assert kept2 < total
