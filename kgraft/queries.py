@@ -7798,6 +7798,63 @@ def kg_centralities(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def sketch_union_users_by_type(sf_dir: str) -> pd.DataFrame:
+    """Mergeable-summaries incremental analytics: the event stream is
+    split into two time snapshots, each reduced to a PERSISTED HLL
+    sketch table (:func:`kgraft.relational.hll_sketch_table` — at most
+    2^p register rows per key, written as Parquet), then the UNION of
+    the two sketch files answers distinct-users-per-type over the whole
+    stream WITHOUT rescanning raw events — register-identical to
+    sketching everything directly (merge = max). Output carries both
+    numbers; `merged_equals_direct` must be true on every row. No SQL
+    oracle (approximate by design); the register-exact merge invariant
+    and the error bound live in tests/test_relational.py."""
+    from .relational import (
+        grouped_approx_count_distinct,
+        hll_estimate_sketches,
+        hll_sketch_table,
+    )
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id", "ts"])
+    cut = pd.Timestamp("2024-01-15")
+    early = ev.map_batches(
+        lambda df: df[df["ts"] < cut][["event_type", "user_id"]],
+        batch_format="pandas",
+    )
+    late = ev.map_batches(
+        lambda df: df[df["ts"] >= cut][["event_type", "user_id"]],
+        batch_format="pandas",
+    )
+    base = f"/tmp/kgraft_layout/sketches_{os.path.basename(sf_dir.rstrip('/'))}"
+    for name, part in (("early", early), ("late", late)):
+        hll_sketch_table(part, "event_type", "user_id").write_parquet(
+            f"{base}/{name}", mode="overwrite"
+        )
+    stored = ray.data.read_parquet(f"{base}/early").union(
+        ray.data.read_parquet(f"{base}/late")
+    )
+    merged = (
+        hll_estimate_sketches(stored, "event_type", out_col="approx_users")
+        .to_pandas()
+        .sort_values("event_type", ignore_index=True)
+    )
+    direct = (
+        grouped_approx_count_distinct(
+            ev.select_columns(["event_type", "user_id"]),
+            "event_type",
+            "user_id",
+            out_col="direct_users",
+        )
+        .to_pandas()
+        .sort_values("event_type", ignore_index=True)
+    )
+    out = merged.merge(direct, on="event_type")
+    out["merged_equals_direct"] = out["approx_users"] == out["direct_users"]
+    out["approx_users"] = out["approx_users"].astype("int64")
+    out["direct_users"] = out["direct_users"].astype("int64")
+    return out
+
+
 def twap_user_value(sf_dir: str) -> pd.DataFrame:
     """Time-weighted average value per user (the TWAP shape: each
     observation holds until the next one, so its weight is the interval
@@ -8583,6 +8640,7 @@ QUERIES = {
     "url_blocklist_pages": url_blocklist_pages,
     "blocking_quality_aliases": blocking_quality_aliases,
     "twap_user_value": twap_user_value,
+    "sketch_union_users_by_type": sketch_union_users_by_type,
     "page_domain_stats": page_domain_stats,
     "kg_mentions": kg_mentions,
     "kg_triples_llm": kg_triples_llm,

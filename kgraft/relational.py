@@ -1410,9 +1410,17 @@ def grouped_approx_count_distinct(
     aggregate here. Deterministic: fixed-seed value hash.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
-    m = 1 << p
-    alpha = 0.7213 / (1.0 + 1.079 / m)  # bias constant for m >= 128
+    partials = ds.select_columns(keys + [col]).map_batches(
+        _hll_partial_fn(keys, col, p), batch_format="pandas"
+    )
+    return bucketed_groupby_apply(
+        partials, keys, _hll_estimate_fn(keys, p, out_col), num_buckets
+    )
 
+
+def _hll_partial_fn(keys, col, p: int):
+    """Per-batch HLL register partial: (keys, __reg, __rho) rows, at
+    most 2^p per key per batch."""
     from .hashing import splitmix64
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -1448,9 +1456,15 @@ def grouped_approx_count_distinct(
             "__rho"
         ].max()
 
-    partials = ds.select_columns(keys + [col]).map_batches(
-        partial, batch_format="pandas"
-    )
+    return partial
+
+
+def _hll_estimate_fn(keys, p: int, out_col):
+    """In-bucket HLL finisher over (keys, __reg, __rho) register rows:
+    merge registers by max, estimate with the standard alpha_m bias
+    constant + linear-counting small-range correction."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # bias constant for m >= 128
 
     def estimate(g: pd.DataFrame) -> pd.DataFrame:
         regs = g.groupby(keys + ["__reg"], sort=False, as_index=False)["__rho"].max()
@@ -1469,7 +1483,50 @@ def grouped_approx_count_distinct(
         out[out_col] = np.rint(est).astype("int64")
         return out
 
-    return bucketed_groupby_apply(partials, keys, estimate, num_buckets)
+    return estimate
+
+
+def hll_sketch_table(ds, keys, col, p: int = 12, num_buckets: int = 64):
+    """Reduce a corpus to its PERSISTED mergeable sketch: one
+    (keys, __reg, __rho) register set per key — the Agarwal et al.
+    "mergeable summaries" pattern. Write this table once per
+    snapshot/partition (it is at most 2^p rows per key regardless of
+    corpus size); any UNION of sketch tables from different snapshots
+    re-reduces with :func:`hll_estimate_sketches` to answer distinct
+    counts over the combined data WITHOUT rescanning raw rows — exact
+    register-level equivalence with sketching the union directly
+    (register merge is max: associative, commutative, idempotent)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    partials = ds.select_columns(keys + [col]).map_batches(
+        _hll_partial_fn(keys, col, p), batch_format="pandas"
+    )
+    return pre_aggregate_ds(
+        partials, keys + ["__reg"], {"__rho": ("__rho", "max")}, num_buckets
+    )
+
+
+def hll_estimate_sketches(
+    sketches, keys, out_col="approx_n_distinct", p: int = 12,
+    num_buckets: int = 64,
+):
+    """Distinct-count estimates from one or a UNION of
+    :func:`hll_sketch_table` outputs (same ``p`` required). One bucketed
+    exchange on the keys; in-bucket register max-merge + the standard
+    HLL estimator."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[keys].copy()
+        out["__reg"] = df["__reg"].astype("int64")
+        out["__rho"] = df["__rho"].astype("int64")
+        return out
+
+    return bucketed_groupby_apply(
+        sketches.map_batches(norm, batch_format="pandas"),
+        keys,
+        _hll_estimate_fn(keys, p, out_col),
+        num_buckets,
+    )
 
 
 def grouped_string_agg(ds, keys, col, sep: str = ",", out_col=None, num_buckets: int = 64):

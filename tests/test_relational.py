@@ -2163,3 +2163,46 @@ def test_skyline2d_matches_bruteforce(ray_session):
     for min_x, max_y in [(True, True), (True, False), (False, True)]:
         got = skyline2d(ds, "x", "y", minimize_x=min_x, maximize_y=max_y)
         assert sorted(zip(got["x"], got["y"])) == brute(df, min_x, max_y)
+
+
+def test_hll_sketch_tables_merge_equals_direct(ray_session):
+    """Persisted-sketch invariant: union of per-snapshot sketch tables
+    re-estimated == sketching the union directly, register-exact."""
+    import ray
+
+    from kgraft.relational import (
+        grouped_approx_count_distinct,
+        hll_estimate_sketches,
+        hll_sketch_table,
+    )
+
+    rng = np.random.RandomState(3)
+    a = pd.DataFrame(
+        {"k": rng.choice(["x", "y"], 4000),
+         "u": rng.randint(0, 900, 4000).astype("int64")}
+    )
+    b = pd.DataFrame(
+        {"k": rng.choice(["x", "y", "z"], 3000),
+         "u": rng.randint(500, 2000, 3000).astype("int64")}
+    )
+    dsa = ray.data.from_pandas(a).repartition(4)
+    dsb = ray.data.from_pandas(b).repartition(3)
+    ska = hll_sketch_table(dsa, "k", "u")
+    skb = hll_sketch_table(dsb, "k", "u")
+    merged = (
+        hll_estimate_sketches(ska.union(skb), "k")
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    direct = (
+        grouped_approx_count_distinct(
+            ray.data.from_pandas(pd.concat([a, b], ignore_index=True)), "k", "u"
+        )
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(merged, direct)
+    # and the estimate is within the p=12 error bound of exact
+    exact = pd.concat([a, b]).groupby("k")["u"].nunique()
+    for _, row in merged.iterrows():
+        assert abs(row["approx_n_distinct"] - exact[row["k"]]) / exact[row["k"]] < 0.05
