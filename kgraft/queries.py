@@ -7855,6 +7855,58 @@ def sketch_union_users_by_type(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def sketch_union_p90_value(sf_dir: str) -> pd.DataFrame:
+    """Quantile sibling of `sketch_union_users_by_type`: two time
+    snapshots of the event stream reduce to persisted DDSketch
+    log-histograms (:func:`kgraft.relational.dd_sketch_table`, Parquet
+    on disk), and the UNION of the two sketch files answers
+    p90(value)-per-type over the whole stream without rescanning —
+    bucket-identical to sketching everything directly (bucket merge is
+    sum). `merged_equals_direct` must be true on every row. No SQL
+    oracle (alpha-relative-error by design); merge exactness + the
+    error bound live in tests/test_relational.py."""
+    from .relational import (
+        dd_quantile_sketches,
+        dd_sketch_table,
+        grouped_approx_quantile,
+    )
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value", "ts"])
+    cut = pd.Timestamp("2024-01-15")
+    base = f"/tmp/kgraft_layout/ddsketches_{os.path.basename(sf_dir.rstrip('/'))}"
+    for name, pred in (("early", "<"), ("late", ">=")):
+        part = ev.map_batches(
+            (lambda df: df[df["ts"] < cut][["event_type", "value"]])
+            if pred == "<"
+            else (lambda df: df[df["ts"] >= cut][["event_type", "value"]]),
+            batch_format="pandas",
+        )
+        dd_sketch_table(part, "event_type", "value").write_parquet(
+            f"{base}/{name}", mode="overwrite"
+        )
+    stored = ray.data.read_parquet(f"{base}/early").union(
+        ray.data.read_parquet(f"{base}/late")
+    )
+    merged = (
+        dd_quantile_sketches(stored, "event_type", 0.9, out_col="p90_merged")
+        .to_pandas()
+        .sort_values("event_type", ignore_index=True)
+    )
+    direct = (
+        grouped_approx_quantile(
+            ev.select_columns(["event_type", "value"]),
+            "event_type", "value", 0.9, out_col="p90_direct",
+        )
+        .to_pandas()
+        .sort_values("event_type", ignore_index=True)
+    )
+    out = merged.merge(direct, on="event_type")
+    out["merged_equals_direct"] = out["p90_merged"] == out["p90_direct"]
+    out["p90_merged"] = out["p90_merged"].round(4)
+    out["p90_direct"] = out["p90_direct"].round(4)
+    return out
+
+
 def twap_user_value(sf_dir: str) -> pd.DataFrame:
     """Time-weighted average value per user (the TWAP shape: each
     observation holds until the next one, so its weight is the interval
@@ -8641,6 +8693,7 @@ QUERIES = {
     "blocking_quality_aliases": blocking_quality_aliases,
     "twap_user_value": twap_user_value,
     "sketch_union_users_by_type": sketch_union_users_by_type,
+    "sketch_union_p90_value": sketch_union_p90_value,
     "page_domain_stats": page_domain_stats,
     "kg_mentions": kg_mentions,
     "kg_triples_llm": kg_triples_llm,

@@ -1793,13 +1793,17 @@ def grouped_approx_quantile(
     and nodes. Zeros land in a dedicated bucket; negatives mirror into
     a negative store (same guarantee on |v|).
     """
-    import numpy as np
-    import pandas as pd
-
-    gamma = (1.0 + alpha) / (1.0 - alpha)
-    lg = np.log(gamma)
     out_col = out_col or f"approx_q{int(q * 100)}"
     key_list = [keys] if isinstance(keys, str) else list(keys)
+    merged = dd_sketch_table(ds, key_list, col, alpha, num_buckets)
+    return bucketed_groupby_apply(
+        merged, key_list, _dd_finish_fn(key_list, q, alpha, out_col), num_buckets
+    )
+
+
+def _dd_bucket_math(alpha: float):
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    lg = np.log(gamma)
 
     # log indices are BIASED so sub-1 values (negative log index) never
     # collide with the zero bucket or flip the store parity; the bias
@@ -1825,6 +1829,12 @@ def grouped_approx_quantile(
         v[neg] = -2.0 * np.power(gamma, ((b[neg] - 3) // 2 - OFF).astype(np.float64)) / (1.0 + gamma)
         return v
 
+    return bucket_of, value_of
+
+
+def _dd_partial_fn(key_list, col, alpha: float):
+    bucket_of, _ = _dd_bucket_math(alpha)
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         d = df[key_list + [col]].dropna(subset=[col])
         if not len(d):
@@ -1837,8 +1847,11 @@ def grouped_approx_quantile(
         g = d.groupby(key_list + ["__b"], sort=False, as_index=False).size()
         return g.rename(columns={"size": "__c"})
 
-    parts = ds.map_batches(partial, batch_format="pandas")
-    merged = pre_aggregate_ds(parts, key_list + ["__b"], {"__c": ("__c", "sum")}, num_buckets)
+    return partial
+
+
+def _dd_finish_fn(key_list, q: float, alpha: float, out_col):
+    _, value_of = _dd_bucket_math(alpha)
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         # negative store descending |v| < zeros < positive ascending:
@@ -1852,7 +1865,52 @@ def grouped_approx_quantile(
         hit = g[cum.to_numpy() >= rank].groupby(key_list, sort=False, as_index=False).first()
         return hit[key_list + ["__v"]].rename(columns={"__v": out_col})
 
-    return bucketed_groupby_apply(merged, key_list, finish, num_buckets)
+    return finish
+
+
+def dd_sketch_table(ds, keys, col, alpha: float = 0.01, num_buckets: int = 64):
+    """Reduce a corpus to its PERSISTED mergeable DDSketch table: one
+    (keys, __b, __c) log-bucket histogram per key — the quantile
+    sibling of :func:`hll_sketch_table` (mergeable summaries). Bucket
+    counts merge by SUM, so unioning sketch tables written from
+    different snapshots and re-reducing with
+    :func:`dd_quantile_sketches` answers any quantile over the combined
+    data without rescanning raw rows, with the same relative-error
+    alpha guarantee."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    parts = ds.map_batches(
+        _dd_partial_fn(key_list, col, alpha), batch_format="pandas"
+    )
+    return pre_aggregate_ds(
+        parts, key_list + ["__b"], {"__c": ("__c", "sum")}, num_buckets
+    )
+
+
+def dd_quantile_sketches(
+    sketches, keys, q: float, alpha: float = 0.01, out_col=None,
+    num_buckets: int = 64,
+):
+    """Quantile estimates from one or a UNION of :func:`dd_sketch_table`
+    outputs (same ``alpha`` required): re-merge duplicate log buckets
+    across snapshots (sum), then the standard DDSketch rank walk."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    out_col = out_col or f"approx_q{int(q * 100)}"
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[key_list].copy()
+        out["__b"] = df["__b"].astype("int64")
+        out["__c"] = df["__c"].astype("int64")
+        return out
+
+    merged = pre_aggregate_ds(
+        sketches.map_batches(norm, batch_format="pandas"),
+        key_list + ["__b"],
+        {"__c": ("__c", "sum")},
+        num_buckets,
+    )
+    return bucketed_groupby_apply(
+        merged, key_list, _dd_finish_fn(key_list, q, alpha, out_col), num_buckets
+    )
 
 def bloom_semi_join(ds, keys_ds, on: str, num_bits: int = 1 << 23, num_hashes: int = 4):
     """EXACT semi join against a large key set, Bloom-prefiltered.

@@ -2206,3 +2206,42 @@ def test_hll_sketch_tables_merge_equals_direct(ray_session):
     exact = pd.concat([a, b]).groupby("k")["u"].nunique()
     for _, row in merged.iterrows():
         assert abs(row["approx_n_distinct"] - exact[row["k"]]) / exact[row["k"]] < 0.05
+
+
+def test_dd_sketch_tables_merge_equals_direct(ray_session):
+    """Union of per-snapshot DDSketch tables re-estimated == sketching
+    the union directly, bucket-exact; and within the alpha bound."""
+    import ray
+
+    from kgraft.relational import (
+        dd_quantile_sketches,
+        dd_sketch_table,
+        grouped_approx_quantile,
+    )
+
+    rng = np.random.RandomState(8)
+    a = pd.DataFrame(
+        {"k": rng.choice(["x", "y"], 5000), "v": rng.lognormal(3, 1, 5000)}
+    )
+    b = pd.DataFrame(
+        {"k": rng.choice(["x", "y"], 5000), "v": rng.lognormal(4, 0.5, 5000)}
+    )
+    ska = dd_sketch_table(ray.data.from_pandas(a).repartition(4), "k", "v")
+    skb = dd_sketch_table(ray.data.from_pandas(b).repartition(3), "k", "v")
+    merged = (
+        dd_quantile_sketches(ska.union(skb), "k", 0.9)
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    direct = (
+        grouped_approx_quantile(
+            ray.data.from_pandas(pd.concat([a, b], ignore_index=True)),
+            "k", "v", 0.9,
+        )
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(merged, direct)
+    exact = pd.concat([a, b]).groupby("k")["v"].quantile(0.9)
+    for _, row in merged.iterrows():
+        assert abs(row["approx_q90"] - exact[row["k"]]) <= 0.025 * exact[row["k"]]
