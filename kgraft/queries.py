@@ -8069,6 +8069,42 @@ def url_blocklist_pages(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def kg_sweep_community(sf_dir: str) -> pd.DataFrame:
+    """Local community around the KG's top-PageRank entity via the
+    Andersen-Chung-Lang PPR sweep cut (kgraft/graph/sweepcut.py):
+    personalized PageRank from the seed, nodes ranked by mass/degree,
+    the whole conductance curve from ONE extra edge pass (bincount
+    deltas at each endpoint's rank cumulative-sum into cut(S_k) for
+    every prefix), min-conductance prefix returned. One summary row.
+    Rows-only; planted two-clique recovery in tests/test_graph.py."""
+    import pyarrow.parquet as pq
+
+    from .graph.pagerank import pagerank
+    from .graph.sweepcut import ppr_sweep_cut
+
+    m = _kg_outputs(sf_dir)
+    node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
+        "entity_id"
+    ].to_numpy()
+    edges = _read_kg_edges(m, ["subj_id", "obj_id"])
+    pr = pagerank(edges, node_ids)
+    seed = int(
+        pr.sort_values(["rank", "node_id"], ascending=[False, True]).iloc[0][
+            "node_id"
+        ]
+    )
+    members, info = ppr_sweep_cut(edges, node_ids, seeds=[seed])
+    return pd.DataFrame(
+        {
+            "seed": [np.int64(seed)],
+            "community_size": [np.int64(info["size"])],
+            "conductance": [float(info["conductance"])],
+            "cut": [np.int64(info["cut"])],
+            "volume": [np.int64(info["volume"])],
+        }
+    )
+
+
 def page_domain_stats(sf_dir: str) -> pd.DataFrame:
     """Per-domain rollup over the pages corpus (the Common-Crawl
     curation view: which hosts dominate the crawl and how much text
@@ -8689,6 +8725,7 @@ QUERIES = {
     "kg_mis": kg_mis,
     "kg_local_clustering": kg_local_clustering,
     "kg_centralities": kg_centralities,
+    "kg_sweep_community": kg_sweep_community,
     "url_blocklist_pages": url_blocklist_pages,
     "blocking_quality_aliases": blocking_quality_aliases,
     "twap_user_value": twap_user_value,

@@ -1316,3 +1316,26 @@ def test_geometric_centralities_exact_match_bfs(ray_session):
         close = (len(dist) - 1) / tot if tot else 0.0
         assert abs(got.loc[s, "harmonic"] - round(harm, 6)) < 1e-6, s
         assert abs(got.loc[s, "closeness"] - round(close, 6)) < 1e-6, s
+
+
+def test_ppr_sweep_cut_recovers_planted_community(ray_session):
+    import ray
+
+    from kgraft.graph.sweepcut import ppr_sweep_cut
+
+    # two 8-cliques joined by ONE bridge edge, plus an unreachable ring
+    a = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+    b = [(10 + i, 10 + j) for i in range(8) for j in range(i + 1, 8)]
+    bridge = [(0, 10)]
+    ring = [(30 + i, 30 + (i + 1) % 10) for i in range(10)]
+    df = pd.DataFrame(a + b + bridge + ring, columns=["src", "dst"])
+    ds = ray.data.from_pandas(df).repartition(4)
+    ids = np.arange(40)
+    members, info = ppr_sweep_cut(ds, ids, seeds=[1], src_col="src",
+                                  dst_col="dst")
+    assert set(members["node_id"]) == set(range(8)), info
+    # clique A: vol = 8*7 internal ends + 1 bridge end = 57, cut = 1
+    assert info["cut"] == 1 and info["volume"] == 57
+    assert abs(info["conductance"] - 1 / 57) < 1e-6
+    # the unreachable ring never enters the sweep
+    assert info["swept"] <= 16
