@@ -2553,6 +2553,66 @@ SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
 """
 
 
+def intersect_all_parts(sf_dir: str):
+    """BAG intersection (SQL INTERSECT ALL — multiplicities survive):
+    for each part key, min(copies in low-quantity lineitems, copies in
+    high-quantity lineitems) rows. Map-side value_counts partials cross
+    ONE bucketed exchange; per group the multiplicity arithmetic +
+    np.repeat re-emit (:func:`kgraft.relational.set_op_all`)."""
+    from .relational import set_op_all
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+    lo = li.map_batches(
+        lambda df: df[df["l_quantity"] <= 25][["l_partkey"]],
+        batch_format="pandas",
+    )
+    hi = li.map_batches(
+        lambda df: df[df["l_quantity"] > 25][["l_partkey"]],
+        batch_format="pandas",
+    )
+    out = set_op_all(lo, hi, "l_partkey", "intersect_all").to_pandas()
+    return out.sort_values("l_partkey", ignore_index=True).astype(
+        {"l_partkey": "int64"}
+    )
+
+
+_INTERSECT_ALL_SQL = """
+SELECT l_partkey FROM lineitem WHERE l_quantity <= 25
+INTERSECT ALL
+SELECT l_partkey FROM lineitem WHERE l_quantity > 25
+ORDER BY l_partkey
+"""
+
+
+def except_all_parts(sf_dir: str):
+    """BAG difference (SQL EXCEPT ALL): low-quantity part-key copies
+    minus high-quantity copies, clamped at zero — same one-exchange
+    multiplicity arithmetic as `intersect_all_parts`."""
+    from .relational import set_op_all
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+    lo = li.map_batches(
+        lambda df: df[df["l_quantity"] <= 25][["l_partkey"]],
+        batch_format="pandas",
+    )
+    hi = li.map_batches(
+        lambda df: df[df["l_quantity"] > 25][["l_partkey"]],
+        batch_format="pandas",
+    )
+    out = set_op_all(lo, hi, "l_partkey", "except_all").to_pandas()
+    return out.sort_values("l_partkey", ignore_index=True).astype(
+        {"l_partkey": "int64"}
+    )
+
+
+_EXCEPT_ALL_SQL = """
+SELECT l_partkey FROM lineitem WHERE l_quantity <= 25
+EXCEPT ALL
+SELECT l_partkey FROM lineitem WHERE l_quantity > 25
+ORDER BY l_partkey
+"""
+
+
 def except_orders(sf_dir: str):
     """Set difference (SQL EXCEPT): high-value order keys that are NOT
     urgent."""
@@ -8646,6 +8706,8 @@ QUERIES = {
     "orders_by_dow": orders_by_dow,
     "event_value_histogram": event_value_histogram,
     "intersect_orders": intersect_orders,
+    "intersect_all_parts": intersect_all_parts,
+    "except_all_parts": except_all_parts,
     "except_orders": except_orders,
     "sample_events_per_user": sample_events_per_user,
     "normalize_docs": normalize_docs,
@@ -8867,6 +8929,8 @@ ORACLE_SQL = {
     "orders_by_dow": _ORDERS_DOW_SQL,
     "event_value_histogram": _EVENT_HIST_SQL,
     "intersect_orders": _INTERSECT_SQL,
+    "intersect_all_parts": _INTERSECT_ALL_SQL,
+    "except_all_parts": _EXCEPT_ALL_SQL,
     "except_orders": _EXCEPT_SQL,
     "sample_events_per_user": _SAMPLE_PER_USER_SQL,
     "normalize_docs": _NORMALIZE_SQL,

@@ -2140,6 +2140,51 @@ def set_op(left, right, cols, op: str, num_buckets: int = 64):
     return bucketed_groupby_apply(lt.union(rt), cols, reduce, num_buckets)
 
 
+def set_op_all(left, right, cols, op: str, num_buckets: int = 64):
+    """SQL ``INTERSECT ALL`` / ``EXCEPT ALL`` (BAG semantics — row
+    multiplicities survive: intersect keeps min(l, r) copies, except
+    keeps max(l - r, 0)).
+
+    Map-side value_counts per batch is the combiner — only (row, count)
+    partials cross ONE bucketed exchange — and per group the two side
+    counts reduce to the multiplicity arithmetic, rows re-emitted with
+    ``np.repeat``. NULL key values compare equal and are kept (the SQL
+    set-op rule, unlike joins)."""
+    if op not in ("intersect_all", "except_all"):
+        raise PlanError(f"unsupported set op: {op!r}")
+    cols = [cols] if isinstance(cols, str) else list(cols)
+
+    def counted(side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            g = df[cols].groupby(
+                cols, sort=False, as_index=False, dropna=False
+            ).size()
+            g = g.rename(columns={"size": "__c"})
+            g["__side"] = np.int64(side)
+            return g
+
+        return fn
+
+    lt = left.select_columns(cols).map_batches(counted(0), batch_format="pandas")
+    rt = right.select_columns(cols).map_batches(counted(1), batch_format="pandas")
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        piv = g.groupby(cols + ["__side"], sort=False, as_index=False,
+                        dropna=False)["__c"].sum()
+        wide = piv.pivot_table(index=cols, columns="__side", values="__c",
+                               aggfunc="sum", fill_value=0, dropna=False)
+        for side in (0, 1):
+            if side not in wide.columns:
+                wide[side] = 0
+        l, r = wide[0].to_numpy(np.int64), wide[1].to_numpy(np.int64)
+        mult = np.minimum(l, r) if op == "intersect_all" else np.maximum(l - r, 0)
+        keep = mult > 0
+        base = wide.index.to_frame(index=False)[keep].reset_index(drop=True)
+        return base.loc[base.index.repeat(mult[keep])].reset_index(drop=True)
+
+    return bucketed_groupby_apply(lt.union(rt), cols, reduce, num_buckets)
+
+
 # ---------------------------------------------------------------------------
 # skew diagnostics: hot-key detection (the pre-pass that sizes num_salts)
 
