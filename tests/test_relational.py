@@ -2245,3 +2245,24 @@ def test_dd_sketch_tables_merge_equals_direct(ray_session):
     exact = pd.concat([a, b]).groupby("k")["v"].quantile(0.9)
     for _, row in merged.iterrows():
         assert abs(row["approx_q90"] - exact[row["k"]]) <= 0.025 * exact[row["k"]]
+
+
+def test_set_op_all_bag_semantics_with_nulls(ray_session):
+    import ray
+
+    from kgraft.relational import set_op_all
+
+    l = pd.DataFrame({"k": [1.0, 1.0, 2.0, None, None, None]})
+    r = pd.DataFrame({"k": [1.0, None]})
+    dl, dr = ray.data.from_pandas(l), ray.data.from_pandas(r)
+
+    def key(x):
+        return (x != x, x)  # NaN last
+
+    inter = sorted(
+        set_op_all(dl, dr, "k", "intersect_all").to_pandas()["k"], key=key
+    )
+    assert inter[0] == 1.0 and len(inter) == 2 and inter[1] != inter[1]
+    exc = sorted(set_op_all(dl, dr, "k", "except_all").to_pandas()["k"], key=key)
+    assert exc[:2] == [1.0, 2.0] and len(exc) == 4
+    assert exc[2] != exc[2] and exc[3] != exc[3]
