@@ -7967,6 +7967,22 @@ def sketch_union_p90_value(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def bootstrap_mean_event_value(sf_dir: str) -> pd.DataFrame:
+    """95% bootstrap confidence interval for the mean event value via
+    the POISSON bootstrap (:func:`kgraft.relational.
+    poisson_bootstrap_mean`) — the web-scale resampling trick: at large
+    n multinomial resample weights converge to iid Poisson(1), so every
+    block weights its own rows with deterministic splitmix64(id,
+    replicate) draws and ships one (B x 2) partial; no global resample
+    pass ever happens. Deterministic and partition-invariant. Rows-only
+    (resampling is not SQL-expressible); coverage/width/determinism
+    pytest in tests/test_relational.py."""
+    from .relational import poisson_bootstrap_mean
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "value"])
+    return poisson_bootstrap_mean(ev, "value", "event_id", n_boot=200)
+
+
 def twap_user_value(sf_dir: str) -> pd.DataFrame:
     """Time-weighted average value per user (the TWAP shape: each
     observation holds until the next one, so its weight is the interval
@@ -8793,6 +8809,7 @@ QUERIES = {
     "twap_user_value": twap_user_value,
     "sketch_union_users_by_type": sketch_union_users_by_type,
     "sketch_union_p90_value": sketch_union_p90_value,
+    "bootstrap_mean_event_value": bootstrap_mean_event_value,
     "page_domain_stats": page_domain_stats,
     "kg_mentions": kg_mentions,
     "kg_triples_llm": kg_triples_llm,

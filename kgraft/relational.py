@@ -478,6 +478,87 @@ def ols_fit(ds, keys, y_col, x_cols):
     return out
 
 
+def poisson_bootstrap_mean(ds, col, id_col, n_boot: int = 200,
+                           ci: float = 0.95):
+    """Distributed bootstrap confidence interval for the MEAN via the
+    Poisson bootstrap (the streaming/web-scale resampling trick: at
+    large n, multinomial resample weights per row converge to iid
+    Poisson(1), so each block can weight its own rows independently —
+    no global resample pass, no coordination).
+
+    Replicate weights are DETERMINISTIC: Poisson(1) draws by inverse
+    CDF over splitmix64(id, replicate) uniforms, so the interval is a
+    pure function of the data — repartition/worker-count invariant.
+    Each batch emits one (n_boot x 2) partial (weighted count + sum per
+    replicate, vectorized n x B matrix math); partials add up; the
+    driver turns B replicate means into the percentile interval.
+
+    Returns a one-row DataFrame: mean, ci_lo, ci_hi, n, n_boot."""
+    from .hashing import splitmix64
+
+    import math
+
+    # Poisson(1) inverse-CDF thresholds (cumulative e^-1 * 1/k!) — k=0..11
+    pk = np.cumsum(np.exp(-1.0) / np.array(
+        [math.factorial(k) for k in range(12)], dtype=np.float64
+    ))
+    b_keys = splitmix64(np.arange(1, n_boot + 1, dtype=np.uint64))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[id_col, col]].dropna(subset=[col])
+        out = {
+            "__b": np.arange(n_boot, dtype=np.int64),
+            "__n": np.zeros(n_boot, dtype=np.float64),
+            "__s": np.zeros(n_boot, dtype=np.float64),
+        }
+        if len(d):
+            ids = d[id_col].to_numpy().astype(np.uint64)
+            x = d[col].to_numpy(np.float64)
+            h = splitmix64(ids)  # (n,)
+            # uniforms per (row, replicate): one more mix against the
+            # replicate key; 2^-64 scale to [0, 1)
+            u = splitmix64(h[:, None] ^ b_keys[None, :]).astype(np.float64)
+            u *= 2.0**-64
+            w = np.searchsorted(pk, u).astype(np.float64)  # Poisson(1)
+            out["__n"] = w.sum(axis=0)
+            out["__s"] = (w * x[:, None]).sum(axis=0)
+        return pd.DataFrame(out)
+
+    parts = ds.select_columns([id_col, col]).map_batches(
+        partial, batch_format="pandas"
+    )
+    agg = pre_aggregate(
+        parts, ["__b"], {"n": ("__n", "sum"), "s": ("__s", "sum")}
+    )
+    means = agg["s"].to_numpy() / np.maximum(agg["n"].to_numpy(), 1.0)
+    alpha = (1.0 - ci) / 2.0
+    lo, hi = np.quantile(means, [alpha, 1.0 - alpha])
+    # exact mean/count from one more tiny aggregate
+    tot = pre_aggregate(
+        ds.select_columns([col]).map_batches(
+            lambda df: pd.DataFrame(
+                {"k": np.zeros(1, dtype=np.int64),
+                 "s": [float(df[col].dropna().sum())],
+                 "n": [np.int64(df[col].notna().sum())]}
+            ),
+            batch_format="pandas",
+        ),
+        ["k"],
+        {"s": ("s", "sum"), "n": ("n", "sum")},
+    )
+    n_tot = int(tot["n"][0])
+    mean = float(tot["s"][0]) / n_tot if n_tot else np.nan
+    return pd.DataFrame(
+        {
+            "mean": [round(mean, 6)],
+            "ci_lo": [round(float(lo), 6)],
+            "ci_hi": [round(float(hi), 6)],
+            "n": [np.int64(n_tot)],
+            "n_boot": [np.int64(n_boot)],
+        }
+    )
+
+
 def skyline2d(ds, x_col, y_col, minimize_x: bool = True,
               maximize_y: bool = True):
     """2-D skyline (Pareto frontier): the distinct (x, y) pairs not

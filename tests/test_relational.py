@@ -2266,3 +2266,29 @@ def test_set_op_all_bag_semantics_with_nulls(ray_session):
     exc = sorted(set_op_all(dl, dr, "k", "except_all").to_pandas()["k"], key=key)
     assert exc[:2] == [1.0, 2.0] and len(exc) == 4
     assert exc[2] != exc[2] and exc[3] != exc[3]
+
+
+def test_poisson_bootstrap_ci_covers_and_is_partition_invariant(ray_session):
+    import ray
+
+    from kgraft.relational import poisson_bootstrap_mean
+
+    rng = np.random.RandomState(12)
+    n = 20_000
+    df = pd.DataFrame(
+        {"id": np.arange(n, dtype="int64"), "x": rng.normal(50, 10, n)}
+    )
+    a = poisson_bootstrap_mean(
+        ray.data.from_pandas(df).repartition(7), "x", "id", n_boot=200
+    )
+    row = a.iloc[0]
+    # CI brackets the sample mean, width ~ 4*sd/sqrt(n) = ~0.28
+    assert row["ci_lo"] < row["mean"] < row["ci_hi"]
+    width = row["ci_hi"] - row["ci_lo"]
+    se = 10 / np.sqrt(n)
+    assert 2.0 * se < width < 6.5 * se, width
+    # deterministic across partitionings (draws keyed on the id column)
+    b = poisson_bootstrap_mean(
+        ray.data.from_pandas(df).repartition(2), "x", "id", n_boot=200
+    )
+    pd.testing.assert_frame_equal(a, b)
