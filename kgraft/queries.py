@@ -7967,6 +7967,45 @@ def sketch_union_p90_value(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def sketch_union_token_counts(sf_dir: str) -> pd.DataFrame:
+    """Frequency member of the mergeable-summaries trio: the documents
+    corpus splits into two snapshots by doc-id parity, each reduces to
+    a persisted Count-Min grid (:func:`kgraft.textops.cms_sketch_table`,
+    Parquet on disk), and the UNION of the two stored rows answers
+    token-frequency queries over the whole corpus — grid-identical to
+    sketching everything directly (grid merge is elementwise sum).
+    `merged_equals_direct` must be true on every row. No SQL oracle
+    (eps*N-overestimate by design); the CMS bound is pytest-pinned on
+    `cms_token_estimates`."""
+    from .textops import cms_estimate_from_sketches, cms_sketch_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    base = f"/tmp/kgraft_layout/cms_{os.path.basename(sf_dir.rstrip('/'))}"
+    for name, par in (("even", 0), ("odd", 1)):
+        part = docs.map_batches(
+            lambda df, par=par: df[df["doc_id"] % 2 == par][["text"]],
+            batch_format="pandas",
+        )
+        sk = cms_sketch_table(part)
+        pd.DataFrame(sk).to_parquet(f"{base}_{name}.parquet")
+    stored = pd.concat(
+        [pd.read_parquet(f"{base}_even.parquet"),
+         pd.read_parquet(f"{base}_odd.parquet")],
+        ignore_index=True,
+    )
+    terms = ["the", "data", "model", "graph", "language"]
+    merged = cms_estimate_from_sketches(stored, terms).rename(
+        columns={"est_count": "merged_est"}
+    )
+    direct = cms_estimate_from_sketches(
+        cms_sketch_table(docs.select_columns(["text"])), terms
+    ).rename(columns={"est_count": "direct_est"})
+    out = merged.merge(direct[["token", "direct_est"]], on="token")
+    out["merged_equals_direct"] = out["merged_est"] == out["direct_est"]
+    return out[["token", "merged_est", "direct_est", "n_total",
+                "merged_equals_direct"]]
+
+
 def bootstrap_mean_event_value(sf_dir: str) -> pd.DataFrame:
     """95% bootstrap confidence interval for the mean event value via
     the POISSON bootstrap (:func:`kgraft.relational.
@@ -8810,6 +8849,7 @@ QUERIES = {
     "sketch_union_users_by_type": sketch_union_users_by_type,
     "sketch_union_p90_value": sketch_union_p90_value,
     "bootstrap_mean_event_value": bootstrap_mean_event_value,
+    "sketch_union_token_counts": sketch_union_token_counts,
     "page_domain_stats": page_domain_stats,
     "kg_mentions": kg_mentions,
     "kg_triples_llm": kg_triples_llm,

@@ -2437,6 +2437,77 @@ def detokenize_docs(
     return tokenized.map_batches(decode, batch_format="pyarrow")
 
 
+def cms_sketch_table(
+    ds,
+    width: int = 2048,
+    depth: int = 4,
+    text_col: str = "text",
+    token_re: str = r"[a-z0-9_]+",
+) -> pd.DataFrame:
+    """Reduce a corpus to its PERSISTED Count-Min sketch: ONE row
+    carrying the merged depth×width counter grid (int64 LE bytes) plus
+    the token total — the frequency member of the mergeable-summaries
+    trio (HLL distinct / DDSketch quantiles / CMS frequencies). Grids
+    from different snapshots merge by elementwise SUM, so unions of
+    stored sketch rows answer frequency queries over combined corpora
+    without rescanning raw text — grid-identical to sketching the union
+    directly."""
+    pat = re.compile(token_re)
+
+    def grid_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.lower().str.findall(pat).explode().dropna()
+        grid = np.zeros((depth, width), dtype=np.int64)
+        n = 0
+        if len(toks):
+            flat = toks.to_numpy(dtype=object)
+            n = len(flat)
+            for r in range(depth):
+                h = hash_strings(flat, seed=101 + r) % np.uint64(width)
+                np.add.at(grid[r], h.astype(np.int64), 1)
+        return pd.DataFrame({"g": [grid.tobytes()], "n": [np.int64(n)]})
+
+    parts = ds.map_batches(grid_partial, batch_format="pandas").to_pandas()
+    grid = np.zeros((depth, width), dtype=np.int64)
+    for blob in parts["g"]:
+        grid += np.frombuffer(blob, dtype=np.int64).reshape(depth, width)
+    return pd.DataFrame(
+        {
+            "g": [grid.tobytes()],
+            "n": [np.int64(parts["n"].sum())],
+            "width": [np.int64(width)],
+            "depth": [np.int64(depth)],
+        }
+    )
+
+
+def cms_estimate_from_sketches(
+    sketch_rows: pd.DataFrame, query_tokens
+) -> pd.DataFrame:
+    """Token-frequency estimates from one or a UNION (concat) of
+    :func:`cms_sketch_table` rows — same width/depth required; grids
+    merge by sum, then the standard min-over-rows CMS readout."""
+    width = int(sketch_rows["width"].iloc[0])
+    depth = int(sketch_rows["depth"].iloc[0])
+    if not ((sketch_rows["width"] == width).all()
+            and (sketch_rows["depth"] == depth).all()):
+        raise ValueError("cannot merge CMS sketches of different shapes")
+    grid = np.zeros((depth, width), dtype=np.int64)
+    for blob in sketch_rows["g"]:
+        grid += np.frombuffer(blob, dtype=np.int64).reshape(depth, width)
+    total = int(sketch_rows["n"].sum())
+    out = []
+    for t in list(query_tokens):
+        est = min(
+            int(grid[r, int(hash_strings([t], seed=101 + r)[0] % np.uint64(width))])
+            for r in range(depth)
+        )
+        out.append((t, est))
+    df = pd.DataFrame(out, columns=["token", "est_count"])
+    df["est_count"] = df["est_count"].astype("int64")
+    df["n_total"] = np.int64(total)
+    return df
+
+
 def cms_token_counts(
     ds,
     query_tokens,

@@ -1015,3 +1015,25 @@ def test_filter_blocked_hosts_suffix_semantics(ray_session):
         .tolist()
     )
     assert len(audit) == 4 and "https://site3.example/page/1" in audit
+
+
+def test_cms_sketch_tables_merge_equals_direct(ray_session):
+    import ray
+
+    from kgraft.textops import cms_estimate_from_sketches, cms_sketch_table
+
+    a = pd.DataFrame({"text": ["the cat sat", "the dog ran"] * 50})
+    b = pd.DataFrame({"text": ["the cat ate the fish"] * 30})
+    ska = cms_sketch_table(ray.data.from_pandas(a).repartition(3))
+    skb = cms_sketch_table(ray.data.from_pandas(b).repartition(2))
+    merged = cms_estimate_from_sketches(
+        pd.concat([ska, skb], ignore_index=True), ["the", "cat", "fish"]
+    )
+    direct = cms_estimate_from_sketches(
+        cms_sketch_table(ray.data.from_pandas(pd.concat([a, b]))),
+        ["the", "cat", "fish"],
+    )
+    pd.testing.assert_frame_equal(merged, direct)
+    # CMS never undercounts; at this tiny load it is exact
+    est = dict(zip(merged["token"], merged["merged_est" if "merged_est" in merged else "est_count"]))
+    assert est["the"] == 160 and est["cat"] == 80 and est["fish"] == 30
