@@ -8006,6 +8006,57 @@ def sketch_union_token_counts(sf_dir: str) -> pd.DataFrame:
                 "merged_equals_direct"]]
 
 
+def gini_order_value(sf_dir: str) -> pd.DataFrame:
+    """Gini inequality coefficient of order value per priority class —
+    the revenue-concentration audit (how top-heavy is spend within each
+    class). One bucketed exchange on the group key; in-bucket the whole
+    statistic is a vectorized sort + the rank formula
+    sum((2i - n - 1) * x_(i)) / (n * sum(x)). Tie order cannot change
+    the sum (tied x share the same coefficient block), so the result is
+    deterministic. DuckDB twin is the row_number window formula."""
+    from .relational import bucketed_groupby_apply
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderpriority", "o_totalprice"], kind="mergesort")
+        grp = g.groupby("o_orderpriority", sort=False)
+        n = grp["o_totalprice"].transform("size").to_numpy(np.float64)
+        tot = grp["o_totalprice"].transform("sum").to_numpy(np.float64)
+        i = grp.cumcount().to_numpy(np.float64) + 1.0
+        x = g["o_totalprice"].to_numpy(np.float64)
+        contrib = (2.0 * i - n - 1.0) * x / (n * tot)
+        out = pd.DataFrame(
+            {"o_orderpriority": g["o_orderpriority"], "c": contrib}
+        )
+        agg = out.groupby("o_orderpriority", sort=False, as_index=False)["c"].sum()
+        agg["n_orders"] = grp.size().to_numpy()
+        return agg.rename(columns={"c": "gini"})
+
+    out = bucketed_groupby_apply(
+        orders, ["o_orderpriority"], per_group, num_buckets=8
+    ).to_pandas()
+    out["gini"] = out["gini"].round(6)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("o_orderpriority", ignore_index=True)
+
+
+_GINI_SQL = """
+WITH r AS (
+  SELECT o_orderpriority, o_totalprice AS x,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS i,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n,
+         sum(o_totalprice) OVER (PARTITION BY o_orderpriority) AS tot
+  FROM orders
+)
+SELECT o_orderpriority,
+       round(sum((2.0 * i - n - 1.0) * x / (n * tot)), 6) AS gini,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def bootstrap_mean_event_value(sf_dir: str) -> pd.DataFrame:
     """95% bootstrap confidence interval for the mean event value via
     the POISSON bootstrap (:func:`kgraft.relational.
@@ -8850,6 +8901,7 @@ QUERIES = {
     "sketch_union_p90_value": sketch_union_p90_value,
     "bootstrap_mean_event_value": bootstrap_mean_event_value,
     "sketch_union_token_counts": sketch_union_token_counts,
+    "gini_order_value": gini_order_value,
     "page_domain_stats": page_domain_stats,
     "kg_mentions": kg_mentions,
     "kg_triples_llm": kg_triples_llm,
@@ -8901,6 +8953,7 @@ ORACLE_SQL = {
     "benford_order_totals": _BENFORD_SQL,
     "keyword_assoc_docs": _KEYWORD_ASSOC_SQL,
     "twap_user_value": _TWAP_SQL,
+    "gini_order_value": _GINI_SQL,
     "monthly_revenue_growth": _MONTHLY_GROWTH_SQL,
     "pairwise_agreement_events": _PAIRWISE_AGREEMENT_SQL,
     "user_event_windows": _WINDOWS_SQL,
