@@ -8057,6 +8057,49 @@ FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def theil_index_order_value(sf_dir: str) -> pd.DataFrame:
+    """Theil T inequality index of order value per priority class —
+    Gini's decomposable sibling (T = mean((x/mu) * ln(x/mu)))), and
+    unlike Gini it needs NO sort: two algebraic partials (sum, sum of
+    x*ln x) per (group, batch) ride the same map-side-combined exchange
+    as every mean, since T = (sum(x ln x) / sum(x)) - ln(sum(x)/n).
+    The shuffle-free-est inequality statistic at 100 TB."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def parts(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["o_totalprice"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "o_orderpriority": df["o_orderpriority"],
+                "x": x,
+                "xlx": x * np.log(x),
+            }
+        )
+
+    agg = pre_aggregate(
+        orders.map_batches(parts, batch_format="pandas"),
+        ["o_orderpriority"],
+        {"s": ("x", "sum"), "sl": ("xlx", "sum"), "n": (None, "count")},
+    )
+    s = agg["s"].to_numpy(np.float64)
+    sl = agg["sl"].to_numpy(np.float64)
+    n = agg["n"].to_numpy(np.float64)
+    agg["theil"] = np.round(sl / s - np.log(s / n), 6)
+    agg["n_orders"] = agg["n"].astype("int64")
+    return agg[["o_orderpriority", "theil", "n_orders"]].sort_values(
+        "o_orderpriority", ignore_index=True
+    )
+
+
+_THEIL_SQL = """
+SELECT o_orderpriority,
+       round(sum(o_totalprice * ln(o_totalprice)) / sum(o_totalprice)
+             - ln(sum(o_totalprice) / count(*)), 6) AS theil,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def bootstrap_mean_event_value(sf_dir: str) -> pd.DataFrame:
     """95% bootstrap confidence interval for the mean event value via
     the POISSON bootstrap (:func:`kgraft.relational.
@@ -8902,6 +8945,7 @@ QUERIES = {
     "bootstrap_mean_event_value": bootstrap_mean_event_value,
     "sketch_union_token_counts": sketch_union_token_counts,
     "gini_order_value": gini_order_value,
+    "theil_index_order_value": theil_index_order_value,
     "page_domain_stats": page_domain_stats,
     "kg_mentions": kg_mentions,
     "kg_triples_llm": kg_triples_llm,
@@ -8954,6 +8998,7 @@ ORACLE_SQL = {
     "keyword_assoc_docs": _KEYWORD_ASSOC_SQL,
     "twap_user_value": _TWAP_SQL,
     "gini_order_value": _GINI_SQL,
+    "theil_index_order_value": _THEIL_SQL,
     "monthly_revenue_growth": _MONTHLY_GROWTH_SQL,
     "pairwise_agreement_events": _PAIRWISE_AGREEMENT_SQL,
     "user_event_windows": _WINDOWS_SQL,
