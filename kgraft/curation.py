@@ -36,6 +36,7 @@ import pyarrow as pa
 from .hashing import hash_strings
 from .relational import bucketed_groupby_apply
 from .textops import _STOPWORDS, decontaminate, near_dup_groups
+from kgraft.sqlround import sql_round
 
 
 def _signals(docs):
@@ -59,7 +60,7 @@ def _signals(docs):
                 "doc_id": df["doc_id"],
                 "text": text,
                 "n_tokens": n_tokens,
-                "quality": score.round(6),
+                "quality": sql_round(score, 6),
             }
         )
 

@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
+from kgraft.sqlround import sql_round
 
 
 def _batch_matrix(t: pa.Table) -> np.ndarray:
@@ -83,7 +84,7 @@ def knn_topk(embeddings, query: np.ndarray, k: int = 10, round_dp: int = 4):
         return pa.table(
             {
                 "vec_id": t["vec_id"].take(pa.array(order)),
-                "score": pa.array(np.round(scores[order], round_dp), pa.float64()),
+                "score": pa.array(sql_round(scores[order], round_dp), pa.float64()),
             }
         )
 
@@ -187,7 +188,7 @@ def ivf_topk(
         return pa.table(
             {
                 "vec_id": pa.array(ids[order], pa.int64()),
-                "score": pa.array(np.round(scores[order], 6), pa.float64()),
+                "score": pa.array(sql_round(scores[order], 6), pa.float64()),
             }
         )
 
@@ -241,7 +242,7 @@ def kmeans_assign(
             {
                 "vec_id": t["vec_id"],
                 "cluster_id": pa.array(a.astype(np.int64), pa.int64()),
-                "dist": pa.array(np.round(best, 6), pa.float64()),
+                "dist": pa.array(sql_round(best, 6), pa.float64()),
             }
         )
 
@@ -411,7 +412,7 @@ def knn_topk_multi(embeddings, query_ids, k: int = 10, round_dp: int = 4):
         mat = _batch_matrix(t)
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1e-12
-        sims = np.round((mat / norms[:, None]) @ ray.get(qref).T, round_dp)
+        sims = sql_round((mat / norms[:, None]) @ ray.get(qref).T, round_dp)
         ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         out_q, out_i, out_s = [], [], []
         for j, qid in enumerate(ray.get(qid_ref)):
@@ -573,7 +574,7 @@ def label_norm_stats(embeddings):
         {
             "label": merged["label"].astype("int32"),
             "n_vecs": merged["n"].astype("int64"),
-            "avg_norm": (merged["norm_sum"] / merged["n"]).round(6),
+            "avg_norm": sql_round((merged["norm_sum"] / merged["n"]), 6),
         }
     )
 
@@ -624,7 +625,7 @@ def label_centroids(embeddings, round_dp: int = 6):
         {
             "label": merged["label"].astype("int64"),
             "pos": merged["pos"].astype("int64"),
-            "centroid": (merged["s"] / merged["n"]).round(round_dp),
+            "centroid": sql_round((merged["s"] / merged["n"]), round_dp),
         }
     )
     return out.sort_values(["label", "pos"], ignore_index=True)
@@ -713,7 +714,7 @@ def pq_topk(
         return pa.table(
             {
                 "vec_id": pa.array(ids[order], pa.int64()),
-                "score": pa.array(np.round(exact[order], 6), pa.float64()),
+                "score": pa.array(sql_round(exact[order], 6), pa.float64()),
             }
         )
 
@@ -803,8 +804,8 @@ def mmr_rerank(
         # ties -> lower vec_id: lexsort on (-mmr, vec_id) over available
         best = cand[np.lexsort((ids[cand], -mmr[cand]))[0]]
         out_rows.append(
-            (rank + 1, int(ids[best]), round(float(rel[best]), round_dp),
-             round(float(mmr[best]), round_dp))
+            (rank + 1, int(ids[best]), sql_round(float(rel[best]), round_dp),
+             sql_round(float(mmr[best]), round_dp))
         )
         avail[best] = False
         selected.append(best)
@@ -953,7 +954,7 @@ def hard_negatives(
                         "vec_id": ids[has],
                         "neg_id": ids[best[has]],
                         "neg_label": labels[best[has]],
-                        "cos_sim": np.round(
+                        "cos_sim": sql_round(
                             sims[np.arange(len(ids)), best][has], round_dp
                         ),
                     }

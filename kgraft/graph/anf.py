@@ -32,6 +32,7 @@ import pyarrow as pa
 from ..hashing import splitmix64
 from .kcore import simple_pairs
 from .pagerank import _to_index
+from kgraft.sqlround import sql_round
 
 _ALPHA_256 = 0.7213 / (1 + 1.079 / 256)  # standard HLL alpha for m=256
 
@@ -229,8 +230,8 @@ def geometric_centralities(
     return pd.DataFrame(
         {
             "node_id": ids,
-            "harmonic": np.round(harmonic, 6),
-            "closeness": np.round(closeness, 6),
+            "harmonic": sql_round(harmonic, 6),
+            "closeness": sql_round(closeness, 6),
         }
     )
 
@@ -243,5 +244,5 @@ def effective_diameter(nf, alpha: float = 0.9) -> float:
             if t == 0:
                 return 0.0
             prev = nf[t - 1]
-            return round(t - 1 + (target - prev) / (v - prev), 4)
+            return sql_round(t - 1 + (target - prev) / (v - prev), 4)
     return float(len(nf) - 1)

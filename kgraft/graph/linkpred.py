@@ -44,6 +44,7 @@ import pyarrow as pa
 
 from ..hashing import splitmix64
 from ..relational import hash_join, pre_aggregate_ds
+from kgraft.sqlround import sql_round
 
 logger = logging.getLogger(__name__)
 
@@ -278,7 +279,7 @@ def adamic_adar_topk(
             "node_a": out["a"].astype("int64"),
             "node_b": out["b"].astype("int64"),
             "common_neighbors": out["common_neighbors"].astype("int64"),
-            "adamic_adar": out["aa"].round(6),
+            "adamic_adar": sql_round(out["aa"], 6),
         }
     )
     res.attrs["n_skipped_hubs"] = n_skipped

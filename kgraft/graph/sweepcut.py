@@ -26,6 +26,7 @@ import ray
 
 from .kcore import simple_pairs
 from .pagerank import _to_index, personalized_pagerank
+from kgraft.sqlround import sql_round
 
 
 def ppr_sweep_cut(
@@ -138,7 +139,7 @@ def ppr_sweep_cut(
         best = int(valid[np.argmin(phi[valid])])
     members = ids[order[: best + 1]]
     return pd.DataFrame({"node_id": members}), {
-        "conductance": round(float(phi[best]), 6) if np.isfinite(phi[best]) else 1.0,
+        "conductance": sql_round(float(phi[best]), 6) if np.isfinite(phi[best]) else 1.0,
         "cut": int(cut[best]),
         "volume": int(vol[best]),
         "size": int(best + 1),

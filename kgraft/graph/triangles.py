@@ -40,6 +40,7 @@ import ray
 
 from ..hashing import splitmix64
 from ..relational import hash_join, pre_aggregate_ds
+from kgraft.sqlround import sql_round
 
 
 def _edge_bucket(u: np.ndarray, v: np.ndarray, num_buckets: int) -> np.ndarray:
@@ -283,7 +284,7 @@ def count_triangles(
         right_schema=pa.schema([("b", pa.int64()), ("c", pa.int64())]),
     )
     n_triangles = int(tri.count())
-    clustering = round(3.0 * n_triangles / n_wedges, 6) if n_wedges else 0.0
+    clustering = sql_round(3.0 * n_triangles / n_wedges, 6) if n_wedges else 0.0
     return pd.DataFrame(
         {
             "n_nodes": [int(n_nodes)],

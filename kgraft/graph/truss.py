@@ -29,6 +29,7 @@ import ray
 
 from ..hashing import splitmix64
 from ..relational import hash_join, pre_aggregate_ds
+from kgraft.sqlround import sql_round
 
 
 def _wedges_with_apex(g: pa.Table) -> pa.Table:
@@ -234,7 +235,7 @@ def local_clustering(pairs, num_buckets: int = 32) -> "ray.data.Dataset":
                 "node": df["node"].to_numpy(np.int64),
                 "deg": deg_v,
                 "triangles": tri.astype("int64"),
-                "lcc": np.round(lcc, 6),
+                "lcc": sql_round(lcc, 6),
             }
         )
 

@@ -29,6 +29,7 @@ import pandas as pd
 import ray
 
 from ..hashing import hash_strings
+from kgraft.sqlround import sql_round
 
 _TOKEN_RE = r"[a-z0-9_]+"
 
@@ -193,11 +194,11 @@ def pr_curve(ds, score_col: str, label_col: str, num_bins: int = 256) -> pd.Data
         f1 = 2 * prec * rec / (prec + rec)
     out = pd.DataFrame(
         {
-            "threshold": np.round(edges, 6),
+            "threshold": sql_round(edges, 6),
             "n_kept": kept.astype("int64"),
-            "precision": np.round(prec, 6),
-            "recall": np.round(rec, 6),
-            "f1": np.round(np.where(np.isfinite(f1), f1, 0.0), 6),
+            "precision": sql_round(prec, 6),
+            "recall": sql_round(rec, 6),
+            "f1": sql_round(np.where(np.isfinite(f1), f1, 0.0), 6),
         }
     )
     return out[out["n_kept"] > 0].reset_index(drop=True)

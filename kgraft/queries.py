@@ -25,6 +25,7 @@ import ray
 from .util import pool_concurrency
 
 from . import embedops, textops
+from .sqlround import sql_round
 from .relational import (
     broadcast_join,
     bucketed_groupby_apply,
@@ -74,7 +75,7 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         },
     )
     for c in ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "avg_price"]:
-        out[c] = out[c].round(4)
+        out[c] = sql_round(out[c], 4)
     return out
 
 
@@ -159,7 +160,7 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
     agg = pre_aggregate_ds(
         joined, ["l_orderkey", "o_orderdate"], {"revenue": ("rev", "sum")}
     ).map_batches(
-        lambda df: df.assign(revenue=df["revenue"].round(4)), batch_format="pandas"
+        lambda df: df.assign(revenue=sql_round(df["revenue"], 4)), batch_format="pandas"
     )
     out = (
         agg.sort(["revenue", "l_orderkey"], descending=[True, False])
@@ -288,7 +289,7 @@ def q5_local_supplier(sf_dir: str) -> pd.DataFrame:
         batch_format="pandas",
     )
     out = pre_aggregate(joined, ["n_name"], {"revenue": ("rev", "sum")})
-    out["revenue"] = out["revenue"].round(4)
+    out["revenue"] = sql_round(out["revenue"], 4)
     return out
 
 
@@ -330,7 +331,7 @@ def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
         return pa.table({"rev": rev})
 
     total = ds.map_batches(prep, batch_format="pyarrow").sum("rev")
-    return pd.DataFrame({"revenue": [round(float(total or 0.0), 4)]})
+    return pd.DataFrame({"revenue": [sql_round(float(total or 0.0), 4)]})
 
 
 _Q6_SQL = """
@@ -437,7 +438,7 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
     agg = pre_aggregate_ds(joined, ["c_custkey"], {"revenue": ("rev", "sum")})
     top = (
         agg.map_batches(
-            lambda df: df.assign(revenue=df["revenue"].round(4)),
+            lambda df: df.assign(revenue=sql_round(df["revenue"], 4)),
             batch_format="pandas",
         )
         .sort(["revenue", "c_custkey"], descending=[True, False])
@@ -518,7 +519,7 @@ def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     promo_rev, total = parts["promo_rev"].sum(), parts["total_rev"].sum()
     return pd.DataFrame(
-        {"promo_revenue_pct": [round(100.0 * promo_rev / total, 4) if total else 0.0]}
+        {"promo_revenue_pct": [sql_round(100.0 * promo_rev / total, 4) if total else 0.0]}
     )
 
 
@@ -564,7 +565,7 @@ def q18_large_orders(sf_dir: str) -> pd.DataFrame:
             ]
         ),
     ).map_batches(
-        lambda df: df.assign(total_qty=df["total_qty"].round(4)),
+        lambda df: df.assign(total_qty=sql_round(df["total_qty"], 4)),
         batch_format="pandas",
     )
     out = joined.sort(["total_qty", "l_orderkey"], descending=[True, False]).to_pandas()
@@ -715,7 +716,15 @@ def filter_project_events(sf_dir: str):
             {
                 "event_id": t["event_id"],
                 "user_id": t["user_id"],
-                "value2": pc.round(pc.multiply(t["value"], pa.scalar(2.0)), 4),
+                "value2": pa.array(
+                    sql_round(
+                        pc.multiply(t["value"], pa.scalar(2.0)).to_numpy(
+                            zero_copy_only=False
+                        ),
+                        4,
+                    ),
+                    pa.float64(),
+                ),
             }
         )
 
@@ -751,7 +760,7 @@ def range_scan_events(sf_dir: str) -> pd.DataFrame:
         win, ["event_type"], {"n": (None, "count"), "mean_value": ("value", "mean")}
     )
     out["n"] = out["n"].astype("int64")
-    out["mean_value"] = out["mean_value"].round(4)
+    out["mean_value"] = sql_round(out["mean_value"], 4)
     return out.sort_values("event_type", ignore_index=True)[
         ["event_type", "n", "mean_value"]
     ]
@@ -794,7 +803,7 @@ def zorder_scan_events(sf_dir: str) -> pd.DataFrame:
         win, ["event_type"], {"n": (None, "count"), "mean_value": ("value", "mean")}
     )
     out["n"] = out["n"].astype("int64")
-    out["mean_value"] = out["mean_value"].round(4)
+    out["mean_value"] = sql_round(out["mean_value"], 4)
     return out.sort_values("event_type", ignore_index=True)[
         ["event_type", "n", "mean_value"]
     ]
@@ -833,10 +842,10 @@ def ab_test_events(sf_dir: str) -> pd.DataFrame:
     df_w = se2**2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
     return pd.DataFrame(
         {
-            "mean_view": [round(m1, 4)],
-            "mean_click": [round(m2, 4)],
-            "t_stat": [round(float(t), 4)],
-            "dof": [round(float(df_w), 2)],
+            "mean_view": [sql_round(m1, 4)],
+            "mean_click": [sql_round(m2, 4)],
+            "t_stat": [sql_round(float(t), 4)],
+            "dof": [sql_round(float(df_w), 2)],
         }
     )
 
@@ -990,7 +999,7 @@ def psi_event_drift(sf_dir: str) -> pd.DataFrame:
             continue
         p, q = halves[0], halves[1]
         out.append(
-            {"event_type": et, "psi": round(float(np.sum((p - q) * np.log(p / q))), 6)}
+            {"event_type": et, "psi": sql_round(float(np.sum((p - q) * np.log(p / q))), 6)}
         )
     return pd.DataFrame(out, columns=["event_type", "psi"]).sort_values(
         "event_type", ignore_index=True
@@ -1034,7 +1043,7 @@ def topk_users_by_value(sf_dir: str) -> pd.DataFrame:
     agg = pre_aggregate_ds(ds, ["user_id"], {"total_value": ("value", "sum")})
     out = (
         agg.map_batches(
-            lambda df: df.assign(total_value=df["total_value"].round(4)),
+            lambda df: df.assign(total_value=sql_round(df["total_value"], 4)),
             batch_format="pandas",
         )
         .sort(["total_value", "user_id"], descending=[True, False])
@@ -1097,7 +1106,7 @@ def join_customer_orders(sf_dir: str) -> pd.DataFrame:
         ["c_custkey", "c_name"],
         {"n_orders": (None, "count"), "total_spent": ("o_totalprice", "sum")},
     )
-    out["total_spent"] = out["total_spent"].round(4)
+    out["total_spent"] = sql_round(out["total_spent"], 4)
     return out
 
 
@@ -1193,7 +1202,7 @@ def hourly_event_stats(sf_dir: str) -> pd.DataFrame:
         ["hour_epoch", "event_type"],
         {"n_events": (None, "count"), "total_value": ("value", "sum")},
     )
-    out["total_value"] = out["total_value"].round(4)
+    out["total_value"] = sql_round(out["total_value"], 4)
     return out
 
 
@@ -1219,7 +1228,7 @@ def hopping_event_stats(sf_dir: str) -> pd.DataFrame:
         hop_s=1800,
         aggs={"n_events": (None, "count"), "total_value": ("value", "sum")},
     ).to_pandas()
-    out["total_value"] = out["total_value"].round(4)
+    out["total_value"] = sql_round(out["total_value"], 4)
     return out.sort_values("window_start", ignore_index=True)
 
 
@@ -1304,7 +1313,7 @@ def session_stats(sf_dir: str) -> pd.DataFrame:
         out = out.rename(columns={"__sid": "session_idx"})
         out["session_idx"] = out["session_idx"].astype("int64")
         out["n_events"] = out["n_events"].astype("int64")
-        out["total_value"] = out["total_value"].round(4)
+        out["total_value"] = sql_round(out["total_value"], 4)
         return out
 
     out = bucketed_groupby_apply(ds, "user_id", sessions_bucket).to_pandas()
@@ -1368,7 +1377,7 @@ def rfm_segments(sf_dir: str) -> pd.DataFrame:
             "mon": ("value", "sum"),
         },
     ).map_batches(
-        lambda df: df.assign(mon=df["mon"].round(4)), batch_format="pandas"
+        lambda df: df.assign(mon=sql_round(df["mon"], 4)), batch_format="pandas"
     )
 
     def renamed(ds, old: str, new: str):
@@ -1508,10 +1517,10 @@ def monthly_revenue_growth(sf_dir: str) -> pd.DataFrame:
     ).sort_values("month_epoch", ignore_index=True)
     prev = out["revenue"].shift()
     out["growth_pct"] = (
-        ((out["revenue"] - prev) / prev * 100).round(4).fillna(0.0)
+        sql_round(((out["revenue"] - prev) / prev * 100), 4).fillna(0.0)
     )
     out["month_epoch"] = out["month_epoch"].astype("int64")
-    out["revenue"] = out["revenue"].round(4)
+    out["revenue"] = sql_round(out["revenue"], 4)
     return out
 
 
@@ -1694,7 +1703,7 @@ def event_value_time_window(sf_dir: str):
         return pd.DataFrame(
             {
                 "event_id": df["event_id"].astype("int64"),
-                "w_sum": df["w_sum"].round(4),
+                "w_sum": sql_round(df["w_sum"], 4),
                 "w_cnt": df["w_count"].astype("int64"),
             }
         )
@@ -1737,7 +1746,7 @@ def user_event_windows(sf_dir: str):
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         for c in ("prev_value", "run_value", "avg3"):
-            df[c] = df[c].round(4)
+            df[c] = sql_round(df[c], 4)
         return df[["event_id", "user_id", "rn", "prev_value", "run_value", "avg3"]]
 
     return win.map_batches(fin, batch_format="pandas").sort("event_id").to_pandas()
@@ -1777,7 +1786,7 @@ def user_value_extrema(sf_dir: str) -> pd.DataFrame:
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         for c in ("first_val", "last_val", "min3", "max3"):
-            df[c] = df[c].round(4)
+            df[c] = sql_round(df[c], 4)
         return df[["event_id", "user_id", "first_val", "last_val", "min3", "max3"]]
 
     return win.map_batches(fin, batch_format="pandas").sort("event_id").to_pandas()
@@ -1854,7 +1863,7 @@ def quantity_percentiles(sf_dir: str) -> pd.DataFrame:
     )
     return (
         win.map_batches(
-            lambda df: df.assign(pr=df["pr"].round(6), cd=df["cd"].round(6))[
+            lambda df: df.assign(pr=sql_round(df["pr"], 6), cd=sql_round(df["cd"], 6))[
                 ["l_orderkey", "l_linenumber", "pr", "cd"]
             ],
             batch_format="pandas",
@@ -1887,7 +1896,7 @@ def event_prop_k_stats(sf_dir: str) -> pd.DataFrame:
         ["event_type"],
         {"n": (None, "count"), "avg_k": ("k", "mean"), "max_k": ("k", "max")},
     )
-    out["avg_k"] = out["avg_k"].round(4)
+    out["avg_k"] = sql_round(out["avg_k"], 4)
     out["max_k"] = out["max_k"].astype("float64")
     return out.sort_values("event_type").reset_index(drop=True)
 
@@ -1983,7 +1992,7 @@ def hourly_ohlc(sf_dir: str) -> pd.DataFrame:
     )
     out = j2.to_pandas()
     for c in ("open", "high", "low", "close"):
-        out[c] = out[c].round(4)
+        out[c] = sql_round(out[c], 4)
     return (
         out[["event_type", "hour_epoch", "open", "high", "low", "close"]]
         .sort_values(keys)
@@ -2042,7 +2051,7 @@ def median_price_by_priority(sf_dir: str) -> pd.DataFrame:
     out = grouped_quantile_disc(
         orders, "o_orderpriority", "o_totalprice", q=0.5, out_col="median_price"
     ).to_pandas()
-    out["median_price"] = out["median_price"].round(2)
+    out["median_price"] = sql_round(out["median_price"], 2)
     return out
 
 
@@ -2062,7 +2071,7 @@ def p90_event_value_by_type(sf_dir: str) -> pd.DataFrame:
     out = grouped_quantile_cont(
         ev, "event_type", "value", q=0.9, out_col="p90_value"
     ).to_pandas()
-    out["p90_value"] = out["p90_value"].round(6)
+    out["p90_value"] = sql_round(out["p90_value"], 6)
     return out.sort_values("event_type").reset_index(drop=True)
 
 
@@ -2094,7 +2103,7 @@ def lineitem_moments(sf_dir: str) -> pd.DataFrame:
         },
     )
     for c in ("std_qty", "var_qty", "corr_qty_price", "covar_qty_disc"):
-        out[c] = out[c].round(6)
+        out[c] = sql_round(out[c], 6)
     return out
 
 
@@ -2172,7 +2181,7 @@ def tfidf_top_terms_docs(sf_dir: str) -> pd.DataFrame:
             {
                 "doc_id": out["doc_id"].astype("int64"),
                 "token": out["token"],
-                "tfidf": out["tfidf"].round(6),
+                "tfidf": sql_round(out["tfidf"], 6),
             }
         )
 
@@ -2305,7 +2314,7 @@ def doc_bigram_nll(sf_dir: str) -> pd.DataFrame:
         {"avg_nll": ("nll", "mean")},
     )
     out["doc_id"] = out["doc_id"].astype("int64")
-    out["avg_nll"] = out["avg_nll"].round(6)
+    out["avg_nll"] = sql_round(out["avg_nll"], 6)
     return out.sort_values("doc_id", ignore_index=True)
 
 
@@ -2419,7 +2428,7 @@ def shape_stats_by_flag(sf_dir: str) -> pd.DataFrame:
         },
     )
     for c in ("skew_qty", "kurt_qty", "skew_price", "kurt_price"):
-        out[c] = out[c].round(6)
+        out[c] = sql_round(out[c], 6)
     return out.sort_values("l_returnflag", ignore_index=True)
 
 
@@ -2447,7 +2456,7 @@ def event_type_pivot(sf_dir: str) -> pd.DataFrame:
     ev = read_table(sf_dir, "events", columns=["user_id", "event_type", "value"])
     out = pivot_sum(ev, "user_id", "event_type", "value", _EVENT_TYPES).to_pandas()
     for c in _EVENT_TYPES:
-        out[c] = out[c].round(4)
+        out[c] = sql_round(out[c], 4)
     out["user_id"] = out["user_id"].astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)
 
@@ -2693,7 +2702,7 @@ def rollup_order_totals(sf_dir: str) -> pd.DataFrame:
         ["o_orderstatus", "o_orderpriority"],
         {"total_price": ("o_totalprice", "sum"), "n_orders": (None, "count")},
     )
-    out["total_price"] = out["total_price"].round(4)
+    out["total_price"] = sql_round(out["total_price"], 4)
     out["n_orders"] = out["n_orders"].astype("int64")
     return out
 
@@ -2717,8 +2726,8 @@ def price_means_by_priority(sf_dir: str):
     g = grouped_gmean(orders, "o_orderpriority", "o_totalprice")
     h = grouped_hmean(orders, "o_orderpriority", "o_totalprice")
     out = g.merge(h, on="o_orderpriority")
-    out["gmean"] = out["gmean"].round(4)
-    out["hmean"] = out["hmean"].round(4)
+    out["gmean"] = sql_round(out["gmean"], 4)
+    out["hmean"] = sql_round(out["hmean"], 4)
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
@@ -2739,7 +2748,7 @@ def mad_quantity_by_flag(sf_dir: str):
 
     li = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
     out = grouped_mad(li, "l_returnflag", "l_quantity").to_pandas()
-    out["mad"] = out["mad"].round(6)
+    out["mad"] = sql_round(out["mad"], 6)
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
@@ -2790,7 +2799,7 @@ def upsert_orders(sf_dir: str):
 
     def mk_updates(df: pd.DataFrame) -> pd.DataFrame:
         mod = df[df["o_orderkey"] % 7 == 0].copy()
-        mod["o_totalprice"] = (mod["o_totalprice"] + 100).round(2)
+        mod["o_totalprice"] = sql_round((mod["o_totalprice"] + 100), 2)
         ins = df[df["o_orderkey"] % 97 == 0].copy()
         ins["o_orderkey"] = ins["o_orderkey"] + 6_000_000
         out = pd.concat([mod, ins], ignore_index=True)
@@ -2806,7 +2815,7 @@ def upsert_orders(sf_dir: str):
     updates = orders.map_batches(mk_updates, batch_format="pandas")
     merged = upsert(base, updates, "o_orderkey", "v", base_schema=schema)
     return merged.map_batches(
-        lambda df: df.assign(o_totalprice=df["o_totalprice"].round(2)),
+        lambda df: df.assign(o_totalprice=sql_round(df["o_totalprice"], 2)),
         batch_format="pandas",
     )
 
@@ -2840,7 +2849,7 @@ def diff_order_snapshots(sf_dir: str):
     def mk_b(df: pd.DataFrame) -> pd.DataFrame:
         kept = df[df["o_orderkey"] % 11 != 0].copy()
         bump = kept["o_orderkey"] % 7 == 0
-        kept.loc[bump, "o_totalprice"] = (kept.loc[bump, "o_totalprice"] + 100).round(2)
+        kept.loc[bump, "o_totalprice"] = sql_round((kept.loc[bump, "o_totalprice"] + 100), 2)
         ins = df[df["o_orderkey"] % 97 == 0].copy()
         ins["o_orderkey"] = ins["o_orderkey"] + 6_000_000
         return pd.concat([kept, ins], ignore_index=True)
@@ -2883,7 +2892,7 @@ def grouping_sets_orders(sf_dir: str) -> pd.DataFrame:
         [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], ["o_orderpriority"]],
         {"total_price": ("o_totalprice", "sum"), "n_orders": (None, "count")},
     )
-    out["total_price"] = out["total_price"].round(4)
+    out["total_price"] = sql_round(out["total_price"], 4)
     out["n_orders"] = out["n_orders"].astype("int64")
     return out
 
@@ -2909,7 +2918,7 @@ def top_order_per_customer(sf_dir: str):
     )
     out = grouped_argmax(orders, "o_custkey", "o_totalprice", "o_orderkey")
     return out.map_batches(
-        lambda df: df.assign(o_totalprice=df["o_totalprice"].round(4))[
+        lambda df: df.assign(o_totalprice=sql_round(df["o_totalprice"], 4))[
             ["o_custkey", "o_orderkey", "o_totalprice"]
         ],
         batch_format="pandas",
@@ -2941,7 +2950,7 @@ def cube_order_totals(sf_dir: str) -> pd.DataFrame:
         ["o_orderstatus", "o_orderpriority"],
         {"total_price": ("o_totalprice", "sum"), "n_orders": (None, "count")},
     )
-    out["total_price"] = out["total_price"].round(4)
+    out["total_price"] = sql_round(out["total_price"], 4)
     out["n_orders"] = out["n_orders"].astype("int64")
     return out
 
@@ -3041,7 +3050,7 @@ def approx_median_price(sf_dir: str) -> pd.DataFrame:
     out = grouped_approx_quantile(
         orders, "o_orderpriority", "o_totalprice", 0.5, alpha=0.01, out_col="approx_median"
     ).to_pandas()
-    out["approx_median"] = out["approx_median"].round(4)
+    out["approx_median"] = sql_round(out["approx_median"], 4)
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
@@ -3305,7 +3314,7 @@ def dup_rate_by_source(sf_dir: str) -> pd.DataFrame:
     )
     out["n_docs"] = out["n_docs"].astype("int64")
     out["n_dups"] = out["n_dups"].astype("int64")
-    out["dup_rate"] = (out["n_dups"] / out["n_docs"]).round(6)
+    out["dup_rate"] = sql_round((out["n_dups"] / out["n_docs"]), 6)
     return out.sort_values("source", ignore_index=True)[
         ["source", "n_docs", "n_dups", "dup_rate"]
     ]
@@ -3334,7 +3343,7 @@ def lexical_diversity_docs(sf_dir: str) -> pd.DataFrame:
         {"n_docs": (None, "count"), "mean_ttr": ("ttr", "mean")},
     )
     out["n_docs"] = out["n_docs"].astype("int64")
-    out["mean_ttr"] = out["mean_ttr"].round(6)
+    out["mean_ttr"] = sql_round(out["mean_ttr"], 6)
     return out.sort_values("source", ignore_index=True)[
         ["source", "n_docs", "mean_ttr"]
     ]
@@ -3388,8 +3397,8 @@ def readability_docs(sf_dir: str) -> pd.DataFrame:
         },
     )
     out["n_docs"] = out["n_docs"].astype("int64")
-    out["words_per_sentence"] = out["words_per_sentence"].round(6)
-    out["chars_per_word"] = out["chars_per_word"].round(6)
+    out["words_per_sentence"] = sql_round(out["words_per_sentence"], 6)
+    out["chars_per_word"] = sql_round(out["chars_per_word"], 6)
     return out.sort_values("source", ignore_index=True)[
         ["source", "n_docs", "words_per_sentence", "chars_per_word"]
     ]
@@ -3445,8 +3454,8 @@ def zipf_alpha_docs(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "n_tokens_fit": [np.int64(n)],
-            "zipf_alpha": [round(-slope, 6)],
-            "log_intercept": [round(intercept, 6)],
+            "zipf_alpha": [sql_round(-slope, 6)],
+            "log_intercept": [sql_round(intercept, 6)],
         }
     )
 
@@ -3567,7 +3576,7 @@ def pmi_collocations_docs(sf_dir: str) -> pd.DataFrame:
                 "w1": df["w1"],
                 "w2": df["t"],
                 "n_ab": df["n_ab"].astype("int64"),
-                "pmi": np.round(np.log(p_ab / (p_a * p_b)), 6),
+                "pmi": sql_round(np.log(p_ab / (p_a * p_b)), 6),
             }
         )
 
@@ -3653,7 +3662,7 @@ def orders_by_dow(sf_dir: str) -> pd.DataFrame:
     )
     out["isodow"] = out["isodow"].astype("int64")
     out["n_orders"] = out["n_orders"].astype("int64")
-    out["total"] = out["total"].round(4)
+    out["total"] = sql_round(out["total"], 4)
     return out.sort_values("isodow", ignore_index=True)
 
 
@@ -3675,7 +3684,7 @@ def wavg_price_by_flag(sf_dir: str) -> pd.DataFrame:
         ["l_returnflag"],
         {"wavg_price": (("l_extendedprice", "l_quantity"), "wavg")},
     )
-    out["wavg_price"] = out["wavg_price"].round(4)
+    out["wavg_price"] = sql_round(out["wavg_price"], 4)
     return out.sort_values("l_returnflag", ignore_index=True)
 
 
@@ -3704,8 +3713,8 @@ def regr_price_by_flag(sf_dir: str) -> pd.DataFrame:
             "icept": (("l_extendedprice", "l_quantity"), "regr_intercept"),
         },
     )
-    out["slope"] = out["slope"].round(6)
-    out["icept"] = out["icept"].round(4)
+    out["slope"] = sql_round(out["slope"], 6)
+    out["icept"] = sql_round(out["icept"], 4)
     return out.sort_values("l_returnflag", ignore_index=True)
 
 
@@ -3734,7 +3743,7 @@ def corr_matrix_lineitem(sf_dir: str) -> pd.DataFrame:
         li, ["l_returnflag"], {k: (v, "corr") for k, v in pairs.items()}
     )
     for k in pairs:
-        out[k] = out[k].round(6)
+        out[k] = sql_round(out[k], 6)
     return out.sort_values("l_returnflag", ignore_index=True)
 
 
@@ -3755,10 +3764,10 @@ def ols_price_by_flag(sf_dir: str) -> pd.DataFrame:
     out = ols_fit(
         li, ["l_returnflag"], "l_extendedprice", ["l_quantity", "l_discount"]
     )
-    out["icept"] = out["icept"].round(4)
-    out["coef_l_quantity"] = out["coef_l_quantity"].round(4)
-    out["coef_l_discount"] = out["coef_l_discount"].round(4)
-    out["r2"] = out["r2"].round(6)
+    out["icept"] = sql_round(out["icept"], 4)
+    out["coef_l_quantity"] = sql_round(out["coef_l_quantity"], 4)
+    out["coef_l_discount"] = sql_round(out["coef_l_discount"], 4)
+    out["r2"] = sql_round(out["r2"], 6)
     return out.sort_values("l_returnflag", ignore_index=True)
 
 
@@ -3776,7 +3785,7 @@ def skyline_parts(sf_dir: str) -> pd.DataFrame:
     part = read_table(sf_dir, "part", columns=["p_retailprice", "p_size"])
     out = skyline2d(part, "p_retailprice", "p_size",
                     minimize_x=True, maximize_y=True)
-    out["p_retailprice"] = out["p_retailprice"].round(2)
+    out["p_retailprice"] = sql_round(out["p_retailprice"], 2)
     out["p_size"] = out["p_size"].astype("int64")
     return out
 
@@ -3847,10 +3856,10 @@ def benford_order_totals(sf_dir: str) -> pd.DataFrame:
     out["n"] = out["n"].astype("int64")
     total = float(out["n"].sum())
     exp = np.log10(1.0 + 1.0 / out["digit"].to_numpy(np.float64))
-    out["observed"] = (out["n"] / total).round(6)
-    out["expected"] = exp.round(6)
+    out["observed"] = sql_round((out["n"] / total), 6)
+    out["expected"] = sql_round(exp, 6)
     chi2 = float((((out["n"] - total * exp) ** 2) / (total * exp)).sum())
-    out["chi2"] = round(chi2, 4)
+    out["chi2"] = sql_round(chi2, 4)
     out["digit"] = out["digit"].astype("int64")
     return out[["digit", "n", "observed", "expected", "chi2"]]
 
@@ -3954,7 +3963,7 @@ def keyword_assoc_docs(sf_dir: str) -> pd.DataFrame:
                 "token": df["t"].astype(str),
                 "n_docs_even": df["a1"].astype("int64"),
                 "n_docs_odd": df["a0"].astype("int64"),
-                "g2": np.round(ll, 6),
+                "g2": sql_round(ll, 6),
             }
         )
 
@@ -4148,7 +4157,7 @@ def nb_source_logodds(sf_dir: str) -> pd.DataFrame:
         ["source"],
         {"mean_logodds": ("lo", "mean"), "n_docs": (None, "count")},
     )
-    out["mean_logodds"] = out["mean_logodds"].round(6)
+    out["mean_logodds"] = sql_round(out["mean_logodds"], 6)
     out["n_docs"] = out["n_docs"].astype("int64")
     return out.sort_values("source", ignore_index=True)
 
@@ -4222,7 +4231,7 @@ def event_user_entropy(sf_dir: str) -> pd.DataFrame:
 
     ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
     out = grouped_entropy(ev, "event_type", "user_id").to_pandas()
-    out["entropy"] = out["entropy"].round(6)
+    out["entropy"] = sql_round(out["entropy"], 6)
     return out.sort_values("event_type", ignore_index=True)
 
 
@@ -4245,7 +4254,7 @@ def robust_zscore_events(sf_dir: str) -> pd.DataFrame:
 
     ev = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
     out = robust_standardize(ev, "event_type", "value").to_pandas()
-    out["rz"] = out["rz"].round(6)
+    out["rz"] = sql_round(out["rz"], 6)
     return out[["event_id", "rz"]].sort_values("event_id", ignore_index=True)
 
 
@@ -4556,9 +4565,9 @@ def assoc_rules_parts(sf_dir: str) -> pd.DataFrame:
                 "antecedent": ante,
                 "consequent": cons,
                 "n_both": nb,
-                "support": np.round(nb / float(n_total), 6),
-                "confidence": np.round(nb / na.astype(np.float64), 6),
-                "lift": np.round(nb * float(n_total) / (na * nc.astype(np.float64)), 4),
+                "support": sql_round(nb / float(n_total), 6),
+                "confidence": sql_round(nb / na.astype(np.float64), 6),
+                "lift": sql_round(nb * float(n_total) / (na * nc.astype(np.float64)), 4),
             }
         )
 
@@ -4646,7 +4655,7 @@ def bucketed_join_revenue(sf_dir: str) -> pd.DataFrame:
         {"n_orders": (None, "count"), "total_price": ("o_totalprice", "sum")},
     )
     out["n_orders"] = out["n_orders"].astype("int64")
-    out["total_price"] = out["total_price"].round(2)
+    out["total_price"] = sql_round(out["total_price"], 2)
     return out.sort_values("c_nationkey", ignore_index=True)[
         ["c_nationkey", "n_orders", "total_price"]
     ]
@@ -4690,8 +4699,8 @@ def quality_classifier_docs(sf_dir: str) -> pd.DataFrame:
         {"n_docs": (None, "count"), "mean_p_good": ("p_good", "mean")},
     )
     out["n_docs"] = out["n_docs"].astype("int64")
-    out["mean_p_good"] = out["mean_p_good"].round(4)
-    out["final_loss"] = round(model["losses"][-1], 4)
+    out["mean_p_good"] = sql_round(out["mean_p_good"], 4)
+    out["final_loss"] = sql_round(model["losses"][-1], 4)
     return out.sort_values("source", ignore_index=True)[
         ["source", "n_docs", "mean_p_good", "final_loss"]
     ]
@@ -4811,7 +4820,7 @@ def rolling_median_value(sf_dir: str) -> pd.DataFrame:
         out = df[["user_id", "event_id"]].copy()
         out["user_id"] = out["user_id"].astype("int64")
         out["event_id"] = out["event_id"].astype("int64")
-        out["med5"] = df["med5"].round(6)
+        out["med5"] = sql_round(df["med5"], 6)
         return out
 
     return (
@@ -4867,7 +4876,7 @@ def cdc_orders_state(sf_dir: str) -> pd.DataFrame:
         {"n_orders": (None, "count"), "total": ("o_totalprice", "sum")},
     )
     out["n_orders"] = out["n_orders"].astype("int64")
-    out["total"] = out["total"].round(2)
+    out["total"] = sql_round(out["total"], 2)
     return out.sort_values("o_orderstatus", ignore_index=True)[
         ["o_orderstatus", "n_orders", "total"]
     ]
@@ -4928,10 +4937,10 @@ def user_feature_snapshot(sf_dir: str) -> pd.DataFrame:
     mode = mode.to_pandas() if not isinstance(mode, pd.DataFrame) else mode
     out = base.merge(mode, on="user_id")
     last_us = out["last_us"].astype("datetime64[us]").astype("int64")
-    out["recency_days"] = ((ref_us - last_us) / 86400e6).round(6)
+    out["recency_days"] = sql_round(((ref_us - last_us) / 86400e6), 6)
     out["n_events"] = out["n_events"].astype("int64")
     out["user_id"] = out["user_id"].astype("int64")
-    out["total_value"] = out["total_value"].round(6)
+    out["total_value"] = sql_round(out["total_value"], 6)
     return out.sort_values("user_id", ignore_index=True)[
         ["user_id", "n_events", "total_value", "recency_days", "top_type"]
     ]
@@ -4989,7 +4998,7 @@ def incremental_event_stats(sf_dir: str) -> pd.DataFrame:
     out, _ = incremental_aggregate(state, rest, ["event_type"], aggs)
     out["n_events"] = out["n_events"].astype("int64")
     for c in ("total_value", "avg_value", "min_value", "max_value"):
-        out[c] = out[c].round(6)
+        out[c] = sql_round(out[c], 6)
     return out.sort_values("event_type", ignore_index=True)
 
 
@@ -5234,7 +5243,7 @@ def debounced_events(sf_dir: str) -> pd.DataFrame:
     out = out.merge(tot, on="event_type")
     out["n_kept"] = out["n_kept"].astype("int64")
     out["n_total"] = out["n_total"].astype("int64")
-    out["kept_frac"] = (out["n_kept"] / out["n_total"]).round(6)
+    out["kept_frac"] = sql_round((out["n_kept"] / out["n_total"]), 6)
     return out.sort_values("event_type", ignore_index=True)[
         ["event_type", "n_total", "n_kept", "kept_frac"]
     ]
@@ -5290,8 +5299,8 @@ def mi_type_dow_events(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "n_events": [int(n)],
-            "mi_nats": [round(mi, 6)],
-            "nmi": [round(mi / np.sqrt(hx * hy), 6) if hx > 0 and hy > 0 else 0.0],
+            "mi_nats": [sql_round(mi, 6)],
+            "nmi": [sql_round(mi / np.sqrt(hx * hy), 6) if hx > 0 and hy > 0 else 0.0],
         }
     )
 
@@ -5422,12 +5431,12 @@ def event_gap_stats(sf_dir: str) -> pd.DataFrame:
         },
     )
     out["n_gaps"] = out["n_gaps"].astype("int64")
-    out["burstiness"] = (
+    out["burstiness"] = sql_round((
         (out["std_gap_s"] - out["avg_gap_s"])
         / (out["std_gap_s"] + out["avg_gap_s"])
-    ).round(6)
-    out["avg_gap_s"] = out["avg_gap_s"].round(4)
-    out["std_gap_s"] = out["std_gap_s"].round(4)
+    ), 6)
+    out["avg_gap_s"] = sql_round(out["avg_gap_s"], 4)
+    out["std_gap_s"] = sql_round(out["std_gap_s"], 4)
     return out.sort_values("event_type", ignore_index=True)[
         ["event_type", "n_gaps", "avg_gap_s", "std_gap_s", "burstiness"]
     ]
@@ -5536,7 +5545,7 @@ def iqr_outliers_by_type(sf_dir: str) -> pd.DataFrame:
     out["n_events"] = out["n_events"].astype("int64")
     out["n_outliers"] = out["n_outliers"].astype("int64")
     for c in ("q1", "q3", "iqr", "lo", "hi"):
-        out[c] = out[c].round(6)
+        out[c] = sql_round(out[c], 6)
     return out.sort_values("event_type", ignore_index=True)[
         ["event_type", "q1", "q3", "iqr", "lo", "hi", "n_events", "n_outliers"]
     ]
@@ -5590,9 +5599,9 @@ def audience_overlap_events(sf_dir: str) -> pd.DataFrame:
     inter["n_common"] = inter["n_common"].astype("int64")
     na = sz.reindex(inter["type_a"]).to_numpy(dtype="float64")
     nb = sz.reindex(inter["type_b"]).to_numpy(dtype="float64")
-    inter["jaccard"] = (
+    inter["jaccard"] = sql_round((
         inter["n_common"] / (na + nb - inter["n_common"])
-    ).round(6)
+    ), 6)
     return inter.sort_values(["type_a", "type_b"], ignore_index=True)[
         ["type_a", "type_b", "n_common", "jaccard"]
     ]
@@ -5679,7 +5688,7 @@ def source_token_kl(sf_dir: str) -> pd.DataFrame:
     out = pre_aggregate_ds(
         j.map_batches(term, batch_format="pandas"), ["source"], {"kl": ("term", "sum")}
     ).to_pandas()
-    out["kl"] = out["kl"].round(6)
+    out["kl"] = sql_round(out["kl"], 6)
     return out.sort_values("source", ignore_index=True)
 
 
@@ -5710,7 +5719,7 @@ def dsir_select_docs(sf_dir: str) -> pd.DataFrame:
         batch_format="pandas",
     )
     out = importance_weights(docs, "is_tgt").to_pandas()
-    out["weight"] = out["weight"].round(6)
+    out["weight"] = sql_round(out["weight"], 6)
     out = out.sort_values(
         ["weight", "doc_id"], ascending=[False, True], ignore_index=True
     ).head(50)
@@ -5874,7 +5883,7 @@ def winsorized_event_stats(sf_dir: str) -> pd.DataFrame:
     out = pre_aggregate(
         w, ["event_type"], {"wmean": ("value", "mean"), "n": (None, "count")}
     )
-    out["wmean"] = out["wmean"].round(6)
+    out["wmean"] = sql_round(out["wmean"], 6)
     out["n"] = out["n"].astype("int64")
     return out.sort_values("event_type", ignore_index=True)[
         ["event_type", "wmean", "n"]
@@ -6075,7 +6084,7 @@ def scenario_revenue(sf_dir: str) -> pd.DataFrame:
         batch_format="pandas",
     )
     out = pre_aggregate(terms, ["scenario"], {"revenue": ("rev", "sum")})
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = sql_round(out["revenue"], 2)
     return out.sort_values("scenario", ignore_index=True)
 
 
@@ -6110,7 +6119,7 @@ def gap_fill_hourly_events(sf_dir: str) -> pd.DataFrame:
     )
     agg = pre_aggregate_ds(hourly, ["event_type", "h"], {"v": ("value", "sum")})
     out = gap_fill(agg, "event_type", "h", "v", freq="h").to_pandas()
-    out["v"] = out["v"].round(4)
+    out["v"] = sql_round(out["v"], 4)
     return out.sort_values(["event_type", "h"], ignore_index=True)
 
 
@@ -6158,8 +6167,8 @@ def unpivot_lineitem_stats(sf_dir: str) -> pd.DataFrame:
             "n": (None, "count"),
         },
     )
-    out["total"] = out["total"].round(4)
-    out["avg_value"] = out["avg_value"].round(6)
+    out["total"] = sql_round(out["total"], 4)
+    out["avg_value"] = sql_round(out["avg_value"], 6)
     out["n"] = out["n"].astype("int64")
     return out.sort_values("variable", ignore_index=True)[
         ["variable", "total", "avg_value", "n"]
@@ -6189,7 +6198,7 @@ def weighted_sample_events(sf_dir: str) -> pd.DataFrame:
     out = weighted_sample(
         ev, "value", 20, "event_id", keep_cols=["value"]
     ).to_pandas()
-    out["score"] = out["score"].round(6)
+    out["score"] = sql_round(out["score"], 6)
     return out[["event_id", "score", "value"]].reset_index(drop=True)
 
 
@@ -6436,7 +6445,7 @@ def doc_stats_by_lang(sf_dir: str) -> pd.DataFrame:
             "max_chars": ("n_chars", "max"),
         },
     )
-    out["avg_chars"] = out["avg_chars"].round(4)
+    out["avg_chars"] = sql_round(out["avg_chars"], 4)
     out["max_chars"] = out["max_chars"].astype("int64")
     return out
 
@@ -6715,9 +6724,9 @@ def cluster_quality_embeddings(sf_dir: str) -> pd.DataFrame:
     oracle lives in tests/test_embedops.py."""
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     per, db = embedops.cluster_quality(emb, n_cells=16)
-    per["inertia"] = per["inertia"].round(4)
-    per["scatter"] = per["scatter"].round(4)
-    per["db_index"] = round(db, 4)
+    per["inertia"] = sql_round(per["inertia"], 4)
+    per["scatter"] = sql_round(per["scatter"], 4)
+    per["db_index"] = sql_round(db, 4)
     return per
 
 
@@ -6760,8 +6769,8 @@ def pca_embeddings(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "component": np.arange(1, len(model["explained_var"]) + 1, dtype="int64"),
-            "explained_var": np.round(model["explained_var"], 6),
-            "explained_ratio": np.round(model["explained_ratio"], 6),
+            "explained_var": sql_round(model["explained_var"], 6),
+            "explained_ratio": sql_round(model["explained_ratio"], 6),
         }
     )
 
@@ -6801,7 +6810,7 @@ def unnest_embeddings(sf_dir: str) -> pd.DataFrame:
     out = unnest(emb, "embedding", out_col="val", ord_col="ord")
     return (
         out.map_batches(
-            lambda df: df.assign(val=df["val"].round(6)), batch_format="pandas"
+            lambda df: df.assign(val=sql_round(df["val"], 6)), batch_format="pandas"
         )
         .sort(["vec_id", "ord"])
         .to_pandas()
@@ -6984,7 +6993,7 @@ def kg_ppr(sf_dir: str) -> pd.DataFrame:
     seeds = np.sort(np.unique(node_ids))[:3]
     edges = _read_kg_edges(m, columns=["subj_id", "obj_id"]).materialize()
     pr = personalized_pagerank(edges, node_ids, seeds, n_iter=15)
-    pr["rank"] = pr["rank"].round(8)
+    pr["rank"] = sql_round(pr["rank"], 8)
     return pr.sort_values(
         ["rank", "node_id"], ascending=[False, True], ignore_index=True
     ).head(20)
@@ -7116,7 +7125,7 @@ def kg_betweenness(sf_dir: str) -> pd.DataFrame:
     out = approx_betweenness(
         edges, n_sources=64, src="subj_id", dst="obj_id", top_k=20
     )
-    out["betweenness"] = out["betweenness"].round(4)
+    out["betweenness"] = sql_round(out["betweenness"], 4)
     return out
 
 
@@ -7136,7 +7145,7 @@ def kg_pagerank_weighted(sf_dir: str) -> pd.DataFrame:
     ].to_numpy()
     edges = _read_kg_edges(m, columns=["subj_id", "obj_id", "conf"]).materialize()
     pr = pagerank_weighted(edges, node_ids, "conf", n_iter=15)
-    pr["rank"] = pr["rank"].round(10)
+    pr["rank"] = sql_round(pr["rank"], 10)
     return pr.sort_values(
         ["rank", "node_id"], ascending=[False, True], ignore_index=True
     ).head(20)
@@ -7169,8 +7178,8 @@ def kg_smoothed_importance(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame(
         {
             "node_id": node_ids,
-            "rank": np.round(ranks[:, 0], 10),
-            "smoothed_rank": np.round(smoothed[:, 0], 10),
+            "rank": sql_round(ranks[:, 0], 10),
+            "smoothed_rank": sql_round(smoothed[:, 0], 10),
         }
     )
     return out.sort_values(
@@ -7201,7 +7210,7 @@ def kg_pred_stats(sf_dir: str) -> pd.DataFrame:
     out["n_edges"] = out["n_edges"].astype("int64")
     out["n_subjects"] = out["n_subjects"].astype("int64")
     out["n_objects"] = out["n_objects"].astype("int64")
-    out["mean_conf"] = out["mean_conf"].round(6)
+    out["mean_conf"] = sql_round(out["mean_conf"], 6)
     return out.sort_values("pred", ignore_index=True)[
         ["pred", "n_edges", "n_subjects", "n_objects", "mean_conf"]
     ]
@@ -7252,9 +7261,9 @@ def kg_functional_violations(sf_dir: str) -> pd.DataFrame:
             }
         )
     )
-    out["violation_rate"] = (
+    out["violation_rate"] = sql_round((
         out["n_multi_subjects"] / out["n_subjects"]
-    ).round(4)
+    ), 4)
     return out.sort_values("pred", ignore_index=True)
 
 
@@ -7381,8 +7390,8 @@ def kg_triple_pr(sf_dir: str) -> pd.DataFrame:
             "n_extracted": [np.int64(n_mine)],
             "n_golden": [np.int64(n_gold)],
             "n_matched": [np.int64(inter)],
-            "precision": [round(inter / max(n_mine, 1), 4)],
-            "recall": [round(inter / max(n_gold, 1), 4)],
+            "precision": [sql_round(inter / max(n_mine, 1), 4)],
+            "recall": [sql_round(inter / max(n_gold, 1), 4)],
         }
     )
 
@@ -7539,9 +7548,9 @@ def kg_node_embeddings(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "n_nodes": [np.int64(n)],
-            "final_loss": [round(model["losses"][-1], 3)],
-            "pos_score": [round(float(pos_score), 3)],
-            "rand_score": [round(rand_score, 3)],
+            "final_loss": [sql_round(model["losses"][-1], 3)],
+            "pos_score": [sql_round(float(pos_score), 3)],
+            "rand_score": [sql_round(rand_score, 3)],
         }
     )
 
@@ -7563,8 +7572,8 @@ def kg_hits(sf_dir: str) -> pd.DataFrame:
     # pinned: HITS re-scans edges 2×n_iter times
     edges = _read_kg_edges(m, columns=["subj_id", "obj_id"]).materialize()
     out = hits(edges, node_ids, n_iter=15, src_col="subj_id", dst_col="obj_id")
-    out["authority"] = out["authority"].round(8)
-    out["hub"] = out["hub"].round(8)
+    out["authority"] = sql_round(out["authority"], 8)
+    out["hub"] = sql_round(out["hub"], 8)
     return out.sort_values(
         ["authority", "node"], ascending=[False, True], ignore_index=True
     ).head(20)
@@ -7613,7 +7622,7 @@ def kg_pagerank(sf_dir: str) -> pd.DataFrame:
     else:
         edges = _read_kg_edges(m, ["subj_id", "obj_id"])
         pr = pagerank(edges, node_ids, n_iter=15)
-    pr["rank"] = pr["rank"].round(10)
+    pr["rank"] = sql_round(pr["rank"], 10)
     top = pr.sort_values(["rank", "node_id"], ascending=[False, True]).head(20)
     return top.reset_index(drop=True)
 
@@ -7728,7 +7737,7 @@ def kg_densest(sf_dir: str) -> pd.DataFrame:
     _, info = densest_subgraph(edges, node_ids)
     return pd.DataFrame(
         {
-            "density": [round(float(info["density"]), 6)],
+            "density": [sql_round(float(info["density"]), 6)],
             "n_nodes": [np.int64(info["n_nodes"])],
             "n_edges": [np.int64(info["n_edges"])],
             "rounds": [np.int64(info["rounds"])],
@@ -7759,7 +7768,7 @@ def kg_diameter(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "t": np.arange(len(nf), dtype=np.int64),
-            "n_reachable_pairs": np.round(np.asarray(nf), 1),
+            "n_reachable_pairs": sql_round(np.asarray(nf), 1),
             "effective_diameter": np.full(len(nf), ed),
         }
     )
@@ -7822,7 +7831,7 @@ def kg_local_clustering(sf_dir: str) -> pd.DataFrame:
     out = pre_aggregate(
         lcc.map_batches(binify, batch_format="pandas"), ["bin"], {"n_nodes": ("n", "sum")}
     )
-    out["bin_lo"] = (out["bin"] / 10.0).round(1)
+    out["bin_lo"] = sql_round((out["bin"] / 10.0), 1)
     out["n_nodes"] = out["n_nodes"].astype("int64")
     return (
         out[["bin", "bin_lo", "n_nodes"]]
@@ -7962,8 +7971,8 @@ def sketch_union_p90_value(sf_dir: str) -> pd.DataFrame:
     )
     out = merged.merge(direct, on="event_type")
     out["merged_equals_direct"] = out["p90_merged"] == out["p90_direct"]
-    out["p90_merged"] = out["p90_merged"].round(4)
-    out["p90_direct"] = out["p90_direct"].round(4)
+    out["p90_merged"] = sql_round(out["p90_merged"], 4)
+    out["p90_direct"] = sql_round(out["p90_direct"], 4)
     return out
 
 
@@ -8036,7 +8045,7 @@ def gini_order_value(sf_dir: str) -> pd.DataFrame:
     out = bucketed_groupby_apply(
         orders, ["o_orderpriority"], per_group, num_buckets=8
     ).to_pandas()
-    out["gini"] = out["gini"].round(6)
+    out["gini"] = sql_round(out["gini"], 6)
     out["n_orders"] = out["n_orders"].astype("int64")
     return out.sort_values("o_orderpriority", ignore_index=True)
 
@@ -8084,7 +8093,7 @@ def theil_index_order_value(sf_dir: str) -> pd.DataFrame:
     s = agg["s"].to_numpy(np.float64)
     sl = agg["sl"].to_numpy(np.float64)
     n = agg["n"].to_numpy(np.float64)
-    agg["theil"] = np.round(sl / s - np.log(s / n), 6)
+    agg["theil"] = sql_round(sl / s - np.log(s / n), 6)
     agg["n_orders"] = agg["n"].astype("int64")
     return agg[["o_orderpriority", "theil", "n_orders"]].sort_values(
         "o_orderpriority", ignore_index=True
@@ -8147,7 +8156,7 @@ def twap_user_value(sf_dir: str) -> pd.DataFrame:
 
     out = bucketed_groupby_apply(ev, ["user_id"], per_bucket, num_buckets=32)
     df = out.to_pandas()
-    df["twap"] = df["twap"].round(6)
+    df["twap"] = sql_round(df["twap"], 6)
     df["n_intervals"] = df["n_intervals"].astype("int64")
     return df.sort_values("user_id", ignore_index=True)
 
@@ -8228,10 +8237,10 @@ def blocking_quality_aliases(sf_dir: str) -> pd.DataFrame:
             "n_candidates": [np.int64(n_cand)],
             "n_true_candidates": [np.int64(n_true)],
             "pair_completeness": [
-                round(n_true / n_truth, 6) if n_truth else 1.0
+                sql_round(n_true / n_truth, 6) if n_truth else 1.0
             ],
             "reduction_ratio": [
-                round(1.0 - n_cand / all_pairs, 6) if all_pairs else 1.0
+                sql_round(1.0 - n_cand / all_pairs, 6) if all_pairs else 1.0
             ],
         }
     )
@@ -8349,7 +8358,7 @@ def page_domain_stats(sf_dir: str) -> pd.DataFrame:
     )
     out["n_pages"] = out["n_pages"].astype("int64")
     out["total_chars"] = out["total_chars"].astype("int64")
-    out["en_share"] = out["en_share"].round(6)
+    out["en_share"] = sql_round(out["en_share"], 6)
     return out.sort_values("host").reset_index(drop=True)
 
 
@@ -8590,10 +8599,10 @@ def rrf_hybrid_search_docs(sf_dir: str) -> pd.DataFrame:
     fused = ranked(kw).merge(
         ranked(bm), on="doc_id", how="outer", suffixes=("_kw", "_bm25")
     )
-    fused["rrf"] = (
+    fused["rrf"] = sql_round((
         (1.0 / (60.0 + fused["rank_kw"])).fillna(0.0)
         + (1.0 / (60.0 + fused["rank_bm25"])).fillna(0.0)
-    ).round(6)
+    ), 6)
     out = fused.sort_values(
         ["rrf", "doc_id"], ascending=[False, True], ignore_index=True
     ).head(10)

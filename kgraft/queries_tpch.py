@@ -33,6 +33,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
+from .sqlround import sql_round
 from .relational import (
     bloom_semi_join,
     grouped_count_distinct,
@@ -159,7 +160,7 @@ def q7_volume_shipping(sf_dir: str) -> pd.DataFrame:
     out = pre_aggregate(
         flows, ["supp_nation", "cust_nation", "l_year"], {"revenue": ("volume", "sum")}
     )
-    out["revenue"] = out["revenue"].round(4)
+    out["revenue"] = sql_round(out["revenue"], 4)
     return out.sort_values(["supp_nation", "cust_nation", "l_year"]).reset_index(
         drop=True
     )
@@ -306,7 +307,7 @@ def q8_market_share(sf_dir: str) -> pd.DataFrame:
         ["o_year"],
         {"total": ("volume", "sum"), "target": ("vol_target", "sum")},
     )
-    out["mkt_share"] = (out["target"] / out["total"]).round(6)
+    out["mkt_share"] = sql_round((out["target"] / out["total"]), 6)
     return (
         out[["o_year", "mkt_share"]].sort_values("o_year").reset_index(drop=True)
     )
@@ -415,7 +416,7 @@ def q9_profit_by_nation(sf_dir: str) -> pd.DataFrame:
     )
     out = pre_aggregate(j2, ["supp_nkey", "o_year"], {"sum_profit": ("amount", "sum")})
     out["nation"] = out["supp_nkey"].map(name_of)
-    out["sum_profit"] = out["sum_profit"].round(4)
+    out["sum_profit"] = sql_round(out["sum_profit"], 4)
     return (
         out[["nation", "o_year", "sum_profit"]]
         .sort_values(["nation", "o_year"])
@@ -466,7 +467,7 @@ def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
         ["l_suppkey"],
         {"total_revenue": ("rev", "sum")},
     ).map_batches(
-        lambda df: df.assign(total_revenue=df["total_revenue"].round(4)),
+        lambda df: df.assign(total_revenue=sql_round(df["total_revenue"], 4)),
         batch_format="pandas",
     )
     # rounding BEFORE the max comparison pins the equality semantics on
@@ -593,7 +594,7 @@ def q17_small_quantity(sf_dir: str) -> pd.DataFrame:
         batch_format="pandas",
     )
     total = small.sum("l_extendedprice")
-    return pd.DataFrame({"avg_yearly": [round((total or 0.0) / 7.0, 4)]})
+    return pd.DataFrame({"avg_yearly": [sql_round((total or 0.0) / 7.0, 4)]})
 
 
 _Q17_SQL = """
@@ -662,7 +663,7 @@ def q19_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"rev": f["l_extendedprice"] * (1 - f["l_discount"])})
 
     rev = joined.map_batches(residual, batch_format="pandas").sum("rev")
-    return pd.DataFrame({"revenue": [round(rev or 0.0, 4)]})
+    return pd.DataFrame({"revenue": [sql_round(rev or 0.0, 4)]})
 
 
 _Q19_SQL = """
@@ -905,7 +906,7 @@ def q22_idle_rich_customers(sf_dir: str) -> pd.DataFrame:
         ["c_nationkey"],
         {"numcust": (None, "count"), "totacctbal": ("c_acctbal", "sum")},
     )
-    out["totacctbal"] = out["totacctbal"].round(4)
+    out["totacctbal"] = sql_round(out["totacctbal"], 4)
     out["numcust"] = out["numcust"].astype("int64")
     return (
         out[["c_nationkey", "numcust", "totacctbal"]]
@@ -1080,7 +1081,7 @@ def q2_min_cost_supplier(sf_dir: str) -> pd.DataFrame:
         ["ps_partkey", "ps_suppkey"],
         {"ps_supplycost": ("unit_cost", "min")},
     ).map_batches(
-        lambda df: df.assign(ps_supplycost=df["ps_supplycost"].round(4)),
+        lambda df: df.assign(ps_supplycost=sql_round(df["ps_supplycost"], 4)),
         batch_format="pandas",
     )
 
@@ -1240,7 +1241,7 @@ def q11_important_stock(sf_dir: str) -> pd.DataFrame:
     out = (
         v.map_batches(
             lambda df: df[df["part_value"] > cut].assign(
-                part_value=df.loc[df["part_value"] > cut, "part_value"].round(4)
+                part_value=sql_round(df.loc[df["part_value"] > cut, "part_value"], 4)
             ),
             batch_format="pandas",
         )

@@ -29,6 +29,7 @@ import ray
 
 from .hashing import hash_strings
 from .errors import ConfigError, PlanError, SchemaError
+from kgraft.sqlround import sql_round
 
 # ---------------------------------------------------------------------------
 # sources
@@ -550,9 +551,9 @@ def poisson_bootstrap_mean(ds, col, id_col, n_boot: int = 200,
     mean = float(tot["s"][0]) / n_tot if n_tot else np.nan
     return pd.DataFrame(
         {
-            "mean": [round(mean, 6)],
-            "ci_lo": [round(float(lo), 6)],
-            "ci_hi": [round(float(hi), 6)],
+            "mean": [sql_round(mean, 6)],
+            "ci_lo": [sql_round(float(lo), 6)],
+            "ci_hi": [sql_round(float(hi), 6)],
             "n": [np.int64(n_tot)],
             "n_boot": [np.int64(n_boot)],
         }
@@ -1804,8 +1805,8 @@ def stratified_sample(ds, stratum_col, id_col, rates: dict, default_rate: float 
     training-data operator set (brief: stratified/deterministic
     sampling for corpus shaping).
     """
-    bps = {k: int(round(r * 10000)) for k, r in rates.items()}
-    dflt = int(round(default_rate * 10000))
+    bps = {k: int(sql_round(r * 10000)) for k, r in rates.items()}
+    dflt = int(sql_round(default_rate * 10000))
 
     def fn(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -2453,9 +2454,9 @@ def clustering_agreement(ds, pred_col: str, gold_col: str,
     return pd.DataFrame(
         {
             "n_items": [int(n)],
-            "bcubed_precision": [round(prec, 6)],
-            "bcubed_recall": [round(rec, 6)],
-            "bcubed_f1": [round(f1, 6)],
+            "bcubed_precision": [sql_round(prec, 6)],
+            "bcubed_recall": [sql_round(rec, 6)],
+            "bcubed_f1": [sql_round(f1, 6)],
         }
     )
 
@@ -2569,7 +2570,7 @@ def hot_keys(ds, keys, k: int = 10):
         .to_pandas()
     )
     out["n"] = out["n"].astype("int64")
-    out["share"] = (out["n"] / total).round(6)
+    out["share"] = sql_round((out["n"] / total), 6)
     return out
 
 
@@ -2683,7 +2684,7 @@ def standardize(ds, col: str, out_col: str = "z", round_dp: int = 6, ddof: int =
 
     def transform(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()
-        out[out_col] = ((df[col] - mean) / std).round(round_dp)
+        out[out_col] = sql_round(((df[col] - mean) / std), round_dp)
         return out
 
     return ds.map_batches(transform, batch_format="pandas")
@@ -2717,7 +2718,7 @@ def histogram(ds, col: str, lo: float, hi: float, n_bins: int):
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()
-        out["bin_lo"] = (lo + out["bin"] * width).round(6)
+        out["bin_lo"] = sql_round((lo + out["bin"] * width), 6)
         out["n"] = out["n"].astype("int64")
         return out[["bin", "bin_lo", "n"]]
 
@@ -3300,10 +3301,10 @@ def profile(ds, columns, num_buckets: int = 64) -> pd.DataFrame:
         else:
             mn = mx = mean = np.nan
         rows.append(
-            (c, n_rows, nulls, round(nulls / n_rows, 6) if n_rows else np.nan,
-             nd, round(mn, 6) if mn == mn else np.nan,
-             round(mx, 6) if mx == mx else np.nan,
-             round(mean, 6) if mean == mean else np.nan)
+            (c, n_rows, nulls, sql_round(nulls / n_rows, 6) if n_rows else np.nan,
+             nd, sql_round(mn, 6) if mn == mn else np.nan,
+             sql_round(mx, 6) if mx == mx else np.nan,
+             sql_round(mean, 6) if mean == mean else np.nan)
         )
     return pd.DataFrame(
         rows,
@@ -3517,9 +3518,9 @@ def clustering_pairwise(ds, pred_col: str, gold_col: str,
     return pd.DataFrame(
         {
             "n_items": [int(n)],
-            "pair_precision": [round(prec, 6) if prec == prec else np.nan],
-            "pair_recall": [round(rec, 6) if rec == rec else np.nan],
-            "pair_f1": [round(f1, 6) if f1 == f1 else np.nan],
-            "ari": [round(ari, 6)],
+            "pair_precision": [sql_round(prec, 6) if prec == prec else np.nan],
+            "pair_recall": [sql_round(rec, 6) if rec == rec else np.nan],
+            "pair_f1": [sql_round(f1, 6) if f1 == f1 else np.nan],
+            "ari": [sql_round(ari, 6)],
         }
     )

@@ -21,6 +21,7 @@ import json
 
 import numpy as np
 import pandas as pd
+from kgraft.sqlround import sql_round
 
 
 def json_extract(ds, col: str, field: str, out_col: str, dtype: str = "int64"):
@@ -199,9 +200,9 @@ def ewma(ds, part_col: str, order_col: str, val_col: str,
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([part_col, order_col], kind="mergesort")
         g[out_col] = (
-            g.groupby(part_col, sort=False)[val_col]
+            sql_round(g.groupby(part_col, sort=False)[val_col]
             .transform(lambda s: s.ewm(alpha=alpha, adjust=False).mean())
-            .round(6)
+            , 6)
         )
         return g
 
@@ -232,7 +233,7 @@ def cusum_alarms(ds, part_col: str, order_col: str, val_col: str,
             return pd.Series(y - floor, index=s.index)
 
         g["cusum"] = (
-            g.groupby(part_col, sort=False)[val_col].transform(one).round(6)
+            sql_round(g.groupby(part_col, sort=False)[val_col].transform(one), 6)
         )
         g["alarm"] = (g["cusum"] > threshold).astype("int64")
         return g

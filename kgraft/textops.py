@@ -22,6 +22,7 @@ import ray
 
 from .hashing import MinHasher, hash_strings, jaccard, simhash64
 from .util import pool_concurrency
+from kgraft.sqlround import sql_round
 
 log = logging.getLogger("kgraft.textops")
 
@@ -664,10 +665,10 @@ def quality_scores(docs):
             {
                 "doc_id": df["doc_id"],
                 "n_tokens": n_tokens,
-                "punct_ratio": (n_punct / n_chars.replace(0, 1)).round(6),
-                "stopword_ratio": (stop / n_tokens.replace(0, 1)).round(6),
-                "mean_word_len": mean_wl.round(6),
-                "quality": score.round(6),
+                "punct_ratio": sql_round((n_punct / n_chars.replace(0, 1)), 6),
+                "stopword_ratio": sql_round((stop / n_tokens.replace(0, 1)), 6),
+                "mean_word_len": sql_round(mean_wl, 6),
+                "quality": sql_round(score, 6),
             }
         )
 
@@ -1169,28 +1170,28 @@ def gopher_rules(docs, id_col: str = "doc_id", text_col: str = "text"):
         text = df[text_col]
         words = text.str.split(" ")
         n_words = words.str.len().astype("int64")
-        mean_wl = words.map(
+        mean_wl = sql_round(words.map(
             lambda ws: float(np.mean([len(w) for w in ws]))
-        ).round(6)
-        sym_ratio = (
+        ), 6)
+        sym_ratio = sql_round((
             text.str.count(r"#|\.\.\.") / n_words.astype("float64")
-        ).round(6)
+        ), 6)
         lines = text.str.split("\n")
         n_lines = lines.str.len().astype("float64")
-        bullet_frac = (
+        bullet_frac = sql_round((
             lines.map(
                 lambda ls: sum(l.startswith(("•", "-", "*")) for l in ls)
             )
             / n_lines
-        ).round(6)
-        ellipsis_frac = (
+        ), 6)
+        ellipsis_frac = sql_round((
             lines.map(lambda ls: sum(l.endswith("...") for l in ls)) / n_lines
-        ).round(6)
+        ), 6)
         alpha_re = re.compile(r"[A-Za-z]")
-        alpha_frac = (
+        alpha_frac = sql_round((
             words.map(lambda ws: sum(bool(alpha_re.search(w)) for w in ws))
             / n_words.astype("float64")
-        ).round(6)
+        ), 6)
         n_stop = words.map(
             lambda ws: sum(s in ws for s in _GOPHER_STOPS)
         ).astype("int64")
@@ -1902,7 +1903,7 @@ def bm25_search(
         for i, p in enumerate(pats):
             tf = low.str.count(p).to_numpy(dtype=np.float64)
             s += idf[i] * tf * (k1 + 1.0) / np.where(tf > 0, tf + norm, 1.0) * (tf > 0)
-        out = pd.DataFrame({id_col: df[id_col], "score": np.round(s, round_dp)})
+        out = pd.DataFrame({id_col: df[id_col], "score": sql_round(s, round_dp)})
         out = out[out["score"] > 0]
         return out.sort_values(["score", id_col], ascending=[False, True]).head(k)
 
@@ -2116,7 +2117,7 @@ def unigram_nll(
             .rename("avg_nll")
             .reset_index()
         )
-        out["avg_nll"] = out["avg_nll"].round(6)
+        out["avg_nll"] = sql_round(out["avg_nll"], 6)
         return out
 
     return ds.map_batches(score, batch_format="pandas")
@@ -2240,14 +2241,14 @@ def repetition_signals(docs, id_col: str = "doc_id", text_col: str = "text"):
         return pd.DataFrame(
             {
                 id_col: ids,
-                "dup_line_frac": dup_line_frac.reindex(ids.index, fill_value=0.0)
+                "dup_line_frac": sql_round(dup_line_frac.reindex(ids.index, fill_value=0.0)
                 .fillna(0.0)
-                .round(6),
-                "dup_line_char_frac": dup_line_char_frac.reindex(
+                , 6),
+                "dup_line_char_frac": sql_round(dup_line_char_frac.reindex(
                     ids.index, fill_value=0.0
-                ).round(6),
-                "top_2gram_char_frac": (top2 / denom).fillna(0.0).round(6),
-                "dup_3gram_char_frac": (dup3 / denom).fillna(0.0).round(6),
+                ), 6),
+                "top_2gram_char_frac": sql_round((top2 / denom).fillna(0.0), 6),
+                "dup_3gram_char_frac": sql_round((dup3 / denom).fillna(0.0), 6),
             }
         )
 

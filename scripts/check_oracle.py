@@ -36,11 +36,16 @@ def to_pandas(res):
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    # Mirror the driver: sort columns by name, 6-dp float normalization
+    # applied identically to BOTH sides, then EXACT compare (the r3
+    # allclose(atol=1e-4) masked the assoc_rules_parts rounding bug).
+    from kgraft.sqlround import sql_round
+
     df = df.copy()
     df = df[sorted(df.columns)]
     for c in df.columns:
         if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(6)
+            df[c] = sql_round(df[c].astype("float64"), 6)
         if pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
         if pd.api.types.is_datetime64_any_dtype(df[c]):
@@ -80,8 +85,12 @@ def main():
                 for c in mine.columns:
                     a, b = mine[c], theirs[c]
                     if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
-                        same = np.allclose(
-                            a.astype(float), b.astype(float), rtol=1e-6, atol=1e-4, equal_nan=True
+                        av = a.astype(float).to_numpy()
+                        bv = b.astype(float).to_numpy()
+                        # exact at driver precision (both sides already
+                        # sql_round(…, 6)-normalized); NaN == NaN
+                        same = bool(
+                            np.all((av == bv) | (np.isnan(av) & np.isnan(bv)))
                         )
                     else:
                         same = a.astype(str).equals(b.astype(str))

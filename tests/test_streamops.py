@@ -200,11 +200,13 @@ def test_ewma_matches_pandas(ray_session):
         .to_pandas()
         .sort_values("i", ignore_index=True)
     )
-    want = (
+    from kgraft.sqlround import sql_round
+
+    want = sql_round(
         df.sort_values(["k", "i"])
         .groupby("k")["x"]
-        .transform(lambda s: s.ewm(alpha=0.25, adjust=False).mean())
-        .round(6)
+        .transform(lambda s: s.ewm(alpha=0.25, adjust=False).mean()),
+        6,
     )
     np.testing.assert_allclose(
         got.sort_values("i")["ewma"].to_numpy(),
