@@ -61,7 +61,12 @@ def _cosine(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
 
 
 def get_query_vector(embeddings, vec_id: int = 0) -> np.ndarray:
-    df = embeddings.filter(lambda r: r["vec_id"] == vec_id).to_pandas()
+    """One-row lookup by id. Arrow expression filter — evaluated as a
+    vectorized compute kernel per block (and pushed into the parquet
+    scan when the input is an un-transformed read), never a per-row
+    Python predicate (r3 VERDICT task 3: the row-lambda filter here sat
+    on the hot path of every ANN query)."""
+    df = embeddings.filter(expr=f"vec_id == {int(vec_id)}").to_pandas()
     return np.asarray(df["embedding"].iloc[0], dtype=np.float64)
 
 
