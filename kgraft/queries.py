@@ -3296,8 +3296,10 @@ def dup_rate_by_source(sf_dir: str) -> pd.DataFrame:
     fraction of each source's documents whose near-dup group
     representative is a different doc. Composes
     :func:`kgraft.textops.near_dup_groups` with the payload-carrying
-    labeling scan (source rides along, no corpus re-join); rows-only
-    (near-dup family)."""
+    labeling scan (source rides along, no corpus re-join). DuckDB twin:
+    exact all-pairs 4-gram Jaccard + transitive closure over the
+    documents view (_DUP_RATE_BY_SOURCE_SQL) — a full independent
+    recomputation of the near-dup groups."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
     groups = textops.near_dup_groups(docs, threshold=0.7, keep_cols=["source"])
     flags = groups.map_batches(
@@ -6914,6 +6916,29 @@ def _pages_for(sf_dir: str) -> int:
     return _SF_TO_PAGES.get(tag, 200)
 
 
+_ORACLE_INPUT_ROOT = "/tmp/kgraft_oracle_inputs"
+
+
+def _export_oracle_input(name: str, ds) -> str:
+    """Write a query's raw engine-derived INPUT columns to a stable path
+    so its DuckDB twin can recompute the result independently.
+
+    The driver registers only the 10 base tables as views; queries over
+    the synthesized pages corpus or the materialized KG edge table
+    (whose cache paths embed the scale factor, so a static SQL string
+    cannot name them) would otherwise be stuck with rows-only checks.
+    The gate always runs the Ray query before its SQL twin
+    (scripts/check_oracle.py, same order as the driver), so the export
+    is on disk when DuckDB reads it. Inputs only — never results — the
+    twin performs the full computation itself."""
+    import shutil
+
+    out = os.path.join(_ORACLE_INPUT_ROOT, name)
+    shutil.rmtree(out, ignore_errors=True)
+    ds.write_parquet(out)
+    return out
+
+
 _KG_CACHE: dict = {}
 
 
@@ -7029,14 +7054,16 @@ def kg_khop(sf_dir: str) -> pd.DataFrame:
 def canonical_url_dedup(sf_dir: str) -> pd.DataFrame:
     """Crawl-level URL canonicalization rollup: total pages, distinct
     canonical URLs, and the largest duplicate group — see
-    :func:`kgraft.textops.canonicalize_urls`. Rows-only driver check;
-    the collapse semantics are pytest-planted."""
+    :func:`kgraft.textops.canonicalize_urls`. DuckDB twin recomputes the
+    fast-path canonicalization from the exported url column
+    (_CANONICAL_URL_DEDUP_SQL); the urlsplit slow path is pytest-planted."""
     from .relational import pre_aggregate_ds
     from .synth import corpus_dir, sharded_pages
     from .textops import canonicalize_urls
 
     d = corpus_dir(_pages_for(sf_dir))
     pages = ray.data.read_parquet(sharded_pages(d), columns=["url"])
+    _export_oracle_input("canonical_url_dedup", pages)
     canon = canonicalize_urls(pages)
     counts = pre_aggregate_ds(
         canon.select_columns(["canon_url"]), ["canon_url"], {"n": (None, "count")}
@@ -7632,9 +7659,11 @@ def kg_degree_stats(sf_dir: str) -> pd.DataFrame:
     (log2), how many entities — the graph-quality monitoring pass run
     after every build (hub explosion / disconnection shows up here
     first). One partial-combined aggregate over the edge table, then a
-    tiny histogram."""
+    tiny histogram. DuckDB twin recomputes degrees + log2 buckets from
+    the exported subj_id column (_KG_DEGREE_STATS_SQL)."""
     m = _kg_outputs(sf_dir)
     edges = _read_kg_edges(m, ["subj_id"])
+    _export_oracle_input("kg_degree_stats", edges)
     per_node = pre_aggregate_ds(edges, "subj_id", {"deg": (None, "count")})
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
@@ -8355,13 +8384,14 @@ def page_domain_stats(sf_dir: str) -> pd.DataFrame:
     """Per-domain rollup over the pages corpus (the Common-Crawl
     curation view: which hosts dominate the crawl and how much text
     they carry): host parsed with one vectorized str.extract, stats via
-    the partial-combined aggregate — html column never read. Rows-only
-    driver check; the straight-line oracle lives in tests/test_queries
-    (pytest)."""
+    the partial-combined aggregate — html column never read. DuckDB twin
+    recomputes host parse + rollup from the exported (url, text, lang)
+    columns (_PAGE_DOMAIN_STATS_SQL)."""
     from .synth import corpus_dir, sharded_pages
 
     d = corpus_dir(_pages_for(sf_dir))
     pages = ray.data.read_parquet(sharded_pages(d), columns=["url", "text", "lang"])
+    _export_oracle_input("page_domain_stats", pages)
 
     def host_rows(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -8996,7 +9026,105 @@ QUERIES = {
     **TPCH_QUERIES,
 }
 
+# --- oracles over exported engine-derived inputs (r3 VERDICT task 4) ----
+# These four queries read the synthesized pages corpus / materialized KG
+# edges, not the registered driver views; their twins read the raw input
+# columns the query exports via _export_oracle_input() and recompute the
+# result from scratch in SQL.
+
+_PAGE_DOMAIN_STATS_SQL = f"""
+SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6) AS en_share
+FROM read_parquet('{_ORACLE_INPUT_ROOT}/page_domain_stats/*.parquet')
+GROUP BY 1 ORDER BY host
+"""
+
+_KG_DEGREE_STATS_SQL = f"""
+WITH deg AS (
+  SELECT subj_id, count(*) AS deg
+  FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_degree_stats/*.parquet')
+  GROUP BY subj_id
+)
+SELECT CAST(floor(log2(deg)) AS BIGINT) AS log2_degree,
+       CAST(count(*) AS BIGINT) AS n_entities
+FROM deg GROUP BY 1 ORDER BY log2_degree
+"""
+
+# the corpus' URLs all take the no-port/no-query/no-fragment fast path
+# (lowercase + trailing-slash strip); the full urlsplit slow path
+# (tracking-param removal, param sort) has no SQL form and is
+# pytest-covered instead (tests/test_textops.py)
+_CANONICAL_URL_DEDUP_SQL = f"""
+WITH c AS (
+  SELECT CASE WHEN regexp_matches(url, '^(https?)://([^/?#:]+)(/[^?#]*)?$')
+         THEN lower(regexp_extract(url, '^(https?)://', 1)) || '://' ||
+              lower(regexp_extract(url, '^https?://([^/?#:]+)', 1)) ||
+              rtrim(coalesce(
+                  regexp_extract(url, '^https?://[^/?#:]+(/[^?#]*)?$', 1),
+                  ''), '/')
+         ELSE url END AS canon_url
+  FROM read_parquet('{_ORACLE_INPUT_ROOT}/canonical_url_dedup/*.parquet')
+),
+g AS (SELECT canon_url, count(*) AS cnt FROM c GROUP BY canon_url)
+SELECT CAST(sum(cnt) AS BIGINT) AS n_pages,
+       CAST(count(*) AS BIGINT) AS n_canonical,
+       CAST(max(cnt) AS BIGINT) AS max_dup
+FROM g
+"""
+
+# Exact twin of the near-dup pipeline over the registered documents
+# view: distinct char-4-gram sets (identical to the engine's byte
+# shingles on this ASCII corpus; the base-31 shingle hash is injective
+# over the lowercase+space alphabet), all-pairs exact Jaccard >= 0.7,
+# connected components via transitive closure, representative = min
+# doc_id. Verifies the MinHash-LSH candidate tier end-to-end: a single
+# missed true pair would flip a group label and fail the hash compare.
+_DUP_RATE_BY_SOURCE_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 4) AS g
+  FROM documents, LATERAL unnest(range(1, greatest(length(text) - 2, 2))) t(i)
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+good AS (
+  SELECT u, v FROM pairs
+  JOIN sz su ON su.doc_id = pairs.u JOIN sz sv ON sv.doc_id = pairs.v
+  WHERE inter * 1.0 / (su.n + sv.n - inter) >= 0.7
+),
+edges2 AS (SELECT u, v FROM good UNION SELECT v AS u, u AS v FROM good),
+reach AS (
+  WITH RECURSIVE r(s, d) AS (
+    SELECT u, v FROM edges2
+    UNION
+    SELECT r.s, e.v FROM r JOIN edges2 e ON r.d = e.u
+  ) SELECT s, d FROM r
+),
+grp AS (
+  SELECT doc_id, source,
+         least(doc_id, coalesce(min(d), doc_id)) AS dup_group
+  FROM documents LEFT JOIN reach ON reach.s = documents.doc_id
+  GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN dup_group <> doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dups,
+       round(sum(CASE WHEN dup_group <> doc_id THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS dup_rate
+FROM grp GROUP BY source ORDER BY source
+"""
+
 ORACLE_SQL = {
+    "page_domain_stats": _PAGE_DOMAIN_STATS_SQL,
+    "kg_degree_stats": _KG_DEGREE_STATS_SQL,
+    "canonical_url_dedup": _CANONICAL_URL_DEDUP_SQL,
+    "dup_rate_by_source": _DUP_RATE_BY_SOURCE_SQL,
     "q1_pricing_summary": _Q1_SQL,
     "q3_shipping_priority": _Q3_SQL,
     "q5_local_supplier": _Q5_SQL,
