@@ -53,6 +53,46 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def oracle_connection(sf_dir: str):
+    """DuckDB connection with the driver's 10 table views registered."""
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def compare_one(name: str, sf_dir: str, con, queries=None, oracle_sql=None):
+    """Run one Ray query and its DuckDB twin; return (ok, detail)."""
+    if queries is None or oracle_sql is None:
+        from kgraft.queries import ORACLE_SQL, QUERIES
+
+        queries, oracle_sql = QUERIES, ORACLE_SQL
+    mine = normalize(to_pandas(queries[name](sf_dir)))
+    theirs = normalize(con.sql(oracle_sql[name]).df())
+    ok_shape = mine.shape == theirs.shape and list(mine.columns) == list(theirs.columns)
+    if not ok_shape:
+        return False, (
+            f"shape: mine {mine.shape} cols {list(mine.columns)} | "
+            f"oracle {theirs.shape} cols {list(theirs.columns)}"
+        )
+    for c in mine.columns:
+        a, b = mine[c], theirs[c]
+        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            av = a.astype(float).to_numpy()
+            bv = b.astype(float).to_numpy()
+            same = bool(np.all((av == bv) | (np.isnan(av) & np.isnan(bv))))
+        else:
+            same = a.astype(str).equals(b.astype(str))
+        if not same:
+            return False, (
+                f"col {c} mismatch\n mine: {a.head(5).tolist()}\n"
+                f" orcl: {b.head(5).tolist()}"
+            )
+    return True, f"{mine.shape[0]} rows"
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -63,11 +103,7 @@ def main():
 
     from kgraft.queries import ORACLE_SQL, QUERIES
 
-    con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events documents embeddings"
-    ).split():
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    con = oracle_connection(sf_dir)
 
     failures = []
     for name, sql in ORACLE_SQL.items():
