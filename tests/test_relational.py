@@ -2292,3 +2292,46 @@ def test_poisson_bootstrap_ci_covers_and_is_partition_invariant(ray_session):
         ray.data.from_pandas(df).repartition(2), "x", "id", n_boot=200
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ranked_global_row_number_matches_pandas(ray_session):
+    """relational.ranked: global per-partition row_number from a
+    distributed sort + block-offset partials equals the single-machine
+    window, under heavy order-key ties spanning blocks, ascending and
+    descending, at a 3-value partition key (the low-cardinality shape
+    windowed() cannot scale to)."""
+    import ray
+
+    from kgraft.relational import ranked
+
+    rng = np.random.RandomState(21)
+    n = 8000
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], n),
+            "v": rng.randint(0, 12, n).astype("float64"),  # massive ties
+            "id": rng.permutation(n).astype("int64"),  # unique tiebreak
+        }
+    )
+    for desc in (False, True):
+        got = (
+            ranked(
+                ray.data.from_pandas(df).repartition(9),
+                ["k"],
+                ["v"],
+                "id",
+                descending=desc,
+            )
+            .to_pandas()
+            .sort_values("id", ignore_index=True)
+        )
+        want = df.sort_values(
+            ["k", "v", "id"], ascending=[True, not desc, True]
+        )
+        want = want.assign(
+            row_number=want.groupby("k", sort=False).cumcount() + 1
+        ).sort_values("id", ignore_index=True)
+        pd.testing.assert_frame_equal(
+            got[["k", "v", "id", "row_number"]],
+            want[["k", "v", "id", "row_number"]],
+        )
