@@ -3199,18 +3199,21 @@ def token_budget_mixture_docs(sf_dir: str) -> pd.DataFrame:
     satisfaction, unlike a rate-based downsample (contrast
     :func:`balanced_sample_docs`).
 
-    Realization: per-source char totals via map-side partials (the
-    weight/budget table is source-scale, driver-held like stratified
-    rates), then ONE bucketed shuffle keyed on source; the in-bucket
-    cut is a vectorized argsort + cumsum. INTEGER arithmetic end to end
-    (floor-sqrt weights, floor-divide budgets, int64 cumsum) so the
-    DuckDB twin reproduces the cut bit-exactly. At corpus scale a
-    Zipf-head source serializes its bucket; the fix is the usual
-    two-phase split (sorted priority histogram to locate the cut,
-    then a shuffle-free filter) — documented, not needed at test scale.
-    Output: per-source kept docs/chars vs budget."""
-    from .relational import bucketed_groupby_apply
-
+    Realization (de-skewed, r4): per-source char totals via map-side
+    partials (the weight/budget table is source-scale, driver-held
+    like stratified rates); then ONE distributed
+    ``sort([source, priority, doc_id])`` — range-partitioned on the
+    high-cardinality tuple, so a Zipf-head source spreads over many
+    blocks instead of serializing one reducer — and the global
+    cumulative-chars cut closes from metadata-scale per-block partials
+    exactly like :func:`kgraft.relational.ranked`: pass 1 emits
+    (source, first doc_id, rows, chars) per block slice, the driver
+    computes per-source char offsets in block order, pass 2 keeps rows
+    while ``offset + in-block cumsum <= budget`` and reduces to
+    per-(block, source) partials that a map-side-combined aggregate
+    finishes. INTEGER arithmetic end to end (floor-sqrt weights,
+    floor-divide budgets, int64 cumsum) so the DuckDB twin reproduces
+    the cut bit-exactly. Output: per-source kept docs/chars vs budget."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
     totals = pre_aggregate(docs, ["source"], {"c": ("n_chars", "sum")})
     budget_total = int(totals["c"].sum()) // 2
@@ -3221,30 +3224,69 @@ def token_budget_mixture_docs(sf_dir: str) -> pd.DataFrame:
     wsum = sum(w.values())
     budgets = {s: (budget_total * wv) // wsum for s, wv in w.items()}
 
-    def cut(g: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for src, d in g.groupby("source", sort=False):
-            ids = d["doc_id"].to_numpy(dtype=np.int64)
-            p = (ids * 2654435761) % 4294967296
-            order = np.lexsort((ids, p))
-            nc = d["n_chars"].to_numpy(dtype=np.int64)[order]
-            keep = np.cumsum(nc) <= budgets[src]
-            outs.append(
-                {
-                    "source": src,
-                    "n_docs": np.int64(keep.sum()),
-                    "chars_kept": np.int64(nc[keep].sum()),
-                    "budget": np.int64(budgets[src]),
-                }
-            )
-        return pd.DataFrame(
-            outs, columns=["source", "n_docs", "chars_kept", "budget"]
+    def add_priority(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        df = df.copy()
+        df["__p"] = (ids * 2654435761) % 4294967296
+        return df
+
+    sorted_ds = (
+        docs.map_batches(add_priority, batch_format="pandas")
+        .sort(["source", "__p", "doc_id"])
+        .materialize()  # consumed twice: offset partials + the cut pass
+    )
+    parts = sorted_ds.map_batches(
+        lambda df: df.groupby("source", sort=False, as_index=False).agg(
+            __c=("n_chars", "sum"), __tb=("doc_id", "first")
+        ),
+        batch_format="pandas",
+        batch_size=None,  # batch == block in BOTH passes
+    ).to_pandas()  # blocks x sources-per-block rows: metadata-scale
+    grp = parts.groupby("source", sort=False)
+    parts["__coff"] = grp["__c"].cumsum() - parts["__c"]
+    offs = {
+        (s, int(tb)): int(off)
+        for s, tb, off in zip(parts["source"], parts["__tb"], parts["__coff"])
+    }
+    bref = ray.put((offs, budgets))
+
+    def cut_block(df: pd.DataFrame) -> pd.DataFrame:
+        offs, budgets = ray.get(bref)  # source/block-scale, not corpus
+        grp = df.groupby("source", sort=False)
+        first_tb = grp["doc_id"].transform("first")
+        base = np.fromiter(
+            (offs[k] for k in zip(df["source"], first_tb.astype(int))),
+            dtype=np.int64,
+            count=len(df),
+        )
+        local = grp["n_chars"].cumsum().to_numpy(np.int64)
+        b = df["source"].map(budgets).to_numpy(np.int64)
+        keep = base + local <= b
+        kept = pd.DataFrame(
+            {
+                "source": df["source"],
+                "k": keep.astype(np.int64),
+                "ck": np.where(keep, df["n_chars"].to_numpy(np.int64), 0),
+            }
+        )
+        return kept.groupby("source", as_index=False).agg(
+            n_docs=("k", "sum"), chars_kept=("ck", "sum")
         )
 
-    out = bucketed_groupby_apply(docs, "source", cut, num_buckets=16).to_pandas()
+    partial = sorted_ds.map_batches(
+        cut_block, batch_format="pandas", batch_size=None
+    )
+    out = pre_aggregate(
+        partial,
+        ["source"],
+        {"n_docs": ("n_docs", "sum"), "chars_kept": ("chars_kept", "sum")},
+    )
+    out["budget"] = out["source"].map(budgets)
     for c in ("n_docs", "chars_kept", "budget"):
         out[c] = out[c].astype("int64")
-    return out.sort_values("source", ignore_index=True)
+    return out.sort_values("source", ignore_index=True)[
+        ["source", "n_docs", "chars_kept", "budget"]
+    ]
 
 
 _TOKEN_BUDGET_MIXTURE_SQL = """
