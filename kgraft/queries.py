@@ -7261,13 +7261,16 @@ def kg_pred_stats(sf_dir: str) -> pd.DataFrame:
     subjects/objects, mean confidence — the relation-level health
     report (a predicate whose object cardinality collapses signals an
     extraction bug). Predicate vocabulary is bounded, so the grouped
-    partials and two distinct-count exchanges are tiny. Rows-only."""
+    partials and two distinct-count exchanges are tiny. DuckDB twin
+    recomputes the profile from the exported edge columns
+    (_KG_PRED_STATS_SQL)."""
     from .relational import grouped_count_distinct, pre_aggregate
 
     m = _kg_outputs(sf_dir)
     edges = _read_kg_edges(
         m, columns=["pred", "subj_id", "obj_id", "conf"]
     ).materialize()
+    _export_oracle_input("kg_pred_stats", edges)
     base = pre_aggregate(
         edges, ["pred"], {"n_edges": (None, "count"), "mean_conf": ("conf", "mean")}
     )
@@ -7296,11 +7299,13 @@ def kg_functional_violations(sf_dir: str) -> pd.DataFrame:
     Scale shape: edges collapse map-side to distinct (pred, subj, obj)
     and ONE bucketed exchange on (pred, subj) computes per-subject
     object fanout; the per-predicate fold is predicate-vocabulary
-    scale. Rows-only (the KG is engine-derived, not a driver view)."""
+    scale. DuckDB twin recomputes fanouts from the exported edge
+    columns (_KG_FUNCTIONAL_VIOLATIONS_SQL)."""
     from .relational import bucketed_groupby_apply, pre_aggregate
 
     m = _kg_outputs(sf_dir)
     edges = _read_kg_edges(m, columns=["pred", "subj_id", "obj_id"])
+    _export_oracle_input("kg_functional_violations", edges)
 
     def fanout_bucket(g: pd.DataFrame) -> pd.DataFrame:
         d = g.drop_duplicates(["pred", "subj_id", "obj_id"])
@@ -9251,7 +9256,93 @@ SELECT source,
 FROM grp GROUP BY source ORDER BY source
 """
 
+# shared CC body for the two text near-dup label oracles: both
+# near_dup_docs (estimate tier active — empirically lossless here, its
+# false-kill band is ~3.7 sigma below the 0.7 exact threshold) and
+# ngram_jaccard_dup (pure exact verify) reduce to all-pairs exact
+# char-4-gram Jaccard >= 0.7 + transitive closure, labels = min doc_id.
+_NEAR_DUP_LABELS_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 4) AS g
+  FROM documents, LATERAL unnest(range(1, greatest(length(text) - 2, 2))) t(i)
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+good AS (
+  SELECT u, v FROM pairs
+  JOIN sz su ON su.doc_id = pairs.u JOIN sz sv ON sv.doc_id = pairs.v
+  WHERE inter * 1.0 / (su.n + sv.n - inter) >= 0.7
+),
+edges2 AS (SELECT u, v FROM good UNION SELECT v AS u, u AS v FROM good),
+reach AS (
+  WITH RECURSIVE r(s, d) AS (
+    SELECT u, v FROM edges2
+    UNION
+    SELECT r.s, e.v FROM r JOIN edges2 e ON r.d = e.u
+  ) SELECT s, d FROM r
+)
+SELECT doc_id,
+       CAST(least(doc_id, coalesce(min(d), doc_id)) AS BIGINT) AS dup_group
+FROM documents LEFT JOIN reach ON reach.s = documents.doc_id
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+_EMBED_NEAR_DUP_SQL = """
+WITH pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+),
+edges2 AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+reach AS (
+  WITH RECURSIVE r(s, d) AS (
+    SELECT u, v FROM edges2
+    UNION
+    SELECT r.s, e.v FROM r JOIN edges2 e ON r.d = e.u
+  ) SELECT s, d FROM r
+)
+SELECT vec_id,
+       CAST(least(vec_id, coalesce(min(d), vec_id)) AS BIGINT) AS dup_group
+FROM embeddings LEFT JOIN reach ON reach.s = embeddings.vec_id
+GROUP BY vec_id ORDER BY vec_id
+"""
+
+_KG_PRED_STATS_SQL = f"""
+SELECT pred,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(count(DISTINCT subj_id) AS BIGINT) AS n_subjects,
+       CAST(count(DISTINCT obj_id) AS BIGINT) AS n_objects,
+       round(avg(conf), 6) AS mean_conf
+FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_pred_stats/*.parquet')
+GROUP BY pred ORDER BY pred
+"""
+
+_KG_FUNCTIONAL_VIOLATIONS_SQL = f"""
+WITH d AS (
+  SELECT DISTINCT pred, subj_id, obj_id
+  FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_functional_violations/*.parquet')
+),
+f AS (SELECT pred, subj_id, count(*) AS fanout FROM d GROUP BY 1, 2)
+SELECT pred,
+       CAST(count(*) AS BIGINT) AS n_subjects,
+       CAST(sum(CASE WHEN fanout > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_multi_subjects,
+       CAST(max(fanout) AS BIGINT) AS max_fanout,
+       round(sum(CASE WHEN fanout > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+           AS violation_rate
+FROM f GROUP BY pred ORDER BY pred
+"""
+
 ORACLE_SQL = {
+    "near_dup_docs": _NEAR_DUP_LABELS_SQL,
+    "ngram_jaccard_dup": _NEAR_DUP_LABELS_SQL,
+    "embed_near_dup": _EMBED_NEAR_DUP_SQL,
+    "kg_pred_stats": _KG_PRED_STATS_SQL,
+    "kg_functional_violations": _KG_FUNCTIONAL_VIOLATIONS_SQL,
     "page_domain_stats": _PAGE_DOMAIN_STATS_SQL,
     "kg_degree_stats": _KG_DEGREE_STATS_SQL,
     "canonical_url_dedup": _CANONICAL_URL_DEDUP_SQL,
