@@ -9337,7 +9337,93 @@ SELECT pred,
 FROM f GROUP BY pred ORDER BY pred
 """
 
+# Bit-exact SimHash twin: the engine's 64-bit fingerprint (base-31
+# char-3-gram polynomial -> splitmix64 -> per-bit majority vote) is
+# reproduced in SQL with exact uint64 arithmetic — splitmix64's
+# overflowing multiplies run as HUGEINT split-multiplies
+# ((lo32*c + ((hi32*c) mod 2^32) << 32) mod 2^64, products stay under
+# the signed-128 ceiling), shifts/xors on UBIGINT, and the final
+# fingerprint reassembles via 1<<b sums (never power(), which rounds
+# through double). Verified bit-identical to kgraft.hashing.simhash64
+# on both driver scales.
+_SIMHASH_CTE = """
+WITH w AS (
+  SELECT doc_id,
+         CAST(ascii(substr(text, CAST(i AS INT), 1))
+            + 31 * ascii(substr(text, CAST(i AS INT) + 1, 1))
+            + 961 * ascii(substr(text, CAST(i AS INT) + 2, 1)) AS UBIGINT) AS h0
+  FROM documents, LATERAL unnest(range(1, greatest(length(text) - 1, 2))) t(i)
+),
+dw AS (SELECT DISTINCT doc_id, h0 FROM w),
+s1 AS (SELECT doc_id, CAST((CAST(h0 AS HUGEINT) + 11400714819323198485)
+                           % 18446744073709551616 AS UBIGINT) AS z FROM dw),
+s1x AS (SELECT doc_id, xor(z, z >> 30) AS z FROM s1),
+s2 AS (SELECT doc_id, CAST((
+        (CAST(z % 4294967296 AS HUGEINT) * 13787848793156543929
+         + ((CAST(z // 4294967296 AS HUGEINT) * 13787848793156543929)
+            % 4294967296) * 4294967296)
+       ) % 18446744073709551616 AS UBIGINT) AS z FROM s1x),
+s2x AS (SELECT doc_id, xor(z, z >> 27) AS z FROM s2),
+s3 AS (SELECT doc_id, CAST((
+        (CAST(z % 4294967296 AS HUGEINT) * 10723151780598845931
+         + ((CAST(z // 4294967296 AS HUGEINT) * 10723151780598845931)
+            % 4294967296) * 4294967296)
+       ) % 18446744073709551616 AS UBIGINT) AS z FROM s2x),
+sh AS (SELECT doc_id, xor(z, z >> 31) AS h FROM s3),
+votes AS (
+  SELECT doc_id, b.b,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM sh, LATERAL unnest(range(0, 64)) b(b)
+  GROUP BY doc_id, b.b
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0
+                  THEN CAST(CAST(1 AS UBIGINT) << CAST(b AS INT) AS HUGEINT)
+                  ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS u
+  FROM votes GROUP BY doc_id
+),
+sim AS (
+  SELECT doc_id,
+         CAST(CASE WHEN u >= 9223372036854775808
+              THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS simhash
+  FROM fp
+)
+"""
+
+_SIMHASH_DOCS_SQL = _SIMHASH_CTE + """
+SELECT doc_id, simhash FROM sim ORDER BY doc_id
+"""
+
+# hamming <= 3 all-pairs + transitive closure: the exact semantics the
+# engine's pigeonhole banding guarantees (banding is recall-lossless
+# for the hamming ball, so the twin IS the spec, not an approximation).
+# <= includes distance 0 — identical fingerprints group too (the
+# engine's band-0 star-reduce), which matters for exact-dup texts.
+_SIMHASH_NEAR_DUP_SQL = _SIMHASH_CTE + """,
+good AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+edges2 AS (SELECT u, v FROM good UNION SELECT v AS u, u AS v FROM good),
+reach AS (
+  WITH RECURSIVE r(s, d) AS (
+    SELECT u, v FROM edges2
+    UNION
+    SELECT r.s, e.v FROM r JOIN edges2 e ON r.d = e.u
+  ) SELECT s, d FROM r
+)
+SELECT sim.doc_id,
+       CAST(least(sim.doc_id, coalesce(min(d), sim.doc_id)) AS BIGINT)
+           AS dup_group
+FROM sim LEFT JOIN reach ON reach.s = sim.doc_id
+GROUP BY sim.doc_id ORDER BY sim.doc_id
+"""
+
 ORACLE_SQL = {
+    "simhash_docs": _SIMHASH_DOCS_SQL,
+    "simhash_near_dup": _SIMHASH_NEAR_DUP_SQL,
     "near_dup_docs": _NEAR_DUP_LABELS_SQL,
     "ngram_jaccard_dup": _NEAR_DUP_LABELS_SQL,
     "embed_near_dup": _EMBED_NEAR_DUP_SQL,

@@ -88,3 +88,33 @@ def test_limit_k_queries_tie_stable(ray_session, tie_sf_dir):
         if not ok:
             failures.append(f"{name}: {detail}")
     assert failures == [], "\n".join(failures)
+
+
+def test_simhash_near_dup_oracle_with_planted_exact_dups(ray_session, tmp_path):
+    """The dist-0 edge the real tables never exercise: exact-duplicate
+    texts share a fingerprint and must GROUP (the engine's band-0
+    star-reduce; the SQL twin's hamming <= 3 includes 0). Plants an
+    exact dup and a 1-char near dup and runs the full driver-precision
+    compare plus a direct group assertion."""
+    import shutil
+
+    from check_oracle import compare_one, oracle_connection
+
+    src = "/root/testdata/sf0.001"
+    for f in os.listdir(src):
+        shutil.copy(os.path.join(src, f), tmp_path / f)
+    d = pd.read_parquet(tmp_path / "documents.parquet")
+    base = d.loc[0, "text"]
+    d.loc[1, "text"] = base  # exact dup -> identical simhash (dist 0)
+    d.loc[2, "text"] = base[:-1] + ("x" if base[-1] != "x" else "y")
+    d.to_parquet(tmp_path / "documents.parquet")
+
+    sf = str(tmp_path)
+    ok, detail = compare_one("simhash_near_dup", sf, oracle_connection(sf))
+    assert ok, detail
+
+    from kgraft.queries import QUERIES
+
+    got = QUERIES["simhash_near_dup"](sf).to_pandas().set_index("doc_id")
+    ids = d["doc_id"].to_numpy()
+    assert got.loc[ids[1], "dup_group"] == got.loc[ids[0], "dup_group"]
