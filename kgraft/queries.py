@@ -9421,7 +9421,116 @@ FROM sim LEFT JOIN reach ON reach.s = sim.doc_id
 GROUP BY sim.doc_id ORDER BY sim.doc_id
 """
 
+# Winnowing fingerprint twin: k=8 polynomial (weights 31^0..31^7 stay
+# under 2^63, so the raw hash is exact UBIGINT) -> the same splitmix64
+# split-multiply chain as the SimHash CTE -> 4 smallest distinct
+# hashes per doc -> bit_xor fold -> two's-complement BIGINT.
+_FP_WSUM = " + ".join(
+    f"CAST({31 ** j} AS UBIGINT) * ascii(substr(text, CAST(i AS INT) + {j}, 1))"
+    for j in range(8)
+)
+_FINGERPRINT_DOCS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, CAST({_FP_WSUM} AS UBIGINT) AS h0
+  FROM documents, LATERAL unnest(range(1, greatest(length(text) - 6, 2))) t(i)
+),
+dw AS (SELECT DISTINCT doc_id, h0 FROM w),
+s1 AS (SELECT doc_id, CAST((CAST(h0 AS HUGEINT) + 11400714819323198485)
+                           % 18446744073709551616 AS UBIGINT) AS z FROM dw),
+s1x AS (SELECT doc_id, xor(z, z >> 30) AS z FROM s1),
+s2 AS (SELECT doc_id, CAST((
+        (CAST(z % 4294967296 AS HUGEINT) * 13787848793156543929
+         + ((CAST(z // 4294967296 AS HUGEINT) * 13787848793156543929)
+            % 4294967296) * 4294967296)
+       ) % 18446744073709551616 AS UBIGINT) AS z FROM s1x),
+s2x AS (SELECT doc_id, xor(z, z >> 27) AS z FROM s2),
+s3 AS (SELECT doc_id, CAST((
+        (CAST(z % 4294967296 AS HUGEINT) * 10723151780598845931
+         + ((CAST(z // 4294967296 AS HUGEINT) * 10723151780598845931)
+            % 4294967296) * 4294967296)
+       ) % 18446744073709551616 AS UBIGINT) AS z FROM s2x),
+sh AS (SELECT DISTINCT doc_id, xor(z, z >> 31) AS h FROM s3),
+rk AS (SELECT doc_id, h,
+              row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+       FROM sh),
+fold AS (SELECT doc_id, bit_xor(h) AS u FROM rk WHERE rn <= 4 GROUP BY doc_id)
+SELECT doc_id,
+       CAST(CASE WHEN u >= 9223372036854775808
+            THEN CAST(u AS HUGEINT) - 18446744073709551616
+            ELSE CAST(u AS HUGEINT) END AS BIGINT) AS fingerprint
+FROM fold ORDER BY doc_id
+"""
+
+# langid twin: per-language stopword hit counts over lowercased
+# [a-zA-Z]+ tokens; argmax with ties resolved in table order
+# (en, de, fr, es — pandas idxmax column order), zero hits -> 'unk'.
+_LANGID_STOPS = {
+    "en": "the and of to a in is it for with".split(),
+    "de": "der die das und ist nicht ein mit auf zu".split(),
+    "fr": "le la les et est un une dans pour que".split(),
+    "es": "el la los de que y es en un por".split(),
+}
+
+
+def _langid_count_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in sorted(_LANGID_STOPS[lang]))
+    return (
+        "len(list_filter(regexp_extract_all(lower(text), '[a-zA-Z]+'), "
+        f"t -> t IN ({lst})))"
+    )
+
+
+_LANGID_DOCS_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         {_langid_count_sql('en')} AS en, {_langid_count_sql('de')} AS de,
+         {_langid_count_sql('fr')} AS fr, {_langid_count_sql('es')} AS es
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'unk'
+       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+       WHEN de >= fr AND de >= es THEN 'de'
+       WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred
+FROM s ORDER BY doc_id
+"""
+
+_QUALITY_STOP_ALT = "|".join(sorted(_LANGID_STOPS["en"]))
+_QUALITY_DOCS_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
+         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         len(regexp_extract_all(lower(text),
+             '\\b(?:{_QUALITY_STOP_ALT})\\b')) AS stop,
+         length(text) - length(replace(text, ' ', '')) AS n_spaces
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(n_punct * 1.0
+             / (CASE WHEN n_chars = 0 THEN 1 ELSE n_chars END), 6)
+           AS punct_ratio,
+       round(stop * 1.0
+             / (CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END), 6)
+           AS stopword_ratio,
+       round((n_chars - n_spaces) * 1.0
+             / (CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END), 6)
+           AS mean_word_len,
+       round((least(n_tokens, 500) / 500.0) * 0.5
+             + (1.0 - least(greatest(n_punct * 1.0
+                 / (CASE WHEN n_chars = 0 THEN 1 ELSE n_chars END), 0.0),
+                 1.0)) * 0.2
+             + least(greatest(stop * 1.0
+                 / (CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END), 0.0),
+                 1.0) * 0.3, 6) AS quality
+FROM s ORDER BY doc_id
+"""
+
 ORACLE_SQL = {
+    "fingerprint_docs": _FINGERPRINT_DOCS_SQL,
+    "langid_docs": _LANGID_DOCS_SQL,
+    "quality_docs": _QUALITY_DOCS_SQL,
     "simhash_docs": _SIMHASH_DOCS_SQL,
     "simhash_near_dup": _SIMHASH_NEAR_DUP_SQL,
     "near_dup_docs": _NEAR_DUP_LABELS_SQL,
