@@ -5798,8 +5798,10 @@ LIMIT 50
 def near_dup_against_docs(sf_dir: str) -> pd.DataFrame:
     """Incremental near-dup: flag 'src0' documents that transitively
     near-duplicate the rest-of-corpus snapshot — see
-    :func:`kgraft.textops.near_dup_against` (no SQL oracle: MinHash
-    family; pytest plants cross-snapshot dups)."""
+    :func:`kgraft.textops.near_dup_against`. DuckDB twin: exact
+    all-pairs Jaccard + transitive closure with a per-component
+    has-ref flag (_NEAR_DUP_AGAINST_SQL); pytest plants cross-snapshot
+    dups."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
     new = docs.map_batches(
         lambda df: df.loc[df["source"] == "src0", ["doc_id", "text"]],
@@ -6737,8 +6739,9 @@ def curate_documents(sf_dir: str):
 def decontaminate_docs(sf_dir: str):
     """Benchmark decontamination: every 29th document stands in for an
     eval suite; every corpus doc sharing any 32-char shingle with it is
-    flagged. Rows-only driver check (set-overlap is not SQL-friendly);
-    the exact brute-force oracle lives in tests/test_textops.py."""
+    flagged. DuckDB twin: distinct 32-char windows semi-joined on exact
+    substring equality (_DECONTAMINATE_SQL); the brute-force pytest
+    oracle lives in tests/test_textops.py."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     bench = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         lambda df: df[df["doc_id"] % 29 == 0], batch_format="pandas"
@@ -8443,14 +8446,16 @@ def url_blocklist_pages(sf_dir: str) -> pd.DataFrame:
     for a UT1-style adult/malware domain list) via the broadcast
     per-depth searchsorted suffix match
     (:func:`kgraft.textops.filter_blocked_hosts`) and report kept vs
-    blocked page/char counts per language. Rows-only; exact
-    suffix-vs-substring semantics are pinned in
+    blocked page/char counts per language. DuckDB twin: parsed host IN
+    the literal blocklist over the exported pages (_URL_BLOCKLIST_SQL);
+    exact suffix-vs-substring semantics are pinned in
     tests/test_textops.py."""
     from .synth import corpus_dir, sharded_pages
     from .textops import filter_blocked_hosts
 
     d = corpus_dir(_pages_for(sf_dir))
     pages = ray.data.read_parquet(sharded_pages(d), columns=["url", "text", "lang"])
+    _export_oracle_input("url_blocklist_pages", pages)
     blocked_domains = [f"site{k}.example" for k in range(7, 5000, 10)]
 
     rows = []
@@ -9527,7 +9532,91 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
 FROM s ORDER BY doc_id
 """
 
+# incremental near-dup twin: same exact-Jaccard + transitive-closure
+# machinery as _NEAR_DUP_LABELS_SQL over the full corpus; a src0 doc
+# flags when its component contains any non-src0 doc (including
+# ref-ref edges in the closure cannot change a new doc's has-ref flag
+# — any chain from a new doc touches a ref at its first ref hop, the
+# same argument the engine uses to drop ref-ref pairs map-side)
+_NEAR_DUP_AGAINST_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 4) AS g
+  FROM documents, LATERAL unnest(range(1, greatest(length(text) - 2, 2))) t(i)
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+good AS (
+  SELECT u, v FROM pairs
+  JOIN sz su ON su.doc_id = pairs.u JOIN sz sv ON sv.doc_id = pairs.v
+  WHERE inter * 1.0 / (su.n + sv.n - inter) >= 0.7
+),
+edges2 AS (SELECT u, v FROM good UNION SELECT v AS u, u AS v FROM good),
+reach AS (
+  WITH RECURSIVE r(s, d) AS (
+    SELECT u, v FROM edges2
+    UNION
+    SELECT r.s, e.v FROM r JOIN edges2 e ON r.d = e.u
+  ) SELECT s, d FROM r
+),
+grp AS (
+  SELECT doc_id, least(doc_id, coalesce(min(d), doc_id)) AS dup_group
+  FROM documents LEFT JOIN reach ON reach.s = documents.doc_id
+  GROUP BY doc_id
+),
+has_ref AS (
+  SELECT g.dup_group,
+         max(CASE WHEN d.source <> 'src0' THEN 1 ELSE 0 END) AS hr
+  FROM grp g JOIN documents d USING (doc_id) GROUP BY g.dup_group
+)
+SELECT d.doc_id, CAST(h.hr AS BOOLEAN) AS near_dup
+FROM documents d JOIN grp g USING (doc_id) JOIN has_ref h USING (dup_group)
+WHERE d.source = 'src0' ORDER BY d.doc_id
+"""
+
+# decontamination twin: 32-char windows joined on exact substring
+# equality — the engine's hashed-shingle searchsorted scan is
+# semantically a distinct-window semi join
+_DECONTAMINATE_SQL = """
+WITH w AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 32) AS g
+  FROM documents, LATERAL unnest(range(1, greatest(length(text) - 30, 2))) t(i)
+),
+dw AS (SELECT DISTINCT doc_id, g FROM w),
+bench AS (SELECT DISTINCT g FROM dw WHERE doc_id % 29 = 0),
+hits AS (
+  SELECT dw.doc_id, count(*) AS n_hits
+  FROM dw JOIN bench USING (g) GROUP BY dw.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id
+"""
+
+# the engine's literal blocklist (site k, k % 10 == 7, k < 5000) as an
+# IN list over the parsed host — exact for any corpus, unlike a
+# last-digit regex which would over-block past site4997
+_BLOCKLIST_IN = ", ".join(f"'site{k}.example'" for k in range(7, 5000, 10))
+_URL_BLOCKLIST_SQL = f"""
+WITH p AS (
+  SELECT lang, length(text) AS n_chars,
+         CASE WHEN regexp_extract(url, '^https?://([^/]+)', 1)
+                   IN ({_BLOCKLIST_IN})
+              THEN 'blocked' ELSE 'kept' END AS verdict
+  FROM read_parquet('{_ORACLE_INPUT_ROOT}/url_blocklist_pages/*.parquet')
+)
+SELECT verdict, lang, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM p GROUP BY verdict, lang ORDER BY verdict, lang
+"""
+
 ORACLE_SQL = {
+    "near_dup_against_docs": _NEAR_DUP_AGAINST_SQL,
+    "decontaminate_docs": _DECONTAMINATE_SQL,
+    "url_blocklist_pages": _URL_BLOCKLIST_SQL,
     "fingerprint_docs": _FINGERPRINT_DOCS_SQL,
     "langid_docs": _LANGID_DOCS_SQL,
     "quality_docs": _QUALITY_DOCS_SQL,
