@@ -1289,8 +1289,9 @@ def windowed(ds, part_keys, order_keys, specs, num_buckets: int = 64, tiebreak=N
     ``part_keys + order_keys`` followed by pandas groupby transforms (no
     per-partition Python dispatch, which matters when partitions number
     in the millions). Partition sizes must fit a worker (same contract
-    as sessionization); corpus-scale SINGLE partitions would need a
-    prefix-sum two-pass instead.
+    as sessionization); for low-cardinality partition keys or
+    corpus-scale single partitions use :func:`ranked` — the distributed
+    sort + block-offset prefix-sum two-pass — for the positional kinds.
 
     ``specs``: dict out_col -> (kind, col, param) with kinds
       row_number (col/param ignored; 1-based int64)
