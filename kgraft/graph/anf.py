@@ -117,39 +117,33 @@ def neighborhood_function(
         return float(_POPCNT[r].sum())
 
     nf = [float(n)]  # exact by construction at t=0
-    for _ in range(max_rounds):
-        reg_ref = ray.put(reg)
+    from .pagerank import edge_shard_pool
 
-        def propagate(t: pa.Table) -> pa.Table:
-            r = ray.get(reg_ref)
-            lo = _to_index(ids, t["lo"].to_numpy(zero_copy_only=False), "lo")
-            hi = _to_index(ids, t["hi"].to_numpy(zero_copy_only=False), "hi")
-            touched = np.unique(np.concatenate([lo, hi]))
-            pos = np.searchsorted(touched, np.concatenate([lo, hi]))
-            part = r[touched].copy()
-            src = np.concatenate([hi, lo])  # neighbor rows feeding each side
-            merge.at(part, pos, r[src])
-            return pa.table(
-                {
-                    "__i": pa.array(touched.astype(np.int64), pa.int64()),
-                    "__r": pa.FixedSizeListArray.from_arrays(
-                        pa.array(part.reshape(-1), pa.uint8()), m
-                    ),
-                }
+    ids_ref = ray.put(ids)
+    # deduped pairs pinned as pre-indexed shard actors across rounds
+    # (HyperBall runs until fixpoint — a Dataset job per round is pure
+    # launch overhead; see pagerank._DatasetEdgeShard)
+    shards = edge_shard_pool(pairs, ids_ref, "lo", "hi")
+    is_hll = mode == "hll"
+    try:
+        for _ in range(max_rounds):
+            reg_ref = ray.put(reg)
+            parts = ray.get(
+                [a.apply.remote(_anf_kernel, reg_ref, is_hll) for a in shards]
             )
-
-        parts = pairs.map_batches(propagate, batch_format="pyarrow").to_pandas()
-        new = reg.copy()
-        if len(parts):
-            i = parts["__i"].to_numpy()
-            r = np.vstack(parts["__r"].to_numpy()).astype(np.uint8)
-            # block partials may overlap on shared nodes: merge per block
-            # slice (ufunc.at handles repeated rows exactly)
-            merge.at(new, i, r)
-        if np.array_equal(new, reg):
-            break
-        reg = new
-        nf.append(estimate(reg))
+            new = reg.copy()
+            for touched, part in parts:
+                if len(touched):
+                    # shard partials may overlap on shared nodes: ufunc.at
+                    # merges repeated rows exactly
+                    merge.at(new, touched, part)
+            if np.array_equal(new, reg):
+                break
+            reg = new
+            nf.append(estimate(reg))
+    finally:
+        for a in shards:
+            ray.kill(a)
     return nf, reg
 
 
@@ -246,3 +240,16 @@ def effective_diameter(nf, alpha: float = 0.9) -> float:
             prev = nf[t - 1]
             return sql_round(t - 1 + (target - prev) / (v - prev), 4)
     return float(len(nf) - 1)
+
+
+def _anf_kernel(lo, hi, n, r, is_hll):
+    """Per-shard register propagation: each endpoint absorbs its
+    neighbor's registers (max for HLL, OR for bitsets)."""
+    merge = np.maximum if is_hll else np.bitwise_or
+    tgt = np.concatenate([lo, hi])
+    touched = np.unique(tgt)
+    pos = np.searchsorted(touched, tgt)
+    part = r[touched].copy()
+    src_ = np.concatenate([hi, lo])
+    merge.at(part, pos, r[src_])
+    return touched, part

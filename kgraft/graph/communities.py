@@ -42,59 +42,54 @@ def label_propagation_communities(
     """-> (node_id, community) for every node in ``node_ids``;
     ``community`` is a node id (labels start as own ids). Every id
     appearing in ``edges`` must be present in ``node_ids``."""
+    from .pagerank import edge_shard_pool
+
     ids = np.unique(np.asarray(node_ids, dtype=np.int64))
     ids_ref = ray.put(ids)
     labels = ids.copy()
 
-    # pin the edge table: every round re-scans it, and a lazy Dataset
-    # would re-execute the parquet read + upstream maps per round
-    # (measured ~5 s/round -> sub-second at sf0.1). Blocks stay in the
-    # object store, which spills — the same residency trade the Pregel
-    # pagerank path makes explicitly.
-    edges = edges.materialize()
-
-    for _ in range(int(n_iter)):
-        lref = ray.put(labels)
-
-        def partial(t: pa.Table) -> pd.DataFrame:
-            empty = pd.DataFrame(
-                {
-                    "n": pd.Series([], dtype="int64"),
-                    "l": pd.Series([], dtype="int64"),
-                    "c": pd.Series([], dtype="int64"),
-                }
-            )
-            if len(t) == 0:
-                return empty
-            ids_s = ray.get(ids_ref)
-            lab = ray.get(lref)
-            s = np.searchsorted(
-                ids_s, t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            )
-            d = np.searchsorted(
-                ids_s, t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            )
-            node = np.concatenate([d, s])  # undirected: both directions
-            nb = np.concatenate([lab[s], lab[d]])
-            g = (
-                pd.DataFrame({"n": node, "l": nb})
-                .groupby(["n", "l"], sort=False)
-                .size()
-                .rename("c")
-                .reset_index()
-            )
-            return g
-
-        part = edges.map_batches(partial, batch_format="pyarrow").to_pandas()
-        if len(part) == 0:
-            break
-        g = part.groupby(["n", "l"], as_index=False)["c"].sum()
-        g = g.sort_values(["n", "c", "l"], ascending=[True, False, True])
-        best = g.drop_duplicates("n")
-        new_labels = labels.copy()
-        new_labels[best["n"].to_numpy()] = best["l"].to_numpy()
-        if np.array_equal(new_labels, labels):
-            break
-        labels = new_labels
+    # pin the edge table as pre-indexed shard actors: every round
+    # re-scans the same edges, and a Dataset job per round is pure
+    # launch overhead (see _DatasetEdgeShard) — plus the per-round
+    # endpoint searchsorted disappears
+    shards = edge_shard_pool(edges, ids_ref, src_col, dst_col)
+    try:
+        for _ in range(int(n_iter)):
+            lref = ray.put(labels)
+            parts = [
+                p
+                for p in ray.get(
+                    [a.apply.remote(_lpa_kernel, lref) for a in shards]
+                )
+                if len(p)
+            ]
+            if not parts:
+                break
+            part = pd.concat(parts, ignore_index=True)
+            g = part.groupby(["n", "l"], as_index=False)["c"].sum()
+            g = g.sort_values(["n", "c", "l"], ascending=[True, False, True])
+            best = g.drop_duplicates("n")
+            new_labels = labels.copy()
+            new_labels[best["n"].to_numpy()] = best["l"].to_numpy()
+            if np.array_equal(new_labels, labels):
+                break
+            labels = new_labels
+    finally:
+        for a in shards:
+            ray.kill(a)
 
     return pd.DataFrame({"node_id": ids, "community": labels})
+
+
+def _lpa_kernel(s, d, n, lab) -> pd.DataFrame:
+    """Per-shard LPA round: neighbor-label counts per node (both
+    directions — undirected propagation)."""
+    node = np.concatenate([d, s])
+    nb = np.concatenate([lab[s], lab[d]])
+    return (
+        pd.DataFrame({"n": node, "l": nb})
+        .groupby(["n", "l"], sort=False)
+        .size()
+        .rename("c")
+        .reset_index()
+    )

@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 import ray
 
-from .pagerank import _fold, _sparse_partials
+from .pagerank import edge_shard_pool
 
 
 def hits(
@@ -51,19 +51,26 @@ def hits(
     ids_ref = ray.put(ids)
     auth = np.full(n, 1.0 / np.sqrt(n))
     hub = np.full(n, 1.0 / np.sqrt(n))
-    for _ in range(n_iter):
-        # authority step: a[d] = sum over (s, d) of h[s]
-        parts = _sparse_partials(
-            edges, ids_ref, src_col, dst_col, ray.put(hub)
-        ).to_pandas()
-        auth = _fold(parts, n)
-        norm = np.linalg.norm(auth)
-        auth = auth / norm if norm > 0 else auth
-        # hub step = authority step on the reversed graph: h[s] = sum a[d]
-        parts = _sparse_partials(
-            edges, ids_ref, dst_col, src_col, ray.put(auth)
-        ).to_pandas()
-        hub = _fold(parts, n)
-        norm = np.linalg.norm(hub)
-        hub = hub / norm if norm > 0 else hub
+    # edges pinned once across all 2*n_iter rounds (see _DatasetEdgeShard:
+    # a Dataset job per round is pure launch overhead for a BSP loop)
+    shards = edge_shard_pool(edges, ids_ref, src_col, dst_col)
+    try:
+        for _ in range(n_iter):
+            # authority step: a[d] = sum over (s, d) of h[s]
+            h_ref = ray.put(hub)
+            auth = np.sum(
+                ray.get([a.contrib.remote(h_ref) for a in shards]), axis=0
+            )
+            norm = np.linalg.norm(auth)
+            auth = auth / norm if norm > 0 else auth
+            # hub step = authority step on the reversed graph: h[s] = sum a[d]
+            a_ref = ray.put(auth)
+            hub = np.sum(
+                ray.get([a.contrib_rev.remote(a_ref) for a in shards]), axis=0
+            )
+            norm = np.linalg.norm(hub)
+            hub = hub / norm if norm > 0 else hub
+    finally:
+        for a in shards:
+            ray.kill(a)
     return pd.DataFrame({"node": ids, "authority": auth, "hub": hub})

@@ -43,39 +43,35 @@ def k_hop_reach(
     frontier = np.zeros(n, dtype=bool)
     frontier[seed_idx] = True
 
-    for h in range(1, int(k) + 1):
-        fref = ray.put(frontier)
+    from .pagerank import edge_shard_pool
 
-        def scan(t: pa.Table) -> pa.Table:
-            empty = pa.table({"__i": pa.array([], pa.int64())})
-            if len(t) == 0:
-                return empty
-            ids_s = ray.get(ids_ref)
-            f = ray.get(fref)
-            s = _to_index(
-                ids_s, t[src_col].to_numpy(zero_copy_only=False), src_col
+    shards = edge_shard_pool(edges, ids_ref, src_col, dst_col)
+    try:
+        for h in range(1, int(k) + 1):
+            fref = ray.put(frontier)
+            parts = ray.get(
+                [a.apply.remote(_khop_kernel, fref, directed) for a in shards]
             )
-            d = _to_index(
-                ids_s, t[dst_col].to_numpy(zero_copy_only=False), dst_col
-            )
-            reached = d[f[s]]
-            if not directed:
-                reached = np.concatenate([reached, s[f[d]]])
-            if not len(reached):
-                return empty
-            return pa.table(
-                {"__i": pa.array(np.unique(reached).astype(np.int64), pa.int64())}
-            )
-
-        part = edges.map_batches(scan, batch_format="pyarrow").to_pandas()
-        reached = np.zeros(n, dtype=bool)
-        if len(part):
-            reached[part["__i"].to_numpy()] = True
-        new = reached & (hop < 0)
-        if not new.any():
-            break
-        hop[new] = h
-        frontier = new
+            reached = np.zeros(n, dtype=bool)
+            for arr in parts:
+                if len(arr):
+                    reached[arr] = True
+            new = reached & (hop < 0)
+            if not new.any():
+                break
+            hop[new] = h
+            frontier = new
+    finally:
+        for a in shards:
+            ray.kill(a)
 
     mask = hop >= 0
     return pd.DataFrame({"node_id": ids[mask], "hop": hop[mask]})
+
+
+def _khop_kernel(s, d, n, f, directed):
+    """Per-shard frontier expansion over resident index arrays."""
+    reached = d[f[s]]
+    if not directed:
+        reached = np.concatenate([reached, s[f[d]]])
+    return np.unique(reached) if len(reached) else np.empty(0, dtype=np.int64)

@@ -48,86 +48,82 @@ def maximal_independent_set(
 
     alive = np.ones(n, dtype=bool)
     in_mis = np.zeros(n, dtype=bool)
+    ids_ref = ray.put(ids)
+    from .pagerank import edge_shard_pool
+
+    # pairs pinned as pre-indexed shard actors across Luby rounds (a
+    # Dataset job per round is pure launch overhead; see
+    # pagerank._DatasetEdgeShard)
+    shards = edge_shard_pool(pairs, ids_ref, "lo", "hi")
     rnd = 0
-    while alive.any() and rnd < max_rounds:
-        rnd += 1
-        # deterministic per-(node, round) priorities; ids are unique so
-        # ties across nodes are measure-zero for splitmix64 but we break
-        # them anyway by comparing (priority, id) lexicographically
-        prio = splitmix64(
-            ids.astype(np.uint64) ^ splitmix64(np.uint64(rnd))
-        )
-        prio_ref = ray.put(prio)
-        alive_ref = ray.put(alive)
-        ids_ref = ray.put(ids)
-
-        def best_neighbor(t: pa.Table) -> pa.Table:
-            p = ray.get(prio_ref)
-            a = ray.get(alive_ref)
-            s_ids = ray.get(ids_ref)
-            lo = _to_index(s_ids, t["lo"].to_numpy(zero_copy_only=False), "lo")
-            hi = _to_index(s_ids, t["hi"].to_numpy(zero_copy_only=False), "hi")
-            m = a[lo] & a[hi]
-            lo, hi = lo[m], hi[m]
-            tgt = np.concatenate([lo, hi])
-            src = np.concatenate([hi, lo])
-            touched = np.unique(tgt)
-            pos = np.searchsorted(touched, tgt)
-            # best = max (priority, id) pair among alive neighbors;
-            # encode as priority with id as vectorized tie-break below
-            bp = np.zeros(len(touched), dtype=np.uint64)
-            np.maximum.at(bp, pos, p[src])
-            # second pass: among sources achieving bp, the max id
-            bi = np.full(len(touched), -1, dtype=np.int64)
-            hit = p[src] == bp[pos]
-            np.maximum.at(bi, pos[hit], src[hit])
-            return pa.table(
-                {
-                    "__i": pa.array(touched.astype(np.int64), pa.int64()),
-                    "__p": pa.array(bp, pa.uint64()),
-                    "__s": pa.array(bi, pa.int64()),
-                }
+    try:
+        while alive.any() and rnd < max_rounds:
+            rnd += 1
+            # deterministic per-(node, round) priorities; ids are unique so
+            # ties across nodes are measure-zero for splitmix64 but we break
+            # them anyway by comparing (priority, id) lexicographically
+            prio = splitmix64(
+                ids.astype(np.uint64) ^ splitmix64(np.uint64(rnd))
             )
-
-        parts = pairs.map_batches(best_neighbor, batch_format="pyarrow").to_pandas()
-        best_p = np.zeros(n, dtype=np.uint64)
-        best_i = np.full(n, -1, dtype=np.int64)
-        if len(parts):
-            i = parts["__i"].to_numpy()
-            np.maximum.at(best_p, i, parts["__p"].to_numpy())
-            hit = parts["__p"].to_numpy() == best_p[i]
-            np.maximum.at(best_i, i[hit], parts["__s"].to_numpy()[hit])
-        # win = strictly better (priority, idx) than best alive neighbor
-        mine = prio
-        idx = np.arange(n)
-        win = alive & (
-            (mine > best_p)
-            | ((mine == best_p) & (idx > best_i))
-        )
-        if not win.any():
-            continue
-        in_mis |= win
-        # winners and their alive neighbors leave; neighbors of winners
-        # are exactly nodes whose best alive neighbor this round was a
-        # winner OR that are adjacent to one — recompute adjacency drop
-        # with one more edge pass
-        win_ref = ray.put(win)
-
-        def neigh_of_winners(t: pa.Table) -> pa.Table:
-            w = ray.get(win_ref)
-            a = ray.get(alive_ref)
-            s_ids = ray.get(ids_ref)
-            lo = _to_index(s_ids, t["lo"].to_numpy(zero_copy_only=False), "lo")
-            hi = _to_index(s_ids, t["hi"].to_numpy(zero_copy_only=False), "hi")
-            m = a[lo] & a[hi]
-            lo, hi = lo[m], hi[m]
-            out = np.unique(
-                np.concatenate([hi[w[lo]], lo[w[hi]]])
+            prio_ref = ray.put(prio)
+            alive_ref = ray.put(alive)
+            parts = ray.get(
+                [a.apply.remote(_mis_best_kernel, prio_ref, alive_ref)
+                 for a in shards]
             )
-            return pa.table({"__i": pa.array(out.astype(np.int64), pa.int64())})
-
-        nw = pairs.map_batches(neigh_of_winners, batch_format="pyarrow").to_pandas()
-        alive = alive & ~win
-        if len(nw):
-            alive[nw["__i"].to_numpy()] = False
+            best_p = np.zeros(n, dtype=np.uint64)
+            best_i = np.full(n, -1, dtype=np.int64)
+            for touched, bp, bi in parts:
+                if not len(touched):
+                    continue
+                np.maximum.at(best_p, touched, bp)
+                hit = bp == best_p[touched]
+                np.maximum.at(best_i, touched[hit], bi[hit])
+            # win = strictly better (priority, idx) than best alive neighbor
+            mine = prio
+            idx = np.arange(n)
+            win = alive & (
+                (mine > best_p)
+                | ((mine == best_p) & (idx > best_i))
+            )
+            if not win.any():
+                continue
+            in_mis |= win
+            # winners and their alive neighbors leave
+            win_ref = ray.put(win)
+            nw = ray.get(
+                [a.apply.remote(_mis_neigh_kernel, win_ref, alive_ref)
+                 for a in shards]
+            )
+            alive = alive & ~win
+            for arr in nw:
+                if len(arr):
+                    alive[arr] = False
+    finally:
+        for a in shards:
+            ray.kill(a)
     return pd.DataFrame({"node_id": ids, "in_mis": in_mis})
+
+
+def _mis_best_kernel(lo, hi, n, p, a):
+    """Per-shard Luby round: best (priority, id) alive neighbor."""
+    m = a[lo] & a[hi]
+    lo2, hi2 = lo[m], hi[m]
+    tgt = np.concatenate([lo2, hi2])
+    src_ = np.concatenate([hi2, lo2])
+    touched = np.unique(tgt)
+    pos = np.searchsorted(touched, tgt)
+    bp = np.zeros(len(touched), dtype=np.uint64)
+    np.maximum.at(bp, pos, p[src_])
+    bi = np.full(len(touched), -1, dtype=np.int64)
+    hit = p[src_] == bp[pos]
+    np.maximum.at(bi, pos[hit], src_[hit])
+    return touched, bp, bi
+
+
+def _mis_neigh_kernel(lo, hi, n, w, a):
+    """Per-shard: alive neighbors of this round's winners."""
+    m = a[lo] & a[hi]
+    lo2, hi2 = lo[m], hi[m]
+    out = np.concatenate([hi2[w[lo2]], lo2[w[hi2]]])
+    return np.unique(out) if len(out) else np.empty(0, dtype=np.int64)

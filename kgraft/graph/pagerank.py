@@ -119,6 +119,22 @@ class _DatasetEdgeShard:
             return np.zeros(self.n, dtype=np.float64)
         return np.bincount(self.d, weights=w[self.s], minlength=self.n)
 
+    def contrib_rev(self, w: np.ndarray) -> np.ndarray:
+        """Reverse-direction round (HITS hub step: h[s] = sum a[d])."""
+        if len(self.s) == 0:
+            return np.zeros(self.n, dtype=np.float64)
+        return np.bincount(self.s, weights=w[self.d], minlength=self.n)
+
+    def apply(self, fn, *args):
+        """Generic pinned-edge kernel: ``fn(s_idx, d_idx, n, *args)``.
+        Lets every iterative graph algorithm (LPA, k-core peeling,
+        k-hop frontiers, ANF, MIS, SCC reach) run its per-round edge
+        scan against the resident index arrays instead of launching a
+        Dataset job per round — the kernel is a module-level function,
+        cloudpickled per call (bytes-scale), args are vocab-scale
+        vectors."""
+        return fn(self.s, self.d, self.n, *args)
+
 
 def edge_shard_pool(edges, ids_ref, src_col: str, dst_col: str):
     """Materialize ``edges`` and pin them across an actor pool, one

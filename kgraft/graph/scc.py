@@ -115,6 +115,47 @@ def _edge_fold(edges, ids_ref, src_col, dst_col, kind, state_ref):
     return out
 
 
+
+
+def _scc_kernel(s, d, n, kind, state):
+    """Per-shard edge scan over resident index arrays — the three
+    per-round kinds of the serial _edge_fold, minus its per-round
+    Dataset job and endpoint re-indexing."""
+    if kind == "degrees":
+        active = state
+        m = active[s] & active[d]
+        s2, d2 = s[m], d[m]
+        dense = np.zeros(n, dtype=np.int64)
+        dense[s2] |= 1  # has out-edge
+        dense[d2] |= 2  # has in-edge
+    elif kind == "maxprop":
+        active, color = state
+        m = active[s] & active[d]
+        s2, d2 = s[m], d[m]
+        dense = np.full(n, -1, dtype=np.int64)
+        np.maximum.at(dense, d2, color[s2])
+        dense = dense + 1  # shift so "no contribution" folds as 0
+    else:  # backprop
+        active, color, in_scc = state
+        m = active[s] & active[d] & (color[s] == color[d]) & in_scc[d]
+        dense = np.zeros(n, dtype=np.int64)
+        dense[s[m]] = 1
+    return dense
+
+
+def _shard_fold(shards, n, kind, state_ref):
+    parts = ray.get(
+        [a.apply.remote(_scc_kernel, kind, state_ref) for a in shards]
+    )
+    out = np.zeros(n, dtype=np.int64)
+    for dense in parts:
+        if kind == "degrees":
+            np.bitwise_or(out, dense, out=out)
+        else:
+            np.maximum(out, dense, out=out)
+    return out
+
+
 def strongly_connected_components(
     edges,
     node_ids: np.ndarray,
@@ -127,12 +168,28 @@ def strongly_connected_components(
     (deterministic). Every endpoint in ``edges`` must appear in
     ``node_ids`` (validated per block). Materialize ``edges`` first —
     the BSP loop re-scans it every step."""
+    from .pagerank import edge_shard_pool
+
     ids = np.unique(np.asarray(node_ids, dtype=np.int64))
     n = len(ids)
     scc = np.full(n, -1, dtype=np.int64)
     active = np.ones(n, dtype=bool)
     ids_ref = ray.put(ids)
+    # edges pinned once across ALL trim/color/extract rounds (the
+    # nested fixpoint loops make this the most job-heavy algorithm in
+    # the module — see pagerank._DatasetEdgeShard)
+    shards = edge_shard_pool(edges, ids_ref, src_col, dst_col)
 
+    rounds = 0
+    try:
+        _scc_main(ids, n, scc, active, shards, max_rounds)
+    finally:
+        for a in shards:
+            ray.kill(a)
+    return pd.DataFrame({"node_id": ids, "scc_id": scc})
+
+
+def _scc_main(ids, n, scc, active, shards, max_rounds):
     rounds = 0
     while active.any():
         rounds += 1
@@ -143,9 +200,7 @@ def strongly_connected_components(
             )
         # 1. TRIM to fixpoint: no in- or no out-edge inside the active set
         while True:
-            deg = _edge_fold(
-                edges, ids_ref, src_col, dst_col, "degrees", ray.put(active)
-            )
+            deg = _shard_fold(shards, n, "degrees", ray.put(active))
             trim = active & (deg != 3)  # missing an in- or an out-edge
             if not trim.any():
                 break
@@ -160,14 +215,7 @@ def strongly_connected_components(
         color = np.where(active, idx, np.int64(-1))
         while True:
             prop = (
-                _edge_fold(
-                    edges,
-                    ids_ref,
-                    src_col,
-                    dst_col,
-                    "maxprop",
-                    ray.put((active, color)),
-                )
+                _shard_fold(shards, n, "maxprop", ray.put((active, color)))
                 - 1
             )  # undo the +1 shift; untouched nodes read -1
             new = np.maximum(color, prop)
@@ -177,13 +225,8 @@ def strongly_connected_components(
         # 3. EXTRACT: backward reachability from each root within its class
         in_scc = active & (color == idx)
         while True:
-            hit = _edge_fold(
-                edges,
-                ids_ref,
-                src_col,
-                dst_col,
-                "backprop",
-                ray.put((active, color, in_scc)),
+            hit = _shard_fold(
+                shards, n, "backprop", ray.put((active, color, in_scc))
             ).astype(bool)
             grow = hit & ~in_scc
             if not grow.any():
@@ -191,4 +234,3 @@ def strongly_connected_components(
             in_scc |= grow
         scc[in_scc] = ids[color[in_scc]]
         active &= ~in_scc
-    return pd.DataFrame({"node_id": ids, "scc_id": scc})
