@@ -8260,6 +8260,41 @@ FROM r WHERE row_number <= 3 ORDER BY o_orderpriority, row_number
 """
 
 
+def p90_price_by_status_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact p90 order value per order STATUS (3 distinct values — the
+    group cardinality :func:`kgraft.relational.windowed` cannot scale
+    to) via :func:`kgraft.relational.grouped_quantile_by_sort`: global
+    ranks from the distributed sort, selected row at
+    clamp(ceil(0.9 n), 1, n) under (price, orderkey) order. The SQL
+    twin uses the identical row_number formula, so the fp product
+    0.9 * n is bit-identical on both sides."""
+    from .relational import grouped_quantile_by_sort
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+    out = grouped_quantile_by_sort(
+        orders, ["o_orderstatus"], "o_totalprice", 0.9, "o_orderkey",
+        out_col="p90_price",
+    )
+    return out[["o_orderstatus", "p90_price", "n_rows"]]
+
+
+_P90_BY_STATUS_SQL = """
+WITH r AS (
+  SELECT o_orderstatus, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders
+)
+SELECT o_orderstatus, o_totalprice AS p90_price, CAST(n AS BIGINT) AS n_rows
+FROM r
+WHERE rn = least(n, greatest(1, CAST(ceil(0.9 * n) AS BIGINT)))
+ORDER BY o_orderstatus
+"""
+
+
 def theil_index_order_value(sf_dir: str) -> pd.DataFrame:
     """Theil T inequality index of order value per priority class —
     Gini's decomposable sibling (T = mean((x/mu) * ln(x/mu)))), and
@@ -9152,6 +9187,7 @@ QUERIES = {
     "sketch_union_token_counts": sketch_union_token_counts,
     "gini_order_value": gini_order_value,
     "median_order_value_by_priority": median_order_value_by_priority,
+    "p90_price_by_status_exact": p90_price_by_status_exact,
     "rank_top_orders_by_priority": rank_top_orders_by_priority,
     "theil_index_order_value": theil_index_order_value,
     "page_domain_stats": page_domain_stats,
@@ -9670,6 +9706,7 @@ ORACLE_SQL = {
     "twap_user_value": _TWAP_SQL,
     "gini_order_value": _GINI_SQL,
     "median_order_value_by_priority": _MEDIAN_RANKED_SQL,
+    "p90_price_by_status_exact": _P90_BY_STATUS_SQL,
     "rank_top_orders_by_priority": _RANK_TOP_ORDERS_SQL,
     "theil_index_order_value": _THEIL_SQL,
     "monthly_revenue_growth": _MONTHLY_GROWTH_SQL,

@@ -1557,6 +1557,55 @@ def ranked(ds, part_keys, order_keys, tiebreak: str, out_col: str = "row_number"
     return sorted_ds.map_batches(add_rank, batch_format="pandas", batch_size=None)
 
 
+def grouped_quantile_by_sort(ds, part_keys, col: str, q: float, tiebreak: str,
+                            out_col: str | None = None):
+    """EXACT grouped quantile via global ranks — no histogram, no
+    bounded-value-cardinality contract (contrast
+    :func:`grouped_quantile_disc`), and no per-key co-location
+    (contrast :func:`windowed`): works when the group key has 3 values
+    and each group is terabytes, because :func:`ranked` range-partitions
+    on the full (part, value, tiebreak) tuple.
+
+    The selected row is the one at rank ``clamp(ceil(q * n), 1, n)``
+    under ``(col, tiebreak)`` order — the discrete (lower-mass)
+    quantile. A SQL twin must use the SAME row_number formula (both
+    sides compute ``ceil(q * n)`` on identical doubles, so the fp
+    product is bit-identical); DuckDB's ``quantile_disc`` rank
+    convention differs at exact fp boundaries.
+
+    Returns a pandas frame (part_keys..., out_col, n_rows)."""
+    part_keys = [part_keys] if isinstance(part_keys, str) else list(part_keys)
+    out_col = out_col or f"q{q}"
+    r = ranked(ds, part_keys, [col], tiebreak)
+    n = pre_aggregate(ds, part_keys, {"n_rows": (None, "count")})
+    meta = {}
+    for _, row in n.iterrows():
+        key = tuple(row[k] for k in part_keys)
+        cnt = int(row["n_rows"])
+        meta[key] = (min(cnt, max(1, int(np.ceil(q * cnt)))), cnt)
+    mref = ray.put(meta)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(mref)  # group-cardinality, not corpus
+        tgt = np.fromiter(
+            (m[t][0] for t in df[part_keys].itertuples(index=False, name=None)),
+            dtype=np.int64,
+            count=len(df),
+        )
+        keep = df[df["row_number"].to_numpy() == tgt]
+        out = keep[part_keys].copy()
+        out[out_col] = keep[col].to_numpy()
+        out["n_rows"] = np.fromiter(
+            (m[t][1] for t in keep[part_keys].itertuples(index=False, name=None)),
+            dtype=np.int64,
+            count=len(keep),
+        )
+        return out
+
+    res = r.map_batches(pick, batch_format="pandas").to_pandas()
+    return res.sort_values(part_keys, ignore_index=True)
+
+
 def grouped_count_distinct(ds, keys, col, out_col="n_distinct", num_buckets: int = 64):
     """``COUNT(DISTINCT col) GROUP BY keys`` as two partial-combined
     exchanges, both keyed by a SMALL INT bucket id (a multi-column Ray

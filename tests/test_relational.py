@@ -2335,3 +2335,35 @@ def test_ranked_global_row_number_matches_pandas(ray_session):
             got[["k", "v", "id", "row_number"]],
             want[["k", "v", "id", "row_number"]],
         )
+
+
+def test_grouped_quantile_by_sort_matches_direct(ray_session):
+    """Exact sort-based grouped quantile at a 3-value partition key:
+    equals the direct numpy order statistic at several q, under heavy
+    value ties."""
+    import math
+
+    import ray
+
+    from kgraft.relational import grouped_quantile_by_sort
+
+    rng = np.random.RandomState(31)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["F", "O", "P"], n),
+            "v": rng.randint(0, 40, n).astype("float64"),
+            "id": np.arange(n, dtype="int64"),
+        }
+    )
+    for q in (0.1, 0.5, 0.9, 1.0):
+        got = grouped_quantile_by_sort(
+            ray.data.from_pandas(df).repartition(7), "k", "v", q, "id",
+            out_col="qv",
+        )
+        for _, row in got.iterrows():
+            d = df[df["k"] == row["k"]].sort_values(["v", "id"])
+            cnt = len(d)
+            tgt = min(cnt, max(1, math.ceil(q * cnt)))
+            assert row["qv"] == d["v"].iloc[tgt - 1], (row["k"], q)
+            assert row["n_rows"] == cnt
