@@ -8260,6 +8260,70 @@ FROM r WHERE row_number <= 3 ORDER BY o_orderpriority, row_number
 """
 
 
+def shuffle_docs_epoch(sf_dir: str) -> pd.DataFrame:
+    """Reproducible global training shuffle: epoch order =
+    splitmix64(doc_id XOR epoch_salt), realized as ONE distributed sort
+    on the hash key — the seeded shuffle a training loader runs per
+    epoch. The order is a pure function of ids, so a restarted or
+    re-partitioned run reproduces it exactly (unlike
+    ``Dataset.random_shuffle``, whose layout depends on block
+    boundaries). Returns the first 100 (doc_id, shuffle_key) of epoch
+    0; keys surface as two's-complement int64 so the DuckDB twin (the
+    same exact-uint64 splitmix64 chain as the SimHash oracle) orders
+    identically."""
+    from .hashing import splitmix64
+
+    salt = np.uint64(16294208416658607535)  # splitmix64(0): epoch-0 salt
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        h = splitmix64(ids.astype(np.uint64) ^ salt)
+        return pd.DataFrame(
+            {"doc_id": ids, "shuffle_key": h.astype(np.int64)}
+        )
+
+    return (
+        docs.map_batches(add_key, batch_format="pandas")
+        .sort("shuffle_key")
+        .limit(100)
+        .to_pandas()
+    )
+
+
+_SHUFFLE_EPOCH_SQL = """
+WITH h0 AS (
+  SELECT doc_id,
+         xor(CAST(doc_id AS UBIGINT),
+             CAST(16294208416658607535 AS UBIGINT)) AS z0
+  FROM documents
+),
+s1 AS (SELECT doc_id, CAST((CAST(z0 AS HUGEINT) + 11400714819323198485)
+                           % 18446744073709551616 AS UBIGINT) AS z FROM h0),
+s1x AS (SELECT doc_id, xor(z, z >> 30) AS z FROM s1),
+s2 AS (SELECT doc_id, CAST((
+        (CAST(z % 4294967296 AS HUGEINT) * 13787848793156543929
+         + ((CAST(z // 4294967296 AS HUGEINT) * 13787848793156543929)
+            % 4294967296) * 4294967296)
+       ) % 18446744073709551616 AS UBIGINT) AS z FROM s1x),
+s2x AS (SELECT doc_id, xor(z, z >> 27) AS z FROM s2),
+s3 AS (SELECT doc_id, CAST((
+        (CAST(z % 4294967296 AS HUGEINT) * 10723151780598845931
+         + ((CAST(z // 4294967296 AS HUGEINT) * 10723151780598845931)
+            % 4294967296) * 4294967296)
+       ) % 18446744073709551616 AS UBIGINT) AS z FROM s2x),
+fin AS (
+  SELECT doc_id,
+         CAST(CASE WHEN xor(z, z >> 31) >= 9223372036854775808
+              THEN CAST(xor(z, z >> 31) AS HUGEINT) - 18446744073709551616
+              ELSE CAST(xor(z, z >> 31) AS HUGEINT) END AS BIGINT)
+             AS shuffle_key
+  FROM s3
+)
+SELECT doc_id, shuffle_key FROM fin ORDER BY shuffle_key LIMIT 100
+"""
+
+
 def p90_price_by_status_exact(sf_dir: str) -> pd.DataFrame:
     """Exact p90 order value per order STATUS (3 distinct values — the
     group cardinality :func:`kgraft.relational.windowed` cannot scale
@@ -9189,6 +9253,7 @@ QUERIES = {
     "median_order_value_by_priority": median_order_value_by_priority,
     "p90_price_by_status_exact": p90_price_by_status_exact,
     "rank_top_orders_by_priority": rank_top_orders_by_priority,
+    "shuffle_docs_epoch": shuffle_docs_epoch,
     "theil_index_order_value": theil_index_order_value,
     "page_domain_stats": page_domain_stats,
     "kg_mentions": kg_mentions,
@@ -9708,6 +9773,7 @@ ORACLE_SQL = {
     "median_order_value_by_priority": _MEDIAN_RANKED_SQL,
     "p90_price_by_status_exact": _P90_BY_STATUS_SQL,
     "rank_top_orders_by_priority": _RANK_TOP_ORDERS_SQL,
+    "shuffle_docs_epoch": _SHUFFLE_EPOCH_SQL,
     "theil_index_order_value": _THEIL_SQL,
     "monthly_revenue_growth": _MONTHLY_GROWTH_SQL,
     "pairwise_agreement_events": _PAIRWISE_AGREEMENT_SQL,
