@@ -7072,7 +7072,8 @@ def kg_ppr(sf_dir: str) -> pd.DataFrame:
 def kg_khop(sf_dir: str) -> pd.DataFrame:
     """Nodes reachable within 3 hops of the three lowest entity ids:
     count per hop — see :func:`kgraft.graph.khop.k_hop_reach`.
-    Rows-only driver check; the BFS-oracle pytest lives in
+    DuckDB twin: bounded recursive BFS over the exported edge/node
+    tables (_KG_KHOP_SQL); the BFS-oracle pytest lives in
     tests/test_graph.py."""
     import pyarrow.parquet as pq
 
@@ -7084,6 +7085,13 @@ def kg_khop(sf_dir: str) -> pd.DataFrame:
     ].to_numpy()
     seeds = np.sort(np.unique(node_ids))[:3]
     edges = _read_kg_edges(m, columns=["subj_id", "obj_id"]).materialize()
+    _export_oracle_input("kg_khop", edges)
+    _export_oracle_input(
+        "kg_khop_nodes",
+        ray.data.from_arrow(
+            pa.table({"entity_id": pa.array(np.sort(np.unique(node_ids)))})
+        ),
+    )
     reach = k_hop_reach(
         edges, node_ids, seeds, k=3, src_col="subj_id", dst_col="obj_id"
     )
@@ -7735,11 +7743,14 @@ def kg_triangles(sf_dir: str) -> pd.DataFrame:
     KG — the second graph-quality signal next to ``kg_degree_stats``
     (hub-explosion artifacts show up as clustering collapse). See
     :func:`kgraft.graph.triangles.count_triangles` for the
-    degree-ordered distributed algorithm."""
+    degree-ordered distributed algorithm. DuckDB twin: three-way
+    self-join over the exported distinct undirected edges
+    (_KG_TRIANGLES_SQL)."""
     from .graph.triangles import count_triangles
 
     m = _kg_outputs(sf_dir)
     edges = _read_kg_edges(m, ["subj_id", "obj_id"])
+    _export_oracle_input("kg_triangles", edges)
     return count_triangles(edges, src="subj_id", dst="obj_id")
 
 
@@ -9714,7 +9725,65 @@ SELECT verdict, lang, CAST(count(*) AS BIGINT) AS n_pages,
 FROM p GROUP BY verdict, lang ORDER BY verdict, lang
 """
 
+
+_KG_TRIANGLES_SQL = f"""
+WITH raw AS (
+  SELECT subj_id AS a, obj_id AS b
+  FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_triangles/*.parquet')
+  WHERE subj_id <> obj_id
+),
+und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw),
+deg AS (
+  SELECT n, count(*) AS d
+  FROM (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und) t
+  GROUP BY n
+),
+tri AS (
+  SELECT count(*) AS t
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+agg AS (
+  SELECT count(*) AS n_nodes,
+         CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT CAST(agg.n_nodes AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+       CAST(tri.t AS BIGINT) AS n_triangles,
+       agg.n_wedges AS n_wedges,
+       CASE WHEN agg.n_wedges > 0
+            THEN round(3.0 * tri.t / agg.n_wedges, 6) ELSE 0.0 END
+           AS global_clustering
+FROM agg, tri
+"""
+
+_KG_KHOP_SQL = f"""
+WITH e AS (
+  SELECT subj_id AS a, obj_id AS b
+  FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_khop/*.parquet')
+),
+und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+seeds AS (
+  SELECT entity_id AS n
+  FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_khop_nodes/*.parquet')
+  ORDER BY entity_id LIMIT 3
+),
+rr AS (
+  WITH RECURSIVE r(n, hop) AS (
+    SELECT n, 0 FROM seeds
+    UNION
+    SELECT und.b, r.hop + 1 FROM r JOIN und ON und.a = r.n WHERE r.hop < 3
+  ) SELECT n, min(hop) AS hop FROM r GROUP BY n
+)
+SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes
+FROM rr GROUP BY hop ORDER BY hop
+"""
+
 ORACLE_SQL = {
+    "kg_triangles": _KG_TRIANGLES_SQL,
+    "kg_khop": _KG_KHOP_SQL,
     "near_dup_against_docs": _NEAR_DUP_AGAINST_SQL,
     "decontaminate_docs": _DECONTAMINATE_SQL,
     "url_blocklist_pages": _URL_BLOCKLIST_SQL,
