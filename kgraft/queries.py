@@ -7162,12 +7162,15 @@ def kg_assortativity(sf_dir: str) -> pd.DataFrame:
     """Degree assortativity of the constructed KG (Newman 2002): do
     hubs link to hubs? One row — the fourth graph-quality scalar next
     to clustering/coreness/modularity. See
-    :func:`kgraft.graph.metrics.degree_assortativity`. Rows-only driver
-    check; the serial-oracle pytest lives in tests/test_graph.py."""
+    :func:`kgraft.graph.metrics.degree_assortativity`. DuckDB twin
+    recomputes the moment formula over exported edges — degree sums
+    are integer-exact in float64, so the scalar matches bit-for-bit
+    (_KG_ASSORT_SQL); serial-oracle pytest in tests/test_graph.py."""
     from .graph.metrics import degree_assortativity
 
     m = _kg_outputs(sf_dir)
     edges = _read_kg_edges(m, ["subj_id", "obj_id"])
+    _export_oracle_input("kg_assortativity", edges)
     return degree_assortativity(edges, src="subj_id", dst="obj_id")
 
 
@@ -7898,13 +7901,15 @@ def kg_local_clustering(sf_dir: str) -> pd.DataFrame:
     explode+count exchange and a bucketed degree join finish it
     (kgraft/graph/truss.py local_clustering). Output: coefficient
     histogram (10 fixed bins over deg>=2 nodes) — stable across
-    partitionings. Rows-only; brute-force equivalence in
-    tests/test_graph.py."""
+    partitionings. DuckDB twin: per-node triangle counts from the
+    three-way self-join over exported edges (_KG_LCC_SQL); brute-force
+    equivalence in tests/test_graph.py."""
     from .graph.kcore import simple_pairs
     from .graph.truss import local_clustering
 
     m = _kg_outputs(sf_dir)
     edges = _read_kg_edges(m, ["subj_id", "obj_id"])
+    _export_oracle_input("kg_local_clustering", edges)
     pairs = simple_pairs(edges).map_batches(
         lambda df: pd.DataFrame(
             {"lo": df["lo"].astype("int64"), "hi": df["hi"].astype("int64")}
@@ -9781,7 +9786,71 @@ SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes
 FROM rr GROUP BY hop ORDER BY hop
 """
 
+
+_KG_ASSORT_SQL = f"""
+WITH raw AS (
+  SELECT subj_id AS a, obj_id AS b
+  FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_assortativity/*.parquet')
+  WHERE subj_id <> obj_id
+),
+und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw),
+deg AS (
+  SELECT n, CAST(count(*) AS DOUBLE) AS d
+  FROM (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und) t
+  GROUP BY n
+),
+m AS (
+  SELECT 2.0 * count(*) AS n,
+         sum(du.d + dv.d) AS sx,
+         sum(du.d * du.d + dv.d * dv.d) AS sxx,
+         2.0 * sum(du.d * dv.d) AS sxy,
+         count(*) AS ne
+  FROM und JOIN deg du ON du.n = und.u JOIN deg dv ON dv.n = und.v
+)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST(ne AS BIGINT) AS n_edges,
+       (sxy / n - (sx / n) * (sx / n))
+           / (sxx / n - (sx / n) * (sx / n)) AS assortativity
+FROM m
+"""
+
+_KG_LCC_SQL = f"""
+WITH raw AS (
+  SELECT subj_id AS a, obj_id AS b
+  FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_local_clustering/*.parquet')
+  WHERE subj_id <> obj_id
+),
+und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw),
+deg AS (
+  SELECT n, count(*) AS d
+  FROM (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und) t
+  GROUP BY n
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tc AS (
+  SELECT n, CAST(count(*) AS DOUBLE) AS t
+  FROM (SELECT a AS n FROM tri UNION ALL SELECT b AS n FROM tri
+        UNION ALL SELECT c AS n FROM tri) x
+  GROUP BY n
+),
+l AS (
+  SELECT deg.n,
+         round(coalesce(tc.t, 0) / ((deg.d * (deg.d - 1)) / 2.0), 6) AS lcc
+  FROM deg LEFT JOIN tc ON tc.n = deg.n WHERE deg.d >= 2
+),
+b AS (SELECT least(CAST(floor(lcc * 10) AS BIGINT), 9) AS bin FROM l)
+SELECT bin, round(bin / 10.0, 1) AS bin_lo, CAST(count(*) AS BIGINT) AS n_nodes
+FROM b GROUP BY bin ORDER BY bin
+"""
+
 ORACLE_SQL = {
+    "kg_assortativity": _KG_ASSORT_SQL,
+    "kg_local_clustering": _KG_LCC_SQL,
     "kg_triangles": _KG_TRIANGLES_SQL,
     "kg_khop": _KG_KHOP_SQL,
     "near_dup_against_docs": _NEAR_DUP_AGAINST_SQL,
