@@ -7441,8 +7441,9 @@ def kg_triple_pr(sf_dir: str) -> pd.DataFrame:
             + "\x1f"
             + norm_col(df["obj"])
         )
-        h1 = hash_strings(k.tolist(), seed=5)
-        h2 = hash_strings(k.tolist(), seed=9)  # 128-bit: collision-safe key
+        klist = k.tolist()  # one materialization feeds both seeds
+        h1 = hash_strings(klist, seed=5)
+        h2 = hash_strings(klist, seed=9)  # 128-bit: collision-safe key
         return pd.DataFrame(
             {
                 "k1": h1.astype(np.int64),

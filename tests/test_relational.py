@@ -2367,3 +2367,25 @@ def test_grouped_quantile_by_sort_matches_direct(ray_session):
             tgt = min(cnt, max(1, math.ceil(q * cnt)))
             assert row["qv"] == d["v"].iloc[tgt - 1], (row["k"], q)
             assert row["n_rows"] == cnt
+
+
+def test_ranked_single_group_and_tiny_input(ray_session):
+    """ranked(): a one-group corpus (the extreme low-cardinality case)
+    and a tiny input both produce correct dense ranks."""
+    import ray
+
+    from kgraft.relational import ranked
+
+    df = pd.DataFrame(
+        {"k": ["x"] * 1500, "v": np.arange(1500)[::-1] % 7, "id": np.arange(1500)}
+    )
+    got = (
+        ranked(ray.data.from_pandas(df).repartition(5), ["k"], ["v"], "id")
+        .to_pandas()
+        .sort_values(["v", "id"], ignore_index=True)
+    )
+    assert got["row_number"].tolist() == list(range(1, 1501))
+
+    tiny = pd.DataFrame({"k": ["a"], "v": [1.0], "id": [0]})
+    got = ranked(ray.data.from_pandas(tiny), ["k"], ["v"], "id").to_pandas()
+    assert got["row_number"].tolist() == [1]
