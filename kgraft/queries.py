@@ -3057,9 +3057,10 @@ def approx_median_price(sf_dir: str) -> pd.DataFrame:
 def approx_users_per_type(sf_dir: str) -> pd.DataFrame:
     """HyperLogLog distinct users per event type (p=12, ~1.6% s.e.) —
     the sketch path for web-scale COUNT DISTINCT where the exact
-    operator's (key, value) pair shuffle IS the corpus. No SQL oracle
-    (approximate by design); the driver records rows-only and the
-    error-bound test vs exact lives in tests/test_relational.py."""
+    operator's (key, value) pair shuffle IS the corpus. DuckDB twin
+    replays the full register math (_APPROX_USERS_SQL) — approximate
+    by design but deterministic, so the estimate value-hash-checks;
+    the error-bound test vs exact lives in tests/test_relational.py."""
     from .relational import grouped_approx_count_distinct
 
     ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
@@ -7971,8 +7972,10 @@ def sketch_union_users_by_type(sf_dir: str) -> pd.DataFrame:
     the two sketch files answers distinct-users-per-type over the whole
     stream WITHOUT rescanning raw events — register-identical to
     sketching everything directly (merge = max). Output carries both
-    numbers; `merged_equals_direct` must be true on every row. No SQL
-    oracle (approximate by design); the register-exact merge invariant
+    numbers; `merged_equals_direct` must be true on every row. DuckDB
+    twin recomputes the estimate from the raw events view
+    (_SKETCH_UNION_USERS_SQL) — a broken merge path would drift from
+    it and fail the hash compare; the register-exact merge invariant
     and the error bound live in tests/test_relational.py."""
     from .relational import (
         grouped_approx_count_distinct,
@@ -8027,9 +8030,10 @@ def sketch_union_p90_value(sf_dir: str) -> pd.DataFrame:
     on disk), and the UNION of the two sketch files answers
     p90(value)-per-type over the whole stream without rescanning —
     bucket-identical to sketching everything directly (bucket merge is
-    sum). `merged_equals_direct` must be true on every row. No SQL
-    oracle (alpha-relative-error by design); merge exactness + the
-    error bound live in tests/test_relational.py."""
+    sum). `merged_equals_direct` must be true on every row. DuckDB
+    twin recomputes the DDSketch p90 from the raw events view
+    (_SKETCH_UNION_P90_SQL); merge exactness + the error bound live in
+    tests/test_relational.py."""
     from .relational import (
         dd_quantile_sketches,
         dd_sketch_table,
@@ -9849,7 +9853,164 @@ SELECT bin, round(bin / 10.0, 1) AS bin_lo, CAST(count(*) AS BIGINT) AS n_nodes
 FROM b GROUP BY bin ORDER BY bin
 """
 
+
+# DDSketch replayed in SQL: same gamma double, same ceil(ln v / ln
+# gamma) bucket index, same representative value 2*gamma^j/(1+gamma),
+# same rank rule max(ceil(q*total), 1) — an approximate sketch whose
+# answer is nonetheless deterministic and value-hash-checkable.
+_APPROX_MEDIAN_SQL = """
+WITH p AS (SELECT (1.0 + 0.01) / (1.0 - 0.01) AS gamma),
+b AS (
+  SELECT o_orderpriority,
+         CAST(ceil(ln(o_totalprice) / ln(gamma)) AS BIGINT) AS j
+  FROM orders, p WHERE o_totalprice > 0
+),
+cnt AS (SELECT o_orderpriority, j, count(*) AS c FROM b GROUP BY 1, 2),
+r AS (
+  SELECT o_orderpriority, j, c,
+         2.0 * power(gamma, CAST(j AS DOUBLE)) / (1.0 + gamma) AS v
+  FROM cnt, p
+),
+s AS (
+  SELECT *, sum(c) OVER (PARTITION BY o_orderpriority ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY o_orderpriority) AS total
+  FROM r
+)
+SELECT o_orderpriority,
+       round(min(CASE WHEN cum >= greatest(ceil(0.5 * total), 1)
+                 THEN v END), 4) AS approx_median
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
+# HyperLogLog replayed in SQL (p=12): splitmix64 of each user_id via
+# the exact-uint64 chain, register = top 12 bits, rho from the
+# sentinel-capped remainder, per-register max, alpha_m bias constant +
+# linear-counting branch — "approximate by design" still means
+# deterministic, so the estimate value-hash-checks like any exact
+# query. (np.rint vs SQL round(x,0) differ only at exact .5 — a
+# measure-zero event for the estimator ratio.)
+_APPROX_USERS_SQL = """
+WITH s0 AS (SELECT event_type, CAST(user_id AS UBIGINT) AS z0 FROM events),
+s1 AS (SELECT event_type, CAST((CAST(z0 AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM s0),
+s1x AS (SELECT event_type, xor(z, z >> 30) AS z FROM s1),
+s2 AS (SELECT event_type, CAST(((CAST(z % 4294967296 AS HUGEINT) * 13787848793156543929
+        + ((CAST(z // 4294967296 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296))
+       % 18446744073709551616 AS UBIGINT) AS z FROM s1x),
+s2x AS (SELECT event_type, xor(z, z >> 27) AS z FROM s2),
+s3 AS (SELECT event_type, CAST(((CAST(z % 4294967296 AS HUGEINT) * 10723151780598845931
+        + ((CAST(z // 4294967296 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296))
+       % 18446744073709551616 AS UBIGINT) AS z FROM s2x),
+h AS (SELECT event_type, xor(z, z >> 31) AS h FROM s3),
+rr AS (
+  SELECT event_type, CAST(h >> 52 AS BIGINT) AS reg,
+         63 - CAST(floor(log2(CAST(
+             CAST((CAST(h AS HUGEINT) * 4096) % 18446744073709551616 AS UBIGINT)
+                 | CAST(2048 AS UBIGINT)
+             AS DOUBLE))) AS BIGINT) + 1 AS rho
+  FROM h
+),
+regs AS (SELECT event_type, reg, max(rho) AS rho FROM rr GROUP BY 1, 2),
+agg AS (
+  SELECT event_type, sum(power(2.0, -CAST(rho AS DOUBLE))) AS inv_sum,
+         count(*) AS n_present
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT event_type,
+         (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+             / (inv_sum + (4096 - n_present)) AS raw,
+         4096 - n_present AS zeros
+  FROM agg
+),
+fin AS (
+  SELECT event_type,
+         CAST(round(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+              THEN 4096.0 * ln(4096.0 / greatest(zeros, 1))
+              ELSE raw END, 0) AS BIGINT) AS u
+  FROM est
+)
+SELECT event_type, u AS approx_users FROM fin ORDER BY event_type
+"""
+
+# Persisted-sketch union twins: the twin recomputes the estimate from
+# the raw events view, so if the engine's sketch merge path ever broke
+# (merged != direct registers/buckets), the engine answer would drift
+# from the twin and fail the hash compare — the merge path is checked
+# end-to-end, not just the formula.
+_SKETCH_UNION_USERS_SQL = """
+WITH s0 AS (SELECT event_type, CAST(user_id AS UBIGINT) AS z0 FROM events),
+s1 AS (SELECT event_type, CAST((CAST(z0 AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM s0),
+s1x AS (SELECT event_type, xor(z, z >> 30) AS z FROM s1),
+s2 AS (SELECT event_type, CAST(((CAST(z % 4294967296 AS HUGEINT) * 13787848793156543929
+        + ((CAST(z // 4294967296 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296))
+       % 18446744073709551616 AS UBIGINT) AS z FROM s1x),
+s2x AS (SELECT event_type, xor(z, z >> 27) AS z FROM s2),
+s3 AS (SELECT event_type, CAST(((CAST(z % 4294967296 AS HUGEINT) * 10723151780598845931
+        + ((CAST(z // 4294967296 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296))
+       % 18446744073709551616 AS UBIGINT) AS z FROM s2x),
+h AS (SELECT event_type, xor(z, z >> 31) AS h FROM s3),
+rr AS (
+  SELECT event_type, CAST(h >> 52 AS BIGINT) AS reg,
+         63 - CAST(floor(log2(CAST(
+             CAST((CAST(h AS HUGEINT) * 4096) % 18446744073709551616 AS UBIGINT)
+                 | CAST(2048 AS UBIGINT)
+             AS DOUBLE))) AS BIGINT) + 1 AS rho
+  FROM h
+),
+regs AS (SELECT event_type, reg, max(rho) AS rho FROM rr GROUP BY 1, 2),
+agg AS (
+  SELECT event_type, sum(power(2.0, -CAST(rho AS DOUBLE))) AS inv_sum,
+         count(*) AS n_present
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT event_type,
+         (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+             / (inv_sum + (4096 - n_present)) AS raw,
+         4096 - n_present AS zeros
+  FROM agg
+),
+fin AS (
+  SELECT event_type,
+         CAST(round(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+              THEN 4096.0 * ln(4096.0 / greatest(zeros, 1))
+              ELSE raw END, 0) AS BIGINT) AS u
+  FROM est
+)
+SELECT event_type, u AS approx_users, u AS direct_users,
+       u = u AS merged_equals_direct
+FROM fin ORDER BY event_type
+"""
+
+_SKETCH_UNION_P90_SQL = """
+WITH p AS (SELECT (1.0 + 0.01) / (1.0 - 0.01) AS gamma),
+b AS (
+  SELECT event_type, CAST(ceil(ln(value) / ln(gamma)) AS BIGINT) AS j
+  FROM events, p WHERE value > 0
+),
+cnt AS (SELECT event_type, j, count(*) AS c FROM b GROUP BY 1, 2),
+r AS (SELECT event_type, j, c,
+             2.0 * power(gamma, CAST(j AS DOUBLE)) / (1.0 + gamma) AS v
+      FROM cnt, p),
+s AS (SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS total FROM r),
+fin AS (
+  SELECT event_type,
+         round(min(CASE WHEN cum >= greatest(ceil(0.9 * total), 1)
+                   THEN v END), 4) AS q
+  FROM s GROUP BY 1
+)
+SELECT event_type, q AS p90_merged, q AS p90_direct,
+       q = q AS merged_equals_direct
+FROM fin ORDER BY event_type
+"""
+
 ORACLE_SQL = {
+    "approx_users_per_type": _APPROX_USERS_SQL,
+    "sketch_union_users_by_type": _SKETCH_UNION_USERS_SQL,
+    "sketch_union_p90_value": _SKETCH_UNION_P90_SQL,
+    "approx_median_price": _APPROX_MEDIAN_SQL,
     "kg_assortativity": _KG_ASSORT_SQL,
     "kg_local_clustering": _KG_LCC_SQL,
     "kg_triangles": _KG_TRIANGLES_SQL,
