@@ -3151,7 +3151,8 @@ def cms_token_estimates(sf_dir: str) -> pd.DataFrame:
     """Count-min-sketch frequency estimates for a probe token set —
     the fixed-memory counting tier below Misra-Gries (which keeps the
     head) and the exact vocab table (which is corpus-vocabulary-wide).
-    Rows-only (a sketch); the ε·N over-count bound and layout
+    DuckDB twin replays the grid math token-for-token
+    (_CMS_TOKEN_ESTIMATES_SQL); the ε·N over-count bound and layout
     invariance are pytest-verified. See
     :func:`kgraft.textops.cms_token_counts`."""
     docs = read_table(sf_dir, "documents", columns=["text"])
@@ -8083,8 +8084,9 @@ def sketch_union_token_counts(sf_dir: str) -> pd.DataFrame:
     Parquet on disk), and the UNION of the two stored rows answers
     token-frequency queries over the whole corpus — grid-identical to
     sketching everything directly (grid merge is elementwise sum).
-    `merged_equals_direct` must be true on every row. No SQL oracle
-    (eps*N-overestimate by design); the CMS bound is pytest-pinned on
+    `merged_equals_direct` must be true on every row. DuckDB twin
+    recomputes the estimates from the raw documents view
+    (_SKETCH_UNION_TOKENS_SQL); the CMS bound is pytest-pinned on
     `cms_token_estimates`."""
     from .textops import cms_estimate_from_sketches, cms_sketch_table
 
@@ -10006,7 +10008,139 @@ SELECT event_type, q AS p90_merged, q AS p90_direct,
 FROM fin ORDER BY event_type
 """
 
+
+# Count-Min replayed in SQL — the third member of the mergeable-
+# summaries trio: FNV-1a over each distinct token via a recursive
+# per-byte CTE with exact-uint64 split-multiplies, xor the row seed,
+# splitmix64-finalize, mod width; per-(seed, bucket) corpus counts;
+# estimate = min over the 4 rows. The union twin recomputes from the
+# raw documents view, so a broken grid-merge path would drift from it.
+_CMS_TOKEN_ESTIMATES_SQL = """
+WITH toks AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+        FROM documents) x
+  GROUP BY t
+),
+allt AS (
+  SELECT t FROM toks
+  UNION SELECT unnest(['data', 'sort', 'merge', 'stream', 'zzz_absent']) AS t
+),
+fnv AS (
+  SELECT t, h FROM (
+    WITH RECURSIVE f(t, pos, h) AS (
+      SELECT t, 1, CAST(14695981039346656037 AS UBIGINT) FROM allt
+      UNION ALL
+      SELECT t, pos + 1,
+        CAST((
+          (CAST(xor(h, CAST(ascii(substr(t, pos, 1)) AS UBIGINT))
+                % 4294967296 AS HUGEINT) * 1099511628211
+           + ((CAST(xor(h, CAST(ascii(substr(t, pos, 1)) AS UBIGINT))
+                // 4294967296 AS HUGEINT) * 1099511628211)
+              % 4294967296) * 4294967296)
+        ) % 18446744073709551616 AS UBIGINT)
+      FROM f WHERE pos <= length(t)
+    ) SELECT t, h FROM f WHERE pos = length(t) + 1
+  )
+),
+seeded AS (
+  SELECT t, s.seed, xor(h, CAST(s.seed AS UBIGINT)) AS z0
+  FROM fnv, (SELECT unnest([101, 102, 103, 104]) AS seed) s
+),
+m1 AS (SELECT t, seed, CAST((CAST(z0 AS HUGEINT) + 11400714819323198485)
+                            % 18446744073709551616 AS UBIGINT) AS z FROM seeded),
+m1x AS (SELECT t, seed, xor(z, z >> 30) AS z FROM m1),
+m2 AS (SELECT t, seed, CAST(((CAST(z % 4294967296 AS HUGEINT) * 13787848793156543929
+        + ((CAST(z // 4294967296 AS HUGEINT) * 13787848793156543929)
+           % 4294967296) * 4294967296)) % 18446744073709551616 AS UBIGINT) AS z FROM m1x),
+m2x AS (SELECT t, seed, xor(z, z >> 27) AS z FROM m2),
+m3 AS (SELECT t, seed, CAST(((CAST(z % 4294967296 AS HUGEINT) * 10723151780598845931
+        + ((CAST(z // 4294967296 AS HUGEINT) * 10723151780598845931)
+           % 4294967296) * 4294967296)) % 18446744073709551616 AS UBIGINT) AS z FROM m2x),
+bk AS (SELECT t, seed, CAST(xor(z, z >> 31) % 4096 AS BIGINT) AS bucket FROM m3),
+bucket_counts AS (
+  SELECT bk.seed, bk.bucket, sum(toks.c) AS bc
+  FROM bk JOIN toks USING (t) GROUP BY 1, 2
+),
+q AS (SELECT unnest(['data', 'sort', 'merge', 'stream', 'zzz_absent']) AS token),
+est AS (
+  SELECT q.token, min(coalesce(bc.bc, 0)) AS est_count
+  FROM q
+  JOIN bk ON bk.t = q.token
+  LEFT JOIN bucket_counts bc ON bc.seed = bk.seed AND bc.bucket = bk.bucket
+  GROUP BY q.token
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM toks)
+SELECT token, CAST(est_count AS BIGINT) AS est_count,
+       tot.n_total AS total_tokens
+FROM est, tot ORDER BY token
+"""
+
+_SKETCH_UNION_TOKENS_SQL = """
+WITH toks AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+        FROM documents) x
+  GROUP BY t
+),
+allt AS (
+  SELECT t FROM toks
+  UNION SELECT unnest(['the', 'data', 'model', 'graph', 'language']) AS t
+),
+fnv AS (
+  SELECT t, h FROM (
+    WITH RECURSIVE f(t, pos, h) AS (
+      SELECT t, 1, CAST(14695981039346656037 AS UBIGINT) FROM allt
+      UNION ALL
+      SELECT t, pos + 1,
+        CAST((
+          (CAST(xor(h, CAST(ascii(substr(t, pos, 1)) AS UBIGINT))
+                % 4294967296 AS HUGEINT) * 1099511628211
+           + ((CAST(xor(h, CAST(ascii(substr(t, pos, 1)) AS UBIGINT))
+                // 4294967296 AS HUGEINT) * 1099511628211)
+              % 4294967296) * 4294967296)
+        ) % 18446744073709551616 AS UBIGINT)
+      FROM f WHERE pos <= length(t)
+    ) SELECT t, h FROM f WHERE pos = length(t) + 1
+  )
+),
+seeded AS (
+  SELECT t, s.seed, xor(h, CAST(s.seed AS UBIGINT)) AS z0
+  FROM fnv, (SELECT unnest([101, 102, 103, 104]) AS seed) s
+),
+m1 AS (SELECT t, seed, CAST((CAST(z0 AS HUGEINT) + 11400714819323198485)
+                            % 18446744073709551616 AS UBIGINT) AS z FROM seeded),
+m1x AS (SELECT t, seed, xor(z, z >> 30) AS z FROM m1),
+m2 AS (SELECT t, seed, CAST(((CAST(z % 4294967296 AS HUGEINT) * 13787848793156543929
+        + ((CAST(z // 4294967296 AS HUGEINT) * 13787848793156543929)
+           % 4294967296) * 4294967296)) % 18446744073709551616 AS UBIGINT) AS z FROM m1x),
+m2x AS (SELECT t, seed, xor(z, z >> 27) AS z FROM m2),
+m3 AS (SELECT t, seed, CAST(((CAST(z % 4294967296 AS HUGEINT) * 10723151780598845931
+        + ((CAST(z // 4294967296 AS HUGEINT) * 10723151780598845931)
+           % 4294967296) * 4294967296)) % 18446744073709551616 AS UBIGINT) AS z FROM m2x),
+bk AS (SELECT t, seed, CAST(xor(z, z >> 31) % 2048 AS BIGINT) AS bucket FROM m3),
+bucket_counts AS (
+  SELECT bk.seed, bk.bucket, sum(toks.c) AS bc
+  FROM bk JOIN toks USING (t) GROUP BY 1, 2
+),
+q AS (SELECT unnest(['the', 'data', 'model', 'graph', 'language']) AS token),
+est AS (
+  SELECT q.token, min(coalesce(bc.bc, 0)) AS est_count
+  FROM q
+  JOIN bk ON bk.t = q.token
+  LEFT JOIN bucket_counts bc ON bc.seed = bk.seed AND bc.bucket = bk.bucket
+  GROUP BY q.token
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM toks)
+SELECT token, CAST(est_count AS BIGINT) AS merged_est,
+       CAST(est_count AS BIGINT) AS direct_est, tot.n_total,
+       est_count = est_count AS merged_equals_direct
+FROM est, tot ORDER BY token
+"""
+
 ORACLE_SQL = {
+    "cms_token_estimates": _CMS_TOKEN_ESTIMATES_SQL,
+    "sketch_union_token_counts": _SKETCH_UNION_TOKENS_SQL,
     "approx_users_per_type": _APPROX_USERS_SQL,
     "sketch_union_users_by_type": _SKETCH_UNION_USERS_SQL,
     "sketch_union_p90_value": _SKETCH_UNION_P90_SQL,
