@@ -71,14 +71,7 @@ def maximal_independent_set(
                 [a.apply.remote(_mis_best_kernel, prio_ref, alive_ref)
                  for a in shards]
             )
-            best_p = np.zeros(n, dtype=np.uint64)
-            best_i = np.full(n, -1, dtype=np.int64)
-            for touched, bp, bi in parts:
-                if not len(touched):
-                    continue
-                np.maximum.at(best_p, touched, bp)
-                hit = bp == best_p[touched]
-                np.maximum.at(best_i, touched[hit], bi[hit])
+            best_p, best_i = _fold_best_neighbor(parts, n)
             # win = strictly better (priority, idx) than best alive neighbor
             mine = prio
             idx = np.arange(n)
@@ -103,6 +96,28 @@ def maximal_independent_set(
         for a in shards:
             ray.kill(a)
     return pd.DataFrame({"node_id": ids, "in_mis": in_mis})
+
+
+def _fold_best_neighbor(parts, n):
+    """Fold per-shard (touched, best_prio, best_id) partials into the
+    global best alive-neighbor (priority, id) pair per node — TWO
+    passes: finalize best_p across ALL shards first, THEN pick best_i
+    only among entries matching the final best_p. A single interleaved
+    pass lets an early shard's id survive against a priority a later
+    shard raises, corrupting the (priority, id) lexicographic
+    tie-break on splitmix64 priority collisions and making the result
+    depend on shard partitioning (r4 ADVICE low)."""
+    best_p = np.zeros(n, dtype=np.uint64)
+    best_i = np.full(n, -1, dtype=np.int64)
+    for touched, bp, bi in parts:
+        if len(touched):
+            np.maximum.at(best_p, touched, bp)
+    for touched, bp, bi in parts:
+        if not len(touched):
+            continue
+        hit = bp == best_p[touched]
+        np.maximum.at(best_i, touched[hit], bi[hit])
+    return best_p, best_i
 
 
 def _mis_best_kernel(lo, hi, n, p, a):

@@ -37,6 +37,19 @@ from .relational import (
     semi_anti_join,
 )
 
+def _scratch_layout(sf_dir: str, name: str) -> str:
+    """Per-call scratch layout path, namespaced by (pid, sf tag): these
+    layouts are rewritten on every query call (never a cross-run
+    cache), so a fixed shared path only adds a concurrent-process
+    clobber hazard — a second check_oracle/bench/pytest process
+    overwriting `cms_sf0.001_even.parquet` mid-read flips the reader's
+    result (same hazard class as the r4 ADVICE oracle-inputs item)."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/kgraft_layout/pid{os.getpid()}"
+    os.makedirs(root, exist_ok=True)  # pandas to_parquet won't mkdir
+    return f"{root}/{name}_{tag}"
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-flavored relational pipelines
 
@@ -749,7 +762,7 @@ def range_scan_events(sf_dir: str) -> pd.DataFrame:
     count/mean over the window."""
     from .io import range_scan, write_sorted
 
-    layout = f"/tmp/kgraft_layout/events_value_{os.path.basename(sf_dir.rstrip('/'))}"
+    layout = _scratch_layout(sf_dir, "events_value")
     write_sorted(
         read_table(sf_dir, "events", columns=["event_type", "value"]),
         layout,
@@ -787,7 +800,7 @@ def zorder_scan_events(sf_dir: str) -> pd.DataFrame:
     from .io import write_zorder, zorder_scan
 
     layout = (
-        f"/tmp/kgraft_layout/events_zorder_{os.path.basename(sf_dir.rstrip('/'))}"
+        _scratch_layout(sf_dir, "events_zorder")
     )
     write_zorder(
         read_table(sf_dir, "events", columns=["event_type", "user_id", "value"]),
@@ -3239,11 +3252,19 @@ def token_budget_mixture_docs(sf_dir: str) -> pd.DataFrame:
     )
     parts = sorted_ds.map_batches(
         lambda df: df.groupby("source", sort=False, as_index=False).agg(
-            __c=("n_chars", "sum"), __tb=("doc_id", "first")
+            __c=("n_chars", "sum"), __tb=("doc_id", "first"), __p0=("__p", "first")
         ),
         batch_format="pandas",
         batch_size=None,  # batch == block in BOTH passes
     ).to_pandas()  # blocks x sources-per-block rows: metadata-scale
+    # Partials arrive in task-completion order (preserve_order=False is
+    # Ray's default) — recover global block order by each slice's first
+    # (__p, doc_id) tuple under the distributed sort's own comparator
+    # (sort key is (source, __p, doc_id); doc_id is globally unique so
+    # first tuples are distinct). r4 ADVICE medium.
+    parts = parts.sort_values(
+        ["source", "__p0", "__tb"], kind="mergesort", ignore_index=True
+    )
     grp = parts.groupby("source", sort=False)
     parts["__coff"] = grp["__c"].cumsum() - parts["__c"]
     offs = {
@@ -6963,7 +6984,14 @@ def _pages_for(sf_dir: str) -> int:
     return _SF_TO_PAGES.get(tag, 200)
 
 
-_ORACLE_INPUT_ROOT = "/tmp/kgraft_oracle_inputs"
+# Namespaced per-process: concurrent runs (driver at sf0.01 while a
+# pytest/tie-fuzz process runs sf0.001, or two check_oracle invocations)
+# each get their own export tree and cannot clobber each other mid-read
+# (r4 ADVICE low). The ORACLE_SQL f-strings interpolate this at import
+# time, so query-export and SQL-read always agree within one process —
+# the harness contract (Ray query runs immediately before its twin, in
+# the same process) covers within-process freshness.
+_ORACLE_INPUT_ROOT = f"/tmp/kgraft_oracle_inputs/pid{os.getpid()}"
 
 
 def _export_oracle_input(name: str, ds) -> str:
@@ -7994,7 +8022,7 @@ def sketch_union_users_by_type(sf_dir: str) -> pd.DataFrame:
         lambda df: df[df["ts"] >= cut][["event_type", "user_id"]],
         batch_format="pandas",
     )
-    base = f"/tmp/kgraft_layout/sketches_{os.path.basename(sf_dir.rstrip('/'))}"
+    base = _scratch_layout(sf_dir, "sketches")
     for name, part in (("early", early), ("late", late)):
         hll_sketch_table(part, "event_type", "user_id").write_parquet(
             f"{base}/{name}", mode="overwrite"
@@ -8043,7 +8071,7 @@ def sketch_union_p90_value(sf_dir: str) -> pd.DataFrame:
 
     ev = read_table(sf_dir, "events", columns=["event_type", "value", "ts"])
     cut = pd.Timestamp("2024-01-15")
-    base = f"/tmp/kgraft_layout/ddsketches_{os.path.basename(sf_dir.rstrip('/'))}"
+    base = _scratch_layout(sf_dir, "ddsketches")
     for name, pred in (("early", "<"), ("late", ">=")):
         part = ev.map_batches(
             (lambda df: df[df["ts"] < cut][["event_type", "value"]])
@@ -8091,7 +8119,7 @@ def sketch_union_token_counts(sf_dir: str) -> pd.DataFrame:
     from .textops import cms_estimate_from_sketches, cms_sketch_table
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    base = f"/tmp/kgraft_layout/cms_{os.path.basename(sf_dir.rstrip('/'))}"
+    base = _scratch_layout(sf_dir, "cms")
     for name, par in (("even", 0), ("odd", 1)):
         part = docs.map_batches(
             lambda df, par=par: df[df["doc_id"] % 2 == par][["text"]],

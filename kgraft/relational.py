@@ -1483,9 +1483,14 @@ def ranked(ds, part_keys, order_keys, tiebreak: str, out_col: str = "row_number"
     2. pass 1 emits, per (block, partition-slice), the partition key,
        the slice's first ``tiebreak`` value and its row count — blocks
        x partitions-per-block rows, never corpus-scale;
-    3. the driver orders these partials (unique: ``tiebreak`` is a
-       unique column) and computes cumulative offsets per partition,
-       broadcast as one dict keyed by (partition, first-tiebreak);
+    3. the driver orders these partials by each slice's FIRST full
+       sort tuple (part asc, order with the same desc flags, tiebreak
+       asc) — self-contained block-order recovery that does NOT rely
+       on map_batches output order (Ray's default
+       ``preserve_order=False`` delivers partials in task-completion
+       order; r4 ADVICE high) — then computes cumulative offsets per
+       partition, broadcast as one dict keyed by
+       (partition, first-tiebreak);
     4. pass 2 re-reads the same blocks (``batch_size=None`` pins batch
        == block in both passes) and appends ``offset + within-block
        cumcount``.
@@ -1507,27 +1512,37 @@ def ranked(ds, part_keys, order_keys, tiebreak: str, out_col: str = "row_number"
 
     sorted_ds = ds.sort(sort_cols, descending=desc).materialize()
 
+    ok_cols = [f"__ok{i}" for i in range(len(order_keys))]
+
     def block_partials(df: pd.DataFrame) -> pd.DataFrame:
         grp = df.groupby(part_keys, sort=False, as_index=False)
-        out = grp.agg(
-            __tb_first=(tiebreak, "first"), __m=(tiebreak, "size")
-        )
-        return out
+        aggs = {"__tb_first": (tiebreak, "first"), "__m": (tiebreak, "size")}
+        for i, ok in enumerate(order_keys):
+            aggs[ok_cols[i]] = (ok, "first")
+        return grp.agg(**aggs)
 
     parts = sorted_ds.map_batches(
         block_partials, batch_format="pandas", batch_size=None
     ).to_pandas()  # blocks x partitions-per-block rows: metadata-scale
 
-    # driver: recover block order per partition. The first ROW of each
-    # slice sorts by the full (order, tiebreak) tuple, but since slices
-    # are disjoint runs of a globally sorted order, ordering them by
-    # their first tiebreak value agrees with block order WITHIN each
-    # (partition, order-value) tie run, and ordering across distinct
-    # order values is pinned by re-sorting on a per-partition stable
-    # cumulative count below. Simpler and airtight: carry the original
-    # emission order — map_batches preserves block order, so `parts`
-    # rows are already in global block order; a stable groupby-cumsum
-    # per partition yields the offsets directly.
+    # driver: recover block order per partition WITHOUT assuming
+    # map_batches output order (Ray's streaming executor defaults to
+    # preserve_order=False, so partials arrive in task-completion
+    # order). Slices are disjoint runs of the global sort order, so
+    # every row of a later slice compares >= every row of an earlier
+    # one under the full (part, order, tiebreak) comparator; the
+    # globally-unique tiebreak makes first-row tuples distinct. Hence
+    # a stable sort of the partials by each slice's FIRST tuple, with
+    # the SAME ascending/descending flags as the distributed sort,
+    # reproduces global block order exactly.
+    parts = parts.sort_values(
+        part_keys + ok_cols + ["__tb_first"],
+        ascending=[True] * len(part_keys)
+        + [not d for d in desc_order]
+        + [True],
+        kind="mergesort",
+        ignore_index=True,
+    )
     grp = parts.groupby(part_keys, sort=False)
     parts["__off"] = grp["__m"].cumsum() - parts["__m"]
     key_cols = part_keys + ["__tb_first"]

@@ -1339,3 +1339,31 @@ def test_ppr_sweep_cut_recovers_planted_community(ray_session):
     assert abs(info["conductance"] - 1 / 57) < 1e-6
     # the unreachable ring never enters the sweep
     assert info["swept"] <= 16
+
+
+def test_mis_fold_two_pass_on_priority_collision():
+    """_fold_best_neighbor: with a priority collision split across
+    shards in adversarial order, the folded (priority, id) pair must be
+    the lexicographic max — the old interleaved single-pass fold kept a
+    stale id from an earlier shard (r4 ADVICE low)."""
+    import numpy as np
+
+    from kgraft.graph.mis import _fold_best_neighbor
+
+    # node 0: shard A reports (prio=5, id=10); shard B reports
+    # (prio=7, id=3). Correct best pair is (7, 3) — NOT (7, 10).
+    parts = [
+        (np.array([0]), np.array([5], dtype=np.uint64), np.array([10])),
+        (np.array([0]), np.array([7], dtype=np.uint64), np.array([3])),
+    ]
+    for order in (parts, parts[::-1]):
+        bp, bi = _fold_best_neighbor(order, 1)
+        assert bp[0] == 7 and bi[0] == 3, (order is parts, bp[0], bi[0])
+    # tie at the final priority across shards: max id wins
+    parts = [
+        (np.array([0]), np.array([7], dtype=np.uint64), np.array([2])),
+        (np.array([0]), np.array([7], dtype=np.uint64), np.array([9])),
+        (np.array([0]), np.array([4], dtype=np.uint64), np.array([99])),
+    ]
+    bp, bi = _fold_best_neighbor(parts, 1)
+    assert bp[0] == 7 and bi[0] == 9
