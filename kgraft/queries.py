@@ -5868,17 +5868,36 @@ def ewma_user_value(sf_dir: str) -> pd.DataFrame:
 
 def cusum_event_alarms(sf_dir: str) -> pd.DataFrame:
     """Per-type CUSUM upward-shift alarm counts over event values in
-    arrival order — see :func:`kgraft.streamops.cusum_alarms`
-    (rows-only; the planted-shift pytest is the oracle)."""
+    arrival order — see :func:`kgraft.streamops.cusum_alarms`.
+
+    The monitor runs in integer CENTS (values are exactly 2dp in this
+    corpus): every cumsum term is an integer-valued float64, so the
+    running statistic is EXACT in any summation order — which is what
+    makes the DuckDB window-sum twin (_CUSUM_ALARMS_SQL) safe. A float
+    monitor would differ between numpy's sequential cumsum and
+    DuckDB's segment-tree windowed sum by ~n*eps near the threshold;
+    the planted-shift float-path pytest still covers
+    streamops.cusum_alarms itself."""
     from .streamops import cusum_alarms
 
     ev = read_table(sf_dir, "events", columns=["event_type", "event_id", "value"])
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "event_id": df["event_id"],
+                "value_c": sql_round(df["value"].to_numpy(np.float64) * 100.0, 0),
+            }
+        )
+
     # value ~ mean 50, sd 48: monitor drift above the mean, zero slack
     # so random excursions exercise the alarm path (values are i.i.d.
     # in the synthetic corpus — a real deployment sets slack ~ sd/2)
     c = cusum_alarms(
-        ev, "event_type", "event_id", "value",
-        target=50.0, slack=0.0, threshold=150.0,
+        ev.map_batches(to_cents, batch_format="pandas"),
+        "event_type", "event_id", "value_c",
+        target=5000.0, slack=0.0, threshold=15000.0,
     )
     out = pre_aggregate(
         c, ["event_type"], {"n_alarms": ("alarm", "sum"), "n": (None, "count")}
@@ -5886,6 +5905,53 @@ def cusum_event_alarms(sf_dir: str) -> pd.DataFrame:
     out["n_alarms"] = out["n_alarms"].astype("int64")
     out["n"] = out["n"].astype("int64")
     return out.sort_values("event_type", ignore_index=True)
+
+
+# The EWMA recursion e_t = (1-a)*e_{t-1} + a*x_t replayed as a DuckDB
+# recursive CTE stepping one event rank per iteration (depth = max
+# events per user, ~86 at sf0.01). Each step is fl(fl((1-a)*prev) +
+# fl(a*cur)) on both sides: pandas ewm(adjust=False)'s kernel divides
+# by (1-a)+a which is exactly 1.0 for a=0.3 (tie-to-even), verified
+# bit-identical to the plain recursion — so the twin matches
+# bit-for-bit before the final round(…, 6).
+_EWMA_USER_VALUE_SQL = """
+WITH RECURSIVE s AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), r AS (
+  SELECT user_id, rn, n, value AS e FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, s.n, (1.0 - 0.3) * r.e + 0.3 * s.value
+  FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, round(e, 6) AS ewma FROM r WHERE rn = n ORDER BY user_id
+"""
+
+
+# CUSUM via the running-minimum identity s_t = y_t - min(0, min y_j),
+# y = cumsum(x - k) — in integer cents, so the windowed sum is exact
+# in DuckDB's segment-tree order exactly as in numpy's sequential
+# cumsum (every partial is an integer-valued double < 2^53).
+_CUSUM_ALARMS_SQL = """
+WITH s AS (
+  SELECT event_type, event_id, round(value * 100) AS xc FROM events
+), y AS (
+  SELECT event_type, event_id,
+         sum(xc - 5000) OVER (PARTITION BY event_type ORDER BY event_id) AS y
+  FROM s
+), c AS (
+  SELECT event_type,
+         y - min(least(y, 0)) OVER (PARTITION BY event_type ORDER BY event_id)
+           AS cus
+  FROM y
+)
+SELECT event_type,
+       CAST(count(*) FILTER (WHERE cus > 15000) AS BIGINT) AS n_alarms,
+       CAST(count(*) AS BIGINT) AS n
+FROM c GROUP BY event_type ORDER BY event_type
+"""
 
 
 def gopher_rules_docs(sf_dir: str) -> pd.DataFrame:
@@ -6710,35 +6776,188 @@ WHERE d.source <> 'src0'
 
 
 def tokenize_docs_q(sf_dir: str):
-    """Vocab-broadcast tokenization to id sequences (list<int32> per
-    doc, id 0 = UNK) — the encode step before sequence packing.
-    Nested-list output -> rows-only driver check; the brute-force
-    equivalence oracle lives in tests/test_textops.py."""
-    return textops.tokenize_docs(
+    """Vocab-broadcast tokenization (id 0 = UNK, ids 1..512 by count
+    desc / token asc) — the encode step before sequence packing,
+    surfaced FLAT as (doc_id, pos, token_id) so the driver's
+    value-hash covers every id (a nested list<int32> column hashes
+    through its string repr, which differs between Arrow and DuckDB;
+    r4 VERDICT next #1). The nested-sequence form stays on
+    :func:`kgraft.textops.tokenize_docs` with its brute-force pytest
+    in tests/test_textops.py; integer arithmetic end to end makes the
+    DuckDB twin (_TOKENIZE_DOCS_SQL) exact."""
+    t = textops.tokenize_docs(
         read_table(sf_dir, "documents", columns=["doc_id", "text"]), vocab_size=512
     )
+
+    def explode(tab: pa.Table) -> pa.Table:
+        col = tab.column("input_ids").combine_chunks()
+        offs = col.offsets.to_numpy().astype(np.int64)
+        offs = offs - offs[0]
+        lens = np.diff(offs)
+        doc = np.repeat(tab.column("doc_id").to_numpy(), lens)
+        pos = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+            offs[:-1], lens
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "token_id": pa.array(
+                    col.flatten().to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return t.map_batches(explode, batch_format="pyarrow")
+
+
+# Exact integer twin: same token regex, same top-512 cut (count desc,
+# token asc), UNK = 0; positions from per-doc list ordinals.
+_TOKENIZE_DOCS_SQL = """
+WITH x AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, ts[CAST(i AS INT)] AS token, CAST(i - 1 AS BIGINT) AS pos
+  FROM x, LATERAL unnest(range(1, len(ts) + 1)) u(i)
+),
+vc AS (SELECT token AS t, count(*) AS n FROM toks GROUP BY 1),
+vocab AS (
+  SELECT t, row_number() OVER (ORDER BY n DESC, t ASC) AS token_id
+  FROM vc QUALIFY token_id <= 512
+)
+SELECT toks.doc_id, toks.pos,
+       CAST(coalesce(vocab.token_id, 0) AS BIGINT) AS token_id
+FROM toks LEFT JOIN vocab ON vocab.t = toks.token
+ORDER BY doc_id, pos
+"""
 
 
 def pack_docs(sf_dir: str):
     """Sequence packing for training: greedy next-fit of documents into
     256-token packs, deterministic in doc-id order within fixed id
-    ranges (kgraft/curation.py pack_sequences). Inherently stateful
-    sequential semantics -> rows-only driver check; the straight-line
-    oracle + parallelism-invariance tests live in tests/test_curation.py."""
+    ranges (kgraft/curation.py pack_sequences). The sequential greedy
+    is replayed in the DuckDB twin (_PACK_DOCS_SQL) as a recursive CTE
+    stepping one PACK per iteration over the (range, doc_id)-ordered
+    token cumsum — integer arithmetic end to end, so the twin is
+    exact; the straight-line oracle + parallelism-invariance tests
+    live in tests/test_curation.py."""
     from .curation import pack_sequences
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return pack_sequences(docs, budget=256)
 
 
+# Greedy next-fit replay: rn/csum over (rng, doc_id) order; each
+# recursion step closes one pack — the next start is the first rn
+# whose cumsum exceeds base+budget (searchsorted right), clamped to
+# the range end, min one doc per pack (oversize docs pack alone).
+_PACK_DOCS_SQL = """
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS tok,
+         doc_id // 4096 AS rng
+  FROM documents
+),
+o AS (
+  SELECT doc_id, tok, rng,
+         row_number() OVER (ORDER BY rng, doc_id) AS rn,
+         sum(tok) OVER (ORDER BY rng, doc_id) AS csum
+  FROM d
+),
+re AS (SELECT o.*, max(rn) OVER (PARTITION BY rng) AS row_end FROM o),
+packs AS (
+  SELECT CAST(1 AS BIGINT) AS s
+  UNION ALL
+  SELECT (
+    SELECT CASE WHEN e0 = p.s THEN p.s + 1 ELSE e0 END FROM (
+      SELECT least(
+        coalesce((SELECT min(rn) FROM re WHERE csum >
+                    coalesce((SELECT csum FROM re WHERE rn = p.s - 1), 0)
+                    + 256),
+                 (SELECT max(rn) FROM re) + 1),
+        (SELECT row_end FROM re WHERE rn = p.s) + 1
+      ) AS e0
+    ) q
+  )
+  FROM packs p
+  WHERE p.s <= (SELECT max(rn) FROM re)
+),
+asg AS (
+  SELECT re.*, (SELECT max(s) FROM packs WHERE s <= re.rn) AS ps FROM re
+),
+pt AS (SELECT ps, sum(tok) AS ptok FROM asg GROUP BY ps)
+SELECT asg.doc_id,
+       (SELECT doc_id FROM re WHERE rn = asg.ps) AS pack_id,
+       CAST(asg.rn - asg.ps AS BIGINT) AS seq_pos,
+       asg.tok AS n_tokens,
+       CAST(pt.ptok AS BIGINT) AS pack_tokens,
+       asg.tok > 256 AS oversize
+FROM asg JOIN pt ON pt.ps = asg.ps
+ORDER BY doc_id
+"""
+
+
 def split_docs(sf_dir: str):
     """Leakage-free train/val/test assignment: split = content hash, so
     exact duplicates always share a split (curation.assign_splits).
-    Rows-only driver check; the duplicate-invariant + fraction tests
-    live in tests/test_curation.py."""
+    DuckDB twin (_SPLIT_DOCS_SQL) replays the exact FNV-1a-over-bytes →
+    xor seed 11 → splitmix64 chain per document with uint64 arithmetic
+    (same split-multiply idiom as the SimHash twin) and the 98/1/1
+    slot cuts; the duplicate-invariant + fraction tests live in
+    tests/test_curation.py."""
     from .curation import assign_splits
 
     return assign_splits(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+# hash_strings(text, seed=11) replayed in SQL: recursive per-byte
+# FNV-1a (exact uint64 split-multiplies, ASCII corpus so ascii() ==
+# byte), xor the seed, splitmix64-finalize; slot = h % 1e6 against the
+# cumulative-fraction cuts (980000/990000 exactly — np.cumsum of
+# (.98,.01,.01) * 1e6 lands on integral doubles).
+_SPLIT_DOCS_SQL = """
+WITH fnv AS (
+  SELECT doc_id, h FROM (
+    WITH RECURSIVE f(doc_id, pos, h) AS (
+      SELECT doc_id, 1, CAST(14695981039346656037 AS UBIGINT) FROM documents
+      UNION ALL
+      SELECT f.doc_id, f.pos + 1,
+        CAST((
+          (CAST(xor(f.h, CAST(ascii(substr(d.text, f.pos, 1)) AS UBIGINT))
+                % 4294967296 AS HUGEINT) * 1099511628211
+           + ((CAST(xor(f.h, CAST(ascii(substr(d.text, f.pos, 1)) AS UBIGINT))
+                // 4294967296 AS HUGEINT) * 1099511628211)
+              % 4294967296) * 4294967296)
+        ) % 18446744073709551616 AS UBIGINT)
+      FROM f JOIN documents d ON d.doc_id = f.doc_id
+      WHERE f.pos <= length(d.text)
+    ) SELECT f.doc_id, f.h
+      FROM f JOIN documents d ON d.doc_id = f.doc_id
+      WHERE f.pos = length(d.text) + 1
+  )
+),
+z0 AS (SELECT doc_id, xor(h, CAST(11 AS UBIGINT)) AS z FROM fnv),
+m1 AS (SELECT doc_id, CAST((CAST(z AS HUGEINT) + 11400714819323198485)
+                           % 18446744073709551616 AS UBIGINT) AS z FROM z0),
+m1x AS (SELECT doc_id, xor(z, z >> 30) AS z FROM m1),
+m2 AS (SELECT doc_id, CAST(((CAST(z % 4294967296 AS HUGEINT) * 13787848793156543929
+        + ((CAST(z // 4294967296 AS HUGEINT) * 13787848793156543929)
+           % 4294967296) * 4294967296)) % 18446744073709551616 AS UBIGINT) AS z
+       FROM m1x),
+m2x AS (SELECT doc_id, xor(z, z >> 27) AS z FROM m2),
+m3 AS (SELECT doc_id, CAST(((CAST(z % 4294967296 AS HUGEINT) * 10723151780598845931
+        + ((CAST(z // 4294967296 AS HUGEINT) * 10723151780598845931)
+           % 4294967296) * 4294967296)) % 18446744073709551616 AS UBIGINT) AS z
+       FROM m2x),
+hfin AS (SELECT doc_id, xor(z, z >> 31) AS h FROM m3)
+SELECT doc_id,
+       CASE WHEN h % 1000000 <= 979999 THEN 'train'
+            WHEN h % 1000000 <= 989999 THEN 'val'
+            ELSE 'test' END AS split
+FROM hfin ORDER BY doc_id
+"""
 
 
 def curate_documents(sf_dir: str):
@@ -8460,13 +8679,117 @@ def bootstrap_mean_event_value(sf_dir: str) -> pd.DataFrame:
     n multinomial resample weights converge to iid Poisson(1), so every
     block weights its own rows with deterministic splitmix64(id,
     replicate) draws and ships one (B x 2) partial; no global resample
-    pass ever happens. Deterministic and partition-invariant. Rows-only
-    (resampling is not SQL-expressible); coverage/width/determinism
-    pytest in tests/test_relational.py."""
+    pass ever happens. Deterministic and partition-invariant — and
+    SQL-expressible after all: the weights come from a splitmix64
+    chain the DuckDB twin replays with exact uint64 arithmetic, and
+    the bootstrap runs in integer CENTS (values are exactly 2dp here)
+    so every replicate's weighted sum is an integer-valued double —
+    exact in ANY summation order, which is what makes the twin's
+    aggregation safe. The twin also replays numpy's linear-quantile
+    lerp ((n-1)*q virtual index, b-form when gamma >= 0.5)
+    bit-for-bit with module-computed constants. Coverage/width/
+    determinism pytest in tests/test_relational.py."""
     from .relational import poisson_bootstrap_mean
 
     ev = read_table(sf_dir, "events", columns=["event_id", "value"])
-    return poisson_bootstrap_mean(ev, "value", "event_id", n_boot=200)
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "value_c": sql_round(df["value"].to_numpy(np.float64) * 100.0, 0),
+            }
+        )
+
+    r = poisson_bootstrap_mean(
+        ev.map_batches(to_cents, batch_format="pandas"),
+        "value_c", "event_id", n_boot=200,
+    )
+    for c in ("mean", "ci_lo", "ci_hi"):
+        r[c] = sql_round(r[c] / 100.0, 6)
+    return r
+
+
+def _sm64_chain_sql(tag: str, carry: str, src: str) -> str:
+    """CTE stages replaying kgraft.hashing.splitmix64 on column ``z``
+    of CTE ``src`` (exact uint64 split-multiplies, same idiom as the
+    SimHash twin); emits stages ``{tag}1..{tag}f``, final hash column
+    ``h`` alongside the ``carry`` columns."""
+    return f"""
+{tag}1 AS (SELECT {carry}, CAST((CAST(z AS HUGEINT) + 11400714819323198485)
+           % 18446744073709551616 AS UBIGINT) AS z FROM {src}),
+{tag}1x AS (SELECT {carry}, xor(z, z >> 30) AS z FROM {tag}1),
+{tag}2 AS (SELECT {carry}, CAST(((CAST(z % 4294967296 AS HUGEINT)
+        * 13787848793156543929
+        + ((CAST(z // 4294967296 AS HUGEINT) * 13787848793156543929)
+           % 4294967296) * 4294967296)) % 18446744073709551616 AS UBIGINT)
+        AS z FROM {tag}1x),
+{tag}2x AS (SELECT {carry}, xor(z, z >> 27) AS z FROM {tag}2),
+{tag}3 AS (SELECT {carry}, CAST(((CAST(z % 4294967296 AS HUGEINT)
+        * 10723151780598845931
+        + ((CAST(z // 4294967296 AS HUGEINT) * 10723151780598845931)
+           % 4294967296) * 4294967296)) % 18446744073709551616 AS UBIGINT)
+        AS z FROM {tag}2x),
+{tag}f AS (SELECT {carry}, xor(z, z >> 31) AS h FROM {tag}3)"""
+
+
+def _boot_consts():
+    """Module-computed literals for the bootstrap twin: the Poisson(1)
+    inverse-CDF thresholds (same numpy expression as
+    relational.poisson_bootstrap_mean, so the repr round-trip is
+    bit-exact) and numpy's linear-quantile virtual-index constants at
+    n=200, q=(0.025, 0.975)."""
+    import math
+
+    pk = np.cumsum(np.exp(-1.0) / np.array(
+        [math.factorial(k) for k in range(12)], dtype=np.float64
+    ))
+    pk_rows = ", ".join(f"({float(v)!r})" for v in pk)
+    v_lo = (200 - 1) * np.float64(0.025)   # gamma >= 0.5 -> b-form lerp
+    v_hi = (200 - 1) * np.float64(0.975)   # gamma < 0.5 -> a-form lerp
+    i_lo = int(np.floor(v_lo))
+    i_hi = int(np.floor(v_hi))
+    one_minus_g_lo = float(np.float64(1.0) - (v_lo - np.floor(v_lo)))
+    g_hi = float(v_hi - np.floor(v_hi))
+    return pk_rows, i_lo, one_minus_g_lo, i_hi, g_hi
+
+
+_BOOT_PK_ROWS, _BOOT_ILO, _BOOT_1MGLO, _BOOT_IHI, _BOOT_GHI = _boot_consts()
+
+_BOOTSTRAP_MEAN_SQL = f"""
+WITH ev AS (SELECT event_id, round(value * 100) AS xc FROM events),
+pk(p) AS (VALUES {_BOOT_PK_ROWS}),
+b0 AS (SELECT CAST(b AS UBIGINT) AS z, b
+       FROM (SELECT unnest(range(1, 201)) AS b)),
+{_sm64_chain_sql('bh', 'b', 'b0')},
+h0 AS (SELECT event_id, xc, CAST(event_id AS UBIGINT) AS z FROM ev),
+{_sm64_chain_sql('eh', 'event_id, xc', 'h0')},
+u0 AS (SELECT e.event_id, e.xc, k.b, xor(e.h, k.h) AS z
+       FROM ehf e, bhf k),
+{_sm64_chain_sql('uh', 'event_id, xc, b', 'u0')},
+uu AS (SELECT event_id, xc, b,
+              CAST(h AS DOUBLE) * 5.421010862427522e-20 AS u FROM uhf),
+w AS (SELECT event_id, b, xc,
+             sum(CASE WHEN u > p THEN 1 ELSE 0 END) AS w
+      FROM uu, pk GROUP BY event_id, b, xc),
+rep AS (SELECT b, CAST(sum(w) AS DOUBLE) AS n,
+               CAST(sum(w * xc) AS DOUBLE) AS s FROM w GROUP BY b),
+means AS (SELECT s / greatest(n, 1.0) AS m FROM rep),
+ord AS (SELECT m, row_number() OVER (ORDER BY m) AS rn FROM means),
+qv AS (SELECT
+        max(CASE WHEN rn = {_BOOT_ILO + 1} THEN m END) AS alo,
+        max(CASE WHEN rn = {_BOOT_ILO + 2} THEN m END) AS blo,
+        max(CASE WHEN rn = {_BOOT_IHI + 1} THEN m END) AS ahi,
+        max(CASE WHEN rn = {_BOOT_IHI + 2} THEN m END) AS bhi
+       FROM ord),
+tot AS (SELECT CAST(sum(xc) AS DOUBLE) AS s, count(*) AS n FROM ev)
+SELECT round(round(tot.s / tot.n, 6) / 100.0, 6) AS mean,
+       round(round(blo - (blo - alo) * {_BOOT_1MGLO!r}, 6) / 100.0, 6) AS ci_lo,
+       round(round(ahi + (bhi - ahi) * {_BOOT_GHI!r}, 6) / 100.0, 6) AS ci_hi,
+       CAST(tot.n AS BIGINT) AS n,
+       CAST(200 AS BIGINT) AS n_boot
+FROM qv, tot
+"""
 
 
 def twap_user_value(sf_dir: str) -> pd.DataFrame:
@@ -10169,6 +10492,12 @@ FROM est, tot ORDER BY token
 ORACLE_SQL = {
     "cms_token_estimates": _CMS_TOKEN_ESTIMATES_SQL,
     "sketch_union_token_counts": _SKETCH_UNION_TOKENS_SQL,
+    "ewma_user_value": _EWMA_USER_VALUE_SQL,
+    "cusum_event_alarms": _CUSUM_ALARMS_SQL,
+    "tokenize_docs": _TOKENIZE_DOCS_SQL,
+    "split_docs": _SPLIT_DOCS_SQL,
+    "pack_docs": _PACK_DOCS_SQL,
+    "bootstrap_mean_event_value": _BOOTSTRAP_MEAN_SQL,
     "approx_users_per_type": _APPROX_USERS_SQL,
     "sketch_union_users_by_type": _SKETCH_UNION_USERS_SQL,
     "sketch_union_p90_value": _SKETCH_UNION_P90_SQL,
