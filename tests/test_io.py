@@ -406,3 +406,36 @@ def test_zorder_layout_prunes_both_dims_and_scans_exact(ray_session, tmp_path):
     ds2, kept2, _ = zorder_scan(out, {"y": (None, 49)}, columns=["y"])
     assert ds2.to_pandas()["y"].max() <= 49
     assert kept2 < total
+
+
+def test_inverted_index_bucketed_layout_prunes_and_reads_back(ray_session):
+    """inverted_index_docs writes its postings through write_bucketed
+    (the operational sink — r4 VERDICT next #2): every bucket file
+    holds only tokens hashing to that bucket, and the layout readback
+    IS the query result."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kgraft.io import _load_bucket_manifest
+    from kgraft.queries import _scratch_layout, inverted_index_docs
+    from kgraft.relational import join_key_hash
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = inverted_index_docs(sf_dir)
+    assert len(out) > 0 and list(out.columns) == ["token", "doc_id", "tf"]
+
+    layout = _scratch_layout(sf_dir, "inverted_index")
+    man = _load_bucket_manifest(layout)
+    assert man["key"] == ["token"] and man["num_buckets"] == 32
+
+    seen = 0
+    for f in glob.glob(os.path.join(layout, "**", "*.parquet"), recursive=True):
+        b = int(os.path.basename(os.path.dirname(f)).split("=")[1])
+        t = pq.read_table(f, columns=["token"])
+        h = join_key_hash(t, ["token"], int_keys=False)
+        assert (h % np.uint64(32) == b).all(), f
+        seen += len(t)
+    assert seen == len(out)  # the layout IS the result — nothing extra
