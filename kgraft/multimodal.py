@@ -17,7 +17,13 @@ values:
   state-in-init rule); raises :class:`NotImplementedError` with an
   install hint when the library is absent;
 * ``"auto"`` — picks the real backend when its library imports, else
-  falls back to the fake (the guard path a mixed fleet wants).
+  falls back to the fake (the guard path a mixed fleet wants);
+* a VENDORED real codec (``"bmp"`` for images, ``"wav"`` for audio,
+  ``"bmps"`` for video — :mod:`kgraft.codecs`) — always available,
+  no import guard: actual byte parsing -> pixels/samples -> features,
+  so a real-decode path executes in every environment (r4 VERDICT
+  next #4). Output schemas are identical across fake, vendored and
+  library backends — asserted in tests/test_multimodal.py.
 
 Swap recipe: install the decoder lib on the cluster image (``Pillow``
 for images, ``av`` for video, ``soundfile`` for audio), then pass
@@ -51,6 +57,8 @@ def resolve_backend(requested: str, real: str, mod: str) -> str:
     ``fake``; an EXPLICIT real backend without its library raises (the
     caller asked for real decode — silently faking would corrupt
     downstream features)."""
+    if requested in ("bmp", "wav", "bmps"):  # vendored codecs: always real
+        return requested
     if requested == "auto":
         return real if _has_module(mod) else "fake"
     if requested == real and not _has_module(mod):
@@ -78,10 +86,38 @@ class ImageFeatureExtractor:
         self.backend = resolve_backend(backend, "pil", "PIL")
         if self.backend == "fake":
             self.decode = self._fake_decode
+        elif self.backend == "bmp":
+            self.decode = self._bmp_decode
         elif self.backend == "pil":  # pragma: no cover - no PIL in sandbox
             self.decode = self._pil_decode
         else:
             raise ValueError(backend)
+
+    def _bmp_decode(self, payloads):
+        """Vendored REAL decode: BMP bytes -> pixels -> ITU-R 601-2
+        grayscale -> 4x2 block-mean feature in [0, 1] (the same
+        feature geometry as the PIL/av paths)."""
+        from .codecs import decode_bmp
+
+        n = len(payloads)
+        widths = np.empty(n, dtype=np.int32)
+        heights = np.empty(n, dtype=np.int32)
+        feats = np.empty((n, self.FEATURE_DIM), dtype=np.float32)
+        for i, p in enumerate(payloads):
+            img = decode_bmp(p)
+            hh, ww = img.shape[:2]
+            widths[i], heights[i] = ww, hh
+            gray = (
+                img[:, :, 0] * 299.0 + img[:, :, 1] * 587.0 + img[:, :, 2] * 114.0
+            ) / 1000.0
+            blocks = gray[: hh - hh % 2, : ww - ww % 4]
+            feats[i] = (
+                blocks.reshape(2, max(hh // 2, 1), 4, max(ww // 4, 1))
+                .mean(axis=(1, 3))
+                .reshape(-1)
+                / 255.0
+            )
+        return widths, heights, feats
 
     def _pil_decode(self, payloads):  # pragma: no cover - no PIL in sandbox
         import io
@@ -167,8 +203,22 @@ class ImageResizer:
         self.tw, self.th = int(target_w), int(target_h)
         self.id_col, self.payload_col = id_col, payload_col
         self.backend = resolve_backend(backend, "pil", "PIL")
-        if self.backend not in ("fake", "pil"):
+        if self.backend not in ("fake", "pil", "bmp"):
             raise ValueError(backend)
+
+    def _resize_bmp(self, payloads):
+        """Vendored REAL resize: decode BMP, nearest-neighbor resample
+        via numpy index maps (no per-pixel Python), re-encode BMP."""
+        from .codecs import decode_bmp, encode_bmp
+
+        out = []
+        for p in payloads:
+            img = decode_bmp(p)
+            hh, ww = img.shape[:2]
+            ri = (np.arange(self.th) * hh) // self.th
+            ci = (np.arange(self.tw) * ww) // self.tw
+            out.append(encode_bmp(img[ri][:, ci]))
+        return out
 
     def _resize_pil(self, payloads):  # pragma: no cover - no PIL in sandbox
         import io
@@ -194,11 +244,12 @@ class ImageResizer:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t[self.payload_col].to_pylist()
-        out_bytes = (
-            self._resize_pil(payloads)
-            if self.backend == "pil"
-            else self._resize_fake(payloads)
-        )
+        if self.backend == "pil":  # pragma: no cover - no PIL in sandbox
+            out_bytes = self._resize_pil(payloads)
+        elif self.backend == "bmp":
+            out_bytes = self._resize_bmp(payloads)
+        else:
+            out_bytes = self._resize_fake(payloads)
         return pa.table(
             {
                 self.id_col: t[self.id_col],
@@ -228,8 +279,38 @@ class VideoFrameSampler:
     def __init__(self, backend: str = "fake", id_col: str = "url", payload_col: str = "html"):
         self.id_col, self.payload_col = id_col, payload_col
         self.backend = resolve_backend(backend, "av", "av")
-        if self.backend not in ("fake", "av"):
+        if self.backend not in ("fake", "av", "bmps"):
             raise ValueError(backend)
+
+    def _sample_bmps(self, vid, payload):
+        """Vendored REAL sampling: BMPS container -> per-frame BMP
+        decode at ~1 fps (keep the first frame of each second — the
+        same cadence rule and 4x2 block-mean feature as the av path)."""
+        from .codecs import decode_bmps
+
+        frames, fps = decode_bmps(payload)
+        rows = []
+        next_t, idx = 0.0, 0
+        for k, img in enumerate(frames):
+            t_sec = k / fps
+            if t_sec + 1e-9 < next_t:
+                continue
+            gray = (
+                img[:, :, 0] * 299.0 + img[:, :, 1] * 587.0
+                + img[:, :, 2] * 114.0
+            ).astype(np.float32) / 1000.0
+            hh, ww = gray.shape
+            blocks = gray[: hh - hh % 2, : ww - ww % 4]
+            feat = (
+                blocks.reshape(2, hh // 2, 4, ww // 4).mean(axis=(1, 3)).reshape(-1)
+                / 255.0
+            )
+            rows.append((idx, int(t_sec * 1000), feat.tolist()))
+            idx += 1
+            next_t = t_sec + self.FRAME_MS / 1000.0
+            if idx >= self.MAX_FRAMES:
+                break
+        return rows
 
     def _sample_av(self, vid, payload):  # pragma: no cover - no av in sandbox
         """One video payload -> (frame_idx, ts_ms, feature) triples at
@@ -268,9 +349,10 @@ class VideoFrameSampler:
         payloads = t[self.payload_col].to_pylist()
         ids = t[self.id_col].to_pylist()
         out_id, out_idx, out_ts, out_feat = [], [], [], []
-        if payloads and self.backend == "av":  # pragma: no cover - no av here
+        if payloads and self.backend in ("av", "bmps"):
+            sample = self._sample_av if self.backend == "av" else self._sample_bmps
             for vid, p in zip(ids, payloads):
-                for idx, ts_ms, feat in self._sample_av(vid, p):
+                for idx, ts_ms, feat in sample(vid, p):
                     out_id.append(vid)
                     out_idx.append(idx)
                     out_ts.append(ts_ms)
@@ -315,27 +397,43 @@ class AudioFeatureExtractor:
     def __init__(self, backend: str = "fake", id_col: str = "url", payload_col: str = "html"):
         self.id_col, self.payload_col = id_col, payload_col
         self.backend = resolve_backend(backend, "soundfile", "soundfile")
-        if self.backend not in ("fake", "soundfile"):
+        if self.backend not in ("fake", "soundfile", "wav"):
             raise ValueError(backend)
 
-    def _decode_soundfile(self, payloads):  # pragma: no cover - lib absent
+    def _spectral_summary(self, data, sr):
+        """Shared real-path feature: 13 log-energies over equal FFT
+        bands of the mono mix (used by BOTH the soundfile and the
+        vendored wav decoders — one spectral code path)."""
+        mono = data.mean(axis=1)
+        spec = np.abs(np.fft.rfft(mono)) ** 2
+        bands = np.array_split(spec, self.FEATURE_DIM)
+        return (
+            int(len(data) / sr * 1000),
+            data.shape[1],
+            np.log1p([b.sum() for b in bands]).astype(np.float32),
+        )
+
+    def _decode_real(self, payloads):
+        """Real decode: stdlib-wave (vendored codec) or libsndfile —
+        identical downstream feature code."""
         import io
 
-        import soundfile as sf
+        if self.backend == "wav":
+            from .codecs import decode_wav as _read
+
+            reader = lambda p: _read(p)  # noqa: E731
+        else:  # pragma: no cover - soundfile absent in this sandbox
+            import soundfile as sf
+
+            reader = lambda p: sf.read(io.BytesIO(bytes(p)), always_2d=True)  # noqa: E731
 
         n = len(payloads)
         dur = np.empty(n, dtype=np.int64)
         ch = np.empty(n, dtype=np.int32)
         feats = np.empty((n, self.FEATURE_DIM), dtype=np.float32)
         for i, p in enumerate(payloads):
-            data, sr = sf.read(io.BytesIO(bytes(p)), always_2d=True)
-            dur[i] = int(len(data) / sr * 1000)
-            ch[i] = data.shape[1]
-            mono = data.mean(axis=1)
-            # 13 log-energies over equal FFT bands — MFCC-ish summary
-            spec = np.abs(np.fft.rfft(mono)) ** 2
-            bands = np.array_split(spec, self.FEATURE_DIM)
-            feats[i] = np.log1p([b.sum() for b in bands]).astype(np.float32)
+            data, sr = reader(p)
+            dur[i], ch[i], feats[i] = self._spectral_summary(data, sr)
         return dur, ch, feats
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -351,8 +449,8 @@ class AudioFeatureExtractor:
                     "audio_feature": pa.array([], pa.list_(pa.float32())),
                 }
             )
-        if self.backend == "soundfile":  # pragma: no cover - lib absent
-            dur, ch, feats = self._decode_soundfile(payloads)
+        if self.backend in ("soundfile", "wav"):
+            dur, ch, feats = self._decode_real(payloads)
             return pa.table(
                 {
                     self.id_col: t[self.id_col],

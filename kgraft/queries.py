@@ -9197,6 +9197,70 @@ def audio_features_q(sf_dir: str):
     return extract_audio_features(pages)
 
 
+def _synth_bmp_payloads(df: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic BMP payloads from doc ids (splitmix64 pixel
+    stream, 16x24 RGB) — the in-batch synthesis step for the
+    real-decode multimodal queries (no external data; the driver's
+    corpus has no true image bytes)."""
+    from .codecs import encode_bmp
+    from .hashing import splitmix64
+
+    ids = df["doc_id"].to_numpy(np.int64)
+    payloads = []
+    for i in ids:
+        words = splitmix64(
+            np.uint64(i) * np.uint64(2654435761)
+            + np.arange(16 * 24 * 3 // 8 + 1, dtype=np.uint64)
+        )
+        px = words.view(np.uint8)[: 16 * 24 * 3].reshape(16, 24, 3)
+        payloads.append(encode_bmp(px))
+    return pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+
+def image_features_real(sf_dir: str):
+    """REAL image decode through the actor pool (r4 VERDICT next #4):
+    deterministic BMP payloads synthesized per doc id, decoded by the
+    vendored pure-numpy BMP codec (`kgraft.codecs`) — actual byte
+    parsing -> pixels -> grayscale block-mean features, same actor
+    signature/schema as the fake and PIL backends. Rows-only driver
+    check (FFT/pixel features are not SQL-shaped); the straight-line
+    numpy oracle lives in tests/test_multimodal.py."""
+    from .multimodal import extract_image_features
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    payloads = docs.map_batches(_synth_bmp_payloads, batch_format="pandas")
+    return extract_image_features(
+        payloads, id_col="doc_id", payload_col="payload", backend="bmp"
+    )
+
+
+def audio_features_real(sf_dir: str):
+    """REAL audio decode through the actor pool: per-doc PCM WAV
+    payloads (two deterministic sine tones keyed on doc id), decoded
+    by the stdlib-wave codec, 13 FFT log-band energies — same schema
+    as the fake/soundfile backends. Rows-only; straight-line oracle in
+    tests/test_multimodal.py."""
+    from .codecs import encode_wav
+    from .multimodal import extract_audio_features
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        sr = 4000
+        t = np.arange(sr // 2)  # 0.5 s per clip
+        out = []
+        for i in ids:
+            f0 = 200.0 + (int(i) % 17) * 40.0
+            x = (np.sin(2 * np.pi * f0 * t / sr) * 11000).astype(np.int16)
+            out.append(encode_wav(x, sr))
+        return pd.DataFrame({"doc_id": ids, "payload": out})
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    payloads = docs.map_batches(synth, batch_format="pandas")
+    return extract_audio_features(
+        payloads, id_col="doc_id", payload_col="payload", backend="wav"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -9658,6 +9722,8 @@ QUERIES = {
     "image_resize": image_resize_q,
     "video_frames": video_frames_q,
     "audio_features": audio_features_q,
+    "image_features_real": image_features_real,
+    "audio_features_real": audio_features_real,
     **TPCH_QUERIES,
 }
 
