@@ -7307,7 +7307,13 @@ def _read_kg_edges(m: dict, columns):
     scale block count grows with the data."""
     import glob as _glob
 
-    files = sorted(_glob.glob(os.path.join(m["edges_dir"], "*.parquet")))
+    # RECURSIVE: the edge table is the per-partition frag-*.parquet
+    # checkpoint fragments under part-*/ PLUS the top-level
+    # delta-recovered.parquet — a top-level-only glob sees just the
+    # recovery delta (the r5 kg_pagerank bug, caught by its new twin)
+    files = sorted(
+        _glob.glob(os.path.join(m["edges_dir"], "**", "*.parquet"), recursive=True)
+    )
     total = sum(os.path.getsize(f) for f in files)
     blocks = max(8, total // (8 << 20) + 1)
     return ray.data.read_parquet(
@@ -7836,17 +7842,21 @@ def kg_scc(sf_dir: str) -> pd.DataFrame:
     (scc_size, n_sccs). Non-trivial SCCs flag extraction
     contradictions (mutual ``acquired``, ``subsidiary_of`` cycles) that
     the undirected components pass cannot see — see
-    :func:`kgraft.graph.scc.strongly_connected_components`. Rows-only;
-    the Tarjan oracle lives in tests/test_graph.py."""
+    :func:`kgraft.graph.scc.strongly_connected_components`. DuckDB
+    twin (_KG_SCC_SQL): directed transitive closure via UNION
+    recursion over the exported edges, mutual-pair grouping, size
+    histogram — integer-exact; the Tarjan oracle lives in
+    tests/test_graph.py."""
     import pyarrow.parquet as pq
 
     from .graph.scc import strongly_connected_components
 
     m = _kg_outputs(sf_dir)
-    node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
-        "entity_id"
-    ].to_numpy()
+    nodes_t = pq.read_table(m["nodes_dir"], columns=["entity_id"])
+    node_ids = nodes_t["entity_id"].to_numpy()
     edges = _read_kg_edges(m, columns=["subj_id", "obj_id"]).materialize()
+    _export_oracle_input("kg_scc", edges)
+    _export_oracle_input("kg_scc_nodes", ray.data.from_arrow(nodes_t))
     lab = strongly_connected_components(edges, node_ids)
     sizes = lab.groupby("scc_id").size().rename("scc_size").reset_index()
     out = (
@@ -7954,16 +7964,20 @@ def kg_pagerank(sf_dir: str) -> pd.DataFrame:
     """PageRank over the engine's own materialized KG edges (graph
     analytics on the construction output): top-20 entities by rank.
     Node vector is vocab-scale (broadcast); edges stream through
-    shuffle-free bincount passes. Rows-only driver check; the power-
-    iteration oracle lives in tests/test_graph.py."""
+    shuffle-free bincount passes. DuckDB twin (_KG_PAGERANK_SQL)
+    replays the 15 power iterations as a recursive CTE over the
+    exported edge/node tables — same op order per step, ranks
+    compared at 6dp; the serial power-iteration oracle lives in
+    tests/test_graph.py."""
     import pyarrow.parquet as pq
 
     from .graph.pagerank import pagerank
 
     m = _kg_outputs(sf_dir)
-    node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
-        "entity_id"
-    ].to_numpy()
+    nodes_t = pq.read_table(m["nodes_dir"], columns=["entity_id"])
+    node_ids = nodes_t["entity_id"].to_numpy()
+    _export_oracle_input("kg_pagerank", _read_kg_edges(m, ["subj_id", "obj_id"]))
+    _export_oracle_input("kg_pagerank_nodes", ray.data.from_arrow(nodes_t))
     # edge table fits memory here -> Pregel path (shards pinned in
     # actors, one remote round per superstep instead of a full Dataset
     # job + parquet re-read); the streaming pass remains the path for
@@ -7972,14 +7986,24 @@ def kg_pagerank(sf_dir: str) -> pd.DataFrame:
 
     from .graph.pagerank import pagerank_pregel
 
-    files = sorted(_glob.glob(os.path.join(m["edges_dir"], "*.parquet")))
+    # recursive glob: the edge table = checkpoint fragments + recovery
+    # delta; the old top-level-only glob fed pregel JUST the 133-row
+    # delta file (wrong ranks — caught by the r5 SQL twin, invisible
+    # to the previous rows-only check)
+    files = sorted(
+        _glob.glob(os.path.join(m["edges_dir"], "**", "*.parquet"), recursive=True)
+    )
     total_bytes = sum(os.path.getsize(f) for f in files)
     if files and total_bytes < 4 * (1 << 30):
         pr = pagerank_pregel(files, node_ids, n_iter=15)
     else:
         edges = _read_kg_edges(m, ["subj_id", "obj_id"])
         pr = pagerank(edges, node_ids, n_iter=15)
-    pr["rank"] = sql_round(pr["rank"], 10)
+    # 6dp: ranks are compared/sorted on the SAME grid the driver's
+    # value-hash uses, so the cross-engine +-ulp drift of per-iteration
+    # sum order (bincount vs DuckDB aggregation) cannot flip the top-20
+    # selection except within ~1e-8 of a grid boundary
+    pr["rank"] = sql_round(pr["rank"], 6)
     top = pr.sort_values(["rank", "node_id"], ascending=[False, True]).head(20)
     return top.reset_index(drop=True)
 
@@ -8032,16 +8056,20 @@ def kg_kcore(sf_dir: str) -> pd.DataFrame:
     explosion inflates degrees but not coreness; density collapse shows
     up as the high-core tail vanishing). BSP peeling with the
     vocab-scale alive vector broadcast per round; edges stream through
-    bincount passes (kgraft/graph/kcore.py)."""
+    bincount passes (kgraft/graph/kcore.py). DuckDB twin
+    (_KG_KCORE_SQL): the peel replayed one round per recursion level
+    over the exported raw edges (simplification re-done in SQL) —
+    integer state, exact."""
     import pyarrow.parquet as pq
 
     from .graph.kcore import core_numbers
 
     m = _kg_outputs(sf_dir)
-    node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
-        "entity_id"
-    ].to_numpy()
+    nodes_t = pq.read_table(m["nodes_dir"], columns=["entity_id"])
+    node_ids = nodes_t["entity_id"].to_numpy()
     edges = _read_kg_edges(m, ["subj_id", "obj_id"])
+    _export_oracle_input("kg_kcore", edges)
+    _export_oracle_input("kg_kcore_nodes", ray.data.from_arrow(nodes_t))
     cn = core_numbers(edges, node_ids)
     out = (
         cn.groupby("coreness", as_index=False)
@@ -10574,6 +10602,112 @@ SELECT token, CAST(est_count AS BIGINT) AS merged_est,
 FROM est, tot ORDER BY token
 """
 
+# PageRank replayed as a recursive CTE: one power iteration per
+# recursion level over the exported (subj_id, obj_id) edges + node
+# vocabulary, with the engine's exact per-step op order
+# (1.0-0.85)/n + 0.85*(agg + dangling/n), per-edge term r/outdeg
+# (outdeg 0 -> divide by 1), edge multiplicity preserved. Per-sum
+# +-ulp order drift is absorbed by the 6dp grid both sides sort and
+# compare on (see kg_pagerank).
+_KG_PAGERANK_SQL = f"""
+WITH RECURSIVE
+n0 AS (SELECT entity_id AS id
+       FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_pagerank_nodes/*.parquet')),
+e AS (SELECT subj_id AS s, obj_id AS t
+      FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_pagerank/*.parquet')),
+meta AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n0),
+deg AS (SELECT n0.id, CAST(coalesce(d.c, 0) AS DOUBLE) AS outdeg
+        FROM n0 LEFT JOIN (SELECT s, count(*) AS c FROM e GROUP BY s) d
+        ON d.s = n0.id),
+pr AS (
+  SELECT 0 AS it, id, outdeg, 1.0 / (SELECT nn FROM meta) AS r FROM deg
+  UNION ALL
+  SELECT p.it + 1, p.id, p.outdeg,
+         (1.0 - 0.85) / (SELECT nn FROM meta)
+         + 0.85 * (
+             coalesce((SELECT sum(q.r / (CASE WHEN q.outdeg > 0.0
+                                          THEN q.outdeg ELSE 1.0 END))
+                       FROM pr q JOIN e ON e.s = q.id
+                       WHERE e.t = p.id), 0.0)
+             + (SELECT coalesce(sum(q.r), 0.0) FROM pr q
+                WHERE q.outdeg = 0.0) / (SELECT nn FROM meta))
+  FROM pr p WHERE p.it < 15
+)
+SELECT id AS node_id, round(r, 6) AS rank
+FROM pr WHERE it = 15
+ORDER BY round(r, 6) DESC, id LIMIT 20
+"""
+
+
+# k-core peel replayed one simultaneous-drop round per recursion
+# level: a level holds (current k, alive node); drops happen when the
+# alive-degree (over the SQL-side-simplified undirected unique pairs)
+# is < k; a fixpoint round advances k. coreness = (last k a node was
+# alive at) - 1 — integer state, exact.
+_KG_KCORE_SQL = f"""
+WITH RECURSIVE
+n0 AS (SELECT entity_id AS id
+       FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_kcore_nodes/*.parquet')),
+raw AS (SELECT subj_id AS s, obj_id AS t
+        FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_kcore/*.parquet')),
+pairs AS (SELECT DISTINCT least(s, t) AS lo, greatest(s, t) AS hi
+          FROM raw WHERE s <> t),
+ed AS (SELECT lo AS u, hi AS v FROM pairs
+       UNION ALL SELECT hi, lo FROM pairs),
+peel AS (
+  SELECT 1 AS k, id FROM n0
+  UNION ALL
+  SELECT CASE WHEN (SELECT count(*) FROM peel x WHERE
+                      (SELECT count(*) FROM ed e2
+                       WHERE e2.u = x.id
+                         AND e2.v IN (SELECT id FROM peel)) < x.k) > 0
+              THEN l.k ELSE l.k + 1 END AS k,
+         l.id
+  FROM peel l
+  WHERE (SELECT count(*) FROM peel x WHERE
+           (SELECT count(*) FROM ed e2
+            WHERE e2.u = x.id
+              AND e2.v IN (SELECT id FROM peel)) < x.k) = 0
+     OR (SELECT count(*) FROM ed e2
+         WHERE e2.u = l.id
+           AND e2.v IN (SELECT id FROM peel)) >= l.k
+)
+SELECT CAST(coreness AS BIGINT) AS coreness,
+       CAST(count(*) AS BIGINT) AS n_entities
+FROM (SELECT id, max(k) - 1 AS coreness FROM peel GROUP BY id)
+GROUP BY coreness ORDER BY coreness
+"""
+
+
+# SCC size histogram via directed transitive closure (UNION
+# recursion converges by dedup), mutual-reachability pairing with a
+# reflexive base, min-member labels, then the size histogram —
+# integer-exact; edge dedup is reachability-preserving.
+_KG_SCC_SQL = f"""
+WITH RECURSIVE
+n0 AS (SELECT entity_id AS id
+       FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_scc_nodes/*.parquet')),
+e AS (SELECT DISTINCT subj_id AS s, obj_id AS t
+      FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_scc/*.parquet')),
+reach AS (
+  SELECT s AS a, t AS b FROM e
+  UNION
+  SELECT r.a, e.t FROM reach r JOIN e ON e.s = r.b
+),
+mut AS (
+  SELECT id AS x, id AS y FROM n0
+  UNION
+  SELECT r1.a, r1.b FROM reach r1 JOIN reach r2
+    ON r2.a = r1.b AND r2.b = r1.a
+),
+lab AS (SELECT x, min(y) AS scc_id FROM mut GROUP BY x),
+sizes AS (SELECT scc_id, count(*) AS scc_size FROM lab GROUP BY scc_id)
+SELECT CAST(scc_size AS BIGINT) AS scc_size,
+       CAST(count(*) AS BIGINT) AS n_sccs
+FROM sizes GROUP BY scc_size ORDER BY scc_size
+"""
+
+
 ORACLE_SQL = {
     "cms_token_estimates": _CMS_TOKEN_ESTIMATES_SQL,
     "sketch_union_token_counts": _SKETCH_UNION_TOKENS_SQL,
@@ -10583,6 +10717,9 @@ ORACLE_SQL = {
     "split_docs": _SPLIT_DOCS_SQL,
     "pack_docs": _PACK_DOCS_SQL,
     "bootstrap_mean_event_value": _BOOTSTRAP_MEAN_SQL,
+    "kg_pagerank": _KG_PAGERANK_SQL,
+    "kg_kcore": _KG_KCORE_SQL,
+    "kg_scc": _KG_SCC_SQL,
     "approx_users_per_type": _APPROX_USERS_SQL,
     "sketch_union_users_by_type": _SKETCH_UNION_USERS_SQL,
     "sketch_union_p90_value": _SKETCH_UNION_P90_SQL,
