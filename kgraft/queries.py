@@ -7490,19 +7490,23 @@ def kg_pagerank_weighted(sf_dir: str) -> pd.DataFrame:
     """Confidence-weighted PageRank over the KG: transition mass
     proportional to the edge's extraction-confidence column, so
     low-confidence links leak less importance — top-20. See
-    :func:`kgraft.graph.pagerank.pagerank_weighted`. Rows-only; the
-    dense weighted-power-iteration oracle lives in tests/test_graph.py."""
+    :func:`kgraft.graph.pagerank.pagerank_weighted`. DuckDB twin
+    (_KG_PAGERANK_WEIGHTED_SQL): the weighted power iteration replayed
+    as a recursive CTE (weights clamped to >= 0 exactly like the
+    engine, per-edge term w * (r/wout), 6dp compare grid); the dense
+    weighted-power-iteration oracle lives in tests/test_graph.py."""
     import pyarrow.parquet as pq
 
     from .graph.pagerank import pagerank_weighted
 
     m = _kg_outputs(sf_dir)
-    node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
-        "entity_id"
-    ].to_numpy()
+    nodes_t = pq.read_table(m["nodes_dir"], columns=["entity_id"])
+    node_ids = nodes_t["entity_id"].to_numpy()
     edges = _read_kg_edges(m, columns=["subj_id", "obj_id", "conf"]).materialize()
+    _export_oracle_input("kg_pagerank_weighted", edges)
+    _export_oracle_input("kg_pagerank_weighted_nodes", ray.data.from_arrow(nodes_t))
     pr = pagerank_weighted(edges, node_ids, "conf", n_iter=15)
-    pr["rank"] = sql_round(pr["rank"], 10)
+    pr["rank"] = sql_round(pr["rank"], 6)  # driver compare grid (see kg_pagerank)
     return pr.sort_values(
         ["rank", "node_id"], ascending=[False, True], ignore_index=True
     ).head(20)
@@ -7511,19 +7515,22 @@ def kg_pagerank_weighted(sf_dir: str) -> pd.DataFrame:
 def kg_smoothed_importance(sf_dir: str) -> pd.DataFrame:
     """GNN-style feature prep on the KG: PageRank scores smoothed by a
     1-hop undirected neighborhood mean (GraphSAGE pooling with self-
-    loop) — "importance of the company you keep", top-20. See
-    :func:`kgraft.graph.neighborhood.neighbor_aggregate`. Rows-only;
-    the dense adjacency oracle lives in tests/test_graph.py."""
+    loop) — "importance of the company you keep", top-20. DuckDB twin
+    (_KG_SMOOTHED_SQL): the PageRank recursion plus the undirected
+    multiplicity-counting neighborhood mean replayed over the exported
+    edges, 6dp grid; the dense adjacency oracle lives in
+    tests/test_graph.py."""
     import pyarrow.parquet as pq
 
     from .graph.neighborhood import neighbor_aggregate
     from .graph.pagerank import pagerank
 
     m = _kg_outputs(sf_dir)
-    node_ids = np.sort(
-        pq.read_table(m["nodes_dir"], columns=["entity_id"])["entity_id"].to_numpy()
-    )
+    nodes_t = pq.read_table(m["nodes_dir"], columns=["entity_id"])
+    node_ids = np.sort(nodes_t["entity_id"].to_numpy())
     edges = _read_kg_edges(m, columns=["subj_id", "obj_id"]).materialize()
+    _export_oracle_input("kg_smoothed", edges)
+    _export_oracle_input("kg_smoothed_nodes", ray.data.from_arrow(nodes_t))
     pr = pagerank(edges, node_ids, n_iter=15)
     ranks = (
         pr.sort_values("node_id")["rank"].to_numpy(dtype="float64").reshape(-1, 1)
@@ -7535,8 +7542,8 @@ def kg_smoothed_importance(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame(
         {
             "node_id": node_ids,
-            "rank": sql_round(ranks[:, 0], 10),
-            "smoothed_rank": sql_round(smoothed[:, 0], 10),
+            "rank": sql_round(ranks[:, 0], 6),
+            "smoothed_rank": sql_round(smoothed[:, 0], 6),
         }
     )
     return out.sort_values(
@@ -7926,18 +7933,21 @@ def kg_hits(sf_dir: str) -> pd.DataFrame:
     """Top-20 entities by HITS authority over the materialized KG (hub
     score alongside) — separates well-referenced canonical entities from
     aggregator hubs, a signal PageRank conflates. See
-    :func:`kgraft.graph.hits.hits`. Rows-only driver check; the dense
+    :func:`kgraft.graph.hits.hits`. DuckDB twin (_KG_HITS_SQL): the
+    30 half-steps (authority / hub alternating, L2-normalized each)
+    replayed one per recursion level, 8dp grid; the dense
     power-iteration oracle lives in tests/test_graph.py."""
     import pyarrow.parquet as pq
 
     from .graph.hits import hits
 
     m = _kg_outputs(sf_dir)
-    node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
-        "entity_id"
-    ].to_numpy()
+    nodes_t = pq.read_table(m["nodes_dir"], columns=["entity_id"])
+    node_ids = nodes_t["entity_id"].to_numpy()
     # pinned: HITS re-scans edges 2×n_iter times
     edges = _read_kg_edges(m, columns=["subj_id", "obj_id"]).materialize()
+    _export_oracle_input("kg_hits", edges)
+    _export_oracle_input("kg_hits_nodes", ray.data.from_arrow(nodes_t))
     out = hits(edges, node_ids, n_iter=15, src_col="subj_id", dst_col="obj_id")
     out["authority"] = sql_round(out["authority"], 8)
     out["hub"] = sql_round(out["hub"], 8)
@@ -10708,6 +10718,143 @@ FROM sizes GROUP BY scc_size ORDER BY scc_size
 """
 
 
+# Weighted PageRank twin — same recursion shape as _KG_PAGERANK_SQL
+# with per-edge weight w = max(coalesce(conf, 0), 0) (the engine's
+# nan_to_num + clamp), weighted out-degree, per-edge term w * (r/wout).
+_KG_PAGERANK_WEIGHTED_SQL = f"""
+WITH RECURSIVE
+n0 AS (SELECT entity_id AS id FROM
+       read_parquet('{_ORACLE_INPUT_ROOT}/kg_pagerank_weighted_nodes/*.parquet')),
+e AS (SELECT subj_id AS s, obj_id AS t,
+             greatest(coalesce(conf, 0.0), 0.0) AS w
+      FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_pagerank_weighted/*.parquet')),
+meta AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n0),
+deg AS (SELECT n0.id, CAST(coalesce(d.c, 0.0) AS DOUBLE) AS wout
+        FROM n0 LEFT JOIN (SELECT s, sum(w) AS c FROM e GROUP BY s) d
+        ON d.s = n0.id),
+pr AS (
+  SELECT 0 AS it, id, wout, 1.0 / (SELECT nn FROM meta) AS r FROM deg
+  UNION ALL
+  SELECT p.it + 1, p.id, p.wout,
+         (1.0 - 0.85) / (SELECT nn FROM meta)
+         + 0.85 * (
+             coalesce((SELECT sum(e.w * (q.r / (CASE WHEN q.wout > 0.0
+                                          THEN q.wout ELSE 1.0 END)))
+                       FROM pr q JOIN e ON e.s = q.id
+                       WHERE e.t = p.id), 0.0)
+             + (SELECT coalesce(sum(q.r), 0.0) FROM pr q
+                WHERE q.wout = 0.0) / (SELECT nn FROM meta))
+  FROM pr p WHERE p.it < 15
+)
+SELECT id AS node_id, round(r, 6) AS rank
+FROM pr WHERE it = 15
+ORDER BY round(r, 6) DESC, id LIMIT 20
+"""
+
+
+# PageRank + GraphSAGE-style neighborhood mean: the engine's
+# neighbor_aggregate(direction='both', include_self=True) counts edge
+# MULTIPLICITY in both directions (a self-loop contributes twice),
+# then (sum + own) / (count + 1).
+_KG_SMOOTHED_SQL = f"""
+WITH RECURSIVE
+n0 AS (SELECT entity_id AS id
+       FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_smoothed_nodes/*.parquet')),
+e AS (SELECT subj_id AS s, obj_id AS t
+      FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_smoothed/*.parquet')),
+meta AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n0),
+deg AS (SELECT n0.id, CAST(coalesce(d.c, 0) AS DOUBLE) AS outdeg
+        FROM n0 LEFT JOIN (SELECT s, count(*) AS c FROM e GROUP BY s) d
+        ON d.s = n0.id),
+pr AS (
+  SELECT 0 AS it, id, outdeg, 1.0 / (SELECT nn FROM meta) AS r FROM deg
+  UNION ALL
+  SELECT p.it + 1, p.id, p.outdeg,
+         (1.0 - 0.85) / (SELECT nn FROM meta)
+         + 0.85 * (
+             coalesce((SELECT sum(q.r / (CASE WHEN q.outdeg > 0.0
+                                          THEN q.outdeg ELSE 1.0 END))
+                       FROM pr q JOIN e ON e.s = q.id
+                       WHERE e.t = p.id), 0.0)
+             + (SELECT coalesce(sum(q.r), 0.0) FROM pr q
+                WHERE q.outdeg = 0.0) / (SELECT nn FROM meta))
+  FROM pr p WHERE p.it < 15
+),
+fin AS (SELECT id, r FROM pr WHERE it = 15),
+und AS (SELECT s AS v, t AS u FROM e UNION ALL SELECT t AS v, s AS u FROM e),
+agg AS (
+  SELECT und.v, count(*) AS c, sum(f.r) AS acc
+  FROM und JOIN fin f ON f.id = und.u GROUP BY und.v
+)
+SELECT fin.id AS node_id, round(fin.r, 6) AS rank,
+       round((coalesce(agg.acc, 0.0) + fin.r)
+             / (coalesce(agg.c, 0) + 1.0), 6) AS smoothed_rank
+FROM fin LEFT JOIN agg ON agg.v = fin.id
+ORDER BY round((coalesce(agg.acc, 0.0) + fin.r)
+               / (coalesce(agg.c, 0) + 1.0), 6) DESC, fin.id
+LIMIT 20
+"""
+
+
+# HITS twin: 30 half-steps, one per recursion level — even steps
+# update authority from hubs (L2-normalized), odd steps update hubs
+# from the fresh authorities; multi-edges count multiplicity. The L2
+# norm is recomputed per level as sqrt(sum(x*x)).
+_KG_HITS_SQL = f"""
+WITH RECURSIVE
+n0 AS (SELECT entity_id AS id
+       FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_hits_nodes/*.parquet')),
+e AS (SELECT subj_id AS s, obj_id AS t
+      FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_hits/*.parquet')),
+meta AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n0),
+hh AS (
+  SELECT 0 AS st, id,
+         1.0 / sqrt((SELECT nn FROM meta)) AS auth,
+         1.0 / sqrt((SELECT nn FROM meta)) AS hub
+  FROM n0
+  UNION ALL
+  SELECT p.st + 1, p.id,
+    CASE WHEN p.st % 2 = 0 THEN
+      (SELECT coalesce(sum(q.hub), 0.0)
+       FROM hh q JOIN e ON e.s = q.id WHERE e.t = p.id)
+      / (CASE WHEN (SELECT sqrt(sum(
+             (SELECT coalesce(sum(q2.hub), 0.0)
+              FROM hh q2 JOIN e ON e.s = q2.id WHERE e.t = x.id)
+             * (SELECT coalesce(sum(q3.hub), 0.0)
+                FROM hh q3 JOIN e ON e.s = q3.id WHERE e.t = x.id)))
+           FROM hh x) > 0.0
+         THEN (SELECT sqrt(sum(
+             (SELECT coalesce(sum(q2.hub), 0.0)
+              FROM hh q2 JOIN e ON e.s = q2.id WHERE e.t = x.id)
+             * (SELECT coalesce(sum(q3.hub), 0.0)
+                FROM hh q3 JOIN e ON e.s = q3.id WHERE e.t = x.id)))
+           FROM hh x) ELSE 1.0 END)
+    ELSE p.auth END,
+    CASE WHEN p.st % 2 = 0 THEN p.hub
+    ELSE
+      (SELECT coalesce(sum(q.auth), 0.0)
+       FROM hh q JOIN e ON e.t = q.id WHERE e.s = p.id)
+      / (CASE WHEN (SELECT sqrt(sum(
+             (SELECT coalesce(sum(q2.auth), 0.0)
+              FROM hh q2 JOIN e ON e.t = q2.id WHERE e.s = x.id)
+             * (SELECT coalesce(sum(q3.auth), 0.0)
+                FROM hh q3 JOIN e ON e.t = q3.id WHERE e.s = x.id)))
+           FROM hh x) > 0.0
+         THEN (SELECT sqrt(sum(
+             (SELECT coalesce(sum(q2.auth), 0.0)
+              FROM hh q2 JOIN e ON e.t = q2.id WHERE e.s = x.id)
+             * (SELECT coalesce(sum(q3.auth), 0.0)
+                FROM hh q3 JOIN e ON e.t = q3.id WHERE e.s = x.id)))
+           FROM hh x) ELSE 1.0 END)
+    END
+  FROM hh p WHERE p.st < 30
+)
+SELECT id AS node, round(auth, 8) AS authority, round(hub, 8) AS hub
+FROM hh WHERE st = 30
+ORDER BY round(auth, 8) DESC, id LIMIT 20
+"""
+
+
 ORACLE_SQL = {
     "cms_token_estimates": _CMS_TOKEN_ESTIMATES_SQL,
     "sketch_union_token_counts": _SKETCH_UNION_TOKENS_SQL,
@@ -10720,6 +10867,9 @@ ORACLE_SQL = {
     "kg_pagerank": _KG_PAGERANK_SQL,
     "kg_kcore": _KG_KCORE_SQL,
     "kg_scc": _KG_SCC_SQL,
+    "kg_pagerank_weighted": _KG_PAGERANK_WEIGHTED_SQL,
+    "kg_smoothed_importance": _KG_SMOOTHED_SQL,
+    "kg_hits": _KG_HITS_SQL,
     "approx_users_per_type": _APPROX_USERS_SQL,
     "sketch_union_users_by_type": _SKETCH_UNION_USERS_SQL,
     "sketch_union_p90_value": _SKETCH_UNION_P90_SQL,
