@@ -5867,8 +5867,10 @@ def bpe_merges_docs(sf_dir: str) -> pd.DataFrame:
 
 def ewma_user_value(sf_dir: str) -> pd.DataFrame:
     """Each user's final EWMA of event values in event order — see
-    :func:`kgraft.streamops.ewma` (rows-only: the recursion has no
-    closed SQL form; pytest checks the pandas recursion)."""
+    :func:`kgraft.streamops.ewma`. DuckDB twin (_EWMA_USER_VALUE_SQL):
+    the e_t = (1-a)e_{t-1} + a*x_t recursion replayed one event rank
+    per recursion level, bit-identical to pandas ewm(adjust=False);
+    pytest checks the pandas recursion."""
     from .relational import bucketed_groupby_apply
     from .streamops import ewma
 
@@ -7668,11 +7670,22 @@ def kg_random_walks(sf_dir: str) -> pd.DataFrame:
     (2 walks x 8 steps from every entity): per-position walk survival
     and node coverage — the graph-embedding training-data prep — see
     :func:`kgraft.graph.walks.random_walks`. Deterministic (seeded
-    splitmix64 choice streams). Rows-only; the serial-oracle,
-    bucket-invariance and tier-equivalence pytests live in
-    tests/test_graph.py."""
+    splitmix64 choice streams) — which makes it SQL-replayable: the
+    DuckDB twin (_KG_RANDOM_WALKS_SQL) precomputes every (walk, pos)
+    splitmix64 draw with exact uint64 arithmetic, then advances walks
+    one step per recursion level over the ranked deduped undirected
+    adjacency. The serial-oracle, bucket-invariance and
+    tier-equivalence pytests live in tests/test_graph.py."""
+    import pyarrow.parquet as pq
+
     from .relational import grouped_count_distinct, pre_aggregate_ds
 
+    m = _kg_outputs(sf_dir)
+    _export_oracle_input("kg_walks", _read_kg_edges(m, ["subj_id", "obj_id"]))
+    _export_oracle_input(
+        "kg_walks_nodes",
+        ray.data.from_arrow(pq.read_table(m["nodes_dir"], columns=["entity_id"])),
+    )
     walks = _kg_walks(sf_dir)
     n_walks = pre_aggregate_ds(
         walks.select_columns(["pos"]), ["pos"], {"n_walks": (None, "count")}
@@ -10718,6 +10731,69 @@ FROM sizes GROUP BY scc_size ORDER BY scc_size
 """
 
 
+def _walk_salts_values(walk_length: int = 8, seed: int = 42) -> str:
+    """Per-position walk-choice salts as SQL VALUES rows, computed with
+    the engine's own salt derivation (kgraft.graph.walks._walk_choice)
+    so the twin stays in sync with the choice stream."""
+    from .graph.walks import _POS_SALT
+    from .hashing import splitmix64
+
+    rows = []
+    for pos in range(walk_length):
+        salt = splitmix64(
+            np.array([pos], dtype=np.uint64) * _POS_SALT
+            + np.array([seed], dtype=np.uint64)
+        )[0]
+        rows.append(f"({pos}, {int(salt)})")
+    return ", ".join(rows)
+
+
+# DeepWalk corpus replay: the engine's walks are DETERMINISTIC
+# (choice = splitmix64(walk_id ^ salt(pos, seed)) % deg over the
+# nbr-sorted deduped undirected adjacency), so the twin precomputes
+# all (walk, pos) draws with exact uint64 CTE stages and advances
+# every walk one step per recursion level; walks die at nodes with no
+# neighbors. Integer-exact end to end.
+_KG_RANDOM_WALKS_SQL = f"""
+WITH RECURSIVE
+n0 AS (SELECT entity_id AS id
+       FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_walks_nodes/*.parquet')),
+raw AS (SELECT subj_id AS s, obj_id AS t
+        FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_walks/*.parquet')),
+adjp AS (SELECT DISTINCT node, nbr FROM (
+          SELECT s AS node, t AS nbr FROM raw
+          UNION ALL SELECT t AS node, s AS nbr FROM raw)),
+adj AS (SELECT node, nbr,
+               row_number() OVER (PARTITION BY node ORDER BY nbr) - 1 AS rnk
+        FROM adjp),
+dg AS (SELECT node, count(*) AS deg FROM adjp GROUP BY node),
+seeds AS (SELECT (r.i - 1) * 2 + j.j AS wid, r.id AS start
+          FROM (SELECT id, row_number() OVER (ORDER BY id) AS i FROM n0) r,
+               (SELECT unnest([0, 1]) AS j) j),
+salts(pos, salt) AS (VALUES {_walk_salts_values(8, 42)}),
+dr0 AS (SELECT s.wid, salts.pos,
+               xor(CAST(s.wid AS UBIGINT), CAST(salts.salt AS UBIGINT)) AS z
+        FROM seeds s, salts),
+{_sm64_chain_sql('dw', 'wid, pos', 'dr0')},
+walks AS (
+  SELECT wid, start, 0 AS pos, start AS node FROM seeds
+  UNION ALL
+  SELECT p.wid, p.start, p.pos + 1,
+         (SELECT a.nbr
+          FROM adj a JOIN dg g ON g.node = a.node
+               JOIN dwf dr ON dr.wid = p.wid AND dr.pos = p.pos
+          WHERE a.node = p.node
+            AND a.rnk = CAST(dr.h % CAST(g.deg AS UBIGINT) AS BIGINT))
+  FROM walks p
+  WHERE p.pos < 8
+    AND EXISTS (SELECT 1 FROM adj a WHERE a.node = p.node)
+)
+SELECT pos, CAST(count(*) AS BIGINT) AS n_walks,
+       CAST(count(DISTINCT node) AS BIGINT) AS n_nodes
+FROM walks GROUP BY pos ORDER BY pos
+"""
+
+
 # Weighted PageRank twin — same recursion shape as _KG_PAGERANK_SQL
 # with per-edge weight w = max(coalesce(conf, 0), 0) (the engine's
 # nan_to_num + clamp), weighted out-degree, per-edge term w * (r/wout).
@@ -10870,6 +10946,7 @@ ORACLE_SQL = {
     "kg_pagerank_weighted": _KG_PAGERANK_WEIGHTED_SQL,
     "kg_smoothed_importance": _KG_SMOOTHED_SQL,
     "kg_hits": _KG_HITS_SQL,
+    "kg_random_walks": _KG_RANDOM_WALKS_SQL,
     "approx_users_per_type": _APPROX_USERS_SQL,
     "sketch_union_users_by_type": _SKETCH_UNION_USERS_SQL,
     "sketch_union_p90_value": _SKETCH_UNION_P90_SQL,
