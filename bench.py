@@ -99,8 +99,13 @@ def run_headline(
     # sized blocks made ~14s tasks whose skew (8.5-17.4s) left CPUs idle
     # at the tail, and exact-multiple-of-CPUs task counts quantize the
     # job into whole waves whose last straggler idles the cluster.
+    # read_blocks floor dropped from num_cpus*4 to num_cpus*2 (r5): at
+    # 100k pages the *4 floor made 128 ~780-page tasks whose 4-wave
+    # quantization + per-task overhead cost ~0.5 s vs 64 blocks
+    # (measured 4.47 -> 4.07 s @32); corpora >= 256k pages keep the
+    # same ~2000-page tasks as before.
     cfg = PipelineConfig(
-        n_partitions=16, read_blocks=max(num_cpus * 4, n_pages // 2000)
+        n_partitions=16, read_blocks=max(num_cpus * 2, n_pages // 2000)
     )
     _warm_workers(num_cpus)
     t0 = time.time()

@@ -7326,18 +7326,22 @@ def _read_kg_edges(m: dict, columns):
 def kg_ppr(sf_dir: str) -> pd.DataFrame:
     """Personalized PageRank around the three lowest entity ids: top-20
     related entities — see
-    :func:`kgraft.graph.pagerank.personalized_pagerank`. Rows-only
-    driver check; the dense-oracle pytest lives in tests/test_graph.py."""
+    :func:`kgraft.graph.pagerank.personalized_pagerank`. DuckDB twin
+    (_KG_PPR_SQL): the seeded-teleport power iteration replayed as a
+    recursive CTE (teleport vector 1/3 on the three lowest ids,
+    dangling mass returned to the seeds), 8dp grid; the dense-oracle
+    pytest lives in tests/test_graph.py."""
     import pyarrow.parquet as pq
 
     from .graph.pagerank import personalized_pagerank
 
     m = _kg_outputs(sf_dir)
-    node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
-        "entity_id"
-    ].to_numpy()
+    nodes_t = pq.read_table(m["nodes_dir"], columns=["entity_id"])
+    node_ids = nodes_t["entity_id"].to_numpy()
     seeds = np.sort(np.unique(node_ids))[:3]
     edges = _read_kg_edges(m, columns=["subj_id", "obj_id"]).materialize()
+    _export_oracle_input("kg_ppr", edges)
+    _export_oracle_input("kg_ppr_nodes", ray.data.from_arrow(nodes_t))
     pr = personalized_pagerank(edges, node_ids, seeds, n_iter=15)
     pr["rank"] = sql_round(pr["rank"], 8)
     return pr.sort_values(
@@ -8193,18 +8197,22 @@ def kg_mis(sf_dir: str) -> pd.DataFrame:
     vocab-scale alive vector broadcast and one shuffle-free scatter-max
     edge pass per round; kgraft/graph/mis.py) — a spread-out,
     pairwise-non-adjacent entity seed set. One summary row: MIS size,
-    graph size. Rows-only (iterative symmetry breaking is not
-    SQL-expressible); independence/maximality/determinism proofs live
+    graph size. The deterministic priorities make it SQL-replayable
+    after all: the DuckDB twin (_KG_MIS_SQL) precomputes every
+    (node, round) splitmix64 draw and runs each Luby round as two
+    recursion half-steps (win election, then winner+neighbor removal)
+    — integer-exact. Independence/maximality/determinism proofs live
     in tests/test_graph.py."""
     import pyarrow.parquet as pq
 
     from .graph.mis import maximal_independent_set
 
     m = _kg_outputs(sf_dir)
-    node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
-        "entity_id"
-    ].to_numpy()
+    nodes_t = pq.read_table(m["nodes_dir"], columns=["entity_id"])
+    node_ids = nodes_t["entity_id"].to_numpy()
     edges = _read_kg_edges(m, ["subj_id", "obj_id"])
+    _export_oracle_input("kg_mis", edges)
+    _export_oracle_input("kg_mis_nodes", ray.data.from_arrow(nodes_t))
     out = maximal_independent_set(edges, node_ids)
     return pd.DataFrame(
         {
@@ -10794,6 +10802,130 @@ FROM walks GROUP BY pos ORDER BY pos
 """
 
 
+def _mis_salts_values(max_rounds: int = 64) -> str:
+    """Per-round Luby priority salts (splitmix64 of the round number),
+    computed with the engine's own hash. 64 rounds bounds any plausible
+    corpus (Luby terminates in O(log n) rounds w.h.p.; the driver
+    scales run <20); the twin's recursion stops at the same bound."""
+    from .hashing import splitmix64
+
+    rows = []
+    for rnd in range(1, max_rounds + 1):
+        rows.append(
+            f"({rnd}, {int(splitmix64(np.array([rnd], dtype=np.uint64))[0])})"
+        )
+    return ", ".join(rows)
+
+
+# Luby MIS replay: priorities are deterministic splitmix64(id ^
+# salt(round)) draws, precomputed for every (node, round<=64) pair
+# with exact uint64 CTE stages. Each round runs as TWO recursion
+# half-steps over the full node-state table: the even step elects
+# winners (strictly better (priority, dense-index) than every alive
+# neighbor over the simplified undirected pairs — isolated alive
+# nodes always win), the odd step removes winners and their alive
+# neighbors. Terminates when no node is alive. Integer-exact.
+_KG_MIS_SQL = f"""
+WITH RECURSIVE
+n0 AS (SELECT entity_id AS id
+       FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_mis_nodes/*.parquet')),
+raw AS (SELECT subj_id AS s, obj_id AS t
+        FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_mis/*.parquet')),
+pairs AS (SELECT DISTINCT least(s, t) AS lo, greatest(s, t) AS hi
+          FROM raw WHERE s <> t),
+und AS (SELECT lo AS v, hi AS u FROM pairs UNION ALL SELECT hi, lo FROM pairs),
+ix AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS ix FROM n0),
+salts(rnd, salt) AS (VALUES {_mis_salts_values(64)}),
+d0 AS (SELECT i.id, i.ix, s.rnd,
+        xor(CAST((CAST(i.id AS HUGEINT) % 18446744073709551616
+                  + 18446744073709551616) % 18446744073709551616 AS UBIGINT),
+            CAST(s.salt AS UBIGINT)) AS z
+       FROM ix i, salts s),
+{_sm64_chain_sql('mp', 'id, ix, rnd', 'd0')},
+st AS (
+  SELECT 0 AS step, i.id, i.ix, true AS alive, false AS in_mis, false AS win
+  FROM ix i
+  UNION ALL
+  SELECT p.step + 1, p.id, p.ix,
+    CASE WHEN p.step % 2 = 0 THEN p.alive
+         ELSE p.alive AND NOT p.win AND NOT EXISTS (
+            SELECT 1 FROM st q JOIN und u ON u.v = p.id AND u.u = q.id
+            WHERE q.win) END,
+    CASE WHEN p.step % 2 = 0 THEN p.in_mis ELSE p.in_mis OR p.win END,
+    CASE WHEN p.step % 2 = 0 THEN
+      p.alive AND (
+        (SELECT h FROM mpf WHERE mpf.id = p.id
+         AND mpf.rnd = p.step // 2 + 1)
+          > coalesce((SELECT max(dr.h) FROM st q
+                      JOIN und u ON u.v = p.id AND u.u = q.id
+                      JOIN mpf dr ON dr.id = q.id
+                        AND dr.rnd = p.step // 2 + 1
+                      WHERE q.alive), 0)
+        OR (
+          (SELECT h FROM mpf WHERE mpf.id = p.id
+           AND mpf.rnd = p.step // 2 + 1)
+            = coalesce((SELECT max(dr.h) FROM st q
+                        JOIN und u ON u.v = p.id AND u.u = q.id
+                        JOIN mpf dr ON dr.id = q.id
+                          AND dr.rnd = p.step // 2 + 1
+                        WHERE q.alive), 0)
+          AND p.ix > coalesce((SELECT max(q.ix) FROM st q
+                JOIN und u ON u.v = p.id AND u.u = q.id
+                JOIN mpf dr ON dr.id = q.id AND dr.rnd = p.step // 2 + 1
+                WHERE q.alive AND dr.h = (SELECT max(dr2.h) FROM st q2
+                      JOIN und u2 ON u2.v = p.id AND u2.u = q2.id
+                      JOIN mpf dr2 ON dr2.id = q2.id
+                        AND dr2.rnd = p.step // 2 + 1
+                      WHERE q2.alive)), -1)
+        ))
+    ELSE false END
+  FROM st p
+  WHERE p.step < 128
+    AND (SELECT count(*) FROM st x WHERE x.alive) > 0
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM n0) AS n_nodes,
+       CAST(count(*) FILTER (WHERE in_mis) AS BIGINT) AS mis_size
+FROM st WHERE step = (SELECT max(step) FROM st)
+"""
+
+
+# Personalized PageRank twin: teleport (and dangling mass) return to
+# the uniform distribution over the three lowest entity ids, per-step
+# op order (1-d)*p + d*(agg + dang*p) exactly as the engine's
+# vectorized update.
+_KG_PPR_SQL = f"""
+WITH RECURSIVE
+n0 AS (SELECT entity_id AS id
+       FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_ppr_nodes/*.parquet')),
+e AS (SELECT subj_id AS s, obj_id AS t
+      FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_ppr/*.parquet')),
+sd AS (SELECT id FROM n0 ORDER BY id LIMIT 3),
+deg AS (SELECT n0.id,
+               CAST(coalesce(d.c, 0) AS DOUBLE) AS outdeg,
+               CASE WHEN n0.id IN (SELECT id FROM sd)
+                    THEN 1.0 / (SELECT count(*) FROM sd) ELSE 0.0 END AS pv
+        FROM n0 LEFT JOIN (SELECT s, count(*) AS c FROM e GROUP BY s) d
+        ON d.s = n0.id),
+pr AS (
+  SELECT 0 AS it, id, outdeg, pv, pv AS r FROM deg
+  UNION ALL
+  SELECT p.it + 1, p.id, p.outdeg, p.pv,
+         (1.0 - 0.85) * p.pv
+         + 0.85 * (
+             coalesce((SELECT sum(q.r / (CASE WHEN q.outdeg > 0.0
+                                          THEN q.outdeg ELSE 1.0 END))
+                       FROM pr q JOIN e ON e.s = q.id
+                       WHERE e.t = p.id), 0.0)
+             + (SELECT coalesce(sum(q.r), 0.0) FROM pr q
+                WHERE q.outdeg = 0.0) * p.pv)
+  FROM pr p WHERE p.it < 15
+)
+SELECT id AS node_id, round(r, 8) AS rank
+FROM pr WHERE it = 15
+ORDER BY round(r, 8) DESC, id LIMIT 20
+"""
+
+
 # Weighted PageRank twin — same recursion shape as _KG_PAGERANK_SQL
 # with per-edge weight w = max(coalesce(conf, 0), 0) (the engine's
 # nan_to_num + clamp), weighted out-degree, per-edge term w * (r/wout).
@@ -10947,6 +11079,8 @@ ORACLE_SQL = {
     "kg_smoothed_importance": _KG_SMOOTHED_SQL,
     "kg_hits": _KG_HITS_SQL,
     "kg_random_walks": _KG_RANDOM_WALKS_SQL,
+    "kg_ppr": _KG_PPR_SQL,
+    "kg_mis": _KG_MIS_SQL,
     "approx_users_per_type": _APPROX_USERS_SQL,
     "sketch_union_users_by_type": _SKETCH_UNION_USERS_SQL,
     "sketch_union_p90_value": _SKETCH_UNION_P90_SQL,
