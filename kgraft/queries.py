@@ -7850,10 +7850,20 @@ def kg_walk_pairs(sf_dir: str) -> pd.DataFrame:
     """Skip-gram training pairs from the KG walk corpus (window 2 over
     the :func:`kg_random_walks` corpus): top-20 co-occurring entity
     pairs — the examples a DeepWalk/node2vec embedder trains on. See
-    :func:`kgraft.graph.walks.walk_skipgram_pairs`. Rows-only; the
-    brute-force window-scan oracle lives in tests/test_graph.py."""
+    :func:`kgraft.graph.walks.walk_skipgram_pairs`. DuckDB twin
+    (_KG_WALK_PAIRS_SQL): the walk recursion of the kg_random_walks
+    twin plus a distance-1/2 self-join window sweep — integer-exact;
+    the brute-force window-scan oracle lives in tests/test_graph.py."""
+    import pyarrow.parquet as pq
+
     from .graph.walks import walk_skipgram_pairs
 
+    m = _kg_outputs(sf_dir)
+    _export_oracle_input("kg_walk_pairs", _read_kg_edges(m, ["subj_id", "obj_id"]))
+    _export_oracle_input(
+        "kg_walk_pairs_nodes",
+        ray.data.from_arrow(pq.read_table(m["nodes_dir"], columns=["entity_id"])),
+    )
     out = walk_skipgram_pairs(_kg_walks(sf_dir), window=2).to_pandas()
     out["n"] = out["n"].astype("int64")
     return out.sort_values(
@@ -10758,16 +10768,18 @@ def _walk_salts_values(walk_length: int = 8, seed: int = 42) -> str:
 
 # DeepWalk corpus replay: the engine's walks are DETERMINISTIC
 # (choice = splitmix64(walk_id ^ salt(pos, seed)) % deg over the
-# nbr-sorted deduped undirected adjacency), so the twin precomputes
-# all (walk, pos) draws with exact uint64 CTE stages and advances
-# every walk one step per recursion level; walks die at nodes with no
-# neighbors. Integer-exact end to end.
-_KG_RANDOM_WALKS_SQL = f"""
-WITH RECURSIVE
+# nbr-sorted deduped undirected adjacency), so a twin precomputes all
+# (walk, pos) draws with exact uint64 CTE stages and advances every
+# walk one step per recursion level; walks die at nodes with no
+# neighbors. Integer-exact. Parameterized by export name so the
+# walk-corpus consumers (kg_random_walks, kg_walk_pairs) each get a
+# self-contained twin over their own exports.
+def _walks_cte_sql(name: str) -> str:
+    return f"""
 n0 AS (SELECT entity_id AS id
-       FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_walks_nodes/*.parquet')),
+       FROM read_parquet('{_ORACLE_INPUT_ROOT}/{name}_nodes/*.parquet')),
 raw AS (SELECT subj_id AS s, obj_id AS t
-        FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_walks/*.parquet')),
+        FROM read_parquet('{_ORACLE_INPUT_ROOT}/{name}/*.parquet')),
 adjp AS (SELECT DISTINCT node, nbr FROM (
           SELECT s AS node, t AS nbr FROM raw
           UNION ALL SELECT t AS node, s AS nbr FROM raw)),
@@ -10795,10 +10807,30 @@ walks AS (
   FROM walks p
   WHERE p.pos < 8
     AND EXISTS (SELECT 1 FROM adj a WHERE a.node = p.node)
-)
+)"""
+
+
+_KG_RANDOM_WALKS_SQL = f"""
+WITH RECURSIVE {_walks_cte_sql('kg_walks')}
 SELECT pos, CAST(count(*) AS BIGINT) AS n_walks,
        CAST(count(DISTINCT node) AS BIGINT) AS n_nodes
 FROM walks GROUP BY pos ORDER BY pos
+"""
+
+
+# Skip-gram pairs: unordered co-occurrences within window 2 on the
+# same walk, with multiplicity (walk positions are consecutive by
+# construction, so pos arithmetic IS walk adjacency).
+_KG_WALK_PAIRS_SQL = f"""
+WITH RECURSIVE {_walks_cte_sql('kg_walk_pairs')},
+pp AS (
+  SELECT least(a.node, b.node) AS u, greatest(a.node, b.node) AS v
+  FROM walks a JOIN walks b
+    ON b.wid = a.wid AND (b.pos = a.pos + 1 OR b.pos = a.pos + 2)
+)
+SELECT u, v, CAST(count(*) AS BIGINT) AS n
+FROM pp GROUP BY u, v
+ORDER BY n DESC, u, v LIMIT 20
 """
 
 
@@ -11081,6 +11113,7 @@ ORACLE_SQL = {
     "kg_random_walks": _KG_RANDOM_WALKS_SQL,
     "kg_ppr": _KG_PPR_SQL,
     "kg_mis": _KG_MIS_SQL,
+    "kg_walk_pairs": _KG_WALK_PAIRS_SQL,
     "approx_users_per_type": _APPROX_USERS_SQL,
     "sketch_union_users_by_type": _SKETCH_UNION_USERS_SQL,
     "sketch_union_p90_value": _SKETCH_UNION_P90_SQL,
