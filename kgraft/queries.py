@@ -7988,13 +7988,25 @@ def kg_link_prediction(sf_dir: str) -> pd.DataFrame:
     materialized KG — "entities that should probably be linked", the
     graph-completion candidate feed. See
     :func:`kgraft.graph.linkpred.adamic_adar_topk` for the wedge-pass
-    algorithm and the loud hub cap. Rows-only driver check; the serial
-    brute-force oracle lives in tests/test_graph.py."""
+    algorithm and the loud hub cap. DuckDB twin (_KG_LINKPRED_SQL)
+    recomputes wedges/weights/anti-join from the exported edges; the
+    top-20 cut happens on the 6dp score grid (raw-float ordering would
+    let cross-engine ulp drift flip boundary ties) — the engine
+    fetches a deep candidate list and re-cuts on the rounded score
+    with the (score desc, a, b) tie-break. The serial brute-force
+    oracle lives in tests/test_graph.py."""
     from .graph.linkpred import adamic_adar_topk
 
     m = _kg_outputs(sf_dir)
     edges = _read_kg_edges(m, columns=["subj_id", "obj_id"])
-    return adamic_adar_topk(edges, src="subj_id", dst="obj_id", k=20)
+    _export_oracle_input("kg_link_prediction", edges)
+    out = adamic_adar_topk(edges, src="subj_id", dst="obj_id", k=256)
+    out["adamic_adar"] = sql_round(out["adamic_adar"], 6)
+    return out.sort_values(
+        ["adamic_adar", "node_a", "node_b"],
+        ascending=[False, True, True],
+        ignore_index=True,
+    ).head(20)
 
 
 def kg_pagerank(sf_dir: str) -> pd.DataFrame:
@@ -10921,6 +10933,39 @@ FROM st WHERE step = (SELECT max(step) FROM st)
 """
 
 
+# Adamic-Adar link prediction twin: wedge pairs from the deduped
+# undirected adjacency (each center of distinct-degree 2..1024 gives
+# every neighbor pair weight 1/ln(deg)), grouped, linked pairs
+# anti-joined out, cut on the 6dp score grid with (score, a, b)
+# tie-break — same grid the engine's query-level re-cut uses.
+_KG_LINKPRED_SQL = f"""
+WITH und AS (SELECT DISTINCT least(subj_id, obj_id) AS u,
+                    greatest(subj_id, obj_id) AS v
+             FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_link_prediction/*.parquet')
+             WHERE subj_id <> obj_id),
+adj AS (SELECT u AS c, v AS n FROM und UNION ALL SELECT v, u FROM und),
+dg AS (SELECT c, count(*) AS m FROM adj GROUP BY c),
+wedges AS (
+  SELECT a1.n AS a, a2.n AS b, 1.0 / ln(dg.m) AS w
+  FROM adj a1 JOIN adj a2 ON a2.c = a1.c AND a1.n < a2.n
+  JOIN dg ON dg.c = a1.c
+  WHERE dg.m >= 2 AND dg.m <= 1024
+),
+pairs AS (SELECT a, b, CAST(count(*) AS BIGINT) AS common_neighbors,
+                 sum(w) AS aa
+          FROM wedges GROUP BY a, b),
+unlinked AS (
+  SELECT p.* FROM pairs p LEFT JOIN und ON und.u = p.a AND und.v = p.b
+  WHERE und.u IS NULL
+)
+SELECT a AS node_a, b AS node_b, common_neighbors,
+       round(aa, 6) AS adamic_adar
+FROM unlinked
+ORDER BY round(aa, 6) DESC, a, b LIMIT 20
+"""
+
+
+
 # Personalized PageRank twin: teleport (and dangling mass) return to
 # the uniform distribution over the three lowest entity ids, per-step
 # op order (1-d)*p + d*(agg + dang*p) exactly as the engine's
@@ -11114,6 +11159,7 @@ ORACLE_SQL = {
     "kg_ppr": _KG_PPR_SQL,
     "kg_mis": _KG_MIS_SQL,
     "kg_walk_pairs": _KG_WALK_PAIRS_SQL,
+    "kg_link_prediction": _KG_LINKPRED_SQL,
     "approx_users_per_type": _APPROX_USERS_SQL,
     "sketch_union_users_by_type": _SKETCH_UNION_USERS_SQL,
     "sketch_union_p90_value": _SKETCH_UNION_P90_SQL,
