@@ -7413,17 +7413,22 @@ def kg_communities(sf_dir: str) -> pd.DataFrame:
     """Top-20 label-propagation communities by size over the engine's
     materialized KG edges — see
     :func:`kgraft.graph.communities.label_propagation_communities`.
-    Rows-only driver check; the serial-reference oracle lives in
-    tests/test_graph.py."""
+    DuckDB twin (_KG_COMMUNITIES_SQL): the 5 synchronous LPA rounds
+    replayed one per recursion level with the engine's deterministic
+    (count desc, label asc) argmax over undirected multiplicity-
+    counted neighbor labels — integer-exact (the engine's early
+    fixpoint break is label-invariant, so running all rounds matches);
+    the serial-reference oracle lives in tests/test_graph.py."""
     import pyarrow.parquet as pq
 
     from .graph.communities import label_propagation_communities
 
     m = _kg_outputs(sf_dir)
-    node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
-        "entity_id"
-    ].to_numpy()
+    nodes_t = pq.read_table(m["nodes_dir"], columns=["entity_id"])
+    node_ids = nodes_t["entity_id"].to_numpy()
     edges = _read_kg_edges(m, columns=["subj_id", "obj_id"])
+    _export_oracle_input("kg_communities", edges)
+    _export_oracle_input("kg_communities_nodes", ray.data.from_arrow(nodes_t))
     comm = label_propagation_communities(
         edges, node_ids, n_iter=5, src_col="subj_id", dst_col="obj_id"
     )
@@ -7458,17 +7463,20 @@ def kg_modularity(sf_dir: str) -> pd.DataFrame:
     """Newman-Girvan modularity of the label-propagation communities
     over the constructed KG — the one-number answer to "did LPA find
     real structure?". See :func:`kgraft.graph.metrics.modularity`.
-    Rows-only driver check; serial-oracle pytest in tests/test_graph.py."""
+    DuckDB twin (_KG_MODULARITY_SQL): LPA replayed, then Q recomputed
+    over the distinct undirected edges with the engine's per-term fp
+    op order; serial-oracle pytest in tests/test_graph.py."""
     import pyarrow.parquet as pq
 
     from .graph.communities import label_propagation_communities
     from .graph.metrics import modularity
 
     m = _kg_outputs(sf_dir)
-    node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
-        "entity_id"
-    ].to_numpy()
+    nodes_t = pq.read_table(m["nodes_dir"], columns=["entity_id"])
+    node_ids = nodes_t["entity_id"].to_numpy()
     edges = _read_kg_edges(m, ["subj_id", "obj_id"])
+    _export_oracle_input("kg_modularity", edges)
+    _export_oracle_input("kg_modularity_nodes", ray.data.from_arrow(nodes_t))
     comm = label_propagation_communities(
         edges, node_ids, n_iter=5, src_col="subj_id", dst_col="obj_id"
     )
@@ -8138,13 +8146,16 @@ def kg_truss(sf_dir: str) -> pd.DataFrame:
     peeling: each round recounts per-edge triangle support over the
     survivor Dataset via the oriented-wedge join and drops edges below
     k-2; edge state never lands on the driver
-    (kgraft/graph/truss.py). Rows-only (iterative peeling is not
-    SQL-expressible); brute-force equivalence lives in
+    (kgraft/graph/truss.py). DuckDB twin (_KG_TRUSS_SQL): the peel
+    replayed one round per recursion level with a done-flag carrying
+    the engine's fixpoint/empty stop rule — integer-exact incl. the
+    rounds counter; brute-force equivalence lives in
     tests/test_graph.py."""
     from .graph.truss import k_truss
 
     m = _kg_outputs(sf_dir)
     edges = _read_kg_edges(m, ["subj_id", "obj_id"])
+    _export_oracle_input("kg_truss", edges)
     _, info = k_truss(edges, 4, src="subj_id", dst="obj_id")
     return pd.DataFrame(
         {
@@ -8161,18 +8172,23 @@ def kg_densest(sf_dir: str) -> pd.DataFrame:
     (2+2eps) greedy peel, eps=0.05): the topical core of the entity
     co-mention graph — density, size and peel rounds. Per-node alive
     state broadcast per round; edges stay pinned in the k-core shard
-    pool (kgraft/graph/densest.py). Rows-only (iterative peeling is
-    not SQL-expressible); the published approximation guarantee and a
-    planted-clique recovery test live in tests/test_graph.py."""
+    pool (kgraft/graph/densest.py). DuckDB twin (_KG_DENSEST_SQL):
+    the greedy peel replayed one round per recursion level — the
+    drop threshold 2*(1+eps)*(m/n) is an exact-operand fp product on
+    both sides, so the peel sequence is bit-identical; best level =
+    highest density, earliest round. The published approximation
+    guarantee and a planted-clique recovery test live in
+    tests/test_graph.py."""
     import pyarrow.parquet as pq
 
     from .graph.densest import densest_subgraph
 
     m = _kg_outputs(sf_dir)
-    node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
-        "entity_id"
-    ].to_numpy()
+    nodes_t = pq.read_table(m["nodes_dir"], columns=["entity_id"])
+    node_ids = nodes_t["entity_id"].to_numpy()
     edges = _read_kg_edges(m, ["subj_id", "obj_id"])
+    _export_oracle_input("kg_densest", edges)
+    _export_oracle_input("kg_densest_nodes", ray.data.from_arrow(nodes_t))
     _, info = densest_subgraph(edges, node_ids)
     return pd.DataFrame(
         {
@@ -10966,6 +10982,182 @@ ORDER BY round(aa, 6) DESC, a, b LIMIT 20
 
 
 
+# 4-truss peel replay: one simultaneous-drop round per recursion
+# level over the simplified undirected edge set; support(e) = common
+# neighbors of its endpoints among the CURRENT survivors; a level
+# whose survivors match its input (or empty out) carries done=true,
+# reproducing the engine's rounds counter exactly (the engine counts
+# the final confirming/emptying round; an un-emitted empty level
+# shows up as last_done=false -> rounds = last_r + 1, truss 0).
+_KG_TRUSS_SQL = f"""
+WITH RECURSIVE
+raw AS (SELECT subj_id AS s, obj_id AS t
+        FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_truss/*.parquet')),
+p0 AS (SELECT DISTINCT least(s, t) AS lo, greatest(s, t) AS hi
+       FROM raw WHERE s <> t),
+tr AS (
+  SELECT 0 AS r, lo, hi, false AS done FROM p0
+  UNION ALL
+  SELECT s.r + 1, s.lo, s.hi,
+         ((SELECT count(*) FROM (
+             SELECT 1 FROM tr e WHERE NOT e.done AND
+               (SELECT count(*) FROM
+                  (SELECT lo AS x, hi AS y FROM tr WHERE NOT done
+                   UNION ALL SELECT hi, lo FROM tr WHERE NOT done) n1
+                  JOIN
+                  (SELECT lo AS x, hi AS y FROM tr WHERE NOT done
+                   UNION ALL SELECT hi, lo FROM tr WHERE NOT done) n2
+                  ON n2.y = n1.y
+                WHERE n1.x = e.lo AND n2.x = e.hi) >= 2)) 
+           = (SELECT count(*) FROM tr WHERE NOT done)) AS done
+  FROM (
+    SELECT e.r, e.lo, e.hi FROM tr e
+    WHERE NOT e.done AND
+      (SELECT count(*) FROM
+         (SELECT lo AS x, hi AS y FROM tr WHERE NOT done
+          UNION ALL SELECT hi, lo FROM tr WHERE NOT done) n1
+         JOIN
+         (SELECT lo AS x, hi AS y FROM tr WHERE NOT done
+          UNION ALL SELECT hi, lo FROM tr WHERE NOT done) n2
+         ON n2.y = n1.y
+       WHERE n1.x = e.lo AND n2.x = e.hi) >= 2
+  ) s
+),
+fin AS (SELECT max(r) AS last_r FROM tr),
+lastlvl AS (SELECT t.* FROM tr t, fin WHERE t.r = fin.last_r)
+SELECT CAST(4 AS BIGINT) AS k,
+       (SELECT CAST(count(*) AS BIGINT) FROM p0) AS n_edges_in,
+       CAST(CASE WHEN (SELECT bool_and(done) FROM lastlvl)
+            THEN (SELECT count(*) FROM lastlvl) ELSE 0 END AS BIGINT)
+         AS n_edges_truss,
+       CAST(CASE WHEN (SELECT bool_and(done) FROM lastlvl)
+            THEN (SELECT last_r FROM fin)
+            ELSE (SELECT last_r FROM fin) + 1 END AS BIGINT) AS rounds
+"""
+
+
+
+# Densest-subgraph greedy peel replay (Bahmani et al., eps=0.05): one
+# round per recursion level over the simplified pairs; alive nodes
+# with degree <= 2*(1+eps)*(m_alive/n_alive) drop simultaneously (the
+# threshold is an exact-operand fp product, identical on both sides);
+# the answer is the highest-density level (strict improvements only,
+# earliest round wins ties), rounds = number of levels with edges.
+_KG_DENSEST_SQL = f"""
+WITH RECURSIVE
+n0 AS (SELECT entity_id AS id
+       FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_densest_nodes/*.parquet')),
+raw AS (SELECT subj_id AS s, obj_id AS t
+        FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_densest/*.parquet')),
+p0 AS (SELECT DISTINCT least(s, t) AS lo, greatest(s, t) AS hi
+       FROM raw WHERE s <> t),
+und AS (SELECT lo AS x, hi AS y FROM p0 UNION ALL SELECT hi, lo FROM p0),
+dz AS (
+  SELECT 0 AS r, id FROM n0
+  UNION ALL
+  SELECT p.r + 1, p.id
+  FROM dz p
+  WHERE (SELECT count(*) FROM p0 e
+         WHERE e.lo IN (SELECT id FROM dz)
+           AND e.hi IN (SELECT id FROM dz)) > 0
+    AND NOT (
+      (SELECT count(*) FROM und u
+       WHERE u.x = p.id AND u.y IN (SELECT id FROM dz))
+      <= 2.0 * (1.0 + 0.05) * (
+           CAST((SELECT count(*) FROM p0 e
+                 WHERE e.lo IN (SELECT id FROM dz)
+                   AND e.hi IN (SELECT id FROM dz)) AS DOUBLE)
+           / (SELECT count(*) FROM dz)))
+),
+lv AS (SELECT r, count(*) AS n_alive FROM dz GROUP BY r),
+mlev AS (SELECT a.r, count(*) AS m
+         FROM p0 e JOIN dz a ON a.id = e.lo
+              JOIN dz b ON b.r = a.r AND b.id = e.hi
+         GROUP BY a.r),
+stats AS (SELECT lv.r, lv.n_alive, coalesce(ml.m, 0) AS m,
+                 CAST(coalesce(ml.m, 0) AS DOUBLE) / lv.n_alive AS dens
+          FROM lv LEFT JOIN mlev ml ON ml.r = lv.r),
+best AS (SELECT * FROM stats WHERE dens > 0.0
+         ORDER BY dens DESC, r ASC LIMIT 1)
+SELECT round(coalesce((SELECT dens FROM best), 0.0), 6) AS density,
+       CAST(coalesce((SELECT n_alive FROM best), 0) AS BIGINT) AS n_nodes,
+       CAST(coalesce((SELECT m FROM best), 0) AS BIGINT) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM stats WHERE m > 0) AS rounds
+"""
+
+
+
+# Synchronous LPA replay: per round every node adopts the label with
+# the highest undirected multiplicity-counted neighbor frequency
+# (count desc, label asc — the engine's exact tie-break); isolated
+# nodes keep their own label. 5 rounds, one per recursion level.
+# Parameterized by export name: kg_communities and kg_modularity each
+# replay LPA over their own exports.
+def _lpa_cte_sql(name: str) -> str:
+    return f"""
+n0 AS (SELECT entity_id AS id
+       FROM read_parquet('{_ORACLE_INPUT_ROOT}/{name}_nodes/*.parquet')),
+e AS (SELECT subj_id AS s, obj_id AS t
+      FROM read_parquet('{_ORACLE_INPUT_ROOT}/{name}/*.parquet')),
+u AS (SELECT s AS a, t AS b FROM e UNION ALL SELECT t, s FROM e),
+lp AS (
+  SELECT 0 AS r, id, id AS lab FROM n0
+  UNION ALL
+  SELECT p.r + 1, p.id,
+    coalesce((
+      SELECT l FROM (
+        SELECT q.lab AS l, count(*) AS c
+        FROM u JOIN lp q ON q.id = u.b
+        WHERE u.a = p.id
+        GROUP BY q.lab
+      ) cc ORDER BY c DESC, l ASC LIMIT 1
+    ), p.lab)
+  FROM lp p WHERE p.r < 5
+)"""
+
+
+_KG_COMMUNITIES_SQL = f"""
+WITH RECURSIVE {_lpa_cte_sql('kg_communities')}
+SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_nodes
+FROM lp WHERE r = 5
+GROUP BY lab
+ORDER BY n_nodes DESC, community ASC LIMIT 20
+"""
+
+
+# Newman-Girvan modularity of the replayed LPA labels over the
+# undirected distinct self-loop-free edge set: Q = sum_c (L_c/m -
+# (K_c/2m)^2) with per-term fp ops in the engine's order (the square
+# written as x*x, matching numpy's **2), node universe = edge
+# endpoints, unassigned nodes = singleton communities of their own id.
+_KG_MODULARITY_SQL = f"""
+WITH RECURSIVE {_lpa_cte_sql('kg_modularity')},
+und AS (SELECT DISTINCT least(s, t) AS lo, greatest(s, t) AS hi
+        FROM e WHERE s <> t),
+idd AS (SELECT node, count(*) AS deg
+        FROM (SELECT lo AS node FROM und UNION ALL SELECT hi FROM und)
+        GROUP BY node),
+fin AS (SELECT id, lab FROM lp WHERE r = 5),
+labv AS (SELECT idd.node, coalesce(f.lab, idd.node) AS lab, idd.deg
+         FROM idd LEFT JOIN fin f ON f.id = idd.node),
+mm AS (SELECT CAST(sum(deg) AS DOUBLE) / 2.0 AS m FROM labv),
+lc AS (SELECT a.lab AS c, count(*) AS l
+       FROM und JOIN labv a ON a.node = und.lo
+            JOIN labv b ON b.node = und.hi
+       WHERE a.lab = b.lab GROUP BY a.lab),
+kc AS (SELECT lab AS c, CAST(sum(deg) AS DOUBLE) AS k FROM labv GROUP BY lab),
+terms AS (SELECT kc.c, CAST(coalesce(lc.l, 0) AS DOUBLE) AS l, kc.k
+          FROM kc LEFT JOIN lc ON lc.c = kc.c)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM labv) AS n_nodes,
+       CAST((SELECT m FROM mm) AS BIGINT) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM kc) AS n_communities,
+       (SELECT sum(t.l / m.m - (t.k / (2.0 * m.m)) * (t.k / (2.0 * m.m)))
+        FROM terms t, mm m) AS modularity
+"""
+
+
+
+
 # Personalized PageRank twin: teleport (and dangling mass) return to
 # the uniform distribution over the three lowest entity ids, per-step
 # op order (1-d)*p + d*(agg + dang*p) exactly as the engine's
@@ -11160,6 +11352,10 @@ ORACLE_SQL = {
     "kg_mis": _KG_MIS_SQL,
     "kg_walk_pairs": _KG_WALK_PAIRS_SQL,
     "kg_link_prediction": _KG_LINKPRED_SQL,
+    "kg_truss": _KG_TRUSS_SQL,
+    "kg_densest": _KG_DENSEST_SQL,
+    "kg_communities": _KG_COMMUNITIES_SQL,
+    "kg_modularity": _KG_MODULARITY_SQL,
     "approx_users_per_type": _APPROX_USERS_SQL,
     "sketch_union_users_by_type": _SKETCH_UNION_USERS_SQL,
     "sketch_union_p90_value": _SKETCH_UNION_P90_SQL,
