@@ -25,11 +25,17 @@ _MERSENNE61 = (1 << 61) - 1
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer over a uint64 array. Deterministic."""
-    z = (x + _SM64_G).astype(np.uint64)
-    z = (z ^ (z >> np.uint64(30))) * _SM64_1
-    z = (z ^ (z >> np.uint64(27))) * _SM64_2
-    return z ^ (z >> np.uint64(31))
+    """Vectorized splitmix64 finalizer over a uint64 array. Deterministic.
+
+    The mod-2^64 wraparound of the multiplies is the algorithm; numpy
+    arrays wrap unsigned silently but 0-d/scalar inputs raise a
+    RuntimeWarning for the same (intended) overflow — suppressed so a
+    scalar call (e.g. per-round salts) stays warning-clean."""
+    with np.errstate(over="ignore"):
+        z = (x + _SM64_G).astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * _SM64_1
+        z = (z ^ (z >> np.uint64(27))) * _SM64_2
+        return z ^ (z >> np.uint64(31))
 
 
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
