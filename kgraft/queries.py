@@ -8205,8 +8205,14 @@ def kg_diameter(sf_dir: str) -> pd.DataFrame:
     via HyperBall (per-node HLL counters unioned along edges each BSP
     round; kgraft/graph/anf.py): one row per radius t with the
     estimated reachable-pair count N(t), plus the interpolated
-    90%-effective diameter on every row. Rows-only (iterative counter
-    propagation is not SQL-expressible); the estimator is validated
+    90%-effective diameter on every row. The counters are DETERMINISTIC
+    (splitmix64-seeded registers, max-merge), so even this is
+    SQL-replayable: the DuckDB twin (_KG_DIAMETER_SQL) seeds the exact
+    p=8 registers (bin()-derived rho), max-propagates them one round
+    per recursion level until the register mass stops growing, and
+    recomputes the HLL estimates + interpolation; N(t) compares on a
+    1dp grid so the tiny cross-engine summation-order drift of the
+    2^-rho sums cannot flip it. The estimator is also validated
     against the exact-bitset twin and per-node BFS in
     tests/test_graph.py."""
     import pyarrow.parquet as pq
@@ -8214,10 +8220,11 @@ def kg_diameter(sf_dir: str) -> pd.DataFrame:
     from .graph.anf import effective_diameter, neighborhood_function
 
     m = _kg_outputs(sf_dir)
-    node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
-        "entity_id"
-    ].to_numpy()
+    nodes_t = pq.read_table(m["nodes_dir"], columns=["entity_id"])
+    node_ids = nodes_t["entity_id"].to_numpy()
     edges = _read_kg_edges(m, ["subj_id", "obj_id"])
+    _export_oracle_input("kg_diameter", edges)
+    _export_oracle_input("kg_diameter_nodes", ray.data.from_arrow(nodes_t))
     nf, _ = neighborhood_function(edges, node_ids)
     ed = effective_diameter(nf)
     return pd.DataFrame(
@@ -8307,17 +8314,23 @@ def kg_centralities(sf_dir: str) -> pd.DataFrame:
     (kgraft/graph/anf.py geometric_centralities) — the geometric
     centralities that, unlike degree or PageRank, reward being CLOSE to
     everything rather than being pointed at. Deterministic (splitmix64
-    registers). Rows-only; the exact-bitset twin is BFS-verified in
-    tests/test_graph.py."""
+    registers) — and therefore SQL-replayable: the DuckDB twin
+    (_KG_CENTRALITIES_SQL) runs the same register recursion as the
+    kg_diameter twin, derives per-(node, round) ball estimates, and
+    folds the clamped increments through a running-max window exactly
+    as the engine's sequential loop; harmonic/closeness compare (and
+    the top-10 cut happens) on the 6dp grid. The exact-bitset twin is
+    BFS-verified in tests/test_graph.py."""
     import pyarrow.parquet as pq
 
     from .graph.anf import geometric_centralities
 
     m = _kg_outputs(sf_dir)
-    node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
-        "entity_id"
-    ].to_numpy()
+    nodes_t = pq.read_table(m["nodes_dir"], columns=["entity_id"])
+    node_ids = nodes_t["entity_id"].to_numpy()
     edges = _read_kg_edges(m, ["subj_id", "obj_id"])
+    _export_oracle_input("kg_centralities", edges)
+    _export_oracle_input("kg_centralities_nodes", ray.data.from_arrow(nodes_t))
     out = geometric_centralities(edges, node_ids)
     return (
         out.sort_values(
@@ -11158,6 +11171,123 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM labv) AS n_nodes,
 
 
 
+# HyperBall replay (p=8, 256 registers/node): registers seeded from
+# splitmix64(id) exactly as the engine (j = h & 255, rho from the
+# leading-zero count of h >> 8 via bin()), then max-propagated over
+# the simplified undirected pairs one round per recursion level;
+# max-merge only grows register mass, so "sum(rho) increased" IS the
+# engine's array-equality fixpoint test. Parameterized by export
+# name: kg_diameter and kg_centralities each replay over their own
+# exports. `pernode` carries the per-(round, node) HLL estimate with
+# the linear-counting correction (alpha_256 at full precision).
+def _hyperball_cte_sql(name: str) -> str:
+    return f"""
+n0 AS (SELECT entity_id AS id
+       FROM read_parquet('{_ORACLE_INPUT_ROOT}/{name}_nodes/*.parquet')),
+raw AS (SELECT subj_id AS s, obj_id AS t
+        FROM read_parquet('{_ORACLE_INPUT_ROOT}/{name}/*.parquet')),
+p0 AS (SELECT DISTINCT least(s, t) AS lo, greatest(s, t) AS hi
+       FROM raw WHERE s <> t),
+h0 AS (SELECT id, CAST((CAST(id AS HUGEINT) % 18446744073709551616
+            + 18446744073709551616) % 18446744073709551616 AS UBIGINT) AS z
+       FROM n0),
+{_sm64_chain_sql('hd', 'id', 'h0')},
+init AS (SELECT id AS node, CAST(h % 256 AS BIGINT) AS j,
+                CAST(CASE WHEN (h >> 8) = 0 THEN 57
+                     ELSE 56 - (length(bin(h >> 8)) - 1) END AS BIGINT) AS rho
+         FROM hdf),
+nbr AS (SELECT id AS v, id AS src FROM n0
+        UNION ALL SELECT lo, hi FROM p0
+        UNION ALL SELECT hi, lo FROM p0),
+hb AS (
+  SELECT 0 AS r, node, j, rho FROM init
+  UNION ALL
+  SELECT p.r + 1, p.node, p.j, p.rho FROM (
+    SELECT min(q.r) + 0 AS r, t.v AS node, q.j, max(q.rho) AS rho
+    FROM nbr t JOIN hb q ON q.node = t.src
+    GROUP BY t.v, q.j
+  ) p
+  WHERE (SELECT sum(x.rho) FROM (
+           SELECT max(q2.rho) AS rho
+           FROM nbr t2 JOIN hb q2 ON q2.node = t2.src
+           GROUP BY t2.v, q2.j) x)
+        > (SELECT sum(rho) FROM hb)
+),
+pernode AS (
+  SELECT r, node,
+         CASE WHEN (0.7182725932495458e0 * 256.0 * 256.0 /
+                ((256 - count(*)) * 1.0 + sum(power(2.0, -rho))) <= 640.0
+               AND (256 - count(*)) > 0)
+              THEN 256.0 * ln(256.0 / CAST(256 - count(*) AS DOUBLE))
+              ELSE 0.7182725932495458e0 * 256.0 * 256.0 /
+                ((256 - count(*)) * 1.0 + sum(power(2.0, -rho)))
+         END AS est
+  FROM hb GROUP BY r, node
+)"""
+
+
+_KG_DIAMETER_SQL = f"""
+WITH RECURSIVE {_hyperball_cte_sql('kg_diameter')},
+est AS (SELECT r AS t, sum(est) AS nf FROM pernode GROUP BY r),
+nf AS (
+  SELECT t, CASE WHEN t = 0
+                 THEN (SELECT CAST(count(*) AS DOUBLE) FROM n0)
+                 ELSE nf END AS nf
+  FROM est
+),
+tgt AS (SELECT 0.9 * (SELECT nf FROM nf ORDER BY t DESC LIMIT 1) AS tv),
+hit AS (SELECT min(t) AS t FROM nf, tgt WHERE nf.nf >= tgt.tv),
+ed AS (
+  SELECT CASE WHEN (SELECT t FROM hit) = 0 THEN 0.0
+         ELSE round(
+           (SELECT t FROM hit) - 1
+           + ((SELECT tv FROM tgt)
+              - (SELECT nf FROM nf WHERE t = (SELECT t FROM hit) - 1))
+             / ((SELECT nf FROM nf WHERE t = (SELECT t FROM hit))
+                - (SELECT nf FROM nf WHERE t = (SELECT t FROM hit) - 1)), 4)
+         END AS ed
+)
+SELECT nf.t AS t, round(nf.nf, 1) AS n_reachable_pairs,
+       (SELECT ed FROM ed) AS effective_diameter
+FROM nf ORDER BY t
+"""
+
+
+# Harmonic/closeness from the same replayed registers: per-(node, t)
+# ball estimates, increments clamped at 0 against the engine's
+# running max (prev_0 = |B(v,0)| = 1 exactly), harmonic = sum inc/t,
+# closeness = (reached-1)/sum(inc*t); 6dp grid for compare AND the
+# top-10 cut (the engine rounds before sorting).
+_KG_CENTRALITIES_SQL = f"""
+WITH RECURSIVE {_hyperball_cte_sql('kg_centralities')},
+w AS (
+  SELECT node, r, est,
+         greatest(1.0, coalesce(max(est) OVER (
+           PARTITION BY node ORDER BY r
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1.0)) AS prev
+  FROM pernode WHERE r >= 1
+),
+acc AS (
+  SELECT node,
+         sum(greatest(est - prev, 0.0) / r) AS harmonic,
+         sum(greatest(est - prev, 0.0) * r) AS dist_sum,
+         1.0 + sum(greatest(est - prev, 0.0)) AS reached
+  FROM w GROUP BY node
+),
+allnodes AS (
+  SELECT n0.id AS node_id,
+         round(coalesce(a.harmonic, 0.0), 6) AS harmonic,
+         round(CASE WHEN coalesce(a.dist_sum, 0.0) > 0.0
+               THEN (a.reached - 1.0) / a.dist_sum ELSE 0.0 END, 6)
+           AS closeness
+  FROM n0 LEFT JOIN acc a ON a.node = n0.id
+)
+SELECT node_id, harmonic, closeness
+FROM allnodes
+ORDER BY harmonic DESC, node_id LIMIT 10
+"""
+
+
 # Personalized PageRank twin: teleport (and dangling mass) return to
 # the uniform distribution over the three lowest entity ids, per-step
 # op order (1-d)*p + d*(agg + dang*p) exactly as the engine's
@@ -11356,6 +11486,8 @@ ORACLE_SQL = {
     "kg_densest": _KG_DENSEST_SQL,
     "kg_communities": _KG_COMMUNITIES_SQL,
     "kg_modularity": _KG_MODULARITY_SQL,
+    "kg_diameter": _KG_DIAMETER_SQL,
+    "kg_centralities": _KG_CENTRALITIES_SQL,
     "approx_users_per_type": _APPROX_USERS_SQL,
     "sketch_union_users_by_type": _SKETCH_UNION_USERS_SQL,
     "sketch_union_p90_value": _SKETCH_UNION_P90_SQL,
