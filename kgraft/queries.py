@@ -7487,17 +7487,26 @@ def kg_betweenness(sf_dir: str) -> pd.DataFrame:
     """Approximate betweenness centrality over the constructed KG
     (Brandes-Pich sampled sources, 64 deterministic sources): top-20
     bridge entities — see
-    :func:`kgraft.graph.betweenness.approx_betweenness`. Rows-only;
-    the exact-Brandes-equivalence pytests live in tests/test_graph.py."""
+    :func:`kgraft.graph.betweenness.approx_betweenness`. DuckDB twin
+    (_KG_BETWEENNESS_SQL): the splitmix64 bottom-64 source sample,
+    level-synchronous BFS (exact-length frontier recursion -> min
+    distance), integer-exact path counts, and the backward per-level
+    dependency accumulation all replayed as chained recursive CTEs;
+    the top-20 cut happens on the 4dp grid on BOTH sides (raw-float
+    ordering would let cross-engine ulp drift flip structural ties).
+    The exact-Brandes-equivalence pytests live in tests/test_graph.py."""
     from .graph.betweenness import approx_betweenness
 
     m = _kg_outputs(sf_dir)
     edges = _read_kg_edges(m, ["subj_id", "obj_id"])
+    _export_oracle_input("kg_betweenness", edges)
     out = approx_betweenness(
-        edges, n_sources=64, src="subj_id", dst="obj_id", top_k=20
+        edges, n_sources=64, src="subj_id", dst="obj_id", top_k=None
     )
     out["betweenness"] = sql_round(out["betweenness"], 4)
-    return out
+    return out.sort_values(
+        ["betweenness", "node_id"], ascending=[False, True], ignore_index=True
+    ).head(20)
 
 
 def kg_pagerank_weighted(sf_dir: str) -> pd.DataFrame:
@@ -11288,6 +11297,91 @@ ORDER BY harmonic DESC, node_id LIMIT 10
 """
 
 
+# Sampled-source Brandes replay: node universe = distinct-edge
+# endpoints; sources = bottom-64 ids by splitmix64 (the engine's
+# permutation-invariant sample); distances from an exact-length
+# frontier recursion (min l; undirected walks always realize the
+# shortest length), path counts sigma as an integer-exact forward
+# recursion one BFS level per step, dependencies as a backward
+# recursion over a global descending level counter (a node's DAG
+# successors all sit exactly one level deeper, so each node's delta
+# closes in one step); bc = sum of deltas * (n/k)/2 with the engine's
+# scalar op order, cut on the 4dp grid.
+_KG_BETWEENNESS_SQL = f"""
+WITH RECURSIVE
+raw AS (SELECT subj_id AS s, obj_id AS t
+        FROM read_parquet('{_ORACLE_INPUT_ROOT}/kg_betweenness/*.parquet')),
+p0 AS (SELECT DISTINCT least(s, t) AS lo, greatest(s, t) AS hi
+       FROM raw WHERE s <> t),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT lo AS node FROM p0 UNION ALL SELECT hi FROM p0)),
+adj AS (SELECT lo AS x, hi AS y FROM p0 UNION ALL SELECT hi, lo FROM p0),
+h0 AS (SELECT node AS id, CAST((CAST(node AS HUGEINT) % 18446744073709551616
+            + 18446744073709551616) % 18446744073709551616 AS UBIGINT) AS z
+       FROM nodes),
+{_sm64_chain_sql('bw', 'id', 'h0')},
+meta AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+srcs AS (SELECT id AS src FROM bwf
+         ORDER BY h LIMIT least(64, (SELECT n FROM meta))),
+fr AS (
+  SELECT src, src AS v, 0 AS l FROM srcs
+  UNION ALL
+  SELECT DISTINCT p.src, a.y, p.l + 1
+  FROM fr p JOIN adj a ON a.x = p.v
+  WHERE p.l < 64
+),
+dist AS (SELECT src, v, min(l) AS d FROM fr GROUP BY src, v),
+sig AS (
+  SELECT 0 AS d, src, src AS v, 1.0e0 AS sigma FROM srcs
+  UNION ALL
+  SELECT p.d + 1, p.src, a.y AS v, sum(p.sigma) AS sigma
+  FROM sig p JOIN adj a ON a.x = p.v
+       JOIN dist dd ON dd.src = p.src AND dd.v = a.y AND dd.d = p.d + 1
+  GROUP BY p.d, p.src, a.y
+),
+dmax AS (SELECT max(d) AS dm FROM dist),
+del AS (
+  SELECT 0 AS g, dd.src, dd.v, 0.0e0 AS delta
+  FROM dist dd, dmax WHERE dd.d = dmax.dm
+  UNION ALL
+  SELECT gg.g, dd.src, dd.v,
+         coalesce((
+           SELECT sum(sv.sigma / sw.sigma * (1.0e0 + q.delta))
+           FROM adj a
+           JOIN del q ON q.src = dd.src AND q.v = a.y
+           JOIN dist dw ON dw.src = dd.src AND dw.v = a.y
+             AND dw.d = dd.d + 1
+           JOIN sig sv ON sv.src = dd.src AND sv.v = dd.v
+             AND sv.d = dd.d
+           JOIN sig sw ON sw.src = dd.src AND sw.v = a.y
+             AND sw.d = dd.d + 1
+           WHERE a.x = dd.v
+         ), 0.0) AS delta
+  FROM (SELECT DISTINCT p.g + 1 AS g FROM del p) gg
+  JOIN dmax ON true
+  JOIN dist dd ON dd.d = dmax.dm - gg.g
+  WHERE gg.g <= dmax.dm
+),
+acc AS (
+  SELECT v AS node, sum(delta) AS sd
+  FROM del JOIN dmax ON true
+  WHERE v <> src
+  GROUP BY v
+),
+kk AS (SELECT least(64, (SELECT n FROM meta)) AS k)
+SELECT nodes.node AS node_id,
+       round(coalesce(acc.sd, 0.0)
+             * ((CAST((SELECT n FROM meta) AS DOUBLE) / (SELECT k FROM kk))
+                / 2.0), 4) AS betweenness
+FROM nodes LEFT JOIN acc ON acc.node = nodes.node
+ORDER BY round(coalesce(acc.sd, 0.0)
+             * ((CAST((SELECT n FROM meta) AS DOUBLE) / (SELECT k FROM kk))
+                / 2.0), 4) DESC, nodes.node
+LIMIT 20
+"""
+
+
+
 # Personalized PageRank twin: teleport (and dangling mass) return to
 # the uniform distribution over the three lowest entity ids, per-step
 # op order (1-d)*p + d*(agg + dang*p) exactly as the engine's
@@ -11488,6 +11582,7 @@ ORACLE_SQL = {
     "kg_modularity": _KG_MODULARITY_SQL,
     "kg_diameter": _KG_DIAMETER_SQL,
     "kg_centralities": _KG_CENTRALITIES_SQL,
+    "kg_betweenness": _KG_BETWEENNESS_SQL,
     "approx_users_per_type": _APPROX_USERS_SQL,
     "sketch_union_users_by_type": _SKETCH_UNION_USERS_SQL,
     "sketch_union_p90_value": _SKETCH_UNION_P90_SQL,
