@@ -91,8 +91,14 @@ def ppr_sweep_cut(
             "conductance": 1.0, "cut": 0, "volume": int(deg[cand].sum()),
             "size": int(len(cand)), "swept": int(len(cand)),
         }
-    # deterministic rank: score desc, node id asc
-    order = cand[np.lexsort((ids[cand], -score[cand]))]
+    # deterministic rank: score desc, node id asc — on the 9dp grid:
+    # raw-float ordering would let the +-ulp summation-order drift of
+    # the PPR masses (both across engines and across shard layouts)
+    # reorder structural near-ties; rounding groups them and the id
+    # tie-break resolves them identically everywhere (r5: enables the
+    # DuckDB sweep twin)
+    score_g = sql_round(score, 9)
+    order = cand[np.lexsort((ids[cand], -score_g[cand]))]
     rank_of = np.full(n, len(order), dtype=np.int64)  # non-candidates: last
     rank_of[order] = np.arange(len(order))
     rank_ref = ray.put(rank_of)

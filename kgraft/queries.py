@@ -9101,18 +9101,27 @@ def kg_sweep_community(sf_dir: str) -> pd.DataFrame:
     the whole conductance curve from ONE extra edge pass (bincount
     deltas at each endpoint's rank cumulative-sum into cut(S_k) for
     every prefix), min-conductance prefix returned. One summary row.
-    Rows-only; planted two-clique recovery in tests/test_graph.py."""
+    DuckDB twin (_KG_SWEEP_SQL): the PageRank-20 seed pick, PPR-20
+    recursion over the symmetrized pairs, and the whole conductance
+    sweep replayed; the seed argmax runs on the 6dp grid and the sweep
+    rank order on the 9dp score grid on BOTH sides (raw-float
+    orderings would let cross-engine ulp drift reorder structural
+    near-ties; the conductance ratios themselves are exact-operand
+    integer divisions, bit-identical). Planted two-clique recovery in
+    tests/test_graph.py."""
     import pyarrow.parquet as pq
 
     from .graph.pagerank import pagerank
     from .graph.sweepcut import ppr_sweep_cut
 
     m = _kg_outputs(sf_dir)
-    node_ids = pq.read_table(m["nodes_dir"], columns=["entity_id"])[
-        "entity_id"
-    ].to_numpy()
+    nodes_t = pq.read_table(m["nodes_dir"], columns=["entity_id"])
+    node_ids = nodes_t["entity_id"].to_numpy()
     edges = _read_kg_edges(m, ["subj_id", "obj_id"])
+    _export_oracle_input("kg_sweep_community", edges)
+    _export_oracle_input("kg_sweep_community_nodes", ray.data.from_arrow(nodes_t))
     pr = pagerank(edges, node_ids)
+    pr["rank"] = sql_round(pr["rank"], 6)  # grid-stable seed argmax
     seed = int(
         pr.sort_values(["rank", "node_id"], ascending=[False, True]).iloc[0][
             "node_id"
@@ -11382,6 +11391,105 @@ LIMIT 20
 
 
 
+# ACL sweep-cut replay: PageRank-20 over the raw directed edges picks
+# the seed on the 6dp grid; PPR-20 runs over the symmetrized distinct
+# pairs with the seeded teleport; candidates rank by round(mass/deg,9)
+# desc / id asc (the engine's grid); the conductance curve closes from
+# prefix-straddling pair counts and degree prefix sums — phi values
+# are exact-operand integer divisions, so the argmin (ties -> smallest
+# prefix) is bit-identical. Fallback when no prefix has positive
+# complement volume mirrors the engine (last prefix, conductance 1).
+_KG_SWEEP_SQL = f"""
+WITH RECURSIVE
+n0 AS (SELECT entity_id AS id FROM
+       read_parquet('{_ORACLE_INPUT_ROOT}/kg_sweep_community_nodes/*.parquet')),
+e AS (SELECT subj_id AS s, obj_id AS t FROM
+      read_parquet('{_ORACLE_INPUT_ROOT}/kg_sweep_community/*.parquet')),
+meta AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n0),
+deg0 AS (SELECT n0.id, CAST(coalesce(d.c, 0) AS DOUBLE) AS outdeg
+         FROM n0 LEFT JOIN (SELECT s, count(*) AS c FROM e GROUP BY s) d
+         ON d.s = n0.id),
+prs AS (
+  SELECT 0 AS it, id, outdeg, 1.0 / (SELECT nn FROM meta) AS r FROM deg0
+  UNION ALL
+  SELECT p.it + 1, p.id, p.outdeg,
+         (1.0 - 0.85) / (SELECT nn FROM meta)
+         + 0.85 * (
+             coalesce((SELECT sum(q.r / (CASE WHEN q.outdeg > 0.0
+                                          THEN q.outdeg ELSE 1.0 END))
+                       FROM prs q JOIN e ON e.s = q.id
+                       WHERE e.t = p.id), 0.0)
+             + (SELECT coalesce(sum(q.r), 0.0) FROM prs q
+                WHERE q.outdeg = 0.0) / (SELECT nn FROM meta))
+  FROM prs p WHERE p.it < 20
+),
+seed AS (SELECT id FROM prs WHERE it = 20
+         ORDER BY round(r, 6) DESC, id LIMIT 1),
+p0 AS (SELECT DISTINCT least(s, t) AS lo, greatest(s, t) AS hi
+       FROM e WHERE s <> t),
+sy AS (SELECT lo AS x, hi AS y FROM p0 UNION ALL SELECT hi, lo FROM p0),
+dgu AS (SELECT n0.id, coalesce(d.c, 0) AS deg
+        FROM n0 LEFT JOIN (SELECT x, count(*) AS c FROM sy GROUP BY x) d
+        ON d.x = n0.id),
+pd AS (SELECT dgu.id, CAST(dgu.deg AS DOUBLE) AS outdeg,
+              CASE WHEN dgu.id = (SELECT id FROM seed)
+                   THEN 1.0e0 ELSE 0.0e0 END AS pv
+       FROM dgu),
+ppr AS (
+  SELECT 0 AS it, id, outdeg, pv, pv AS r FROM pd
+  UNION ALL
+  SELECT p.it + 1, p.id, p.outdeg, p.pv,
+         (1.0 - 0.85) * p.pv
+         + 0.85 * (
+             coalesce((SELECT sum(q.r / (CASE WHEN q.outdeg > 0.0
+                                          THEN q.outdeg ELSE 1.0 END))
+                       FROM ppr q JOIN sy ON sy.x = q.id
+                       WHERE sy.y = p.id), 0.0)
+             + (SELECT coalesce(sum(q.r), 0.0) FROM ppr q
+                WHERE q.outdeg = 0.0) * p.pv)
+  FROM ppr p WHERE p.it < 20
+),
+sc AS (SELECT f.id, f.r, d.deg,
+              CASE WHEN d.deg > 0 THEN f.r / greatest(d.deg, 1)
+                   ELSE 0.0e0 END AS score
+       FROM (SELECT id, r FROM ppr WHERE it = 20) f
+       JOIN dgu d ON d.id = f.id),
+cand AS (SELECT id, deg, round(score, 9) AS s9 FROM sc
+         WHERE score > 0.0 AND deg > 0),
+rk AS (SELECT id, deg, row_number() OVER (ORDER BY s9 DESC, id) AS k
+       FROM cand),
+sw AS (SELECT sum(deg) AS v, count(*) AS nc FROM rk),
+er AS (SELECT least(coalesce(a.k, 999999999), coalesce(b.k, 999999999)) AS ra,
+              greatest(coalesce(a.k, 999999999),
+                       coalesce(b.k, 999999999)) AS rb
+       FROM p0 LEFT JOIN rk a ON a.id = p0.lo
+            LEFT JOIN rk b ON b.id = p0.hi),
+curve AS (
+  SELECT rk.k,
+         (SELECT count(*) FROM er WHERE er.ra <= rk.k AND er.rb > rk.k)
+           AS cut,
+         (SELECT sum(r2.deg) FROM rk r2 WHERE r2.k <= rk.k) AS vol
+  FROM rk),
+ph AS (SELECT k, cut, vol,
+              least(vol, (SELECT v FROM sw) - vol) AS denom FROM curve),
+valid AS (SELECT k, cut, vol, CAST(cut AS DOUBLE) / denom AS phi
+          FROM ph WHERE denom > 0),
+best AS (SELECT * FROM valid ORDER BY phi ASC, k ASC LIMIT 1),
+lastp AS (SELECT k, cut, vol FROM ph ORDER BY k DESC LIMIT 1)
+SELECT (SELECT id FROM seed) AS seed,
+       CAST(coalesce((SELECT k FROM best), (SELECT k FROM lastp))
+            AS BIGINT) AS community_size,
+       CASE WHEN (SELECT count(*) FROM valid) > 0
+            THEN round((SELECT phi FROM best), 6) ELSE 1.0 END
+         AS conductance,
+       CAST(coalesce((SELECT cut FROM best), (SELECT cut FROM lastp))
+            AS BIGINT) AS cut,
+       CAST(coalesce((SELECT vol FROM best), (SELECT vol FROM lastp))
+            AS BIGINT) AS volume
+"""
+
+
+
 # Personalized PageRank twin: teleport (and dangling mass) return to
 # the uniform distribution over the three lowest entity ids, per-step
 # op order (1-d)*p + d*(agg + dang*p) exactly as the engine's
@@ -11583,6 +11691,7 @@ ORACLE_SQL = {
     "kg_diameter": _KG_DIAMETER_SQL,
     "kg_centralities": _KG_CENTRALITIES_SQL,
     "kg_betweenness": _KG_BETWEENNESS_SQL,
+    "kg_sweep_community": _KG_SWEEP_SQL,
     "approx_users_per_type": _APPROX_USERS_SQL,
     "sketch_union_users_by_type": _SKETCH_UNION_USERS_SQL,
     "sketch_union_p90_value": _SKETCH_UNION_P90_SQL,

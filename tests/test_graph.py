@@ -1367,3 +1367,16 @@ def test_mis_fold_two_pass_on_priority_collision():
     ]
     bp, bi = _fold_best_neighbor(parts, 1)
     assert bp[0] == 7 and bi[0] == 9
+
+
+def test_read_kg_edges_sees_full_fragmented_table(ray_session):
+    """_read_kg_edges must read the checkpoint fragment dirs AND the
+    recovery delta — the r5 kg_pagerank bug was a top-level-only glob
+    that fed pregel just the delta file (~10% of edges). Lock the row
+    count to the pipeline's own manifest-backed n_edges."""
+    from kgraft.queries import _kg_outputs, _read_kg_edges
+
+    m = _kg_outputs("/root/testdata/sf0.001")
+    n = int(_read_kg_edges(m, ["subj_id"]).count())
+    assert n == int(m["n_edges"]), (n, m["n_edges"])
+    assert n > 1000  # the delta alone was ~133 rows at this scale
