@@ -11490,6 +11490,69 @@ SELECT (SELECT id FROM seed) AS seed,
 
 
 
+# MMR greedy replay over the base embeddings view: shortlist-100 by
+# cosine (query vector normalized with the engine's 1e-12 guard,
+# per-row norms with the zero->1e-12 guard), then one greedy pick per
+# recursion level — the running max-similarity to the selected set is
+# carried per candidate and updated with unit-vector dot products
+# (zero->1.0 norm guard, matching the engine's unit matrix); the
+# argmax ties break to the lower vec_id exactly like the engine's
+# lexsort. Outputs round at 6dp.
+_MMR_SQL = """
+WITH RECURSIVE
+qq AS (SELECT CAST(embedding AS DOUBLE[]) AS qe,
+              greatest(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))),
+                       1e-12) AS qd
+       FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                          list_transform(qq.qe, x -> x / qq.qd))
+         / (CASE WHEN sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[]))) = 0.0
+            THEN 1e-12
+            ELSE sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[]))) END)
+           AS rel
+  FROM embeddings e, qq),
+short AS (SELECT * FROM scored ORDER BY rel DESC, vec_id LIMIT 100),
+su AS (SELECT vec_id, rel,
+              list_transform(emb, x -> x /
+                (CASE WHEN sqrt(list_dot_product(emb, emb)) = 0.0
+                 THEN 1.0e0 ELSE sqrt(list_dot_product(emb, emb)) END)) AS unit
+       FROM short),
+mm AS (
+  SELECT 0 AS st, vec_id, rel, CAST(NULL AS DOUBLE) AS msim, unit,
+         CAST(NULL AS BIGINT) AS picked_at, CAST(NULL AS DOUBLE) AS mmr_pick
+  FROM su
+  UNION ALL
+  SELECT p.st + 1, p.vec_id, p.rel,
+    CASE WHEN p.picked_at IS NOT NULL OR p.vec_id = b.bid THEN p.msim
+         WHEN p.msim IS NULL THEN list_dot_product(p.unit, b.bunit)
+         ELSE greatest(p.msim, list_dot_product(p.unit, b.bunit)) END,
+    p.unit,
+    CASE WHEN p.vec_id = b.bid THEN p.st + 1 ELSE p.picked_at END,
+    CASE WHEN p.vec_id = b.bid THEN b.bmmr ELSE p.mmr_pick END
+  FROM mm p,
+       (SELECT x.vec_id AS bid, x.unit AS bunit,
+               0.7e0 * x.rel - (1.0e0 - 0.7e0) * coalesce(x.msim, 0.0e0)
+                 AS bmmr
+        FROM mm x WHERE x.picked_at IS NULL
+        ORDER BY 0.7e0 * x.rel
+                 - (1.0e0 - 0.7e0) * coalesce(x.msim, 0.0e0) DESC,
+                 x.vec_id
+        LIMIT 1) b
+  WHERE p.st < least(10, (SELECT count(*) FROM su))
+)
+SELECT picked_at AS rank, vec_id, round(rel, 6) AS relevance,
+       round(mmr_pick, 6) AS mmr_score
+FROM mm WHERE st = (SELECT max(st) FROM mm) AND picked_at IS NOT NULL
+ORDER BY rank
+"""
+
+
+
 # Personalized PageRank twin: teleport (and dangling mass) return to
 # the uniform distribution over the three lowest entity ids, per-step
 # op order (1-d)*p + d*(agg + dang*p) exactly as the engine's
@@ -11692,6 +11755,7 @@ ORACLE_SQL = {
     "kg_centralities": _KG_CENTRALITIES_SQL,
     "kg_betweenness": _KG_BETWEENNESS_SQL,
     "kg_sweep_community": _KG_SWEEP_SQL,
+    "mmr_diverse_neighbors": _MMR_SQL,
     "approx_users_per_type": _APPROX_USERS_SQL,
     "sketch_union_users_by_type": _SKETCH_UNION_USERS_SQL,
     "sketch_union_p90_value": _SKETCH_UNION_P90_SQL,
