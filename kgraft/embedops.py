@@ -100,10 +100,16 @@ def knn_topk(embeddings, query: np.ndarray, k: int = 10, round_dp: int = 4):
 def kmeans_centroids(
     sample: np.ndarray, n_cells: int, n_iter: int = 10, seed: int = 7
 ) -> np.ndarray:
-    """Deterministic Lloyd iterations on a driver-side sample."""
-    rng = np.random.RandomState(seed)
-    idx = rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)
-    cents = sample[np.sort(idx)].copy()
+    """Deterministic Lloyd iterations on a driver-side sample.
+
+    Init = the FIRST ``n_cells`` sample rows: the sample arrives in
+    splitmix64 hash order (:func:`_hash_sample_matrix`), so this is a
+    uniform random draw that is also independent of the sample LENGTH
+    — the previous ``RandomState.choice`` indices changed whenever the
+    corpus (and thus sample size) did, and were not replayable by the
+    DuckDB twins (r5). ``seed`` is kept for API compatibility; the
+    randomness lives in the hash order."""
+    cents = sample[: min(n_cells, len(sample))].copy()
     for _ in range(n_iter):
         d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)

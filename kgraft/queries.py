@@ -11553,6 +11553,242 @@ ORDER BY rank
 
 
 
+# Lloyd k-means replay: the deterministic hash sample (bottom rows by
+# SIGNED splitmix64(vec_id ^ 0xA5A5), the engine's int64 view), init =
+# first n_cells sample rows (the engine's r5 init — uniform via hash
+# order AND replayable), then one Lloyd iteration per recursion level:
+# argmin assignment (ties -> lowest cell), per-dimension means, empty
+# cells keep their centroid. Distances via list arithmetic; the
+# engine/SQL summation-order ulp drift only matters for points within
+# ~1e-12 of a Voronoi boundary.
+def _kmeans_cte_sql(n_cells: int, n_iter: int = 10,
+                    sample_limit: int = 4096) -> str:
+    return f"""
+allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+hs AS (SELECT vec_id, emb,
+              CAST(CASE WHEN h >= 9223372036854775808
+                   THEN CAST(h AS HUGEINT) - 18446744073709551616
+                   ELSE CAST(h AS HUGEINT) END AS BIGINT) AS hsig
+       FROM (
+         SELECT vec_id, emb, z AS h0, h FROM (
+           WITH s0 AS (SELECT vec_id, emb,
+                        xor(CAST(vec_id AS UBIGINT), CAST(42405 AS UBIGINT))
+                          AS z FROM allv),
+           {_sm64_chain_sql('ks', 'vec_id, emb', 's0')}
+           SELECT vec_id, emb, CAST(0 AS UBIGINT) AS z, h FROM ksf
+         )
+       )),
+samp AS (SELECT vec_id, emb,
+                row_number() OVER (ORDER BY hsig) AS rn
+         FROM hs ORDER BY hsig LIMIT {sample_limit}),
+km AS (
+  SELECT 0 AS it, rn - 1 AS cell, emb AS cent
+  FROM samp WHERE rn <= {n_cells}
+  UNION ALL
+  SELECT p.it + 1, p.cell, coalesce(nc.cent, p.cent)
+  FROM km p LEFT JOIN (
+    SELECT cell, list(v ORDER BY dim) AS cent FROM (
+      SELECT a.cell, d.dim, avg(a.emb[CAST(d.dim AS INT)]) AS v
+      FROM (
+        SELECT s.emb,
+               (SELECT q.cell FROM km q
+                ORDER BY list_distance(s.emb, q.cent) ASC, q.cell ASC
+                LIMIT 1) AS cell
+        FROM samp s) a,
+        unnest(range(1, len(a.emb) + 1)) d(dim)
+      GROUP BY a.cell, d.dim)
+    GROUP BY cell) nc ON nc.cell = p.cell
+  WHERE p.it < {n_iter}
+),
+cents AS (SELECT cell, cent FROM km WHERE it = {n_iter})"""
+
+
+# Corpus clustering twin: every vector -> nearest final centroid via
+# the engine's |x|^2 - 2xc + |c|^2 expansion, dist = sqrt clamped at
+# 0, rounded 6.
+_CLUSTER_EMB_SQL = f"""
+WITH RECURSIVE {_kmeans_cte_sql(16)},
+d2 AS (
+  SELECT a.vec_id, c.cell,
+         list_dot_product(a.emb, a.emb)
+         - 2.0 * list_dot_product(a.emb, c.cent)
+         + list_dot_product(c.cent, c.cent) AS d2
+  FROM allv a, cents c),
+best AS (
+  SELECT vec_id, cell, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC)
+           AS rnk
+  FROM d2)
+SELECT vec_id, CAST(cell AS BIGINT) AS cluster_id,
+       round(sqrt(greatest(d2, 0.0)), 6) AS dist
+FROM best WHERE rnk = 1 ORDER BY vec_id
+"""
+
+
+# IVF ANN twin: probe the 4 centroids nearest the query (direct
+# squared distance), keep vectors assigned (direct argmin) to probed
+# cells, rank by cosine on the 6dp grid.
+_IVF_SQL = f"""
+WITH RECURSIVE {_kmeans_cte_sql(16)},
+qq AS (SELECT CAST(embedding AS DOUBLE[]) AS qe,
+              greatest(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))),
+                       1e-12) AS qd
+       FROM embeddings WHERE vec_id = 0),
+probe AS (SELECT c.cell FROM cents c, qq
+          ORDER BY list_distance(c.cent, qq.qe) ASC, c.cell ASC LIMIT 4),
+asg AS (
+  SELECT a.vec_id, a.emb,
+         (SELECT c.cell FROM cents c
+          ORDER BY list_distance(a.emb, c.cent) ASC, c.cell ASC LIMIT 1)
+           AS cell
+  FROM allv a),
+scored AS (
+  SELECT a.vec_id,
+         round(list_dot_product(a.emb, list_transform(qq.qe, x -> x / qq.qd))
+           / (CASE WHEN sqrt(list_dot_product(a.emb, a.emb)) = 0.0
+              THEN 1e-12 ELSE sqrt(list_dot_product(a.emb, a.emb)) END), 6)
+           AS score
+  FROM asg a, qq WHERE a.cell IN (SELECT cell FROM probe))
+SELECT vec_id, score FROM scored
+ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+
+# Cluster-quality twin: assignments via the expansion (like the
+# engine's quality pass), per-cluster count / sqrt-distance sum /
+# squared-distance sum, Davies-Bouldin from the live clusters'
+# pairwise centroid distances (same expansion + clamp), 4dp grid.
+_CLUSTER_QUALITY_SQL = f"""
+WITH RECURSIVE {_kmeans_cte_sql(16)},
+d2 AS (
+  SELECT a.vec_id, c.cell,
+         list_dot_product(a.emb, a.emb)
+         - 2.0 * list_dot_product(a.emb, c.cent)
+         + list_dot_product(c.cent, c.cent) AS d2
+  FROM allv a, cents c),
+best AS (
+  SELECT vec_id, cell, greatest(d2, 0.0) AS b2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC)
+           AS rnk
+  FROM d2),
+per AS (SELECT cell, count(*) AS n, sum(sqrt(b2)) AS sd, sum(b2) AS sd2
+        FROM best WHERE rnk = 1 GROUP BY cell),
+allc AS (SELECT c.cell, c.cent, coalesce(p.n, 0) AS n,
+                coalesce(p.sd, 0.0) AS sd, coalesce(p.sd2, 0.0) AS sd2
+         FROM cents c LEFT JOIN per p ON p.cell = c.cell),
+sct AS (SELECT cell, cent, n, sd2,
+               CASE WHEN n > 0 THEN sd / n ELSE 0.0 END AS scatter
+        FROM allc),
+live AS (SELECT * FROM sct WHERE n > 0),
+dbr AS (
+  SELECT a.cell,
+         max((a.scatter + b.scatter)
+             / sqrt(greatest(
+                 list_dot_product(a.cent, a.cent)
+                 - 2.0 * list_dot_product(a.cent, b.cent)
+                 + list_dot_product(b.cent, b.cent), 0.0))) AS r
+  FROM live a JOIN live b ON b.cell <> a.cell
+  GROUP BY a.cell),
+db AS (SELECT CASE WHEN (SELECT count(*) FROM live) < 2 THEN NULL
+              ELSE (SELECT avg(r) FROM dbr) END AS v)
+SELECT CAST(s.cell AS BIGINT) AS cluster_id,
+       CAST(s.n AS BIGINT) AS n_vecs,
+       round(s.sd2, 4) AS inertia,
+       round(s.scatter, 4) AS scatter,
+       round((SELECT v FROM db), 4) AS db_index
+FROM sct s ORDER BY s.cell
+"""
+
+
+
+# SemDeDup twin: k-means(8) assignment via the expansion, then every
+# within-cluster pair of unit vectors with cosine >= 0.95 (the
+# engine's star/sub-split contractions are connectivity-preserving,
+# so the closure of all threshold pairs IS the group structure);
+# dup_group = min vec_id of the pair-connected component, singletons
+# map to themselves.
+_SEMDEDUP_SQL = f"""
+WITH RECURSIVE {_kmeans_cte_sql(8)},
+d2 AS (
+  SELECT a.vec_id, a.emb, c.cell,
+         list_dot_product(a.emb, a.emb)
+         - 2.0 * list_dot_product(a.emb, c.cent)
+         + list_dot_product(c.cent, c.cent) AS d2
+  FROM allv a, cents c),
+asg AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT vec_id, emb, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, cell ASC) AS rnk
+    FROM d2) WHERE rnk = 1),
+un AS (SELECT vec_id, cell,
+              list_transform(emb, x -> x /
+                (CASE WHEN sqrt(list_dot_product(emb, emb)) = 0.0
+                 THEN 1e-12 ELSE sqrt(list_dot_product(emb, emb)) END))
+                AS unit
+       FROM asg),
+pp AS (SELECT a.vec_id AS x, b.vec_id AS y
+       FROM un a JOIN un b ON b.cell = a.cell AND a.vec_id < b.vec_id
+       WHERE list_dot_product(a.unit, b.unit) >= 0.95),
+sym AS (SELECT x, y FROM pp UNION ALL SELECT y, x FROM pp),
+reach AS (
+  SELECT x AS a, y AS b FROM sym
+  UNION
+  SELECT r.a, s.y FROM reach r JOIN sym s ON s.x = r.b
+),
+grp AS (
+  SELECT v.vec_id,
+         least(v.vec_id,
+               coalesce((SELECT min(r.b) FROM reach r
+                         WHERE r.a = v.vec_id), v.vec_id)) AS dup_group
+  FROM allv v)
+SELECT vec_id, dup_group FROM grp ORDER BY vec_id
+"""
+
+
+
+# Hard-negative mining twin: k-means(8) expansion assignment, units
+# with the zero->1.0 norm guard, per-vector argmax cosine among
+# DIFFERENT-label cell mates (ties -> lowest neg_id, the engine's
+# first-index-in-vec_id-order rule), first 200 by vec_id.
+_HARD_NEG_SQL = f"""
+WITH RECURSIVE {_kmeans_cte_sql(8)},
+d2 AS (
+  SELECT a.vec_id, a.emb, c.cell,
+         list_dot_product(a.emb, a.emb)
+         - 2.0 * list_dot_product(a.emb, c.cent)
+         + list_dot_product(c.cent, c.cent) AS d2
+  FROM allv a, cents c),
+asg AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT vec_id, emb, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, cell ASC) AS rnk
+    FROM d2) WHERE rnk = 1),
+un AS (SELECT a.vec_id, a.cell, e.label,
+              list_transform(a.emb, x -> x /
+                (CASE WHEN sqrt(list_dot_product(a.emb, a.emb)) = 0.0
+                 THEN 1.0e0 ELSE sqrt(list_dot_product(a.emb, a.emb)) END))
+                AS unit
+       FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id),
+cand AS (
+  SELECT a.vec_id, b.vec_id AS neg_id, b.label AS neg_label,
+         list_dot_product(a.unit, b.unit) AS sim
+  FROM un a JOIN un b ON b.cell = a.cell AND b.vec_id <> a.vec_id
+  WHERE b.label <> a.label),
+best AS (
+  SELECT vec_id, neg_id, neg_label, sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, neg_id ASC) AS rnk
+  FROM cand)
+SELECT vec_id, neg_id, neg_label, round(sim, 6) AS cos_sim
+FROM best WHERE rnk = 1 ORDER BY vec_id LIMIT 200
+"""
+
+
+
 # Personalized PageRank twin: teleport (and dangling mass) return to
 # the uniform distribution over the three lowest entity ids, per-step
 # op order (1-d)*p + d*(agg + dang*p) exactly as the engine's
@@ -11756,6 +11992,11 @@ ORACLE_SQL = {
     "kg_betweenness": _KG_BETWEENNESS_SQL,
     "kg_sweep_community": _KG_SWEEP_SQL,
     "mmr_diverse_neighbors": _MMR_SQL,
+    "cluster_embeddings": _CLUSTER_EMB_SQL,
+    "ivf_ann_topk": _IVF_SQL,
+    "cluster_quality_embeddings": _CLUSTER_QUALITY_SQL,
+    "semdedup_embeddings": _SEMDEDUP_SQL,
+    "hard_negatives_embeddings": _HARD_NEG_SQL,
     "approx_users_per_type": _APPROX_USERS_SQL,
     "sketch_union_users_by_type": _SKETCH_UNION_USERS_SQL,
     "sketch_union_p90_value": _SKETCH_UNION_P90_SQL,
