@@ -8990,9 +8990,16 @@ def blocking_quality_aliases(sf_dir: str) -> pd.DataFrame:
     the linker uses (`textops.minhash_candidate_pairs`); truth pairs
     need no materialization (sum of C(k_e, 2) over the vocab-bounded
     entity sizes), and candidate truthfulness is a broadcast
-    entity-label lookup inside the pair stream. Rows-only (LSH banding
-    is not SQL-expressible); the recall bar is pinned by pytest on the
-    linker itself (tests/test_linking.py)."""
+    entity-label lookup inside the pair stream. The banding IS
+    SQL-expressible after all — every stage is exact integer
+    arithmetic: the DuckDB twin (_BLOCKING_QUALITY_SQL) replays the
+    4-gram shingle hash, the 64 uint32 multiply-permutations
+    (RandomState(1001) constants embedded via the engine's own
+    MinHasher), the 16 golden-ratio-weighted band hashes, the
+    identical-signature star reduction (band 0), the 64-distinct-
+    signature bucket guard, and the per-band rep-pair emission, then
+    recomputes both ER metrics. The recall bar stays pinned by pytest
+    on the linker itself (tests/test_linking.py)."""
     from .synth import corpus_dir
     from .textops import minhash_candidate_pairs
 
@@ -9009,10 +9016,13 @@ def blocking_quality_aliases(sf_dir: str) -> pd.DataFrame:
     sizes = pd.Series(ent).value_counts().to_numpy(np.int64)
     n_truth = int((sizes * (sizes - 1) // 2).sum())
 
-    docs = ray.data.from_pandas(
-        pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
-                      "text": al["alias"].astype(str)})
-    ).repartition(8)
+    docs_df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                            "text": al["alias"].astype(str)})
+    _export_oracle_input(
+        "blocking_quality_aliases",
+        ray.data.from_pandas(docs_df.assign(entity_id=ent)),
+    )
+    docs = ray.data.from_pandas(docs_df).repartition(8)
     cand = minhash_candidate_pairs(docs, num_perm=64, num_bands=16)
     ent_ref = ray.put(ent)
 
@@ -11789,6 +11799,116 @@ FROM best WHERE rnk = 1 ORDER BY vec_id LIMIT 200
 
 
 
+def _minhash_consts():
+    """Literal tables for the LSH blocking twin, drawn from the
+    engine's own MinHasher(num_perm=64, seed=1001) so the permutation
+    constants can never drift, plus the band-mix golden-ratio weights
+    and per-band salts."""
+    from .hashing import MinHasher, splitmix64
+
+    h = MinHasher(num_perm=64, seed=1001, shingle_k=4)
+    perms = ", ".join(
+        f"({i}, {int(a)}, {int(b)})" for i, (a, b) in enumerate(zip(h.a, h.b))
+    )
+    g = np.uint64(0x9E3779B97F4A7C15) ** np.arange(4, dtype=np.uint64)
+    salts = ", ".join(
+        f"({j}, {int(v)})"
+        for j, v in enumerate(splitmix64(np.arange(16, dtype=np.uint64)))
+    )
+    return perms, [int(x) for x in g], salts
+
+
+_MH_PERMS, _MH_G, _MH_SALTS = _minhash_consts()
+
+# MinHash-LSH blocking replay — exact integer arithmetic end to end:
+# zero-padded 4-gram byte-polynomial shingles -> splitmix64 -> uint32
+# fold; sig[i] = min over shingles of (a_i*h32 + b_i) mod 2^32; band
+# hash j = splitmix64((sum_t sig[4j+t]*G^t mod 2^64) xor salt_j);
+# per-(band, hash) bucket: identical-signature classes (grouped by the
+# full signature LIST — the engine's 64-bit fingerprint equality is a
+# whp-exact proxy for the same classes), band-0 min-id member stars,
+# then all rep pairs when 2 <= #classes <= 64; both ER metrics from
+# the multiset of emitted rows exactly like the engine's judge pass.
+_BLOCKING_QUALITY_SQL = f"""
+WITH docs AS (SELECT doc_id, text, entity_id FROM
+  read_parquet('{_ORACLE_INPUT_ROOT}/blocking_quality_aliases/*.parquet')),
+wn AS (
+  SELECT d.doc_id, w.i,
+    (CASE WHEN w.i <= length(d.text)
+          THEN ascii(substr(d.text, CAST(w.i AS INT), 1)) ELSE 0 END)
+    + 31 * (CASE WHEN w.i + 1 <= length(d.text)
+          THEN ascii(substr(d.text, CAST(w.i AS INT) + 1, 1)) ELSE 0 END)
+    + 961 * (CASE WHEN w.i + 2 <= length(d.text)
+          THEN ascii(substr(d.text, CAST(w.i AS INT) + 2, 1)) ELSE 0 END)
+    + 29791 * (CASE WHEN w.i + 3 <= length(d.text)
+          THEN ascii(substr(d.text, CAST(w.i AS INT) + 3, 1)) ELSE 0 END)
+      AS acc
+  FROM docs d,
+       LATERAL unnest(range(1, greatest(length(d.text), 4) - 2)) w(i)),
+w0 AS (SELECT doc_id, i, CAST(acc AS UBIGINT) AS z FROM wn),
+{_sm64_chain_sql('mh', 'doc_id, i', 'w0')},
+h32 AS (SELECT doc_id, CAST(xor(h, h >> 32) % 4294967296 AS HUGEINT) AS h32
+        FROM mhf),
+perms(pi, pa, pb) AS (VALUES {_MH_PERMS}),
+sigs AS (SELECT doc_id, p.pi AS perm,
+                min(CAST((CAST(p.pa AS HUGEINT) * h32.h32 + p.pb)
+                    % 4294967296 AS BIGINT)) AS sig
+         FROM h32, perms p GROUP BY doc_id, p.pi),
+sigl AS (SELECT doc_id, list(sig ORDER BY perm) AS sig
+         FROM sigs GROUP BY doc_id),
+salts(bj, salt) AS (VALUES {_MH_SALTS}),
+mix AS (
+  SELECT s.doc_id, b.bj AS band, s.sig,
+         xor(CAST((
+           CAST(s.sig[4 * b.bj + 1] AS HUGEINT) * {_MH_G[0]}
+           + CAST(s.sig[4 * b.bj + 2] AS HUGEINT) * {_MH_G[1]}
+           + CAST(s.sig[4 * b.bj + 3] AS HUGEINT) * {_MH_G[2]}
+           + CAST(s.sig[4 * b.bj + 4] AS HUGEINT) * {_MH_G[3]}
+         ) % 18446744073709551616 AS UBIGINT),
+         CAST(b.salt AS UBIGINT)) AS z
+  FROM sigl s, salts b),
+{_sm64_chain_sql('bm', 'doc_id, band, sig', 'mix')},
+bu AS (SELECT doc_id, band, sig, h AS band_hash FROM bmf),
+cls AS (SELECT band, band_hash, sig, min(doc_id) AS rep,
+               list(doc_id ORDER BY doc_id) AS members
+        FROM bu GROUP BY band, band_hash, sig),
+bct AS (SELECT band, band_hash, count(*) AS r
+        FROM cls GROUP BY band, band_hash),
+stars AS (SELECT c.rep AS a, u.m AS b
+          FROM cls c, unnest(c.members) u(m)
+          WHERE c.band = 0 AND u.m <> c.rep),
+reppairs AS (
+  SELECT c1.rep AS a, c2.rep AS b
+  FROM cls c1 JOIN cls c2 ON c2.band = c1.band
+       AND c2.band_hash = c1.band_hash AND c1.rep < c2.rep
+  JOIN bct ON bct.band = c1.band AND bct.band_hash = c1.band_hash
+  WHERE bct.r >= 2 AND bct.r <= 64),
+cand AS (SELECT a, b FROM stars UNION ALL SELECT a, b FROM reppairs),
+jd AS (SELECT cand.a, cand.b,
+              CASE WHEN da.entity_id = db.entity_id THEN 1 ELSE 0 END AS hit
+       FROM cand JOIN docs da ON da.doc_id = cand.a
+            JOIN docs db ON db.doc_id = cand.b),
+mt AS (SELECT CAST(count(*) AS BIGINT) AS n_cand,
+              CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_true FROM jd),
+base AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM docs) AS n,
+                (SELECT CAST(sum(k * (k - 1) // 2) AS BIGINT)
+                 FROM (SELECT count(*) AS k FROM docs
+                       GROUP BY entity_id)) AS n_truth)
+SELECT base.n AS n_aliases,
+       base.n_truth AS n_truth_pairs,
+       mt.n_cand AS n_candidates,
+       mt.n_true AS n_true_candidates,
+       CASE WHEN base.n_truth > 0
+            THEN round(mt.n_true / base.n_truth, 6) ELSE 1.0 END
+         AS pair_completeness,
+       CASE WHEN base.n * (base.n - 1) // 2 > 0
+            THEN round(1.0 - mt.n_cand / (base.n * (base.n - 1) // 2), 6)
+            ELSE 1.0 END AS reduction_ratio
+FROM base, mt
+"""
+
+
+
 # Personalized PageRank twin: teleport (and dangling mass) return to
 # the uniform distribution over the three lowest entity ids, per-step
 # op order (1-d)*p + d*(agg + dang*p) exactly as the engine's
@@ -11997,6 +12117,7 @@ ORACLE_SQL = {
     "cluster_quality_embeddings": _CLUSTER_QUALITY_SQL,
     "semdedup_embeddings": _SEMDEDUP_SQL,
     "hard_negatives_embeddings": _HARD_NEG_SQL,
+    "blocking_quality_aliases": _BLOCKING_QUALITY_SQL,
     "approx_users_per_type": _APPROX_USERS_SQL,
     "sketch_union_users_by_type": _SKETCH_UNION_USERS_SQL,
     "sketch_union_p90_value": _SKETCH_UNION_P90_SQL,
