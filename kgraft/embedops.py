@@ -701,7 +701,11 @@ def pq_topk(
     def local(t: pa.Table) -> pa.Table:
         if len(t) == 0:
             return pa.table(
-                {"vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "approx": pa.array([], pa.float64()),
+                    "embedding": pa.array([], pa.list_(pa.float64())),
+                }
             )
         mat = _batch_matrix(t)
         bks = ray.get(books_ref)
@@ -718,19 +722,55 @@ def pq_topk(
             approx_dot += tbl[m][codes]
             approx_sq += nrm[m][codes]
         approx_score = approx_dot / np.sqrt(np.maximum(approx_sq, 1e-12))
-        cand = np.argsort(-approx_score)[:shortlist]
-        exact = _cosine(mat[cand], ray.get(qref))
-        ids = t["vec_id"].to_numpy(zero_copy_only=False)[cand]
-        order = np.argsort(-exact)[:k]
+        # 9dp grid: the GLOBAL shortlist cut below must be deterministic
+        # under repartitioning and replayable by the DuckDB twin —
+        # raw-float ordering would let summation-order ulp drift flip
+        # boundary ties (r5; the old per-BLOCK shortlist additionally
+        # made the result depend on block boundaries outright)
+        approx_score = sql_round(approx_score, 9)
+        cand = np.lexsort(
+            (t["vec_id"].to_numpy(zero_copy_only=False), -approx_score)
+        )[:shortlist]
         return pa.table(
             {
-                "vec_id": pa.array(ids[order], pa.int64()),
-                "score": pa.array(sql_round(exact[order], 6), pa.float64()),
+                "vec_id": t["vec_id"].take(pa.array(cand)),
+                "approx": pa.array(approx_score[cand], pa.float64()),
+                "embedding": pa.array(
+                    [mat[i].tolist() for i in cand], pa.list_(pa.float64())
+                ),
             }
         )
 
-    partial = embeddings.map_batches(local, batch_format="pyarrow")
-    return partial.sort(["score", "vec_id"], descending=[True, False]).limit(k)
+    # GLOBAL ADC shortlist (block-invariant: local top-shortlist is a
+    # safe pre-cut, the 9dp-grid global sort finishes), then exact
+    # cosine rerank on the bounded survivor set
+    short = (
+        embeddings.map_batches(local, batch_format="pyarrow")
+        .sort(["approx", "vec_id"], descending=[True, False])
+        .limit(shortlist)
+        .to_pandas()
+    )
+    if short.empty:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        )
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in short["embedding"]])
+    ids = short["vec_id"].to_numpy(dtype=np.int64)
+    exact = sql_round(_cosine(mat, q), 6)
+    order = np.lexsort((ids, -exact))[:k]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "score": pa.array(exact[order], pa.float64()),
+            }
+        )
+    )
 
 
 def mmr_rerank(

@@ -11909,6 +11909,95 @@ FROM base, mt
 
 
 
+# PQ ANN twin: per-subspace Lloyd codebooks (one recursion over
+# (subspace, cell) with 16-dim slices of the hash-ordered sample —
+# same init/iteration rules as _kmeans_cte_sql), ADC lookup tables
+# from the normalized query, per-vector code assignment by direct
+# squared distance, approx = table-sum / sqrt(codeword-norm-sum) on
+# the 9dp grid (the engine's r5 block-invariant global shortlist
+# grid), exact-cosine rerank of the 40 survivors on the 6dp grid.
+_PQ_SQL = f"""
+WITH RECURSIVE
+allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+hs AS (SELECT vec_id, emb,
+              CAST(CASE WHEN h >= 9223372036854775808
+                   THEN CAST(h AS HUGEINT) - 18446744073709551616
+                   ELSE CAST(h AS HUGEINT) END AS BIGINT) AS hsig
+       FROM (
+         SELECT vec_id, emb, z AS h0, h FROM (
+           WITH s0 AS (SELECT vec_id, emb,
+                        xor(CAST(vec_id AS UBIGINT), CAST(42405 AS UBIGINT))
+                          AS z FROM allv),
+           {_sm64_chain_sql('pqs', 'vec_id, emb', 's0')}
+           SELECT vec_id, emb, CAST(0 AS UBIGINT) AS z, h FROM pqsf
+         )
+       )),
+samp AS (SELECT vec_id, emb,
+                row_number() OVER (ORDER BY hsig) AS rn
+         FROM hs ORDER BY hsig LIMIT 4096),
+km AS (
+  SELECT 0 AS it, mm.m, s.rn - 1 AS cell,
+         (s.emb)[mm.m * 16 + 1 : (mm.m + 1) * 16] AS cent
+  FROM samp s, (SELECT unnest([0, 1, 2, 3]) AS m) mm
+  WHERE s.rn <= 16
+  UNION ALL
+  SELECT p.it + 1, p.m, p.cell, coalesce(nc.cent, p.cent)
+  FROM km p LEFT JOIN (
+    SELECT m, cell, list(v ORDER BY dim) AS cent FROM (
+      SELECT a.m, a.cell, d.dim, avg(a.sub[CAST(d.dim AS INT)]) AS v
+      FROM (
+        SELECT mm2.m, (s.emb)[mm2.m * 16 + 1 : (mm2.m + 1) * 16] AS sub,
+               (SELECT q.cell FROM km q WHERE q.m = mm2.m
+                ORDER BY list_distance(
+                  (s.emb)[mm2.m * 16 + 1 : (mm2.m + 1) * 16], q.cent) ASC,
+                  q.cell ASC
+                LIMIT 1) AS cell
+        FROM samp s, (SELECT unnest([0, 1, 2, 3]) AS m) mm2) a,
+        unnest(range(1, 17)) d(dim)
+      GROUP BY a.m, a.cell, d.dim)
+    GROUP BY m, cell) nc ON nc.m = p.m AND nc.cell = p.cell
+  WHERE p.it < 10
+),
+books AS (SELECT m, cell, cent FROM km WHERE it = 10),
+qq AS (SELECT CAST(embedding AS DOUBLE[]) AS qe,
+              greatest(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))),
+                       1e-12) AS qd
+       FROM embeddings WHERE vec_id = 0),
+qn AS (SELECT list_transform(qe, x -> x / qd) AS v FROM qq),
+tb AS (SELECT b.m, b.cell,
+              list_dot_product(b.cent, (qn.v)[b.m * 16 + 1 : (b.m + 1) * 16])
+                AS t,
+              list_dot_product(b.cent, b.cent) AS nrm
+       FROM books b, qn),
+enc AS (
+  SELECT a.vec_id, mm.m,
+         (SELECT b.cell FROM books b WHERE b.m = mm.m
+          ORDER BY list_distance(
+            (a.emb)[mm.m * 16 + 1 : (mm.m + 1) * 16], b.cent) ASC,
+            b.cell ASC
+          LIMIT 1) AS cell
+  FROM allv a, (SELECT unnest([0, 1, 2, 3]) AS m) mm),
+ap AS (
+  SELECT e.vec_id,
+         round(sum(tb.t) / sqrt(greatest(sum(tb.nrm), 1e-12)), 9) AS approx
+  FROM enc e JOIN tb ON tb.m = e.m AND tb.cell = e.cell
+  GROUP BY e.vec_id),
+short AS (SELECT ap.vec_id FROM ap
+          ORDER BY ap.approx DESC, ap.vec_id LIMIT 40),
+ex AS (
+  SELECT a.vec_id,
+         round(list_dot_product(a.emb, qn.v)
+           / (CASE WHEN sqrt(list_dot_product(a.emb, a.emb)) = 0.0
+              THEN 1e-12 ELSE sqrt(list_dot_product(a.emb, a.emb)) END), 6)
+           AS score
+  FROM allv a, qn WHERE a.vec_id IN (SELECT vec_id FROM short))
+SELECT vec_id, score FROM ex
+ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+
 # Personalized PageRank twin: teleport (and dangling mass) return to
 # the uniform distribution over the three lowest entity ids, per-step
 # op order (1-d)*p + d*(agg + dang*p) exactly as the engine's
@@ -12118,6 +12207,7 @@ ORACLE_SQL = {
     "semdedup_embeddings": _SEMDEDUP_SQL,
     "hard_negatives_embeddings": _HARD_NEG_SQL,
     "blocking_quality_aliases": _BLOCKING_QUALITY_SQL,
+    "pq_ann_topk": _PQ_SQL,
     "approx_users_per_type": _APPROX_USERS_SQL,
     "sketch_union_users_by_type": _SKETCH_UNION_USERS_SQL,
     "sketch_union_p90_value": _SKETCH_UNION_P90_SQL,
