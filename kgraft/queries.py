@@ -11998,6 +11998,73 @@ ORDER BY score DESC, vec_id LIMIT 10
 
 
 
+# Composite curation twin — assembled from the proven stage twins:
+# quality/length gate on the 6dp-rounded score (the engine filters on
+# the ROUNDED value), exact text dedup to the min doc_id, near-dup
+# groups via exact distinct-4-gram Jaccard >= 0.9 + transitive
+# closure (the banding stage is recall-lossless at this threshold —
+# the same contract the near_dup_docs twin has pinned since r4),
+# representatives = group minima, then 32-char-window benchmark
+# decontamination against the raw doc_id % 29 == 0 rows.
+_CURATE_SQL = """
+WITH RECURSIVE
+sig AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
+         round((least(len(regexp_extract_all(text, '[A-Za-z0-9_]+')), 500)
+                / 500.0) * 0.5
+             + (1.0 - least(greatest(
+                 len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
+                 / (CASE WHEN length(text) = 0 THEN 1
+                    ELSE length(text) END), 0.0), 1.0)) * 0.2
+             + least(greatest(
+                 len(regexp_extract_all(lower(text),
+                     '\\b(?:a|and|for|in|is|it|of|the|to|with)\\b')) * 1.0
+                 / (CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9_]+')) = 0
+                    THEN 1
+                    ELSE len(regexp_extract_all(text, '[A-Za-z0-9_]+')) END),
+                 0.0), 1.0) * 0.3, 6) AS quality
+  FROM documents),
+kept AS (SELECT * FROM sig WHERE quality >= 0.2 AND n_tokens >= 10),
+ded AS (SELECT k.* FROM kept k
+        WHERE k.doc_id = (SELECT min(k2.doc_id) FROM kept k2
+                          WHERE k2.text = k.text)),
+sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 4) AS g
+       FROM ded, LATERAL unnest(range(1, greatest(length(text) - 2, 2))) t(i)),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+prs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+good AS (
+  SELECT u, v FROM prs
+  JOIN sz su ON su.doc_id = prs.u JOIN sz sv ON sv.doc_id = prs.v
+  WHERE inter * 1.0 / (su.n + sv.n - inter) >= 0.9),
+edges2 AS (SELECT u, v FROM good UNION SELECT v, u FROM good),
+reach AS (
+  SELECT u AS s, v AS d FROM edges2
+  UNION
+  SELECT r.s, e.v FROM reach r JOIN edges2 e ON r.d = e.u),
+uniq AS (
+  SELECT ded.* FROM ded
+  WHERE ded.doc_id = least(ded.doc_id,
+    coalesce((SELECT min(r.d) FROM reach r WHERE r.s = ded.doc_id),
+             ded.doc_id))),
+bw AS (SELECT DISTINCT substr(text, CAST(i AS INT), 32) AS g
+       FROM documents,
+            LATERAL unnest(range(1, greatest(length(text) - 30, 2))) t(i)
+       WHERE doc_id % 29 = 0),
+uw AS (SELECT DISTINCT u.doc_id, substr(u.text, CAST(i AS INT), 32) AS g
+       FROM uniq u,
+            LATERAL unnest(range(1, greatest(length(u.text) - 30, 2))) t(i)),
+bad AS (SELECT DISTINCT uw.doc_id FROM uw JOIN bw USING (g))
+SELECT u.doc_id, CAST(u.n_tokens AS BIGINT) AS n_tokens, u.quality
+FROM uniq u WHERE u.doc_id NOT IN (SELECT doc_id FROM bad)
+ORDER BY u.doc_id
+"""
+
+
+
 # Personalized PageRank twin: teleport (and dangling mass) return to
 # the uniform distribution over the three lowest entity ids, per-step
 # op order (1-d)*p + d*(agg + dang*p) exactly as the engine's
@@ -12208,6 +12275,7 @@ ORACLE_SQL = {
     "hard_negatives_embeddings": _HARD_NEG_SQL,
     "blocking_quality_aliases": _BLOCKING_QUALITY_SQL,
     "pq_ann_topk": _PQ_SQL,
+    "curate_documents": _CURATE_SQL,
     "approx_users_per_type": _APPROX_USERS_SQL,
     "sketch_union_users_by_type": _SKETCH_UNION_USERS_SQL,
     "sketch_union_p90_value": _SKETCH_UNION_P90_SQL,
